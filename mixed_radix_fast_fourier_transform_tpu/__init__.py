@@ -1,0 +1,68 @@
+"""mixed_radix_fast_fourier_transform_tpu — TPU-native mixed-radix spectral library.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the reference C
+library `Tugbars/Mixed-Radix-Fast-Fourier-Transform` (highSpeedFFT): plan-based
+complex 1-D FFTs over mixed-radix factorizations, Bluestein's chirp-z transform
+for arbitrary lengths, packed real-input rFFT/irFFT, and FFT-based convolution
+— plus TPU-first extensions the reference lacks: batching, N-D transforms,
+autodiff, and mesh-sharded distributed transforms over ICI.
+
+Public API (numpy.fft-flavoured):
+    fft, ifft, fft2, ifft2, fftn, ifftn
+    rfft, irfft, rfftn, irfftn
+    fft_convolve, fft_correlate
+    fftfreq, rfftfreq, fftshift, ifftshift
+    plan-level: get_plan, build_complex_plan, build_real_plan, clear_plan_cache
+
+Reference-compatible API (plan objects, unnormalized inverse, C-style names):
+    from mixed_radix_fast_fourier_transform_tpu import compat
+"""
+
+from .ops.fft import (
+    fft,
+    ifft,
+    fft2,
+    ifft2,
+    fftn,
+    ifftn,
+    fftfreq,
+    rfftfreq,
+    fftshift,
+    ifftshift,
+)
+from .ops.rfft import rfft, irfft, rfftn, irfftn
+from .ops.convolve import fft_convolve, fft_correlate
+from .plan import (
+    BluesteinPlan,
+    MixedRadixPlan,
+    RealPlan,
+    build_bluestein_plan,
+    build_complex_plan,
+    build_mixed_radix_plan,
+    build_real_plan,
+    clear_plan_cache,
+    get_plan,
+)
+from .utils.config import DEFAULT_CONFIG, SpectralConfig
+from .utils.factorize import (
+    dividebyN,
+    next_fast_len,
+    next_pow2,
+    plan_stages,
+    prime_factors,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
+    "rfft", "irfft", "rfftn", "irfftn",
+    "fft_convolve", "fft_correlate",
+    "fftfreq", "rfftfreq", "fftshift", "ifftshift",
+    "MixedRadixPlan", "BluesteinPlan", "RealPlan",
+    "build_mixed_radix_plan", "build_bluestein_plan",
+    "build_complex_plan", "build_real_plan", "get_plan", "clear_plan_cache",
+    "SpectralConfig", "DEFAULT_CONFIG",
+    "prime_factors", "plan_stages", "dividebyN", "next_pow2", "next_fast_len",
+    "__version__",
+]

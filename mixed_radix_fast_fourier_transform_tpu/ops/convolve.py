@@ -1,0 +1,115 @@
+"""FFT-based convolution (L4 of the reference).
+
+TPU-native replacement for `fft_convolve` (reference: src/convolve.c:74-214):
+rfft → pointwise product → irfft, jit-composed so XLA fuses the pointwise pass
+into the surrounding transforms.  Output-mode slicing matches the reference
+exactly for linear convolution:
+
+    full : start 0,                length n1+n2-1        (convolve.c:166-170)
+    same : start (L-max)/2,        length max(n1,n2)     (convolve.c:171-176)
+    valid: start min-1,            length max-min+1      (convolve.c:177-182)
+
+Differences (deliberate):
+* circular convolution is *true* circular convolution at period max(n1, n2)
+  (the engine supports every FFT length, so no pow2 padding is needed); the
+  reference instead returns the zero-padded linear result of the padded
+  length (convolve.c:189-195), which is not a circular convolution at all —
+  that behavior is preserved only in :mod:`..compat`.
+* complex inputs are supported via the complex engine.
+* batched: leading dimensions broadcast.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.config import DEFAULT_CONFIG, SpectralConfig
+from ..utils.factorize import next_fast_len, next_pow2
+from .fft import fft, ifft
+from .rfft import irfft, rfft
+
+Array = jax.Array
+
+_MODES = ("full", "same", "valid")
+
+
+def _padded_len(n: int, config: SpectralConfig) -> int:
+    return next_fast_len(n) if config.pad_mode == "fast" else next_pow2(n)
+
+
+def fft_convolve(
+    in1,
+    in2,
+    mode: str = "full",
+    *,
+    circular: bool = False,
+    axis: int = -1,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Convolve two signals along ``axis`` via the FFT.
+
+    mode: "full" | "same" | "valid" (linear); ignored for circular, which
+    returns the period-max(n1,n2) circular convolution.
+    """
+    in1 = jnp.asarray(in1)
+    in2 = jnp.asarray(in2)
+    axis = axis % max(in1.ndim, 1)
+    n1 = in1.shape[axis]
+    n2 = in2.shape[axis]
+    if n1 < 1 or n2 < 1:
+        raise ValueError("inputs must be non-empty along the convolution axis")
+    complex_input = jnp.issubdtype(in1.dtype, jnp.complexfloating) or jnp.issubdtype(
+        in2.dtype, jnp.complexfloating
+    )
+
+    if circular:
+        m = max(n1, n2)  # true circular period — no pow2 inflation
+    else:
+        m = _padded_len(n1 + n2 - 1, config)
+
+    if complex_input:
+        f1 = fft(in1, n=m, axis=axis, config=config)
+        f2 = fft(in2, n=m, axis=axis, config=config)
+        out = ifft(f1 * f2, axis=axis, config=config)
+    else:
+        f1 = rfft(in1, n=m, axis=axis, config=config)
+        f2 = rfft(in2, n=m, axis=axis, config=config)
+        out = irfft(f1 * f2, n=m, axis=axis, config=config)
+
+    if circular:
+        return out
+
+    conv_length = n1 + n2 - 1
+    out = jnp.moveaxis(out, axis, -1)
+    if mode == "full":
+        start, length = 0, conv_length
+    elif mode == "same":
+        larger = max(n1, n2)
+        start, length = (conv_length - larger) // 2, larger
+    elif mode == "valid":
+        smaller = min(n1, n2)
+        start, length = smaller - 1, max(n1, n2) - smaller + 1
+    else:
+        raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
+    out = out[..., start : start + length]
+    return jnp.moveaxis(out, -1, axis)
+
+
+def fft_correlate(
+    in1,
+    in2,
+    mode: str = "full",
+    *,
+    axis: int = -1,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Cross-correlation via FFT (convolution with the reversed, conjugated
+    second input) — a standard spectral-library capability the reference lacks."""
+    in2 = jnp.asarray(in2)
+    rev = jnp.flip(in2, axis=axis)
+    if jnp.issubdtype(in2.dtype, jnp.complexfloating):
+        rev = jnp.conj(rev)
+    return fft_convolve(in1, rev, mode=mode, axis=axis, config=config)

@@ -1,0 +1,200 @@
+"""Packed real FFT: rfft / irfft (L3 of the reference).
+
+TPU-native replacement for `fft_real_init` / `fft_r2c_exec` / `fft_c2r_exec`
+(reference: src/real.c:26-193).  Same packed algorithm — an N-point real
+transform via an (N/2)-point complex transform plus a split/merge pass — but:
+
+* returns the canonical N/2+1 half spectrum instead of materializing the full
+  Hermitian mirror (the reference documents N/2+1 in real.h:56 yet writes N
+  entries, src/real.c:128-132 — a verified doc/buffer mismatch);
+* the split/merge is a batched vectorized pass (flip + concat, no gathers);
+* odd lengths take a full-complex fallback instead of being rejected
+  (src/real.c:28-32), so every N is supported.
+
+Everything is expressed on (re, im) planes and is jittable/batched.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..plan import get_plan
+from ..utils.config import DEFAULT_CONFIG, SpectralConfig
+from ..utils.numerics import from_planes, to_planes
+from .fft import _norm_scale, _resize_last
+from .stockham import exec_complex
+
+Array = jax.Array
+
+
+def _extend_half(z: Array) -> Array:
+    """k=0..h from a length-h array: z[k mod h] = concat([z, z[:1]])."""
+    return jnp.concatenate([z, z[..., :1]], axis=-1)
+
+
+def _reflect_half(z: Array) -> Array:
+    """k=0..h from a length-h array: z[(h-k) mod h] = [z0, z_{h-1}, …, z1, z0]."""
+    return jnp.concatenate([z[..., :1], jnp.flip(z[..., 1:], -1), z[..., :1]], -1)
+
+
+def _rfft_packed(x: Array, n: int, config: SpectralConfig):
+    """Even-N packed forward path → (re, im) planes of length n//2 + 1.
+
+    Algebra (reference split/unpack, src/real.c:99-125): pack z[m] = x[2m] +
+    i·x[2m+1]; Z = FFT_h(z); for k = 0..h with h = n/2:
+
+        Ze[k] = (Z[k] + conj(Z[h-k]))/2        (spectrum of even samples)
+        Zo[k] = -i·(Z[k] - conj(Z[h-k]))/2     (spectrum of odd samples)
+        X[k]  = Ze[k] + e^(-2πik/n)·Zo[k]
+
+    DC and Nyquist fall out of the same vectorized expression (indices mod h).
+    """
+    h = n // 2
+    plan = get_plan(h, -1, "complex", config)
+    zr = x[..., 0::2]
+    zi = x[..., 1::2]
+    fr, fi = exec_complex(plan, zr, zi)
+    ar, ai = _extend_half(fr), _extend_half(fi)          # Z[k mod h]
+    br, bi = _reflect_half(fr), -_reflect_half(fi)       # conj(Z[(h-k) mod h])
+    er, ei = (ar + br) * 0.5, (ai + bi) * 0.5            # Ze
+    ur, ui = (ar - br) * 0.5, (ai - bi) * 0.5
+    orr, oi = ui, -ur                                    # Zo = -i·(Z - conj)/2
+    tw_re, tw_im = _split_tw(n, -1, config)              # e^(-2πik/n), k=0..h
+    xr = er + (orr * tw_re - oi * tw_im)
+    xi = ei + (orr * tw_im + oi * tw_re)
+    return xr, xi
+
+
+def _split_tw(n: int, sign: int, config: SpectralConfig):
+    plan = get_plan(n, sign, "real", config)
+    return plan.split_re, plan.split_im
+
+
+def rfft(
+    x,
+    n: Optional[int] = None,
+    axis: int = -1,
+    norm: Optional[str] = "backward",
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Real-input FFT along ``axis`` → n//2 + 1 complex bins."""
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("rfft requires real input; use fft for complex data")
+    axis = axis % x.ndim
+    x = jnp.moveaxis(x, axis, -1).astype(config.dtype)
+    n = int(n) if n is not None else x.shape[-1]
+    x = _resize_last(x, n)
+    if n % 2 == 0 and n >= 2:
+        xr, xi = _rfft_packed(x, n, config)
+    else:
+        # Odd/one-point fallback: full complex transform, keep lower half.
+        plan = get_plan(n, -1, "complex", config)
+        fr, fi = exec_complex(plan, x, jnp.zeros_like(x))
+        xr, xi = fr[..., : n // 2 + 1], fi[..., : n // 2 + 1]
+    scale = _norm_scale(n, -1, norm)
+    if scale != 1.0:
+        s = jnp.asarray(scale, dtype=xr.dtype)
+        xr, xi = xr * s, xi * s
+    return jnp.moveaxis(from_planes(xr, xi), -1, axis)
+
+
+def _irfft_packed(xr: Array, xi: Array, n: int, config: SpectralConfig) -> Array:
+    """Even-N packed inverse path (reference: src/real.c:150-193).
+
+    From X[0..h], recover Z[k] = Ze[k] + i·Zo[k] (k = 0..h-1) via
+        Ze[k] = (X[k] + conj(X[h-k]))/2
+        Zo[k] = e^(+2πik/n)·(X[k] - conj(X[h-k]))/2
+    then z = IFFT_h(Z)/h, x[2m] = Re z[m], x[2m+1] = Im z[m].
+    Only bins 0..h are consumed — Hermitian symmetry is assumed, matching
+    numpy.fft.irfft and the reference c2r contract.
+    """
+    h = n // 2
+    # conj(X[h-k]) for k = 0..h-1 from bins 0..h: reversed tail.
+    br = jnp.flip(xr[..., 1:], -1)
+    bi = -jnp.flip(xi[..., 1:], -1)
+    ar, ai = xr[..., :h], xi[..., :h]
+    er, ei = (ar + br) * 0.5, (ai + bi) * 0.5
+    dr, di = (ar - br) * 0.5, (ai - bi) * 0.5
+    tw_re, tw_im = _split_tw(n, 1, config)  # e^(+2πik/n), k = 0..h
+    tr, ti = tw_re[..., :h], tw_im[..., :h]
+    orr = dr * tr - di * ti
+    oi = dr * ti + di * tr
+    zr = er - oi
+    zi = ei + orr
+    plan = get_plan(h, 1, "complex", config)
+    gr, gi = exec_complex(plan, zr, zi)
+    inv_h = jnp.asarray(1.0 / h, dtype=gr.dtype)
+    gr, gi = gr * inv_h, gi * inv_h
+    out = jnp.stack([gr, gi], axis=-1).reshape(*gr.shape[:-1], n)
+    return out
+
+
+def irfft(
+    x,
+    n: Optional[int] = None,
+    axis: int = -1,
+    norm: Optional[str] = "backward",
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Inverse of :func:`rfft`: half spectrum (length n//2+1) → real length n."""
+    x = jnp.asarray(x)
+    axis = axis % x.ndim
+    x = jnp.moveaxis(x, axis, -1)
+    n = int(n) if n is not None else 2 * (x.shape[-1] - 1)
+    if n < 1:
+        raise ValueError(f"irfft output length must be >= 1, got {n}")
+    x = _resize_last(x, n // 2 + 1)
+    xr, xi = to_planes(x, config.dtype)
+    if n % 2 == 0 and n >= 2:
+        out = _irfft_packed(xr, xi, n, config)
+    else:
+        # Odd-length fallback: rebuild the full Hermitian spectrum, complex ifft.
+        fr = jnp.concatenate([xr, jnp.flip(xr[..., 1:], -1)], axis=-1)
+        fi = jnp.concatenate([xi, -jnp.flip(xi[..., 1:], -1)], axis=-1)
+        plan = get_plan(n, 1, "complex", config)
+        gr, _ = exec_complex(plan, fr, fi)
+        out = gr / n
+    # _norm_scale(n, 1, norm) already includes the 1/n of "backward"; the packed
+    # path folded 1/h and the interleave supplies the rest ⇒ rescale relative
+    # to backward.
+    norm = norm or "backward"
+    if norm == "ortho":
+        out = out * jnp.asarray(math.sqrt(n), dtype=out.dtype)
+    elif norm == "forward":
+        out = out * jnp.asarray(float(n), dtype=out.dtype)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def rfftn(x, s=None, axes=None, norm="backward", *, config=DEFAULT_CONFIG):
+    """N-D real FFT: rfft over the last requested axis, complex fft over the rest."""
+    from .fft import fft, _axes_shape
+
+    x = jnp.asarray(x)
+    s, axes = _axes_shape(x, s, axes)
+    out = rfft(x, n=s[-1], axis=axes[-1], norm=norm, config=config)
+    for n_i, a in zip(s[:-1], axes[:-1]):
+        out = fft(out, n=n_i, axis=a, norm=norm, config=config)
+    return out
+
+
+def irfftn(x, s=None, axes=None, norm="backward", *, config=DEFAULT_CONFIG):
+    from .fft import ifft, _axes_shape
+
+    x = jnp.asarray(x)
+    if axes is None:
+        axes = tuple(range(x.ndim))
+    axes = tuple(a % x.ndim for a in axes)
+    if s is None:
+        s = tuple(
+            x.shape[a] if a != axes[-1] else 2 * (x.shape[a] - 1) for a in axes
+        )
+    for n_i, a in zip(s[:-1], axes[:-1]):
+        x = ifft(x, n=n_i, axis=a, norm=norm, config=config)
+    return irfft(x, n=s[-1], axis=axes[-1], norm=norm, config=config)

@@ -1,0 +1,143 @@
+"""Mixed-radix complex FFT engine (L2-hot-path of the reference).
+
+TPU-native replacement for `mixed_radix_dit_rec` (reference:
+src/highSpeedFFT.c:318-1629).  The reference's shape — recursive, strided,
+scalar butterflies with in-place combining — is exactly wrong for TPU (strided
+gathers, no vector lanes, no matmuls).  Here the same Cooley-Tukey mixed-radix
+decomposition is expressed as a *trace-time* recursion that emits, per stage:
+
+    reshape → (batched length-N2 sub-FFTs) → twiddle ⊙ → dense f×f DFT matmul
+
+so every stage's butterfly work is one big MXU matmul contracted over the
+stage size with the full batch (and all sibling sub-transforms) folded into
+the matmul's M dimension, and every twiddle multiply is a VPU elementwise op
+that XLA fuses with its neighbours.  There is no bit-reversal and no strided
+recursion at runtime — like the reference's implicit digit-reversal, ordering
+falls out of the reshape/transpose algebra, but as dense layout changes
+instead of scalar strided loads.
+
+Leaf codelets (reference src/highSpeedFFT.c:333-713) and the O(r²) general-
+radix combine (1475-1628) both collapse into the same dense DFT matmul here:
+on an MXU a hand-unrolled radix-7 butterfly and a 7×7 matrix multiply are the
+same thing, and the matmul version is correct for *every* radix (the
+reference's leaf-2 drops input[0] — verified bug, src/highSpeedFFT.c:354-364).
+
+All functions are jittable; the plan rides along as a pytree argument.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..plan import BluesteinPlan, MixedRadixPlan
+from ..utils.config import DEFAULT_CONFIG
+from ..utils.numerics import cmul
+
+Array = jax.Array
+
+_PRECISION = DEFAULT_CONFIG.precision
+
+
+def _dft_apply_last(
+    xr: Array, xi: Array, wr: Array, wi: Array
+) -> Tuple[Array, Array]:
+    """Dense DFT over the last axis: z[..., k] = Σ_n x[..., n] W[n, k].
+
+    Four real matmuls on the MXU.  ``preferred_element_type`` + HIGHEST
+    precision keep fp32 accuracy (multi-pass bf16 on TPU MXU).
+    """
+    dot = partial(
+        jnp.einsum,
+        "...n,nk->...k",
+        precision=_PRECISION,
+        preferred_element_type=xr.dtype,
+    )
+    return dot(xr, wr) - dot(xi, wi), dot(xr, wi) + dot(xi, wr)
+
+
+def _dft_apply_axis2(
+    xr: Array, xi: Array, wr: Array, wi: Array
+) -> Tuple[Array, Array]:
+    """Dense DFT over axis -2: z[..., m, k] = Σ_n x[..., n, k] W[n, m]."""
+    dot = partial(
+        jnp.einsum,
+        "...nk,nm->...mk",
+        precision=_PRECISION,
+        preferred_element_type=xr.dtype,
+    )
+    return dot(xr, wr) - dot(xi, wi), dot(xr, wi) + dot(xi, wr)
+
+
+def _exec_level(
+    plan: MixedRadixPlan, level: int, xr: Array, xi: Array
+) -> Tuple[Array, Array]:
+    """Execute the transform of length prod(factors[level:]) over the last axis.
+
+    Cooley-Tukey split at this node: N_cur = f · n_rem with f = factors[level]
+    as the *outer* DFT.  Input index n = f·n2 + n1; output k = n_rem·k1 + k2:
+
+        X[n_rem·k1 + k2] = Σ_{n1} W_f^{n1·k1} · T[n1,k2] · FFT_{n_rem}(x[f·:+n1])[k2]
+
+    with T the split twiddle e^(sign·2πi·n1·k2/N_cur) — the correct dynamic
+    formula (reference src/highSpeedFFT.c:2275-2288), never the broken table
+    path.
+    """
+    factors = plan.factors
+    f = factors[level]
+    if level == len(factors) - 1:
+        return _dft_apply_last(xr, xi, plan.dft_re[level], plan.dft_im[level])
+    n_rem = math.prod(factors[level + 1 :])
+    batch = xr.shape[:-1]
+    # (..., N_cur) -> (..., n2, n1) -> (..., n1, n2): sub-transform n1 over last axis
+    xr = jnp.swapaxes(xr.reshape(*batch, n_rem, f), -1, -2)
+    xi = jnp.swapaxes(xi.reshape(*batch, n_rem, f), -1, -2)
+    yr, yi = _exec_level(plan, level + 1, xr, xi)
+    yr, yi = cmul(yr, yi, plan.tw_re[level], plan.tw_im[level])
+    zr, zi = _dft_apply_axis2(yr, yi, plan.dft_re[level], plan.dft_im[level])
+    return zr.reshape(*batch, f * n_rem), zi.reshape(*batch, f * n_rem)
+
+
+def exec_mixed_radix(
+    plan: MixedRadixPlan, xr: Array, xi: Array
+) -> Tuple[Array, Array]:
+    """Unnormalized transform over the last axis (matches the reference's
+    unnormalized fft_exec, src/highSpeedFFT.c:1920-1942; normalization is
+    applied by the API layer per the ``norm`` argument)."""
+    if plan.n == 1:
+        return xr, xi  # identity — valid here, exit(1) in the reference
+    return _exec_level(plan, 0, xr, xi)
+
+
+def exec_bluestein(plan: BluesteinPlan, xr: Array, xi: Array) -> Tuple[Array, Array]:
+    """Chirp-z transform (reference: bluestein_fft, src/highSpeedFFT.c:1735-1907)
+    — same algorithm, but the chirp spectrum is a plan constant, padding is
+    consistent, nothing is mutated, and the inverse inner FFT uses the
+    conjugation identity instead of negating plan twiddles in place."""
+    n, m = plan.n, plan.m
+    batch = xr.shape[:-1]
+    # a = w ⊙ x, zero-padded to m
+    ar, ai = cmul(xr, xi, plan.chirp_re, plan.chirp_im)
+    pad = [(0, 0)] * len(batch) + [(0, m - n)]
+    ar = jnp.pad(ar, pad)
+    ai = jnp.pad(ai, pad)
+    # A = fft_m(a); B = A ⊙ Ĉ; b = ifft_m(B) = conj(fft_m(conj(B))) / m
+    fr, fi = exec_mixed_radix(plan.inner, ar, ai)
+    br, bi = cmul(fr, fi, plan.spec_re, plan.spec_im)
+    gr, gi = exec_mixed_radix(plan.inner, br, -bi)
+    inv_m = jnp.asarray(1.0 / m, dtype=xr.dtype)
+    gr, gi = gr * inv_m, -gi * inv_m
+    # X = w ⊙ b[:n]
+    return cmul(gr[..., :n], gi[..., :n], plan.chirp_re, plan.chirp_im)
+
+
+def exec_complex(plan, xr: Array, xi: Array) -> Tuple[Array, Array]:
+    """Dispatch on plan type (reference: fft_exec's lt branch,
+    src/highSpeedFFT.c:1928-1941)."""
+    if isinstance(plan, BluesteinPlan):
+        return exec_bluestein(plan, xr, xi)
+    return exec_mixed_radix(plan, xr, xi)

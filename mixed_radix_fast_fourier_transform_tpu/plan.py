@@ -1,0 +1,247 @@
+"""Plan construction (L2-cold-path of the reference, trace-time here).
+
+TPU-native replacement for `fft_init` / `struct fft_set` / `free_fft`
+(reference: src/highSpeedFFT.c:206-286, 2315-2318; src/highspeedFFT.h:36-43).
+
+Key design differences from the reference, all deliberate:
+
+* Plans are **immutable pytrees** (frozen dataclasses registered with JAX).
+  The reference mutates its plan during Bluestein execution
+  (src/highSpeedFFT.c:1759-1760, 1861-1866), making `fft_exec` non-reentrant;
+  immutability eliminates that class of bug and makes plans safely shareable
+  across jit traces and threads.
+* The Bluestein **chirp spectrum is precomputed at plan time** (the reference
+  recomputes it on every exec, src/highSpeedFFT.c:1786-1797) and the padded
+  length is computed in one place (the reference's two disagreeing formulas,
+  src/highSpeedFFT.c:242-252 vs 1750-1751, cause a verified heap overflow at
+  N = 257).
+* Twiddles always use the correct dynamic formula with exact integer phase
+  reduction (the reference's table path is verifiably wrong for non-innermost
+  radices 3/4/7 — SURVEY.md §2.2(4)).
+* N = 1 is a valid plan (identity); the reference calls exit(1)
+  (src/highSpeedFFT.c:2240-2245).
+
+Static metadata (N, sign, stage factors) lives in pytree aux data so jit
+retraces per plan *structure*; the twiddle/DFT constants are pytree leaves.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import threading
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .utils.config import DEFAULT_CONFIG, SpectralConfig
+from .utils.factorize import is_smooth, next_fast_len, next_pow2, plan_stages
+from .utils.twiddle import chirp, dft_matrix, split_twiddles, twiddle_split
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class MixedRadixPlan:
+    """Stage schedule for the mixed-radix engine.
+
+    ``factors`` are dense DFT stage sizes (descending, product = n); stage i
+    contributes one (f_i × f_i) MXU matmul.  ``tw_*[i]`` are the Cooley-Tukey
+    split twiddles between stage i and the remainder, shape
+    (f_i, prod(factors[i+1:])).
+    """
+
+    n: int = dataclasses.field(metadata=dict(static=True))
+    sign: int = dataclasses.field(metadata=dict(static=True))
+    factors: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    dft_re: Tuple[Array, ...] = ()
+    dft_im: Tuple[Array, ...] = ()
+    tw_re: Tuple[Array, ...] = ()
+    tw_im: Tuple[Array, ...] = ()
+
+
+@dataclasses.dataclass(frozen=True)
+class BluesteinPlan:
+    """Chirp-z plan for lengths whose largest prime factor exceeds the stage cap.
+
+    X = w ⊙ ifft_M(fft_M(pad(w ⊙ x)) ⊙ Ĉ), with w the quadratic chirp and Ĉ its
+    padded spectrum — both baked in at plan time (reference recomputes Ĉ per
+    exec: src/highSpeedFFT.c:1786-1797).  ``inner`` is a forward plan of the
+    padded length m; the inverse inner transform uses the conjugation identity,
+    so one inner plan serves both directions.
+    """
+
+    n: int = dataclasses.field(metadata=dict(static=True))
+    sign: int = dataclasses.field(metadata=dict(static=True))
+    m: int = dataclasses.field(metadata=dict(static=True))
+    inner: MixedRadixPlan = None
+    chirp_re: Array = None
+    chirp_im: Array = None
+    spec_re: Array = None
+    spec_im: Array = None
+
+
+@dataclasses.dataclass(frozen=True)
+class RealPlan:
+    """Packed real FFT plan: one half-length complex plan + split twiddles
+    (reference: fft_real_init, src/real.c:26-76).  n must be even — same
+    contract as the reference (src/real.c:28-32); odd lengths take the
+    full-complex fallback at the op layer instead of crashing."""
+
+    n: int = dataclasses.field(metadata=dict(static=True))
+    sign: int = dataclasses.field(metadata=dict(static=True))
+    inner: object = None  # MixedRadixPlan | BluesteinPlan for n//2
+    split_re: Array = None
+    split_im: Array = None
+
+
+for _cls in (MixedRadixPlan, BluesteinPlan, RealPlan):
+    _fields = dataclasses.fields(_cls)
+    jax.tree_util.register_dataclass(
+        _cls,
+        data_fields=[f.name for f in _fields if not f.metadata.get("static")],
+        meta_fields=[f.name for f in _fields if f.metadata.get("static")],
+    )
+
+ComplexPlan = (MixedRadixPlan, BluesteinPlan)
+
+
+def _as_jnp(pair, dtype) -> Tuple[Array, Array]:
+    re, im = pair
+    return jnp.asarray(re, dtype=dtype), jnp.asarray(im, dtype=dtype)
+
+
+def build_mixed_radix_plan(
+    n: int, sign: int, config: SpectralConfig = DEFAULT_CONFIG
+) -> MixedRadixPlan:
+    if sign not in (-1, 1):
+        raise ValueError(f"sign must be -1 (forward) or +1 (inverse), got {sign}")
+    if n < 1:
+        raise ValueError(f"length must be >= 1, got {n}")
+    if n == 1 or n <= config.direct_dft_max:
+        factors: Tuple[int, ...] = (n,)
+    else:
+        factors = plan_stages(n, config.max_stage)
+    dtype = config.dtype
+    dft_re, dft_im, tw_re, tw_im = [], [], [], []
+    for i, f in enumerate(factors):
+        wr, wi = _as_jnp(dft_matrix(f, sign, np.float64), dtype)
+        dft_re.append(wr)
+        dft_im.append(wi)
+        if i < len(factors) - 1:
+            n_rem = math.prod(factors[i + 1 :])
+            tr, ti = _as_jnp(twiddle_split(f, n_rem, f * n_rem, sign, np.float64), dtype)
+            tw_re.append(tr)
+            tw_im.append(ti)
+    return MixedRadixPlan(
+        n=n,
+        sign=sign,
+        factors=factors,
+        dft_re=tuple(dft_re),
+        dft_im=tuple(dft_im),
+        tw_re=tuple(tw_re),
+        tw_im=tuple(tw_im),
+    )
+
+
+def _padded_length(n: int, config: SpectralConfig) -> int:
+    """Single source of truth for the Bluestein padded length — fixes the
+    reference's plan/exec disagreement (src/highSpeedFFT.c:242-252 vs
+    1750-1751, heap overflow at N = 2^k + 1)."""
+    need = 2 * n - 1
+    if config.pad_mode == "fast":
+        return next_fast_len(need)
+    return next_pow2(need)
+
+
+def build_bluestein_plan(
+    n: int, sign: int, config: SpectralConfig = DEFAULT_CONFIG
+) -> BluesteinPlan:
+    if sign not in (-1, 1):
+        raise ValueError(f"sign must be -1 or +1, got {sign}")
+    m = _padded_length(n, config)
+    inner = build_mixed_radix_plan(m, -1, config)
+    # Chirp w[j] = e^(sign·iπj²/n); kernel c = conj(w) wrapped circularly.
+    wr64, wi64 = chirp(n, sign, np.float64)
+    c = np.zeros(m, dtype=np.complex128)
+    w64 = wr64 + 1j * wi64
+    c[:n] = np.conj(w64)
+    c[m - n + 1 :] = np.conj(w64)[1:][::-1]
+    spec = np.fft.fft(c)  # plan-time fp64 spectrum of the chirp kernel
+    dtype = config.dtype
+    return BluesteinPlan(
+        n=n,
+        sign=sign,
+        m=m,
+        inner=inner,
+        chirp_re=jnp.asarray(wr64, dtype=dtype),
+        chirp_im=jnp.asarray(wi64, dtype=dtype),
+        spec_re=jnp.asarray(spec.real, dtype=dtype),
+        spec_im=jnp.asarray(spec.imag, dtype=dtype),
+    )
+
+
+def build_complex_plan(n: int, sign: int, config: SpectralConfig = DEFAULT_CONFIG):
+    """Dispatch: mixed-radix when every prime factor fits in a dense stage,
+    Bluestein otherwise (reference: fft_init's dividebyN branch,
+    src/highSpeedFFT.c:214-265 — but with a complete prime predicate)."""
+    if n < 1:
+        raise ValueError(f"length must be >= 1, got {n}")
+    if n <= config.direct_dft_max or is_smooth(n, config.max_stage):
+        return build_mixed_radix_plan(n, sign, config)
+    return build_bluestein_plan(n, sign, config)
+
+
+def build_real_plan(
+    n: int, sign: int, config: SpectralConfig = DEFAULT_CONFIG
+) -> RealPlan:
+    if n % 2 != 0:
+        raise ValueError(f"packed real FFT requires even length, got {n}")
+    inner = build_complex_plan(n // 2, sign, config)
+    sr, si = _as_jnp(split_twiddles(n, sign, np.float64), config.dtype)
+    return RealPlan(n=n, sign=sign, inner=inner, split_re=sr, split_im=si)
+
+
+# --------------------------------------------------------------------------
+# Plan cache — the TPU analogue of the reference's long-lived fft_object
+# (plus XLA's own compilation cache on top).  Keyed on everything that changes
+# plan structure or constants.
+# --------------------------------------------------------------------------
+
+_CACHE: dict = {}
+_CACHE_LOCK = threading.Lock()
+
+
+def _cfg_key(config: SpectralConfig):
+    return (
+        config.max_stage,
+        config.direct_dft_max,
+        str(config.dtype),
+        str(config.precision),
+        config.pad_mode,
+    )
+
+
+def get_plan(n: int, sign: int, kind: str = "complex",
+             config: SpectralConfig = DEFAULT_CONFIG):
+    key = (kind, n, sign, _cfg_key(config))
+    with _CACHE_LOCK:
+        plan = _CACHE.get(key)
+    if plan is not None:
+        return plan
+    if kind == "complex":
+        plan = build_complex_plan(n, sign, config)
+    elif kind == "real":
+        plan = build_real_plan(n, sign, config)
+    else:
+        raise ValueError(f"unknown plan kind {kind!r}")
+    with _CACHE_LOCK:
+        _CACHE.setdefault(key, plan)
+    return plan
+
+
+def clear_plan_cache() -> None:
+    with _CACHE_LOCK:
+        _CACHE.clear()

@@ -1,0 +1,36 @@
+"""Runtime configuration for the spectral library.
+
+The reference's only knobs are compile-time macros (`USE_TWIDDLE_TABLES`,
+`LOOKUP_MAX`, `fft_type` — src/highSpeedFFT.c:9,12, src/highspeedFFT.h:15-17).
+Here configuration is a small dataclass resolved at plan/trace time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SpectralConfig:
+    # Largest dense DFT stage the mixed-radix engine will emit.  Each stage is
+    # one MXU matmul of this size; primes above it route the length to
+    # Bluestein.  64 keeps stage matrices comfortably inside VMEM tiles while
+    # covering every prime the reference's planner knows (max 53).
+    max_stage: int = 64
+    # Lengths <= this are done as one dense DFT matmul (single-stage plan).
+    direct_dft_max: int = 64
+    # Working dtype of the (re, im) planes on device.
+    dtype: jnp.dtype = jnp.float32
+    # Matmul precision for the stage DFTs.  HIGHEST = fp32-accurate on the MXU
+    # (multi-pass bf16); required for the <=1e-5 error budget.
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+    # Padded-length selector for Bluestein / convolution: "pow2" mirrors the
+    # reference (src/convolve.c:20-25), "fast" picks the next 2·3·5·7-smooth
+    # length (less padding, often faster on TPU).
+    pad_mode: str = "pow2"
+
+
+DEFAULT_CONFIG = SpectralConfig()

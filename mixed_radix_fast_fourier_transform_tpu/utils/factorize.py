@@ -1,0 +1,148 @@
+"""Number theory & planning layer (L0 of the reference).
+
+TPU-native reimplementation of the reference's factorability check and prime
+factorization planner (reference: `src/highSpeedFFT.c:11-55` `dividebyN` lookup,
+`1954-2025` `divideby`/`dividebyN`, `2038-2163` `factors`).  Unlike the reference,
+whose prime set omits 19 from the lookup (`src/highSpeedFFT.c:12-55`) while
+`factors()` handles it, this planner factorizes over *all* primes and lets the
+plan layer decide (by largest prime factor) whether a length goes to the
+mixed-radix engine or to Bluestein.  All of this runs at trace/plan time on the
+host; nothing here touches the device.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Sequence, Tuple
+
+# Prime set the reference's planner can divide by (src/highSpeedFFT.c:2046-2160
+# handles {53..13, 11, 8, 7, 5, 4, 3, 2} plus a 6k±1 wheel for residuals <= 31²).
+# We keep it only for the compat `dividebyN` predicate.
+REFERENCE_PRIME_SET: Tuple[int, ...] = (
+    2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53,
+)
+
+
+def prime_factors(n: int) -> List[int]:
+    """Full prime factorization (ascending), trial division with a 6k±1 wheel.
+
+    Replaces the reference's `factors()` (src/highSpeedFFT.c:2038-2163) but is
+    exact for every n >= 1 (the reference caps the factor list at 64 entries and
+    prefers composite radices 8/4; radix grouping happens later in
+    :func:`plan_stages` here).
+    """
+    if n < 1:
+        raise ValueError(f"length must be >= 1, got {n}")
+    out: List[int] = []
+    for p in (2, 3):
+        while n % p == 0:
+            out.append(p)
+            n //= p
+    f = 5
+    while f * f <= n:
+        for p in (f, f + 2):
+            while n % p == 0:
+                out.append(p)
+                n //= p
+        f += 6
+    if n > 1:
+        out.append(n)
+    return out
+
+
+def largest_prime_factor(n: int) -> int:
+    if n == 1:
+        return 1
+    return prime_factors(n)[-1]
+
+
+@functools.lru_cache(maxsize=4096)
+def dividebyN(n: int, primes: Tuple[int, ...] = REFERENCE_PRIME_SET) -> bool:
+    """Compat predicate: is ``n`` smooth over ``primes``?
+
+    Mirrors the reference's `dividebyN` (src/highSpeedFFT.c:1979-2025) but with
+    a complete prime set (the reference's lookup omits 19, mis-routing N=19k to
+    Bluestein) and no 1024-entry table cap.
+    """
+    if n < 1:
+        return False
+    for p in primes:
+        while n % p == 0:
+            n //= p
+    return n == 1
+
+
+def next_pow2(n: int) -> int:
+    """Smallest power of two >= n (reference `next_power_of_two`,
+    src/convolve.c:20-25 — which is log10-based and disagrees with execution for
+    N = 2^k + 1; this version is exact)."""
+    if n <= 1:
+        return 1
+    return 1 << (n - 1).bit_length()
+
+
+def next_fast_len(n: int, primes: Sequence[int] = (2, 3, 5, 7)) -> int:
+    """Smallest ``m >= n`` whose prime factors are all in ``primes``.
+
+    Used to pick efficient padded lengths for convolution / Bluestein instead
+    of always rounding to a power of two like the reference (src/convolve.c:39-55).
+    """
+    if n <= 1:
+        return 1
+    best = next_pow2(n)
+
+    def smooth(m: int) -> bool:
+        for p in primes:
+            while m % p == 0:
+                m //= p
+        return m == 1
+
+    m = n
+    while m < best:
+        if smooth(m):
+            return m
+        m += 1
+    return best
+
+
+def plan_stages(n: int, max_stage: int = 64) -> Tuple[int, ...]:
+    """Group the prime factorization of ``n`` into DFT stage sizes <= max_stage.
+
+    The TPU engine executes one dense (stage x stage) DFT matmul per stage on
+    the MXU, so larger composite stages amortize memory traffic — the moral
+    equivalent of the reference preferring radices 8 and 4 over 2
+    (src/highSpeedFFT.c:2046-2137), generalized: we pack greedily toward
+    ``max_stage`` instead of stopping at 8.
+
+    Returns stage sizes in descending order; their product is ``n``.
+    Raises ValueError if some prime factor exceeds ``max_stage`` (callers route
+    those lengths to Bluestein).
+    """
+    if n == 1:
+        return (1,)
+    primes = sorted(prime_factors(n), reverse=True)
+    if primes[0] > max_stage:
+        raise ValueError(
+            f"prime factor {primes[0]} of {n} exceeds max_stage={max_stage}"
+        )
+    stages: List[int] = []
+    remaining = list(primes)
+    while remaining:
+        stage = remaining.pop(0)  # largest remaining prime
+        # Greedily multiply in further primes while staying <= max_stage.
+        i = 0
+        while i < len(remaining):
+            if stage * remaining[i] <= max_stage:
+                stage *= remaining.pop(i)
+            else:
+                i += 1
+        stages.append(stage)
+    stages.sort(reverse=True)
+    assert math.prod(stages) == n
+    return tuple(stages)
+
+
+def is_smooth(n: int, max_prime: int) -> bool:
+    """True if every prime factor of n is <= max_prime."""
+    return largest_prime_factor(n) <= max_prime

@@ -1,0 +1,29 @@
+"""Test configuration: force an 8-virtual-device CPU platform BEFORE jax import.
+
+Tests run on CPU (real fp32 matmuls, deterministic) with 8 virtual devices so
+the distributed/sharding paths exercise real collectives without TPU hardware.
+The benchmark (bench.py) runs on the real TPU chip instead.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # override axon/TPU; tests are CPU-only
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The environment's axon site-hook force-registers the TPU platform and
+# overrides JAX_PLATFORMS; jax.config wins over both.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,148 @@
+"""Complex FFT correctness vs the fp64 numpy oracle.
+
+Oracle-based strategy (SURVEY.md §4): the reference's own GoogleTest suite
+cannot compile and encodes admitted-wrong expectations, so golden values come
+from numpy.fft (fp64).  Length coverage deliberately includes every class from
+the reference's verified correctness matrix (SURVEY.md §2.9) — the sizes the
+reference gets right, the sizes it gets WRONG (9, 12, 16, 36, 49, 60, 128,
+360, 504, 1024, 5040, …), and the sizes where it crashes (1, 13, 257).
+"""
+
+import numpy as np
+import pytest
+
+import mixed_radix_fast_fourier_transform_tpu as sp
+
+# fp32 error budget: target is <=1e-5 max rel err (BASELINE.md).
+TOL = 1e-5
+
+# Reference-correct sizes, reference-WRONG sizes, reference-CRASH sizes.
+SIZES = [
+    1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 16, 17, 20, 24, 25, 32, 36,
+    49, 60, 64, 100, 121, 128, 180, 256, 257, 360, 504, 512, 1009, 1024, 5040,
+]
+BIG_SIZES = [4096, 10007, 65536]
+
+
+def _rel_err(got, want):
+    got = np.asarray(got, dtype=np.complex128)
+    want = np.asarray(want, dtype=np.complex128)
+    denom = max(np.max(np.abs(want)), 1e-30)
+    return np.max(np.abs(got - want)) / denom
+
+
+def _rand_complex(rng, shape):
+    return (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(
+        np.complex64
+    )
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_fft_matches_numpy(rng, n):
+    x = _rand_complex(rng, (n,))
+    got = sp.fft(x)
+    want = np.fft.fft(x.astype(np.complex128))
+    assert _rel_err(got, want) < TOL, f"N={n}"
+
+
+@pytest.mark.parametrize("n", BIG_SIZES)
+def test_fft_matches_numpy_big(rng, n):
+    x = _rand_complex(rng, (n,))
+    got = sp.fft(x)
+    want = np.fft.fft(x.astype(np.complex128))
+    assert _rel_err(got, want) < TOL, f"N={n}"
+
+
+@pytest.mark.parametrize("n", [8, 15, 60, 360, 1009])
+def test_ifft_roundtrip(rng, n):
+    x = _rand_complex(rng, (n,))
+    back = sp.ifft(sp.fft(x))
+    assert _rel_err(back, x.astype(np.complex128)) < TOL
+
+
+@pytest.mark.parametrize("n", [16, 360, 1009])
+@pytest.mark.parametrize("norm", ["backward", "ortho", "forward"])
+def test_norm_modes(rng, n, norm):
+    x = _rand_complex(rng, (n,))
+    got = sp.fft(x, norm=norm)
+    want = np.fft.fft(x.astype(np.complex128), norm=norm)
+    assert _rel_err(got, want) < TOL
+    got_i = sp.ifft(np.asarray(got), norm=norm)
+    assert _rel_err(got_i, x.astype(np.complex128)) < TOL
+
+
+@pytest.mark.parametrize("batch", [(4,), (2, 3)])
+def test_batched(rng, batch):
+    n = 96
+    x = _rand_complex(rng, batch + (n,))
+    got = sp.fft(x)
+    want = np.fft.fft(x.astype(np.complex128), axis=-1)
+    assert _rel_err(got, want) < TOL
+
+
+def test_axis_argument(rng):
+    x = _rand_complex(rng, (12, 30, 5))
+    got = sp.fft(x, axis=1)
+    want = np.fft.fft(x.astype(np.complex128), axis=1)
+    assert _rel_err(got, want) < TOL
+
+
+def test_n_crop_and_pad(rng):
+    x = _rand_complex(rng, (50,))
+    for n in (20, 50, 81):
+        got = sp.fft(x, n=n)
+        want = np.fft.fft(x.astype(np.complex128), n=n)
+        assert _rel_err(got, want) < TOL, f"n={n}"
+
+
+def test_real_input_promoted(rng):
+    x = rng.standard_normal(48).astype(np.float32)
+    got = sp.fft(x)
+    want = np.fft.fft(x.astype(np.float64))
+    assert _rel_err(got, want) < TOL
+
+
+def test_fft2_fftn(rng):
+    x = _rand_complex(rng, (12, 20))
+    assert _rel_err(sp.fft2(x), np.fft.fft2(x.astype(np.complex128))) < TOL
+    x3 = _rand_complex(rng, (4, 6, 10))
+    assert _rel_err(sp.fftn(x3), np.fft.fftn(x3.astype(np.complex128))) < TOL
+    assert (
+        _rel_err(sp.ifftn(np.asarray(sp.fftn(x3))), x3.astype(np.complex128)) < TOL
+    )
+
+
+def test_jit_and_grad(rng):
+    """Transforms are jittable and differentiable — capabilities the C
+    reference cannot have; autodiff must flow through the plan constants."""
+    import jax
+    import jax.numpy as jnp
+
+    x = rng.standard_normal(360).astype(np.float32)
+
+    @jax.jit
+    def loss(v):
+        return jnp.sum(jnp.abs(sp.fft(v)) ** 2)
+
+    g = jax.grad(loss)(x)
+    # Parseval: d/dx sum|FFT x|^2 = 2*N*x
+    np.testing.assert_allclose(np.asarray(g), 2 * 360 * x, rtol=1e-4)
+
+
+def test_helpers_match_numpy():
+    for n in (8, 9):
+        np.testing.assert_allclose(np.asarray(sp.fftfreq(n)), np.fft.fftfreq(n), atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(sp.rfftfreq(n)), np.fft.rfftfreq(n), atol=1e-7
+        )
+        x = np.arange(n)
+        np.testing.assert_array_equal(np.asarray(sp.fftshift(x)), np.fft.fftshift(x))
+        np.testing.assert_array_equal(np.asarray(sp.ifftshift(x)), np.fft.ifftshift(x))
+
+
+def test_invalid_args(rng):
+    x = _rand_complex(rng, (8,))
+    with pytest.raises(ValueError):
+        sp.fft(x, n=0)
+    with pytest.raises(ValueError):
+        sp.fft(x, norm="nope")
