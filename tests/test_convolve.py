@@ -1,0 +1,69 @@
+"""FFT convolution tests (reference L4: src/convolve.c) vs direct oracles."""
+
+import numpy as np
+import pytest
+
+import mixed_radix_fast_fourier_transform_tpu as sp
+
+
+def _direct_circular(a, b, period):
+    out = np.zeros(period)
+    for i in range(len(a)):
+        for j in range(len(b)):
+            out[(i + j) % period] += a[i] * b[j]
+    return out
+
+
+@pytest.mark.parametrize("n1,n2", [(16, 16), (100, 17), (5, 64), (1, 9), (33, 7)])
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+def test_linear_modes_match_numpy(rng, n1, n2, mode):
+    a = rng.standard_normal(n1).astype(np.float32)
+    b = rng.standard_normal(n2).astype(np.float32)
+    got = np.asarray(sp.fft_convolve(a, b, mode=mode))
+    want = np.convolve(a.astype(np.float64), b.astype(np.float64), mode=mode)
+    assert got.shape == want.shape, f"{mode}: {got.shape} vs {want.shape}"
+    np.testing.assert_allclose(got, want, atol=1e-4 * max(1, np.abs(want).max()))
+
+
+@pytest.mark.parametrize("n1,n2", [(16, 16), (100, 17), (8, 60)])
+def test_circular(rng, n1, n2):
+    a = rng.standard_normal(n1).astype(np.float32)
+    b = rng.standard_normal(n2).astype(np.float32)
+    got = np.asarray(sp.fft_convolve(a, b, circular=True))
+    period = max(n1, n2)
+    want = _direct_circular(a.astype(np.float64), b.astype(np.float64), period)
+    assert got.shape == (period,)
+    np.testing.assert_allclose(got, want, atol=1e-4 * max(1, np.abs(want).max()))
+
+
+def test_complex_inputs(rng):
+    a = (rng.standard_normal(40) + 1j * rng.standard_normal(40)).astype(np.complex64)
+    b = (rng.standard_normal(12) + 1j * rng.standard_normal(12)).astype(np.complex64)
+    got = np.asarray(sp.fft_convolve(a, b))
+    want = np.convolve(a.astype(np.complex128), b.astype(np.complex128))
+    np.testing.assert_allclose(got, want, atol=1e-4 * np.abs(want).max())
+
+
+def test_batched(rng):
+    a = rng.standard_normal((4, 50)).astype(np.float32)
+    b = rng.standard_normal((4, 11)).astype(np.float32)
+    got = np.asarray(sp.fft_convolve(a, b))
+    for i in range(4):
+        want = np.convolve(a[i].astype(np.float64), b[i].astype(np.float64))
+        np.testing.assert_allclose(got[i], want, atol=1e-4 * np.abs(want).max())
+
+
+def test_correlate(rng):
+    a = rng.standard_normal(30).astype(np.float32)
+    b = rng.standard_normal(10).astype(np.float32)
+    got = np.asarray(sp.fft_correlate(a, b))
+    want = np.correlate(a.astype(np.float64), b.astype(np.float64), mode="full")
+    np.testing.assert_allclose(got, want, atol=1e-4 * np.abs(want).max())
+
+
+def test_identity_kernel(rng):
+    a = rng.standard_normal(64).astype(np.float32)
+    delta = np.zeros(1, np.float32)
+    delta[0] = 1.0
+    got = np.asarray(sp.fft_convolve(a, delta, mode="full"))
+    np.testing.assert_allclose(got, a, atol=1e-5)

@@ -1,0 +1,131 @@
+"""Property-based FFT tests: linearity, Parseval, shift theorem, impulse,
+conjugate symmetry (SURVEY.md §4's prescription for replacing the reference's
+unbuildable mock-heavy GoogleTest suite with oracle/property tests)."""
+
+import numpy as np
+import pytest
+
+import mixed_radix_fast_fourier_transform_tpu as sp
+
+SIZES = [8, 15, 36, 360, 1009]  # smooth, odd-smooth, ref-broken, Bluestein
+
+
+def _c128(x):
+    return np.asarray(x, dtype=np.complex128)
+
+
+def _rand(rng, n):
+    return (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_linearity(rng, n):
+    x, y = _rand(rng, n), _rand(rng, n)
+    a, b = 2.5, -1.25
+    lhs = _c128(sp.fft(a * x + b * y))
+    rhs = a * _c128(sp.fft(x)) + b * _c128(sp.fft(y))
+    np.testing.assert_allclose(lhs, rhs, atol=1e-4 * np.abs(rhs).max())
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_parseval(rng, n):
+    x = _rand(rng, n)
+    X = _c128(sp.fft(x))
+    lhs = np.sum(np.abs(x.astype(np.complex128)) ** 2)
+    rhs = np.sum(np.abs(X) ** 2) / n
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_impulse(rng, n):
+    x = np.zeros(n, np.complex64)
+    x[0] = 1.0
+    X = _c128(sp.fft(x))
+    np.testing.assert_allclose(X, np.ones(n), atol=1e-5)
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_shift_theorem(rng, n):
+    """FFT(roll(x, s))[k] = FFT(x)[k] · e^(-2πi·s·k/n)."""
+    x = _rand(rng, n)
+    s = n // 3 + 1
+    lhs = _c128(sp.fft(np.roll(x, s)))
+    k = np.arange(n)
+    rhs = _c128(sp.fft(x)) * np.exp(-2j * np.pi * s * k / n)
+    np.testing.assert_allclose(lhs, rhs, atol=1e-4 * np.abs(rhs).max())
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_real_input_conjugate_symmetry(rng, n):
+    x = rng.standard_normal(n).astype(np.float32)
+    X = _c128(sp.fft(x))
+    for k in range(1, n // 2 + 1):
+        np.testing.assert_allclose(
+            X[n - k], np.conj(X[k]), atol=1e-4 * np.abs(X).max()
+        )
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_convolution_theorem(rng, n):
+    """ifft(fft(x)·fft(y)) equals circular convolution."""
+    x, y = _rand(rng, n), _rand(rng, n)
+    lhs = _c128(sp.ifft(np.asarray(sp.fft(x)) * np.asarray(sp.fft(y))))
+    xx, yy = x.astype(np.complex128), y.astype(np.complex128)
+    rhs = np.fft.ifft(np.fft.fft(xx) * np.fft.fft(yy))
+    np.testing.assert_allclose(lhs, rhs, atol=1e-4 * np.abs(rhs).max())
+
+
+def test_planner_invariants():
+    """Stage products, smoothness routing, factorization correctness."""
+    import math
+
+    for n in [2, 12, 97, 360, 1024, 5040, 65536]:
+        assert math.prod(sp.prime_factors(n)) == n
+        if sp.plan_stages.__module__:  # smooth lengths only
+            try:
+                stages = sp.plan_stages(n, 64)
+                assert math.prod(stages) == n
+                assert all(s <= 64 for s in stages)
+            except ValueError:
+                assert max(sp.prime_factors(n)) > 64
+    assert sp.next_pow2(513) == 1024
+    assert sp.next_pow2(1) == 1
+    assert sp.next_fast_len(1009) <= 1024
+    assert sp.dividebyN(19 * 8)  # reference's lookup wrongly excludes 19
+    assert not sp.dividebyN(59)
+
+
+def test_plan_cache_identity():
+    p1 = sp.get_plan(360, -1)
+    p2 = sp.get_plan(360, -1)
+    assert p1 is p2
+    sp.clear_plan_cache()
+    p3 = sp.get_plan(360, -1)
+    assert p3 is not p1
+
+
+def test_plan_is_immutable_pytree():
+    """Plans are frozen pytrees — the reference mutates plans during Bluestein
+    exec (src/highSpeedFFT.c:1759-1760), making it non-reentrant; we must not."""
+    import dataclasses
+
+    import jax
+
+    p = sp.get_plan(1009, -1)
+    with pytest.raises(dataclasses.FrozenInstanceError):
+        p.n = 7
+    leaves, treedef = jax.tree_util.tree_flatten(p)
+    p2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert p2.n == p.n and p2.m == p.m
+
+
+@pytest.mark.parametrize("n", [64, 360])
+def test_vmap(rng, n):
+    """Transforms compose with vmap — a functional-transform capability the
+    C reference cannot express."""
+    import jax
+
+    x = np.stack([_rand(rng, n) for _ in range(5)])
+    got = np.asarray(jax.vmap(sp.fft)(x))
+    want = np.fft.fft(x.astype(np.complex128), axis=-1)
+    np.testing.assert_allclose(got, want, atol=1e-4 * np.abs(want).max())

@@ -1,0 +1,91 @@
+"""Real FFT tests vs numpy fp64 oracle (reference L3: src/real.c)."""
+
+import numpy as np
+import pytest
+
+import mixed_radix_fast_fourier_transform_tpu as sp
+
+TOL = 1e-5
+
+EVEN_SIZES = [2, 4, 8, 16, 32, 64, 360, 4096, 5040]
+ODD_SIZES = [1, 3, 5, 9, 15, 121, 1009]  # fallback path; reference rejects odd N
+
+
+def _rel_err(got, want):
+    got = np.asarray(got, dtype=np.complex128)
+    want = np.asarray(want, dtype=np.complex128)
+    return np.max(np.abs(got - want)) / max(np.max(np.abs(want)), 1e-30)
+
+
+@pytest.mark.parametrize("n", EVEN_SIZES + ODD_SIZES)
+def test_rfft_matches_numpy(rng, n):
+    x = rng.standard_normal(n).astype(np.float32)
+    got = sp.rfft(x)
+    want = np.fft.rfft(x.astype(np.float64))
+    assert got.shape == (n // 2 + 1,)
+    assert _rel_err(got, want) < TOL, f"N={n}"
+
+
+@pytest.mark.parametrize("n", EVEN_SIZES + [9, 15])
+def test_irfft_roundtrip(rng, n):
+    if n == 1:
+        return
+    x = rng.standard_normal(n).astype(np.float32)
+    back = sp.irfft(np.asarray(sp.rfft(x)), n=n)
+    np.testing.assert_allclose(np.asarray(back), x, atol=2e-5 * max(1, n**0.5))
+
+
+@pytest.mark.parametrize("n", [64, 360])
+def test_irfft_matches_numpy(rng, n):
+    spec = np.fft.rfft(rng.standard_normal(n))
+    got = sp.irfft(spec.astype(np.complex64), n=n)
+    want = np.fft.irfft(spec, n=n)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_irfft_default_length(rng):
+    spec = np.fft.rfft(rng.standard_normal(64)).astype(np.complex64)
+    assert sp.irfft(spec).shape == (64,)
+
+
+@pytest.mark.parametrize("norm", ["backward", "ortho", "forward"])
+def test_rfft_norms(rng, norm):
+    n = 4096
+    x = rng.standard_normal(n).astype(np.float32)
+    got = sp.rfft(x, norm=norm)
+    want = np.fft.rfft(x.astype(np.float64), norm=norm)
+    assert _rel_err(got, want) < TOL
+    back = sp.irfft(np.asarray(got), n=n, norm=norm)
+    np.testing.assert_allclose(np.asarray(back), x, atol=1e-3)
+
+
+def test_rfft_batched_and_axis(rng):
+    x = rng.standard_normal((3, 360, 2)).astype(np.float32)
+    got = sp.rfft(x, axis=1)
+    want = np.fft.rfft(x.astype(np.float64), axis=1)
+    assert got.shape == want.shape
+    assert _rel_err(got, want) < TOL
+
+
+def test_rfft_hermitian_consistency(rng):
+    """rfft bins must equal the lower half of the complex fft (the reference
+    instead mirrors a full-length buffer — real.c:128-132 doc/buffer mismatch)."""
+    n = 128
+    x = rng.standard_normal(n).astype(np.float32)
+    full = np.asarray(sp.fft(x))
+    half = np.asarray(sp.rfft(x))
+    np.testing.assert_allclose(half, full[: n // 2 + 1], atol=1e-4)
+
+
+def test_rfftn_irfftn(rng):
+    x = rng.standard_normal((8, 60)).astype(np.float32)
+    got = sp.rfftn(x)
+    want = np.fft.rfftn(x.astype(np.float64))
+    assert _rel_err(got, want) < TOL
+    back = sp.irfftn(np.asarray(got), s=x.shape)
+    np.testing.assert_allclose(np.asarray(back), x, atol=1e-4)
+
+
+def test_rfft_rejects_complex(rng):
+    with pytest.raises(ValueError):
+        sp.rfft(np.zeros(8, np.complex64))
