@@ -1,2 +1,25 @@
-"""Mesh-sharded distributed transforms (new subsystem; the reference is
-single-core scalar C with no parallelism of any kind — SURVEY.md §2.3)."""
+"""Mesh-parallel spectral transforms (new TPU-first subsystem; the reference
+has no parallelism of any kind — SURVEY.md §2.3)."""
+
+from .mesh import (
+    DATA_AXIS,
+    SEQ_AXIS,
+    batch_sharding,
+    initialize_multihost,
+    make_mesh,
+    replicated,
+)
+from .distributed import (
+    choose_split,
+    fft_batch_sharded,
+    fft_four_step,
+    ifft_four_step,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS", "SEQ_AXIS",
+    "make_mesh", "batch_sharding", "replicated", "initialize_multihost",
+    "choose_split", "fft_four_step", "ifft_four_step",
+    "fft_batch_sharded", "shard_batch",
+]

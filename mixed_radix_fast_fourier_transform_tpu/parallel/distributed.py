@@ -1,0 +1,227 @@
+"""Distributed transforms: four-step decomposition + batch sharding.
+
+The reference is single-core C with no parallel subsystem (SURVEY.md §2.3), so
+this is a new TPU-first component.  Two orthogonal mechanisms:
+
+* **Batch sharding** (:func:`fft_batch_sharded`): independent transforms laid
+  out over a mesh axis with `NamedSharding`; XLA partitions the whole matmul
+  pipeline with zero collectives.  This is how large batches of small/medium
+  FFTs scale.
+
+* **Transform sharding** (:func:`fft_four_step`): one transform of length
+  N = N1·N2 too large (or too latency-critical) for a single chip, split by
+  the Bailey four-step algorithm:
+
+      A = x.reshape(N1, N2)                    (row-major)
+      1. FFT_N1 along columns (axis -2)
+      2. A *= W_N^(±k1·n2)                     (split twiddle)
+      3. FFT_N2 along rows (axis -1)
+      4. X[k2·N1 + k1] = A[k1, k2]             (global transpose)
+
+  Sharded over a mesh axis P, each column/row FFT is local and each layout
+  change is one `jax.lax.all_to_all` riding ICI: reshard n1→n2 before step 1,
+  n2→n1 before step 3, and one final resharding transpose for natural-order
+  output — three all-to-alls total, each moving N/P complex elements per chip.
+
+The per-chip FFTs reuse the single-chip mixed-radix MXU engine
+(:mod:`..ops.stockham`); the split twiddle is precomputed on host in fp64 with
+exact integer phase reduction (the same accuracy discipline as the plan
+twiddles — reference's dynamic formula, src/highSpeedFFT.c:2275-2288).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.stockham import exec_complex
+from ..plan import get_plan
+from ..utils.config import DEFAULT_CONFIG, SpectralConfig
+from ..utils.factorize import is_smooth
+from .mesh import DATA_AXIS, SEQ_AXIS
+
+Array = jax.Array
+
+
+def choose_split(
+    n: int, parts: int, max_stage: int = DEFAULT_CONFIG.max_stage
+) -> Tuple[int, int]:
+    """Pick N = n1·n2 with P | n1, P | n2, both smooth, as square as possible.
+
+    Both factors must divide by the mesh size so the all-to-alls tile evenly,
+    and both must be smooth so each local FFT takes the mixed-radix path.
+    """
+    best = None
+    for n1 in range(1, int(math.isqrt(n)) + 1):
+        if n % n1:
+            continue
+        n2 = n // n1
+        for a, b in ((n1, n2), (n2, n1)):
+            if a % parts or b % parts:
+                continue
+            if not (is_smooth(a, max_stage) and is_smooth(b, max_stage)):
+                continue
+            key = abs(a - b)
+            if best is None or key < best[0]:
+                best = (key, a, b)
+    if best is None:
+        raise ValueError(
+            f"cannot split N={n} as n1*n2 with both factors divisible by "
+            f"{parts} and {max_stage}-smooth; pad the transform length"
+        )
+    return best[1], best[2]
+
+
+def _split_twiddle_matrix(n1: int, n2: int, sign: int) -> Tuple[np.ndarray, np.ndarray]:
+    """W[k1, n2] = e^(sign·2πi·k1·n2/N), fp64 with exact integer phase mod N."""
+    n = n1 * n2
+    k1 = np.arange(n1, dtype=np.int64)[:, None]
+    j2 = np.arange(n2, dtype=np.int64)[None, :]
+    phase = (k1 * j2) % n
+    ang = (sign * 2.0 * np.pi / n) * phase.astype(np.float64)
+    return np.cos(ang), np.sin(ang)
+
+
+def _local_fft_last(plan, xr: Array, xi: Array) -> Tuple[Array, Array]:
+    return exec_complex(plan, xr, xi)
+
+
+def _local_fft_axis2(plan, xr: Array, xi: Array) -> Tuple[Array, Array]:
+    xr = jnp.swapaxes(xr, -1, -2)
+    xi = jnp.swapaxes(xi, -1, -2)
+    zr, zi = exec_complex(plan, xr, xi)
+    return jnp.swapaxes(zr, -1, -2), jnp.swapaxes(zi, -1, -2)
+
+
+def fft_four_step(
+    x,
+    mesh: Mesh,
+    *,
+    seq_axis: str = SEQ_AXIS,
+    data_axis: Optional[str] = None,
+    inverse: bool = False,
+    norm: Optional[str] = "backward",
+    n1: Optional[int] = None,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Distributed 1-D FFT along the last axis, natural order in and out.
+
+    ``x``: (..., N) complex or real, N = n1·n2 with mesh[seq_axis] dividing
+    both factors.  Input/output are sharded contiguously along the last axis
+    over ``seq_axis``; leading batch axes optionally shard over ``data_axis``.
+    """
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    p = mesh.shape[seq_axis]
+    if n1 is None:
+        n1, n2 = choose_split(n, p, config.max_stage)
+    else:
+        n2 = n // n1
+        if n1 * n2 != n or n1 % p or n2 % p:
+            raise ValueError(f"invalid split {n1}x{n2} of N={n} over {p} devices")
+
+    sign = 1 if inverse else -1
+    plan1 = get_plan(n1, sign, "complex", config)
+    plan2 = get_plan(n2, sign, "complex", config)
+    twr, twi = _split_twiddle_matrix(n1, n2, sign)
+    twr = jnp.asarray(twr, dtype=config.dtype)
+    twi = jnp.asarray(twi, dtype=config.dtype)
+
+    nbatch = x.ndim - 1
+    bspec = [None] * nbatch
+    if data_axis is not None:
+        bspec[0] = data_axis
+    spec_in = P(*bspec, seq_axis)  # contiguous shard of the signal axis
+    spec_rows = P(*bspec, seq_axis, None)  # (n1, n2) matrix, rows sharded
+    spec_cols = P(*bspec, None, seq_axis)  # columns sharded
+    spec_tw = P(None, seq_axis)
+
+    def body(xr, xi, twr, twi):
+        # entry: local (..., n1/P, n2) — rows sharded; reshard to columns
+        a2a = partial(jax.lax.all_to_all, axis_name=seq_axis, tiled=True)
+        xr = a2a(xr, split_axis=xr.ndim - 1, concat_axis=xr.ndim - 2)
+        xi = a2a(xi, split_axis=xi.ndim - 1, concat_axis=xi.ndim - 2)
+        # step 1: column FFTs (length n1) on local column block
+        xr, xi = _local_fft_axis2(plan1, xr, xi)
+        # step 2: split twiddle (local column block of W)
+        xr, xi = xr * twr - xi * twi, xr * twi + xi * twr
+        # reshard back to rows
+        xr = a2a(xr, split_axis=xr.ndim - 2, concat_axis=xr.ndim - 1)
+        xi = a2a(xi, split_axis=xi.ndim - 2, concat_axis=xi.ndim - 1)
+        # step 3: row FFTs (length n2)
+        xr, xi = _local_fft_last(plan2, xr, xi)
+        # step 4: natural-order transpose X[k2·n1+k1] = A[k1,k2]
+        xr = a2a(xr, split_axis=xr.ndim - 1, concat_axis=xr.ndim - 2)
+        xi = a2a(xi, split_axis=xi.ndim - 1, concat_axis=xi.ndim - 2)
+        xr = jnp.swapaxes(xr, -1, -2)
+        xi = jnp.swapaxes(xi, -1, -2)
+        shp = xr.shape[:-2] + (xr.shape[-2] * xr.shape[-1],)
+        return xr.reshape(shp), xi.reshape(shp)
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec_rows, spec_rows, spec_tw, spec_tw),
+        out_specs=(spec_in, spec_in),
+    )
+
+    dtype = config.dtype
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        xr, xi = jnp.real(x).astype(dtype), jnp.imag(x).astype(dtype)
+    else:
+        xr = x.astype(dtype)
+        xi = jnp.zeros_like(xr)
+    mat = x.shape[:-1] + (n1, n2)
+    zr, zi = sharded(xr.reshape(mat), xi.reshape(mat), twr, twi)
+
+    from ..ops.fft import _norm_scale  # local import to avoid cycle
+
+    scale = _norm_scale(n, sign, norm)
+    if scale != 1.0:
+        s = jnp.asarray(scale, dtype=zr.dtype)
+        zr, zi = zr * s, zi * s
+    return jax.lax.complex(zr, zi)
+
+
+def ifft_four_step(x, mesh: Mesh, **kw) -> Array:
+    return fft_four_step(x, mesh, inverse=True, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Batch sharding — many independent transforms over the mesh.
+# ---------------------------------------------------------------------------
+
+def shard_batch(x, mesh: Mesh, axis_name: str = DATA_AXIS) -> Array:
+    """Place ``x`` with its leading axis sharded over ``axis_name``."""
+    x = jnp.asarray(x)
+    spec = P(axis_name, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def fft_batch_sharded(
+    x,
+    mesh: Mesh,
+    axis_name: str = DATA_AXIS,
+    *,
+    inverse: bool = False,
+    norm: Optional[str] = "backward",
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Batched FFT along the last axis with the batch sharded over the mesh.
+
+    Zero collectives: every chip runs the same matmul pipeline on its batch
+    shard.  The constraint system keeps the output on the same sharding.
+    """
+    from ..ops.fft import fft as _fft, ifft as _ifft
+
+    x = shard_batch(x, mesh, axis_name)
+    fn = _ifft if inverse else _fft
+    out = fn(x, norm=norm, config=config)
+    spec = P(axis_name, *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(out, NamedSharding(mesh, spec))

@@ -1,0 +1,131 @@
+"""Distributed-transform tests on an 8-virtual-device CPU mesh.
+
+The reference has no distributed code to compare against (SURVEY.md §2.3);
+the oracle is numpy.fft on the global array.  These tests exercise the real
+collectives (all_to_all under shard_map) that ride ICI on hardware.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixed_radix_fast_fourier_transform_tpu.parallel import (
+    choose_split,
+    fft_batch_sharded,
+    fft_four_step,
+    ifft_four_step,
+    make_mesh,
+    shard_batch,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _mesh_seq():
+    return make_mesh((1, 8))
+
+
+def _mesh_2d():
+    return make_mesh((2, 4))
+
+
+def _rand_complex(rng, shape):
+    return (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(
+        np.complex64
+    )
+
+
+class TestChooseSplit:
+    def test_square_split(self):
+        n1, n2 = choose_split(4096, 8)
+        assert n1 * n2 == 4096 and n1 % 8 == 0 and n2 % 8 == 0
+
+    def test_unsplittable_raises(self):
+        with pytest.raises(ValueError):
+            choose_split(17 * 19, 8)
+
+
+class TestFourStep:
+    @pytest.mark.parametrize("n", [1024, 4096, 65536])
+    def test_forward_matches_numpy(self, rng, n):
+        mesh = _mesh_seq()
+        x = _rand_complex(rng, (n,))
+        got = np.asarray(fft_four_step(x, mesh))
+        want = np.fft.fft(x)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
+
+    def test_batched_forward(self, rng):
+        mesh = _mesh_seq()
+        x = _rand_complex(rng, (4, 1024))
+        got = np.asarray(fft_four_step(x, mesh))
+        want = np.fft.fft(x, axis=-1)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
+
+    def test_roundtrip(self, rng):
+        mesh = _mesh_seq()
+        x = _rand_complex(rng, (2, 4096))
+        y = fft_four_step(x, mesh)
+        z = np.asarray(ifft_four_step(y, mesh))
+        assert np.max(np.abs(z - x)) < 1e-4
+
+    def test_real_input(self, rng):
+        mesh = _mesh_seq()
+        x = rng.standard_normal(1024).astype(np.float32)
+        got = np.asarray(fft_four_step(x, mesh))
+        want = np.fft.fft(x)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
+
+    def test_2d_mesh_data_plus_seq(self, rng):
+        mesh = _mesh_2d()
+        x = _rand_complex(rng, (4, 1024))
+        got = np.asarray(fft_four_step(x, mesh, data_axis="data"))
+        want = np.fft.fft(x, axis=-1)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
+
+    def test_explicit_split(self, rng):
+        mesh = _mesh_seq()
+        x = _rand_complex(rng, (512,))
+        got = np.asarray(fft_four_step(x, mesh, n1=8))
+        want = np.fft.fft(x)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
+
+    def test_mixed_radix_length(self, rng):
+        # N = 5040·8... pick a non-power-of-two splittable length: 1920 = 2^7·3·5
+        mesh = _mesh_seq()
+        x = _rand_complex(rng, (1920,))
+        got = np.asarray(fft_four_step(x, mesh))
+        want = np.fft.fft(x)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
+
+    def test_norm_ortho(self, rng):
+        mesh = _mesh_seq()
+        x = _rand_complex(rng, (1024,))
+        got = np.asarray(fft_four_step(x, mesh, norm="ortho"))
+        want = np.fft.fft(x, norm="ortho")
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
+
+    def test_output_sharding_contiguous(self, rng):
+        mesh = _mesh_seq()
+        x = _rand_complex(rng, (1024,))
+        y = fft_four_step(x, mesh)
+        assert y.shape == (1024,)
+        # output is sharded along the transform axis, not replicated
+        assert not y.sharding.is_fully_replicated
+
+
+class TestBatchSharded:
+    def test_matches_numpy(self, rng):
+        mesh = make_mesh((8, 1))
+        x = _rand_complex(rng, (16, 360))
+        got = np.asarray(fft_batch_sharded(x, mesh))
+        want = np.fft.fft(x, axis=-1)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
+
+    def test_sharding_preserved(self, rng):
+        mesh = make_mesh((8, 1))
+        x = shard_batch(_rand_complex(rng, (16, 256)), mesh)
+        y = fft_batch_sharded(x, mesh)
+        assert not y.sharding.is_fully_replicated
