@@ -1,0 +1,99 @@
+"""Benchmark driver: batched 1-D fp32 FFT throughput + accuracy vs fp64 oracle.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Primary metric: GFLOP/s (5·N·log2 N flop model, matching BASELINE.md) of the
+batched N=1024 complex fp32 transform on the default device (real TPU chip
+under the driver; CPU otherwise).  vs_baseline is the ratio to the reference
+C library's best sustained single-core throughput, 8.5 GFLOP/s
+(BASELINE.md — measured at N=512; the reference's own N=1024 output is
+incorrect, SURVEY.md §2.9, so its throughput there is a cost indicator only).
+
+Timing rides device-chained iterations (lax.fori_loop) so the host↔device
+tunnel latency is amortized out; inputs are device-resident planes.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mixed_radix_fast_fourier_transform_tpu.ops.stockham import exec_complex
+from mixed_radix_fast_fourier_transform_tpu.plan import get_plan
+
+REFERENCE_GFLOPS = 8.5  # BASELINE.md: reference C, N=512, 1-core Xeon 2.7 GHz
+
+
+def _flops(n: int, batch: int) -> float:
+    return 5.0 * n * math.log2(n) * batch
+
+
+def bench_config(n: int, batch: int, iters: int, seed: int = 0):
+    """Return (gflops, max_rel_err) for a batched length-n complex fp32 FFT."""
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    plan = get_plan(n, -1, "complex")
+    xr = jax.device_put(x.real.astype(np.float32))
+    xi = jax.device_put(x.imag.astype(np.float32))
+
+    def body(_, carry):
+        ar, ai = carry
+        zr, zi = exec_complex(plan, ar, ai)
+        # renormalize so repeated application can't overflow fp32
+        s = jnp.float32(1.0 / n)
+        return zr * s, zi * s
+
+    step = jax.jit(lambda ar, ai: jax.lax.fori_loop(0, iters, body, (ar, ai)))
+    one = jax.jit(lambda ar, ai: exec_complex(plan, ar, ai))
+
+    # accuracy (single application, fp64 numpy oracle)
+    zr, zi = jax.block_until_ready(one(xr, xi))
+    got = np.asarray(zr).astype(np.complex128) + 1j * np.asarray(zi)
+    want = np.fft.fft(x, axis=-1)
+    err = float(np.max(np.abs(got - want)) / np.max(np.abs(want)))
+
+    # throughput: warm-up (compile), then timed chained run
+    jax.block_until_ready(step(xr, xi))
+    t0 = time.perf_counter()
+    jax.block_until_ready(step(xr, xi))
+    dt = (time.perf_counter() - t0) / iters
+    return _flops(n, batch) / dt / 1e9, err
+
+
+def main():
+    platform = jax.devices()[0].platform
+    configs = {
+        "n1024_b256": (1024, 256, 50),
+        "n4096_b64": (4096, 64, 50),
+        "n5040_b64": (5040, 64, 30),   # mixed radix 2/3/5/7 (reference wrong here)
+        "n10007_b16": (10007, 16, 20),  # Bluestein prime
+        "n65536_b16": (65536, 16, 20),
+    }
+    extras = {}
+    worst_err = 0.0
+    for name, (n, b, it) in configs.items():
+        try:
+            gf, err = bench_config(n, b, it)
+            extras[name] = {"gflops": round(gf, 2), "max_rel_err": float(f"{err:.3g}")}
+            worst_err = max(worst_err, err)
+        except Exception as e:  # pragma: no cover — keep the bench line printable
+            extras[name] = {"error": str(e)[:200]}
+    primary = extras.get("n1024_b256", {}).get("gflops", 0.0)
+    print(json.dumps({
+        "metric": "batched_fft_gflops_n1024_fp32",
+        "value": primary,
+        "unit": "GFLOP/s",
+        "vs_baseline": round(primary / REFERENCE_GFLOPS, 3) if primary else 0.0,
+        "platform": platform,
+        "max_rel_err": float(f"{worst_err:.3g}"),
+        "configs": extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()

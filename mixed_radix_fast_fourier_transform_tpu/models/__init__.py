@@ -1,1 +1,21 @@
-"""End-to-end spectral models built on the transform ops."""
+"""Model zoo: end-to-end spectral pipelines built on the engine.
+
+The reference ships only a disabled demo harness (src/real.c:269-482); here
+the demo pattern is promoted to a trainable flagship model (spectral filter)
+plus the signal/metric utilities the demo used.
+"""
+
+from .spectral_filter import (
+    apply,
+    apply_distributed,
+    init_params,
+    init_params_complex,
+    loss_fn,
+    train_step,
+    train_step_distributed,
+)
+
+__all__ = [
+    "init_params", "init_params_complex", "apply", "apply_distributed",
+    "loss_fn", "train_step", "train_step_distributed",
+]

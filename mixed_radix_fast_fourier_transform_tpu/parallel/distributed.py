@@ -31,6 +31,7 @@ twiddles — reference's dynamic formula, src/highSpeedFFT.c:2275-2288).
 
 from __future__ import annotations
 
+import functools
 import math
 from functools import partial
 from typing import Optional, Tuple
@@ -78,6 +79,7 @@ def choose_split(
     return best[1], best[2]
 
 
+@functools.lru_cache(maxsize=256)
 def _split_twiddle_matrix(n1: int, n2: int, sign: int) -> Tuple[np.ndarray, np.ndarray]:
     """W[k1, n2] = e^(sign·2πi·k1·n2/N), fp64 with exact integer phase mod N."""
     n = n1 * n2

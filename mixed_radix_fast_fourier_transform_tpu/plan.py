@@ -108,9 +108,14 @@ for _cls in (MixedRadixPlan, BluesteinPlan, RealPlan):
 ComplexPlan = (MixedRadixPlan, BluesteinPlan)
 
 
-def _as_jnp(pair, dtype) -> Tuple[Array, Array]:
+def _as_jnp(pair, dtype) -> Tuple[np.ndarray, np.ndarray]:
+    """Plan constants are **host numpy arrays**, not device arrays: plans are
+    built lazily — often inside a jit trace (the first `fft` call under a
+    user's jit) — and a cached device array created during tracing would be a
+    leaked tracer when the cached plan is reused in a later trace.  Numpy
+    leaves are embedded as XLA constants at every use site instead."""
     re, im = pair
-    return jnp.asarray(re, dtype=dtype), jnp.asarray(im, dtype=dtype)
+    return np.asarray(re, dtype=dtype), np.asarray(im, dtype=dtype)
 
 
 def build_mixed_radix_plan(
@@ -176,10 +181,10 @@ def build_bluestein_plan(
         sign=sign,
         m=m,
         inner=inner,
-        chirp_re=jnp.asarray(wr64, dtype=dtype),
-        chirp_im=jnp.asarray(wi64, dtype=dtype),
-        spec_re=jnp.asarray(spec.real, dtype=dtype),
-        spec_im=jnp.asarray(spec.imag, dtype=dtype),
+        chirp_re=np.asarray(wr64, dtype=dtype),
+        chirp_im=np.asarray(wi64, dtype=dtype),
+        spec_re=np.asarray(spec.real, dtype=dtype),
+        spec_im=np.asarray(spec.imag, dtype=dtype),
     )
 
 
