@@ -14,7 +14,18 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import List, Sequence, Tuple
+
+
+@functools.lru_cache(maxsize=1)
+def _use_native() -> bool:
+    """Native planner opt-out: set SPECTRAL_NO_NATIVE=1 to force pure Python."""
+    if os.environ.get("SPECTRAL_NO_NATIVE"):
+        return False
+    from . import native
+
+    return native.available()
 
 # Prime set the reference's planner can divide by (src/highSpeedFFT.c:2046-2160
 # handles {53..13, 11, 8, 7, 5, 4, 3, 2} plus a 6k±1 wheel for residuals <= 31²).
@@ -30,10 +41,17 @@ def prime_factors(n: int) -> List[int]:
     Replaces the reference's `factors()` (src/highSpeedFFT.c:2038-2163) but is
     exact for every n >= 1 (the reference caps the factor list at 64 entries and
     prefers composite radices 8/4; radix grouping happens later in
-    :func:`plan_stages` here).
+    :func:`plan_stages` here).  Uses the native C++ planner (native/planner.cpp)
+    when built; this Python path is the fallback and the parity oracle.
     """
     if n < 1:
         raise ValueError(f"length must be >= 1, got {n}")
+    if _use_native():
+        from . import native
+
+        got = native.prime_factors(n)
+        if got is not None:
+            return got
     out: List[int] = []
     for p in (2, 3):
         while n % p == 0:
@@ -121,6 +139,12 @@ def plan_stages(n: int, max_stage: int = 64) -> Tuple[int, ...]:
     """
     if n == 1:
         return (1,)
+    if _use_native():
+        from . import native
+
+        got = native.plan_stages(n, max_stage)  # raises ValueError like below
+        if got is not None:
+            return got
     primes = sorted(prime_factors(n), reverse=True)
     if primes[0] > max_stage:
         raise ValueError(

@@ -16,11 +16,31 @@ once per (N, sign) plan and cached.
 
 from __future__ import annotations
 
+import functools
+import os
+
 import numpy as np
+
+
+@functools.lru_cache(maxsize=1)
+def _native():
+    """The native generator (native/planner.cpp) when built, else None.
+    Bit-identical to the Python path (both use exact integer phase reduction
+    then libm cos/sin); the test suite asserts parity."""
+    if os.environ.get("SPECTRAL_NO_NATIVE"):
+        return None
+    from . import native
+
+    return native if native.available() else None
 
 
 def _planes(angles: np.ndarray, dtype) -> tuple[np.ndarray, np.ndarray]:
     return np.cos(angles).astype(dtype), np.sin(angles).astype(dtype)
+
+
+def _cast(pair, dtype) -> tuple[np.ndarray, np.ndarray]:
+    re, im = pair
+    return re.astype(dtype), im.astype(dtype)
 
 
 def dft_matrix(n: int, sign: int, dtype=np.float32) -> tuple[np.ndarray, np.ndarray]:
@@ -30,6 +50,9 @@ def dft_matrix(n: int, sign: int, dtype=np.float32) -> tuple[np.ndarray, np.ndar
     O(r²) general-radix combine (src/highSpeedFFT.c:333-713, 1475-1628): on TPU
     a small dense DFT is a single MXU matmul.
     """
+    nat = _native()
+    if nat is not None:
+        return _cast(nat.dft_matrix(n, sign), dtype)
     k = np.arange(n, dtype=np.int64)
     phase = (np.outer(k, k) % n).astype(np.float64)
     angles = (sign * 2.0 * np.pi / n) * phase
@@ -45,6 +68,9 @@ def twiddle_split(
     (src/highSpeedFFT.c:2275-2288), laid out as the 2-D array the Cooley-Tukey
     split actually consumes rather than the flat telescoped vector.
     """
+    nat = _native()
+    if nat is not None and big_n == n1 * n2:
+        return _cast(nat.split_twiddles(n1, n2, sign), dtype)
     j1 = np.arange(n1, dtype=np.int64)
     k2 = np.arange(n2, dtype=np.int64)
     phase = (np.outer(j1, k2) % big_n).astype(np.float64)
@@ -56,6 +82,9 @@ def split_twiddles(n: int, sign: int, dtype=np.float32) -> tuple[np.ndarray, np.
     """Half-spectrum split twiddles e^(sign·2πi·k/N), k = 0..N/2, for the packed
     real FFT (reference: src/real.c:56-61, which bakes +sin for both directions
     and hides direction in the inner plan; here the sign is explicit)."""
+    nat = _native()
+    if nat is not None:
+        return _cast(nat.real_split_twiddles(n, sign), dtype)
     k = np.arange(n // 2 + 1, dtype=np.int64)
     angles = (sign * 2.0 * np.pi / n) * k.astype(np.float64)
     return _planes(angles, dtype)
@@ -69,6 +98,9 @@ def chirp(n: int, sign: int, dtype=np.float32) -> tuple[np.ndarray, np.ndarray]:
     src/highSpeedFFT.c:1674-1690) so the phase argument stays in [0, 2π) and
     fp64 cos/sin lose no accuracy even for n ~ 10⁵.
     """
+    nat = _native()
+    if nat is not None:
+        return _cast(nat.chirp(n, n, sign), dtype)
     j = np.arange(n, dtype=np.int64)
     phase = ((j * j) % (2 * n)).astype(np.float64)
     angles = (sign * np.pi / n) * phase
