@@ -61,6 +61,8 @@ __all__ = [
     "fft_real_init", "fft_r2c_exec", "fft_c2r_exec", "free_real_fft",
     "fft_convolve", "find_optimal_fft_length", "next_power_of_two",
     "dividebyN", "factors", "twiddle", "longvectorN",
+    "generate_signal", "generate_real_signal",
+    "compute_mse", "compute_mse_real", "print_complex", "print_real",
 ]
 
 # Reference planner's radix preference order (src/highSpeedFFT.c:2046-2137):
@@ -307,3 +309,19 @@ def compute_mse_real(a, b) -> float:
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)
     return float(np.mean((a - b) ** 2))
+
+
+def print_complex(x, label: str = "signal") -> None:
+    """Reference: src/real.c:219-227."""
+    x = np.asarray(x)
+    print(f"{label}:")
+    for i, v in enumerate(np.ravel(x)):
+        print(f"  [{i}] {v.real:+.6f} {v.imag:+.6f}i")
+
+
+def print_real(x, label: str = "signal") -> None:
+    """Reference: src/real.c:249-257."""
+    x = np.asarray(x)
+    print(f"{label}:")
+    for i, v in enumerate(np.ravel(x)):
+        print(f"  [{i}] {float(v):+.6f}")

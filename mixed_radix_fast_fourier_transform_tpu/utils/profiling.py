@@ -1,0 +1,154 @@
+"""Profiling / observability: roofline cost models and device timing.
+
+The reference has no tracing or profiling at all (SURVEY.md §5 — an unused
+`#include "time.h"` is the entire story).  This module provides the TPU
+equivalents:
+
+* :func:`plan_cost` — an analytic flop/byte model per plan (stage-by-stage),
+  giving arithmetic intensity for roofline reasoning;
+* :func:`marginal_time` — robust device timing that cancels the fixed
+  per-dispatch overhead (~30 ms through a tunneled TPU) by differencing a
+  short and a long on-device `lax.fori_loop` chain;
+* :func:`trace` — a context manager around `jax.profiler.trace` for real
+  profile captures, failure-tolerant on backends without profiler support.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import math
+import time
+from typing import Callable, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..plan import BluesteinPlan, MixedRadixPlan, RealPlan
+
+
+@dataclasses.dataclass(frozen=True)
+class PlanCost:
+    """Per-transform (single batch element) cost model."""
+
+    n: int
+    flops: float          # real flops through the stage matmuls + twiddles
+    hbm_bytes: float      # minimal HBM traffic (one read + one write per stage)
+    fft_model_flops: float  # canonical 5·N·log2(N) accounting
+
+    @property
+    def arithmetic_intensity(self) -> float:
+        return self.flops / max(self.hbm_bytes, 1.0)
+
+
+def _mixed_radix_cost(plan: MixedRadixPlan, dtype_bytes: int = 4) -> PlanCost:
+    n = plan.n
+    flops = 0.0
+    bytes_ = 0.0
+    for i, f in enumerate(plan.factors):
+        # stage DFT: 4 real matmuls contracting f: 8·n·f real flops
+        flops += 8.0 * n * f
+        # split twiddle multiply (all but last stage): 6 flops per point
+        if i < len(plan.factors) - 1:
+            flops += 6.0 * n
+        # per stage: read + write both planes once (the fused lower bound)
+        bytes_ += 4.0 * n * dtype_bytes
+    return PlanCost(
+        n=n,
+        flops=flops,
+        hbm_bytes=bytes_,
+        fft_model_flops=5.0 * n * math.log2(n) if n > 1 else 0.0,
+    )
+
+
+def plan_cost(plan, dtype_bytes: int = 4) -> PlanCost:
+    """Analytic roofline model for any plan type."""
+    if isinstance(plan, MixedRadixPlan):
+        return _mixed_radix_cost(plan, dtype_bytes)
+    if isinstance(plan, BluesteinPlan):
+        inner = _mixed_radix_cost(plan.inner, dtype_bytes)
+        # two inner transforms + 3 pointwise passes over m, 1 over n
+        return PlanCost(
+            n=plan.n,
+            flops=2 * inner.flops + 6.0 * (3 * plan.m + plan.n),
+            hbm_bytes=2 * inner.hbm_bytes + 4.0 * (3 * plan.m + plan.n) * dtype_bytes,
+            fft_model_flops=5.0 * plan.n * math.log2(plan.n),
+        )
+    if isinstance(plan, RealPlan):
+        inner = plan_cost(plan.inner, dtype_bytes)
+        return PlanCost(
+            n=plan.n,
+            flops=inner.flops + 10.0 * plan.n,
+            hbm_bytes=inner.hbm_bytes + 3.0 * plan.n * dtype_bytes,
+            fft_model_flops=2.5 * plan.n * math.log2(plan.n) if plan.n > 1 else 0.0,
+        )
+    raise TypeError(f"unknown plan type {type(plan)!r}")
+
+
+def marginal_time(
+    fn: Callable,
+    args: Tuple,
+    *,
+    short: int = 100,
+    long: int = 500,
+    reps: int = 3,
+) -> float:
+    """Per-application device time of ``fn(*args) -> same-structure outputs``.
+
+    Chains ``iters`` applications in one dispatched `lax.fori_loop` program
+    (outputs feed back as inputs, scaled to stay bounded) and returns
+    (T_long − T_short)/(long − short): fixed dispatch+transfer overhead
+    cancels, leaving pure device time.  ``fn`` must map a tuple of arrays to
+    a tuple of arrays of identical shapes/dtypes.
+    """
+    times = {}
+    for iters in (short, long):
+        def body(_, carry):
+            out = fn(*carry)
+            return tuple(o * o.dtype.type(1e-3) for o in out)
+
+        g = jax.jit(lambda *a: jax.lax.fori_loop(0, iters, body, tuple(a)))
+        jax.block_until_ready(g(*args))  # compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(g(*args))
+            best = min(best, time.perf_counter() - t0)
+        times[iters] = best
+    return max((times[long] - times[short]) / (long - short), 1e-12)
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a jax.profiler trace to ``log_dir`` (view with TensorBoard /
+    Perfetto).  Silently a no-op on backends without profiler support."""
+    started = False
+    try:
+        jax.profiler.start_trace(log_dir)
+        started = True
+    except Exception:
+        pass
+    try:
+        yield
+    finally:
+        if started:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
+
+
+def roofline_summary(
+    plan, measured_seconds: float, batch: int, *, dtype_bytes: int = 4
+) -> dict:
+    """Compare a measured per-application time against the plan's cost model."""
+    cost = plan_cost(plan, dtype_bytes)
+    return {
+        "n": cost.n,
+        "batch": batch,
+        "seconds": measured_seconds,
+        "gflops_fft_model": cost.fft_model_flops * batch / measured_seconds / 1e9,
+        "gflops_actual": cost.flops * batch / measured_seconds / 1e9,
+        "hbm_gbps_lower_bound": cost.hbm_bytes * batch / measured_seconds / 1e9,
+        "arithmetic_intensity": cost.arithmetic_intensity,
+    }
