@@ -32,6 +32,7 @@ from .ops.fft import (
 )
 from .ops.rfft import rfft, irfft, rfftn, irfftn
 from .ops.convolve import fft_convolve, fft_correlate
+from .ops.stft import stft, istft, spectrogram, get_window
 from .plan import (
     BluesteinPlan,
     MixedRadixPlan,
@@ -58,6 +59,7 @@ __all__ = [
     "fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
     "rfft", "irfft", "rfftn", "irfftn",
     "fft_convolve", "fft_correlate",
+    "stft", "istft", "spectrogram", "get_window",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",
     "MixedRadixPlan", "BluesteinPlan", "RealPlan",
     "build_mixed_radix_plan", "build_bluestein_plan",

@@ -1,0 +1,154 @@
+"""Short-time Fourier transform family: stft / istft / spectrogram.
+
+Capability extension beyond the reference (which offers only single-shot
+transforms and convolution) — built the TPU way: framing is a reshape/gather
+into a (frames, nperseg) batch, the window multiply fuses into the rFFT's
+first stage matmul, and the whole thing is one batched matmul pipeline.
+istft uses windowed overlap-add with the standard NOLA normalization.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.config import DEFAULT_CONFIG, SpectralConfig
+from .rfft import irfft, rfft
+
+Array = jax.Array
+
+
+def get_window(window, nperseg: int, dtype=np.float32) -> np.ndarray:
+    """'hann', 'hamming', 'blackman', 'boxcar', or an explicit array."""
+    if isinstance(window, str):
+        n = np.arange(nperseg, dtype=np.float64)
+        if window == "hann":
+            w = 0.5 - 0.5 * np.cos(2 * np.pi * n / nperseg)
+        elif window == "hamming":
+            w = 0.54 - 0.46 * np.cos(2 * np.pi * n / nperseg)
+        elif window == "blackman":
+            w = (0.42 - 0.5 * np.cos(2 * np.pi * n / nperseg)
+                 + 0.08 * np.cos(4 * np.pi * n / nperseg))
+        elif window == "boxcar":
+            w = np.ones(nperseg)
+        else:
+            raise ValueError(f"unknown window {window!r}")
+        return w.astype(dtype)
+    w = np.asarray(window, dtype=dtype)
+    if w.shape != (nperseg,):
+        raise ValueError(f"window shape {w.shape} != ({nperseg},)")
+    return w
+
+
+def _frame(x: Array, nperseg: int, hop: int) -> Array:
+    """(..., T) -> (..., frames, nperseg) via a strided gather XLA turns into
+    cheap dynamic slices (frame starts are static)."""
+    t = x.shape[-1]
+    n_frames = 1 + (t - nperseg) // hop
+    starts = np.arange(n_frames) * hop
+    idx = starts[:, None] + np.arange(nperseg)[None, :]
+    return x[..., idx]
+
+
+def stft(
+    x,
+    nperseg: int = 256,
+    noverlap: Optional[int] = None,
+    window="hann",
+    *,
+    center: bool = True,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """STFT of a real signal: (..., T) -> (..., frames, nperseg//2 + 1).
+
+    ``center=True`` reflect-pads by nperseg//2 so frame f is centered on
+    sample f·hop (librosa/scipy convention).
+    """
+    x = jnp.asarray(x)
+    if noverlap is None:
+        noverlap = nperseg // 2
+    if not 0 <= noverlap < nperseg:
+        raise ValueError(f"need 0 <= noverlap < nperseg, got {noverlap}")
+    hop = nperseg - noverlap
+    if center:
+        pad = [(0, 0)] * (x.ndim - 1) + [(nperseg // 2, nperseg // 2)]
+        x = jnp.pad(x, pad, mode="reflect")
+    if x.shape[-1] < nperseg:
+        raise ValueError(f"signal length {x.shape[-1]} < nperseg {nperseg}")
+    # zero-pad the tail so every sample lands in a whole frame
+    t = x.shape[-1]
+    n_frames = 1 + -(-(t - nperseg) // hop)
+    full = nperseg + (n_frames - 1) * hop
+    if full > t:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, full - t)]
+        x = jnp.pad(x, pad)
+    w = jnp.asarray(get_window(window, nperseg, np.dtype(config.dtype)))
+    frames = _frame(x, nperseg, hop) * w
+    return rfft(frames, config=config)
+
+
+def istft(
+    spec,
+    nperseg: int = 256,
+    noverlap: Optional[int] = None,
+    window="hann",
+    *,
+    center: bool = True,
+    length: Optional[int] = None,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Inverse STFT with windowed overlap-add (NOLA normalization)."""
+    spec = jnp.asarray(spec)
+    if noverlap is None:
+        noverlap = nperseg // 2
+    hop = nperseg - noverlap
+    frames = irfft(spec, n=nperseg, config=config)  # (..., n_frames, nperseg)
+    n_frames = frames.shape[-2]
+    t_padded = nperseg + (n_frames - 1) * hop
+    w = jnp.asarray(get_window(window, nperseg, np.dtype(config.dtype)))
+    frames = frames * w
+
+    # overlap-add via segment scatter: out[f*hop + i] += frames[f, i]
+    starts = np.arange(n_frames) * hop
+    idx = (starts[:, None] + np.arange(nperseg)[None, :]).reshape(-1)
+    batch = frames.shape[:-2]
+    flat = frames.reshape(*batch, n_frames * nperseg)
+    out = jnp.zeros((*batch, t_padded), dtype=frames.dtype)
+    out = out.at[..., idx].add(flat)
+
+    # NOLA normalization: sum of squared windows at each sample
+    wsq = np.zeros(t_padded, dtype=np.float64)
+    w_np = np.asarray(w, dtype=np.float64) ** 2
+    for s in starts:
+        wsq[s : s + nperseg] += w_np
+    norm = jnp.asarray(np.where(wsq > 1e-10, 1.0 / wsq, 0.0), dtype=out.dtype)
+    out = out * norm
+
+    if center:
+        out = out[..., nperseg // 2 : t_padded - nperseg // 2]
+    if length is not None:
+        out = out[..., :length]
+    return out
+
+
+def spectrogram(
+    x,
+    nperseg: int = 256,
+    noverlap: Optional[int] = None,
+    window="hann",
+    *,
+    center: bool = True,
+    power: float = 2.0,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """|STFT|^power — (..., frames, bins) real."""
+    s = stft(x, nperseg, noverlap, window, center=center, config=config)
+    mag = jnp.abs(s)
+    if power == 1.0:
+        return mag
+    if power == 2.0:
+        return jnp.real(s) ** 2 + jnp.imag(s) ** 2
+    return mag ** power

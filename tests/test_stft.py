@@ -1,0 +1,79 @@
+"""STFT / iSTFT / spectrogram: round trips and scipy-convention checks."""
+
+import numpy as np
+import pytest
+
+from mixed_radix_fast_fourier_transform_tpu.ops.stft import (
+    get_window,
+    istft,
+    spectrogram,
+    stft,
+)
+
+
+class TestWindow:
+    def test_hann_endpoints(self):
+        w = get_window("hann", 8)
+        assert w[0] == pytest.approx(0.0)
+        assert np.max(w) <= 1.0
+
+    def test_explicit_array(self):
+        w = get_window(np.ones(16), 16)
+        assert w.shape == (16,)
+
+    def test_bad_window(self):
+        with pytest.raises(ValueError):
+            get_window("gauss", 8)
+        with pytest.raises(ValueError):
+            get_window(np.ones(4), 8)
+
+
+class TestStft:
+    def test_shape(self, rng):
+        x = rng.standard_normal(1024).astype(np.float32)
+        s = stft(x, nperseg=128, noverlap=64)
+        assert s.shape[-1] == 65
+        assert s.ndim == 2
+
+    def test_batched(self, rng):
+        x = rng.standard_normal((3, 1024)).astype(np.float32)
+        s = stft(x, nperseg=128)
+        assert s.shape[0] == 3
+
+    def test_pure_tone_peak(self):
+        # a bin-centered tone concentrates in that bin
+        n, nperseg = 2048, 256
+        freq_bin = 16
+        t = np.arange(n)
+        x = np.cos(2 * np.pi * freq_bin * t / nperseg).astype(np.float32)
+        s = np.asarray(spectrogram(x, nperseg=nperseg, noverlap=0, window="boxcar"))
+        mid = s[s.shape[0] // 2]
+        assert np.argmax(mid) == freq_bin
+
+    def test_roundtrip(self, rng):
+        x = rng.standard_normal(2000).astype(np.float32)
+        s = stft(x, nperseg=256, noverlap=192)
+        y = np.asarray(istft(s, nperseg=256, noverlap=192, length=2000))
+        assert np.max(np.abs(y - x)) < 1e-4
+
+    def test_roundtrip_hamming_batched(self, rng):
+        x = rng.standard_normal((2, 1500)).astype(np.float32)
+        s = stft(x, nperseg=128, noverlap=96, window="hamming")
+        y = np.asarray(istft(s, nperseg=128, noverlap=96, window="hamming", length=1500))
+        assert np.max(np.abs(y - x)) < 1e-4
+
+    def test_bad_overlap(self, rng):
+        with pytest.raises(ValueError):
+            stft(np.zeros(512, np.float32), nperseg=128, noverlap=128)
+
+    def test_short_signal_raises(self):
+        with pytest.raises(ValueError):
+            stft(np.zeros(16, np.float32), nperseg=128, center=False)
+
+
+class TestSpectrogram:
+    def test_power_one_is_magnitude(self, rng):
+        x = rng.standard_normal(512).astype(np.float32)
+        s1 = np.asarray(spectrogram(x, nperseg=128, power=1.0))
+        s2 = np.asarray(spectrogram(x, nperseg=128, power=2.0))
+        assert np.allclose(s1 ** 2, s2, rtol=1e-4, atol=1e-5)
