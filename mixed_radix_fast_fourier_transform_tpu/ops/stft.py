@@ -124,7 +124,8 @@ def istft(
     w_np = np.asarray(w, dtype=np.float64) ** 2
     for s in starts:
         wsq[s : s + nperseg] += w_np
-    norm = jnp.asarray(np.where(wsq > 1e-10, 1.0 / wsq, 0.0), dtype=out.dtype)
+    safe = np.where(wsq > 1e-10, wsq, 1.0)
+    norm = jnp.asarray(np.where(wsq > 1e-10, 1.0 / safe, 0.0), dtype=out.dtype)
     out = out * norm
 
     if center:

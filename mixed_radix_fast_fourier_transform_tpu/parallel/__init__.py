@@ -12,8 +12,11 @@ from .mesh import (
 from .distributed import (
     choose_split,
     fft_batch_sharded,
+    fft_convolve_sharded,
     fft_four_step,
+    fft_four_step_scrambled,
     ifft_four_step,
+    ifft_four_step_scrambled,
     shard_batch,
 )
 
@@ -21,5 +24,7 @@ __all__ = [
     "DATA_AXIS", "SEQ_AXIS",
     "make_mesh", "batch_sharding", "replicated", "initialize_multihost",
     "choose_split", "fft_four_step", "ifft_four_step",
+    "fft_four_step_scrambled", "ifft_four_step_scrambled",
+    "fft_convolve_sharded",
     "fft_batch_sharded", "shard_batch",
 ]

@@ -117,6 +117,10 @@ def fft_four_step(
     ``x``: (..., N) complex or real, N = n1·n2 with mesh[seq_axis] dividing
     both factors.  Input/output are sharded contiguously along the last axis
     over ``seq_axis``; leading batch axes optionally shard over ``data_axis``.
+
+    Three all-to-alls.  For convolution-style pipelines that don't need
+    natural-order spectra, see :func:`fft_four_step_scrambled` /
+    :func:`ifft_four_step_scrambled` (two all-to-alls each).
     """
     x = jnp.asarray(x)
     n = x.shape[-1]
@@ -193,6 +197,219 @@ def fft_four_step(
 
 def ifft_four_step(x, mesh: Mesh, **kw) -> Array:
     return fft_four_step(x, mesh, inverse=True, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Scrambled-order four-step + distributed convolution.
+#
+# For spectral pipelines (convolution, filtering) the intermediate spectrum
+# never needs natural order: leave it in the four-step's matrix layout
+# Y[k1, k2] (k1 rows sharded), do the pointwise work there, and fold the
+# ordering back in the inverse.  Saves one all-to-all per transform — a
+# distributed convolution costs 4 all-to-alls instead of 6.
+# ---------------------------------------------------------------------------
+
+def _prep_planes(x, config):
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        return jnp.real(x).astype(config.dtype), jnp.imag(x).astype(config.dtype)
+    xr = x.astype(config.dtype)
+    return xr, jnp.zeros_like(xr)
+
+
+def _specs(nbatch: int, seq_axis: str, data_axis: Optional[str]):
+    bspec = [None] * nbatch
+    if data_axis is not None and nbatch:
+        bspec[0] = data_axis
+    return (
+        P(*bspec, seq_axis, None),  # (n1, n2) rows sharded
+        P(*bspec, None, seq_axis),  # cols sharded
+    )
+
+
+def fft_four_step_scrambled(
+    x,
+    mesh: Mesh,
+    *,
+    seq_axis: str = SEQ_AXIS,
+    data_axis: Optional[str] = None,
+    n1: Optional[int] = None,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Forward FFT, output left in four-step matrix order: returns (..., n1, n2)
+    with Y[k1, k2] = X[k2·n1 + k1], rows (k1) sharded over ``seq_axis``.
+    Two all-to-alls."""
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    p = mesh.shape[seq_axis]
+    if n1 is None:
+        n1, n2 = choose_split(n, p, config.max_stage)
+    else:
+        n2 = n // n1
+        if n1 * n2 != n or n1 % p or n2 % p:
+            raise ValueError(f"invalid split {n1}x{n2} of N={n} over {p} devices")
+    plan1 = get_plan(n1, -1, "complex", config)
+    plan2 = get_plan(n2, -1, "complex", config)
+    twr, twi = _split_twiddle_matrix(n1, n2, -1)
+    twr = jnp.asarray(twr, dtype=config.dtype)
+    twi = jnp.asarray(twi, dtype=config.dtype)
+
+    nbatch = x.ndim - 1
+    spec_rows, spec_cols = _specs(nbatch, seq_axis, data_axis)
+    spec_tw = P(None, seq_axis)
+
+    def body(xr, xi, twr, twi):
+        a2a = partial(jax.lax.all_to_all, axis_name=seq_axis, tiled=True)
+        xr = a2a(xr, split_axis=xr.ndim - 1, concat_axis=xr.ndim - 2)
+        xi = a2a(xi, split_axis=xi.ndim - 1, concat_axis=xi.ndim - 2)
+        xr, xi = _local_fft_axis2(plan1, xr, xi)
+        xr, xi = xr * twr - xi * twi, xr * twi + xi * twr
+        xr = a2a(xr, split_axis=xr.ndim - 2, concat_axis=xr.ndim - 1)
+        xi = a2a(xi, split_axis=xi.ndim - 2, concat_axis=xi.ndim - 1)
+        return _local_fft_last(plan2, xr, xi)
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec_rows, spec_rows, spec_tw, spec_tw),
+        out_specs=(spec_rows, spec_rows),
+    )
+    xr, xi = _prep_planes(x, config)
+    mat = x.shape[:-1] + (n1, n2)
+    zr, zi = sharded(xr.reshape(mat), xi.reshape(mat), twr, twi)
+    return jax.lax.complex(zr, zi)
+
+
+def ifft_four_step_scrambled(
+    y,
+    mesh: Mesh,
+    *,
+    seq_axis: str = SEQ_AXIS,
+    data_axis: Optional[str] = None,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Inverse of :func:`fft_four_step_scrambled`: input (..., n1, n2) in
+    Y[k1, k2] layout (rows sharded), output (..., N) natural order with the
+    1/N normalization.  Two all-to-alls.
+
+    Derivation: x[j1·n2 + j2] = 1/N Σ_{k1} W_{n1}^{+j1k1} W_N^{+j2k1}
+    Σ_{k2} W_{n2}^{+j2k2} Y[k1, k2] — inverse row FFTs, transpose-reshard,
+    twiddle, inverse column FFTs.
+    """
+    y = jnp.asarray(y)
+    n1, n2 = y.shape[-2], y.shape[-1]
+    n = n1 * n2
+    p = mesh.shape[seq_axis]
+    if n1 % p or n2 % p:
+        raise ValueError(f"matrix {n1}x{n2} not divisible by mesh size {p}")
+    plan1 = get_plan(n1, 1, "complex", config)
+    plan2 = get_plan(n2, 1, "complex", config)
+    twr, twi = _split_twiddle_matrix(n1, n2, 1)  # W_N^{+k1·j2}, shape (n1, n2)
+    twr = jnp.asarray(twr, dtype=config.dtype)
+    twi = jnp.asarray(twi, dtype=config.dtype)
+
+    nbatch = y.ndim - 2
+    spec_rows, spec_cols = _specs(nbatch, seq_axis, data_axis)
+    bspec = [None] * nbatch
+    if data_axis is not None and nbatch:
+        bspec[0] = data_axis
+    spec_flat = P(*bspec, seq_axis)
+    spec_tw = P(None, seq_axis)
+
+    def body(yr, yi, twr, twi):
+        a2a = partial(jax.lax.all_to_all, axis_name=seq_axis, tiled=True)
+        # inverse row FFTs (length n2) on k1-sharded rows
+        yr, yi = _local_fft_last(plan2, yr, yi)
+        # reshard so each device holds all k1 for its j2 block
+        yr = a2a(yr, split_axis=yr.ndim - 1, concat_axis=yr.ndim - 2)
+        yi = a2a(yi, split_axis=yi.ndim - 1, concat_axis=yi.ndim - 2)
+        # twiddle W_N^{+j2·k1} (local j2 block of the (n1, n2) matrix)
+        yr, yi = yr * twr - yi * twi, yr * twi + yi * twr
+        # inverse column FFTs (length n1)
+        yr, yi = _local_fft_axis2(plan1, yr, yi)
+        # back to rows sharded: x[j1, j2], j1 rows — natural order flattened
+        yr = a2a(yr, split_axis=yr.ndim - 2, concat_axis=yr.ndim - 1)
+        yi = a2a(yi, split_axis=yi.ndim - 2, concat_axis=yi.ndim - 1)
+        s = jnp.asarray(1.0 / n, dtype=yr.dtype)
+        shp = yr.shape[:-2] + (yr.shape[-2] * yr.shape[-1],)
+        return (yr * s).reshape(shp), (yi * s).reshape(shp)
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec_rows, spec_rows, spec_tw, spec_tw),
+        out_specs=(spec_flat, spec_flat),
+    )
+    yr, yi = _prep_planes(y, config)
+    zr, zi = sharded(yr, yi, twr, twi)
+    return jax.lax.complex(zr, zi)
+
+
+def fft_convolve_sharded(
+    x,
+    kernel: np.ndarray,
+    mesh: Mesh,
+    *,
+    seq_axis: str = SEQ_AXIS,
+    data_axis: Optional[str] = None,
+    mode: str = "circular",
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Distributed FFT convolution of (..., N) signals with a fixed host-side
+    kernel (filter taps).  BASELINE config 5's shape: long transforms, large
+    batch, sharded over the mesh.
+
+    ``mode='circular'``: circular convolution of length N (kernel zero-padded
+    or wrapped to N).  ``mode='same'``: linear convolution truncated to N —
+    implemented by zero-padding the signal axis to the next splittable
+    length >= N + len(kernel) - 1 at the caller's layout cost.
+
+    The kernel spectrum is computed at plan time on host (fp64) and consumed
+    in the scrambled four-step layout, so the whole op costs 4 all-to-alls.
+    """
+    x = jnp.asarray(x)
+    kernel = np.asarray(kernel)
+    if kernel.ndim != 1:
+        raise ValueError("kernel must be 1-D filter taps")
+    n = x.shape[-1]
+    p = mesh.shape[seq_axis]
+    if mode == "same":
+        need = n + len(kernel) - 1
+        m = need
+        while True:
+            try:
+                choose_split(m, p, config.max_stage)
+                break
+            except ValueError:
+                m += 1
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, m - n)]
+        x = jnp.pad(x, pad)
+    elif mode != "circular":
+        raise ValueError(f"mode must be 'circular' or 'same', got {mode!r}")
+    m = x.shape[-1]
+    n1, n2 = choose_split(m, p, config.max_stage)
+
+    # host-side kernel spectrum in the scrambled Y[k1, k2] layout
+    kpad = np.zeros(m, dtype=np.float64)
+    if len(kernel) > m:
+        raise ValueError("kernel longer than transform length")
+    kpad[: len(kernel)] = kernel
+    kspec = np.fft.fft(kpad)  # natural order X[k], k = k2*n1 + k1
+    kmat = kspec.reshape(n2, n1).T  # Y[k1, k2]
+    kr = jnp.asarray(kmat.real, dtype=config.dtype)
+    ki = jnp.asarray(kmat.imag, dtype=config.dtype)
+
+    spec = fft_four_step_scrambled(
+        x, mesh, seq_axis=seq_axis, data_axis=data_axis, n1=n1, config=config
+    )
+    gain = jax.lax.complex(kr, ki)
+    out = ifft_four_step_scrambled(
+        spec * gain, mesh, seq_axis=seq_axis, data_axis=data_axis, config=config
+    )
+    if mode == "same":
+        start = (len(kernel) - 1) // 2
+        out = out[..., start : start + n]
+    return out
 
 
 # ---------------------------------------------------------------------------

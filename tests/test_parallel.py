@@ -129,3 +129,67 @@ class TestBatchSharded:
         x = shard_batch(_rand_complex(rng, (16, 256)), mesh)
         y = fft_batch_sharded(x, mesh)
         assert not y.sharding.is_fully_replicated
+
+
+class TestScrambledOrder:
+    def test_scrambled_matches_natural_reordered(self, rng):
+        mesh = _mesh_seq()
+        x = _rand_complex(rng, (1024,))
+        y = np.asarray(
+            __import__(
+                "mixed_radix_fast_fourier_transform_tpu.parallel", fromlist=["x"]
+            ).fft_four_step_scrambled(x, mesh)
+        )
+        assert y.shape == (32, 32)
+        want = np.fft.fft(x).reshape(32, 32).T  # Y[k1,k2] = X[k2*n1+k1]
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 2e-5
+
+    def test_scrambled_roundtrip(self, rng):
+        from mixed_radix_fast_fourier_transform_tpu.parallel import (
+            fft_four_step_scrambled,
+            ifft_four_step_scrambled,
+        )
+
+        mesh = _mesh_seq()
+        x = _rand_complex(rng, (2, 4096))
+        y = fft_four_step_scrambled(x, mesh)
+        z = np.asarray(ifft_four_step_scrambled(y, mesh))
+        assert np.max(np.abs(z - x)) < 1e-4
+
+
+class TestConvolveSharded:
+    def test_circular_matches_numpy(self, rng):
+        from mixed_radix_fast_fourier_transform_tpu.parallel import fft_convolve_sharded
+
+        mesh = _mesh_seq()
+        n = 1024
+        x = rng.standard_normal((2, n)).astype(np.float32)
+        k = rng.standard_normal(31).astype(np.float32)
+        got = np.asarray(fft_convolve_sharded(x, k, mesh, mode="circular"))
+        kpad = np.zeros(n)
+        kpad[:31] = k
+        want = np.fft.ifft(np.fft.fft(x, axis=-1) * np.fft.fft(kpad), axis=-1)
+        assert np.max(np.abs(got - want)) < 1e-3
+
+    def test_same_mode_matches_scipy_semantics(self, rng):
+        from mixed_radix_fast_fourier_transform_tpu.parallel import fft_convolve_sharded
+
+        mesh = _mesh_seq()
+        n = 1000
+        x = rng.standard_normal(n).astype(np.float32)
+        k = rng.standard_normal(17).astype(np.float32)
+        got = np.asarray(fft_convolve_sharded(x, k, mesh, mode="same")).real
+        want = np.convolve(x, k, mode="same")
+        assert np.max(np.abs(got - want)) < 1e-3
+
+    def test_2d_mesh(self, rng):
+        from mixed_radix_fast_fourier_transform_tpu.parallel import fft_convolve_sharded
+
+        mesh = _mesh_2d()
+        x = rng.standard_normal((4, 1024)).astype(np.float32)
+        k = rng.standard_normal(8).astype(np.float32)
+        got = np.asarray(fft_convolve_sharded(x, k, mesh, data_axis="data"))
+        kpad = np.zeros(1024)
+        kpad[:8] = k
+        want = np.fft.ifft(np.fft.fft(x, axis=-1) * np.fft.fft(kpad), axis=-1)
+        assert np.max(np.abs(got - want)) < 1e-3
