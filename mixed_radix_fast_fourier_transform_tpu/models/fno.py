@@ -1,0 +1,102 @@
+"""Fourier Neural Operator (1-D): a second model family built on the engine.
+
+The reference ships no models; the spectral-filter flagship
+(:mod:`.spectral_filter`) is its demo promoted to a trainable pipeline.  This
+module goes one step further into real ML territory: FNO layers mix channels
+in the frequency domain
+
+    y = act( W·x  +  irfft( R ⊙ rfft(x) ) )
+
+with a learned complex tensor R over the lowest ``modes`` frequency bins —
+the standard neural-operator block (Li et al., 2021), here running on this
+library's plan-based rFFT instead of a framework builtin.  TPU-shaped by
+construction: the spectral mix is an einsum over channels (MXU) on the
+low-mode slice, everything else is elementwise (VPU, fused by XLA).
+
+Functional API: params are dict pytrees, apply/train_step are jittable and
+differentiate through every stage matmul of the FFT engine.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.rfft import irfft, rfft
+from ..utils.config import DEFAULT_CONFIG, SpectralConfig
+
+Array = jax.Array
+Params = Dict[str, Array]
+
+
+def init_layer(key, channels: int, modes: int, dtype=jnp.float32) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    scale = 1.0 / channels
+    return {
+        "r_re": scale * jax.random.normal(k1, (channels, channels, modes), dtype),
+        "r_im": scale * jax.random.normal(k2, (channels, channels, modes), dtype),
+        "w": scale * jax.random.normal(k3, (channels, channels), dtype),
+        "b": jnp.zeros((channels,), dtype),
+    }
+
+
+def init_fno(
+    key,
+    in_channels: int,
+    hidden: int,
+    out_channels: int,
+    n_layers: int = 2,
+    modes: int = 16,
+    dtype=jnp.float32,
+) -> Dict[str, object]:
+    keys = jax.random.split(key, n_layers + 2)
+    return {
+        "lift": {
+            "w": jax.random.normal(keys[0], (in_channels, hidden), dtype)
+            / max(in_channels, 1),
+            "b": jnp.zeros((hidden,), dtype),
+        },
+        "layers": [init_layer(keys[i + 1], hidden, modes, dtype) for i in range(n_layers)],
+        "proj": {
+            "w": jax.random.normal(keys[-1], (hidden, out_channels), dtype) / hidden,
+            "b": jnp.zeros((out_channels,), dtype),
+        },
+    }
+
+
+def spectral_mix(layer: Params, x: Array, *, config: SpectralConfig) -> Array:
+    """(batch, channels, n) -> (batch, channels, n): per-mode channel mixing."""
+    n = x.shape[-1]
+    modes = layer["r_re"].shape[-1]
+    spec = rfft(x, config=config)  # (b, c, n//2+1) complex
+    lo = spec[..., :modes]
+    r = jax.lax.complex(layer["r_re"], layer["r_im"])  # (c_in, c_out, modes)
+    mixed = jnp.einsum("bim,iom->bom", lo, r)
+    pad = spec.shape[-1] - modes
+    mixed = jnp.pad(mixed, ((0, 0), (0, 0), (0, pad)))
+    return irfft(mixed, n=n, config=config)
+
+
+def fno_layer(layer: Params, x: Array, *, config: SpectralConfig) -> Array:
+    local = jnp.einsum("bin,io->bon", x, layer["w"]) + layer["b"][None, :, None]
+    return jax.nn.gelu(local + spectral_mix(layer, x, config=config))
+
+
+def apply(params: Dict[str, object], x: Array, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """(batch, in_channels, n) -> (batch, out_channels, n)."""
+    h = jnp.einsum("bin,io->bon", x, params["lift"]["w"]) + params["lift"]["b"][None, :, None]
+    for layer in params["layers"]:
+        h = fno_layer(layer, h, config=config)
+    return jnp.einsum("bin,io->bon", h, params["proj"]["w"]) + params["proj"]["b"][None, :, None]
+
+
+def loss_fn(params, x, target, *, config=DEFAULT_CONFIG) -> Array:
+    return jnp.mean((apply(params, x, config=config) - target) ** 2)
+
+
+def train_step(params, x, target, lr: float = 1e-3, *, config=DEFAULT_CONFIG):
+    loss, grads = jax.value_and_grad(loss_fn)(params, x, target, config=config)
+    params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
+    return params, loss

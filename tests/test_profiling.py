@@ -53,3 +53,22 @@ class TestTiming:
     def test_trace_noop_tolerant(self, tmp_path):
         with trace(str(tmp_path)):
             _ = jnp.sum(jnp.ones(8))
+
+
+class TestPlanPersistence:
+    def test_manifest_roundtrip(self, tmp_path):
+        from mixed_radix_fast_fourier_transform_tpu.plan import clear_plan_cache, get_plan
+        from mixed_radix_fast_fourier_transform_tpu.utils.cache import (
+            load_plans,
+            save_plans,
+            warm_plans,
+        )
+
+        clear_plan_cache()
+        n_built = warm_plans([64, 360], kinds=("complex", "real"))
+        assert n_built == 8
+        path = str(tmp_path / "plans.npz")
+        n_saved = save_plans(path)
+        assert n_saved >= 8
+        clear_plan_cache()
+        assert load_plans(path) == n_saved
