@@ -35,30 +35,16 @@ def _flops(n: int, batch: int) -> float:
     return 5.0 * n * math.log2(n) * batch
 
 
-def _timed_chain(fn, xr, xi, iters: int, reps: int = 3) -> float:
-    """Best-of-reps wall time of `iters` chained applications in one dispatch."""
-    def body(_, carry):
-        ar, ai = carry
-        zr, zi = fn(ar, ai)
-        s = jnp.float32(1e-3)  # keep values bounded across iterations
-        return zr * s, zi * s
-
-    g = jax.jit(lambda a, b: jax.lax.fori_loop(0, iters, body, (a, b)))
-    jax.block_until_ready(g(xr, xi))  # compile
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(g(xr, xi))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
 def bench_config(n: int, batch: int, iters: int, seed: int = 0):
     """Return (gflops, max_rel_err) for a batched length-n complex fp32 FFT.
 
     ``iters`` is the short chain length; the long chain is 5x.  Per-transform
-    time = (T_long - T_short) / (4*iters): the dispatch overhead cancels.
+    time = (T_long - T_short) / (4*iters) via profiling.marginal_time — the
+    dispatch/fetch overhead cancels, and completion is forced through a
+    scalar fetch (block_until_ready is unreliable on tunneled backends).
     """
+    from mixed_radix_fast_fourier_transform_tpu.utils.profiling import marginal_time
+
     rng = np.random.default_rng(seed)
     x = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
     plan = get_plan(n, -1, "complex")
@@ -68,14 +54,12 @@ def bench_config(n: int, batch: int, iters: int, seed: int = 0):
     fn = lambda ar, ai: exec_complex(plan, ar, ai)
 
     # accuracy (single application, fp64 numpy oracle)
-    zr, zi = jax.block_until_ready(jax.jit(fn)(xr, xi))
+    zr, zi = jax.jit(fn)(xr, xi)
     got = np.asarray(zr).astype(np.complex128) + 1j * np.asarray(zi)
     want = np.fft.fft(x, axis=-1)
     err = float(np.max(np.abs(got - want)) / np.max(np.abs(want)))
 
-    t_short = _timed_chain(fn, xr, xi, iters)
-    t_long = _timed_chain(fn, xr, xi, 5 * iters)
-    dt = max((t_long - t_short) / (4 * iters), 1e-9)
+    dt = marginal_time(fn, (xr, xi), short=iters, long=5 * iters)
     return _flops(n, batch) / dt / 1e9, err
 
 

@@ -17,11 +17,16 @@ import jax.numpy as jnp
 class SpectralConfig:
     # Largest dense DFT stage the mixed-radix engine will emit.  Each stage is
     # one MXU matmul of this size; primes above it route the length to
-    # Bluestein.  64 keeps stage matrices comfortably inside VMEM tiles while
-    # covering every prime the reference's planner knows (max 53).
-    max_stage: int = 64
+    # Bluestein.  256 lets lengths up to 65536 run as two balanced stages
+    # ((256,256) for 65536, (32,32) for 1024 — measured fastest on v5e) and
+    # keeps stage matrices MXU-shaped (contraction dim <= 256).
+    max_stage: int = 256
     # Lengths <= this are done as one dense DFT matmul (single-stage plan).
     direct_dft_max: int = 64
+    # Stage grouping: "balanced" (fewest stages, then LPT-equal sizes —
+    # measured fastest) or "greedy" (descending-prime packing, matches the
+    # native planner; kept for reproducibility).
+    stage_strategy: str = "balanced"
     # Working dtype of the (re, im) planes on device.
     dtype: jnp.dtype = jnp.float32
     # Matmul precision for the stage DFTs.  HIGHEST = fp32-accurate on the MXU

@@ -100,19 +100,30 @@ def marginal_time(
     (T_long − T_short)/(long − short): fixed dispatch+transfer overhead
     cancels, leaving pure device time.  ``fn`` must map a tuple of arrays to
     a tuple of arrays of identical shapes/dtypes.
+
+    Completion is forced by fetching a scalar reduction of the chain's
+    output — on tunneled backends (axon) `block_until_ready` can return
+    before execution finishes, so timing must close the loop through a
+    device→host value that depends on the whole computation.
     """
+    import numpy as _np
+
     times = {}
     for iters in (short, long):
         def body(_, carry):
             out = fn(*carry)
             return tuple(o * o.dtype.type(1e-3) for o in out)
 
-        g = jax.jit(lambda *a: jax.lax.fori_loop(0, iters, body, tuple(a)))
-        jax.block_until_ready(g(*args))  # compile
+        def chain(*a):
+            out = jax.lax.fori_loop(0, iters, body, tuple(a))
+            return sum(jax.numpy.sum(o) for o in out)  # scalar: forces full exec
+
+        g = jax.jit(chain)
+        float(_np.asarray(g(*args)))  # compile + settle
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(g(*args))
+            float(_np.asarray(g(*args)))
             best = min(best, time.perf_counter() - t0)
         times[iters] = best
     return max((times[long] - times[short]) / (long - short), 1e-12)

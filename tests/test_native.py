@@ -31,34 +31,20 @@ class TestPlannerParity:
         assert prime_factors(n) == (want or [])
 
     @pytest.mark.parametrize("n", [2, 360, 1024, 5040, 65536, 97 * 4])
-    def test_plan_stages_matches_python(self, n):
-        env = os.environ.get("SPECTRAL_NO_NATIVE")
+    def test_plan_stages_matches_python_greedy(self, n):
+        # the native planner implements the "greedy" strategy; compare against
+        # the pure-python greedy implementation
+        from mixed_radix_fast_fourier_transform_tpu.utils.factorize import (
+            _plan_stages_greedy,
+        )
+
         try:
-            # pure-python reference path, bypassing the native hook
-            os.environ["SPECTRAL_NO_NATIVE"] = "1"
-            import importlib
-            from mixed_radix_fast_fourier_transform_tpu.utils import factorize
-
-            importlib.reload(factorize)
-            try:
-                want = factorize.plan_stages(n, 64)
-            except ValueError:
-                want = ValueError
-        finally:
-            if env is None:
-                os.environ.pop("SPECTRAL_NO_NATIVE", None)
-            else:
-                os.environ["SPECTRAL_NO_NATIVE"] = env
-            import importlib
-            from mixed_radix_fast_fourier_transform_tpu.utils import factorize
-
-            importlib.reload(factorize)
-
-        if want is ValueError:
+            want = _plan_stages_greedy(n, 64)
+        except ValueError:
             with pytest.raises(ValueError):
                 native.plan_stages(n, 64)
-        else:
-            assert native.plan_stages(n, 64) == want
+            return
+        assert native.plan_stages(n, 64) == want
 
     def test_is_smooth(self):
         from mixed_radix_fast_fourier_transform_tpu.utils import native as nat
