@@ -72,9 +72,16 @@ def _fft_1d(
     if n < 1:
         raise ValueError(f"transform length must be >= 1, got {n}")
     x = _resize_last(x, n)
-    plan = get_plan(n, sign, "complex", config)
     xr, xi = to_planes(x, config.dtype)
-    zr, zi = exec_complex(plan, xr, xi)
+    zr = zi = None
+    if config.use_pallas and n > 1:
+        from .pallas_fft import exec_pallas, supports
+
+        if supports(n, math.prod(xr.shape[:-1]) if xr.ndim > 1 else 1):
+            zr, zi = exec_pallas(xr, xi, n, sign)
+    if zr is None:
+        plan = get_plan(n, sign, "complex", config)
+        zr, zi = exec_complex(plan, xr, xi)
     scale = _norm_scale(n, sign, norm)
     if scale != 1.0:
         s = jnp.asarray(scale, dtype=zr.dtype)

@@ -1,0 +1,260 @@
+"""Fused Pallas TPU kernel: whole mixed-radix FFT pipeline in VMEM.
+
+The XLA path (ops/stockham.py) runs one MXU matmul per stage with HBM
+round-trips between stages.  This kernel executes *all* stages of a
+VMEM-resident batch tile in one Mosaic program using the classic ping-pong
+Stockham autosort recurrence
+
+    X: (f, m', l, BT)  →  Y[q',k,j,b] = Σ_p W_f[k,p] · T[p,j] · X[p,q',j,b]
+    (m = f·m',  l *= f each stage;  T[p,j] = W_{f·l}^{p·j})
+
+with the batch as the minor (lane) axis, radix combines unrolled at trace
+time into VPU adds/multiplies (coefficients that are exactly 0/±1/±i become
+plane swaps and sign flips — the classic radix-2/4/8 butterflies fall out
+automatically), and per-stage twiddles embedded as constants.  One HBM read
+and one HBM write per plane total, versus one per stage on the XLA path.
+
+This is the Pallas realization of the reference's hot loop
+(mixed_radix_dit_rec, /root/reference/src/highSpeedFFT.c:318-1629): same
+mixed-radix decomposition, but autosorted (no strided recursion), batched
+across lanes, and correct for every radix from one generic combine.
+
+Scope: batch-tiled transforms with prime factors <= MAX_UNROLL_RADIX and
+N·BT within VMEM; everything else falls back to the XLA path (the public op
+layer dispatches).
+
+Status (measured, TPU v5e, 2026-08): correct everywhere (max rel err ~1.5e-7
+at N=1024) but ~2.7x slower than the XLA matmul pipeline (68 us vs 25 us at
+N=1024 B=256) — Mosaic stack-allocates the long straight-line stage pipeline
+(needs vmem_limit_bytes raised above the 16 MB default) and the sublane
+restacking between stages dominates.  Kept as an opt-in
+(`SpectralConfig.use_pallas`) and an interpret-mode-tested reference for
+future Mosaic work; the default path remains ops/stockham.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from fractions import Fraction
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+MAX_UNROLL_RADIX = 8        # scalar-coefficient unroll bound (radix 2..8)
+LANE_TILE = 128             # batch tile = lane width
+VMEM_BUDGET_BYTES = 12 * 2 ** 20
+VMEM_LIMIT_BYTES = 100 * 2 ** 20  # ask Mosaic for headroom; v5e has 128 MiB
+
+
+def pallas_factors(n: int) -> Tuple[int, ...]:
+    """Radix schedule for the unrolled kernel: 2-adic part as radix 8/4/2
+    (largest first), odd primes 3/5/7 as-is.  Raises if some prime > 7."""
+    if n < 2:
+        raise ValueError("pallas path needs n >= 2")
+    out: List[int] = []
+    v = 0
+    while n % 2 == 0:
+        n //= 2
+        v += 1
+    for p in (3, 5, 7):
+        while n % p == 0:
+            out.append(p)
+            n //= p
+    if n != 1:
+        raise ValueError(f"prime factor {n} > 7: not unrollable")
+    out.sort(reverse=True)
+    eights, rem = divmod(v, 3)
+    twos: List[int] = [8] * eights
+    if rem == 2:
+        twos.append(4)
+    elif rem == 1:
+        # prefer 4·4 over 8·2 when possible (radix-2 stages waste a pass)
+        if eights:
+            twos[-1] = 4
+            twos.append(4)
+        else:
+            twos.append(2)
+    return tuple(twos + out)
+
+
+def supports(n: int, batch: int, itemsize: int = 4) -> bool:
+    """Can the fused kernel run this transform?"""
+    try:
+        pallas_factors(n)
+    except ValueError:
+        return False
+    # planes + ping-pong working set per tile
+    need = 4 * n * LANE_TILE * itemsize
+    return need <= VMEM_BUDGET_BYTES
+
+
+def _coeff(num: int, den: int, sign: int) -> Tuple[object, object]:
+    """(re, im) of e^(sign·2πi·num/den) — exact ints at quarter turns,
+    fp64 otherwise."""
+    frac = Fraction(num % den, den) * sign % 1
+    table = {
+        Fraction(0): (1, 0),
+        Fraction(1, 4): (0, 1),
+        Fraction(1, 2): (-1, 0),
+        Fraction(3, 4): (0, -1),
+    }
+    if frac in table:
+        return table[frac]
+    ang = 2.0 * math.pi * float(frac)
+    return math.cos(ang), math.sin(ang)
+
+
+def _scalar_cmul(wr, wi, zr: Array, zi: Array) -> Tuple[Array, Array]:
+    """(wr + i·wi) · (zr + i·zi) with strength reduction for exact 0/±1."""
+    if wi == 0:
+        if wr == 1:
+            return zr, zi
+        if wr == -1:
+            return -zr, -zi
+        return wr * zr, wr * zi
+    if wr == 0:
+        if wi == 1:
+            return -zi, zr
+        if wi == -1:
+            return zi, -zr
+        return -wi * zi, wi * zr
+    return wr * zr - wi * zi, wr * zi + wi * zr
+
+
+def stage_twiddles(
+    factors: Sequence[int], sign: int, dtype=np.float32
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Per-stage twiddle planes T[p, j] = e^(sign·2πi·p·j/(f·l)), shape (f, l),
+    for every stage with l > 1 (i.e. all but the first), in stage order."""
+    out = []
+    l = 1
+    for f in factors:
+        if l > 1:
+            p = np.arange(f, dtype=np.int64)[:, None]
+            j = np.arange(l, dtype=np.int64)[None, :]
+            big = f * l
+            phase = (p * j) % big
+            ang = sign * 2.0 * np.pi * phase.astype(np.float64) / big
+            out.append((np.cos(ang).astype(dtype), np.sin(ang).astype(dtype)))
+        l *= f
+    return out
+
+
+def _fft_tile(
+    xr: Array,
+    xi: Array,
+    factors: Sequence[int],
+    sign: int,
+    twiddles: Sequence[Tuple[Array, Array]],
+) -> Tuple[Array, Array]:
+    """(N, BT) planes -> (N, BT) transformed, all in registers/VMEM."""
+    n, bt = xr.shape
+    l, m = 1, n
+    tw_idx = 0
+    for f in factors:
+        mp = m // f
+        xr4 = xr.reshape(f, mp, l, bt)
+        xi4 = xi.reshape(f, mp, l, bt)
+        # twiddled slabs Z_p = T[p] ⊙ X[p]
+        if l > 1:
+            twr, twi = twiddles[tw_idx]
+            tw_idx += 1
+        zs: List[Tuple[Array, Array]] = []
+        for p in range(f):
+            zr, zi = xr4[p], xi4[p]
+            if l > 1 and p > 0:
+                tr = twr[p].reshape(1, l, 1)
+                ti = twi[p].reshape(1, l, 1)
+                zr, zi = zr * tr - zi * ti, zr * ti + zi * tr
+            zs.append((zr, zi))
+        # combine: Y[k] = Σ_p W_f^{kp} Z_p  (scalar coefficients, unrolled)
+        yks_r: List[Array] = []
+        yks_i: List[Array] = []
+        for k in range(f):
+            acc_r = None
+            acc_i = None
+            for p in range(f):
+                wr, wi = _coeff(k * p, f, sign)
+                tr, ti = _scalar_cmul(wr, wi, zs[p][0], zs[p][1])
+                acc_r = tr if acc_r is None else acc_r + tr
+                acc_i = ti if acc_i is None else acc_i + ti
+            yks_r.append(acc_r)
+            yks_i.append(acc_i)
+        # Y layout (mp, f, l, bt) -> (N, bt): stack k as axis 1
+        xr = jnp.stack(yks_r, axis=1).reshape(n, bt)
+        xi = jnp.stack(yks_i, axis=1).reshape(n, bt)
+        l *= f
+        m = mp
+    return xr, xi
+
+
+def _kernel(xr_ref, xi_ref, *rest, factors, sign):
+    n_tw = (len(rest) - 2) // 2
+    tw_refs = rest[:-2]
+    or_ref, oi_ref = rest[-2:]
+    twiddles = [
+        (tw_refs[2 * i][:], tw_refs[2 * i + 1][:]) for i in range(n_tw)
+    ]
+    xr = xr_ref[:].T  # (BT, N) -> (N, BT): batch on lanes
+    xi = xi_ref[:].T
+    zr, zi = _fft_tile(xr, xi, factors, sign, twiddles)
+    or_ref[:] = zr.T
+    oi_ref[:] = zi.T
+
+
+def exec_pallas(
+    xr: Array, xi: Array, n: int, sign: int, *, interpret: bool | None = None
+) -> Tuple[Array, Array]:
+    """Batched unnormalized FFT over the last axis via the fused kernel.
+
+    xr/xi: (..., n) fp32 planes.  Batch is flattened and padded to the lane
+    tile; the grid runs one program per tile.  ``interpret=None`` auto-selects
+    interpreter mode off-TPU (CPU tests run the same kernel code).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    factors = pallas_factors(n)
+    batch_shape = xr.shape[:-1]
+    b = int(np.prod(batch_shape)) if batch_shape else 1
+    xr2 = xr.reshape(b, n)
+    xi2 = xi.reshape(b, n)
+    bt = LANE_TILE
+    pad = (-b) % bt
+    if pad:
+        xr2 = jnp.pad(xr2, ((0, pad), (0, 0)))
+        xi2 = jnp.pad(xi2, ((0, pad), (0, 0)))
+    grid = (xr2.shape[0] // bt,)
+
+    kernel = functools.partial(_kernel, factors=factors, sign=sign)
+    out_shape = [
+        jax.ShapeDtypeStruct(xr2.shape, xr2.dtype),
+        jax.ShapeDtypeStruct(xi2.shape, xi2.dtype),
+    ]
+    spec = pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    tw = stage_twiddles(factors, sign, np.dtype(xr2.dtype).type)
+    tw_args = [a for pair in tw for a in pair]
+    tw_specs = [
+        pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for a in tw_args
+    ]
+    zr, zi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec, spec, *tw_specs],
+        out_specs=[spec, spec],
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
+    )(xr2, xi2, *[jnp.asarray(a) for a in tw_args])
+    if pad:
+        zr, zi = zr[:b], zi[:b]
+    return zr.reshape(*batch_shape, n), zi.reshape(*batch_shape, n)

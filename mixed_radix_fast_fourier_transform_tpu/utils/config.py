@@ -33,9 +33,14 @@ class SpectralConfig:
     # (multi-pass bf16); required for the <=1e-5 error budget.
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
     # Padded-length selector for Bluestein / convolution: "pow2" mirrors the
-    # reference (src/convolve.c:20-25), "fast" picks the next 2·3·5·7-smooth
-    # length (less padding, often faster on TPU).
+    # reference (src/convolve.c:20-25) and measured faster than "fast"
+    # (2·3·5·7-smooth padding) on v5e — balanced pow2 stages beat the smaller
+    # but odd-shaped smooth lengths.
     pad_mode: str = "pow2"
+    # Opt-in fused Pallas kernel path for smooth lengths (ops/pallas_fft.py).
+    # Correct but currently slower than the XLA matmul pipeline on v5e —
+    # see the module docstring for measurements.
+    use_pallas: bool = False
 
 
 DEFAULT_CONFIG = SpectralConfig()
