@@ -165,9 +165,21 @@ def fft_init(
 def fft_exec(obj: fft_object, inp, oup=None):
     """Execute the plan (reference: src/highSpeedFFT.c:1920-1942).  Unnormalized
     in both directions.  Returns the output array (batched over leading dims);
-    ``oup`` is accepted for signature parity and ignored."""
+    ``oup`` is accepted for signature parity and ignored.
+
+    Host numpy inputs take the **native fp64 engine** (native/oracle.cpp) when
+    built: same double precision as the reference C library, no device
+    dispatch (a single small transform is dominated by dispatch latency on a
+    tunneled TPU).  Device arrays take the TPU pipeline."""
     if obj is None:
         raise ValueError("fft_exec: NULL plan")
+    if isinstance(inp, (np.ndarray, list, tuple)) and obj.N <= 65536:
+        from .utils import native
+
+        if native.available():
+            x64 = np.asarray(inp, dtype=np.complex128)
+            # compat sgn=+1 is the numpy-forward kernel e^{-2πi·nk/N}
+            return native.oracle_fft(x64, -1 if obj.sgn == 1 else 1)
     x = jnp.asarray(inp)
     xr, xi = to_planes(x, obj._config.dtype)
     zr, zi = exec_complex(obj._plan, xr, xi)

@@ -27,7 +27,13 @@ def to_planes(x, dtype=jnp.float32) -> Tuple[Array, Array]:
 
 
 def from_planes(re: Array, im: Array) -> Array:
-    """Combine (re, im) planes into a complex array (complex64 for fp32 planes)."""
+    """Combine (re, im) planes into a complex array (complex64 for fp32
+    planes).  lax.complex only accepts fp32/fp64, so low-precision working
+    dtypes (bf16) upcast at the boundary — compute stays in the working dtype,
+    only the user-facing complex view widens."""
+    if re.dtype not in (jnp.float32, jnp.float64):
+        re = re.astype(jnp.float32)
+        im = im.astype(jnp.float32)
     return jax.lax.complex(re, im)
 
 
