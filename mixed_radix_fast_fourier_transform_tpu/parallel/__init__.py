@@ -11,6 +11,8 @@ from .mesh import (
 )
 from .distributed import (
     choose_split,
+    fft2_pencil,
+    ifft2_pencil,
     fft_batch_sharded,
     fft_convolve_sharded,
     fft_four_step,
@@ -26,5 +28,6 @@ __all__ = [
     "choose_split", "fft_four_step", "ifft_four_step",
     "fft_four_step_scrambled", "ifft_four_step_scrambled",
     "fft_convolve_sharded",
+    "fft2_pencil", "ifft2_pencil",
     "fft_batch_sharded", "shard_batch",
 ]

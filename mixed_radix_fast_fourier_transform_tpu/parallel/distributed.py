@@ -413,6 +413,75 @@ def fft_convolve_sharded(
 
 
 # ---------------------------------------------------------------------------
+# 2-D pencil decomposition: distributed fft2 over the last two axes.
+# ---------------------------------------------------------------------------
+
+def fft2_pencil(
+    x,
+    mesh: Mesh,
+    *,
+    seq_axis: str = SEQ_AXIS,
+    data_axis: Optional[str] = None,
+    inverse: bool = False,
+    norm: Optional[str] = "backward",
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Distributed 2-D FFT of (..., H, W) with rows (H) sharded over
+    ``seq_axis`` — the classic pencil scheme: local row FFTs (length W), one
+    all-to-all transpose, local column FFTs (length H), transpose back.
+    Two all-to-alls; both transform lengths must be smooth and H divisible by
+    the mesh size (W too, for the tiled transpose).
+    """
+    x = jnp.asarray(x)
+    h, w = x.shape[-2], x.shape[-1]
+    p = mesh.shape[seq_axis]
+    if h % p or w % p:
+        raise ValueError(f"H={h} and W={w} must divide by mesh size {p}")
+    sign = 1 if inverse else -1
+    plan_w = get_plan(w, sign, "complex", config)
+    plan_h = get_plan(h, sign, "complex", config)
+
+    nbatch = x.ndim - 2
+    bspec = [None] * nbatch
+    if data_axis is not None and nbatch:
+        bspec[0] = data_axis
+    spec_rows = P(*bspec, seq_axis, None)
+
+    def body(xr, xi):
+        a2a = partial(jax.lax.all_to_all, axis_name=seq_axis, tiled=True)
+        # local row FFTs along W
+        xr, xi = _local_fft_last(plan_w, xr, xi)
+        # transpose-reshard: (H/P, W) -> (H, W/P)
+        xr = a2a(xr, split_axis=xr.ndim - 1, concat_axis=xr.ndim - 2)
+        xi = a2a(xi, split_axis=xi.ndim - 1, concat_axis=xi.ndim - 2)
+        # local column FFTs along H
+        xr, xi = _local_fft_axis2(plan_h, xr, xi)
+        # back to row sharding
+        xr = a2a(xr, split_axis=xr.ndim - 2, concat_axis=xr.ndim - 1)
+        xi = a2a(xi, split_axis=xi.ndim - 2, concat_axis=xi.ndim - 1)
+        return xr, xi
+
+    sharded = jax.shard_map(
+        body, mesh=mesh, in_specs=(spec_rows, spec_rows),
+        out_specs=(spec_rows, spec_rows),
+    )
+    xr, xi = _prep_planes(x, config)
+    zr, zi = sharded(xr, xi)
+
+    from ..ops.fft import _norm_scale
+
+    scale = _norm_scale(h, sign, norm) * _norm_scale(w, sign, norm)
+    if scale != 1.0:
+        s = jnp.asarray(scale, dtype=zr.dtype)
+        zr, zi = zr * s, zi * s
+    return jax.lax.complex(zr, zi)
+
+
+def ifft2_pencil(x, mesh: Mesh, **kw) -> Array:
+    return fft2_pencil(x, mesh, inverse=True, **kw)
+
+
+# ---------------------------------------------------------------------------
 # Batch sharding — many independent transforms over the mesh.
 # ---------------------------------------------------------------------------
 

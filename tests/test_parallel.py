@@ -193,3 +193,33 @@ class TestConvolveSharded:
         kpad[:8] = k
         want = np.fft.ifft(np.fft.fft(x, axis=-1) * np.fft.fft(kpad), axis=-1)
         assert np.max(np.abs(got - want)) < 1e-3
+
+
+class TestPencil2D:
+    def test_fft2_matches_numpy(self, rng):
+        from mixed_radix_fast_fourier_transform_tpu.parallel import fft2_pencil
+
+        mesh = _mesh_seq()
+        x = _rand_complex(rng, (64, 128))
+        got = np.asarray(fft2_pencil(x, mesh))
+        want = np.fft.fft2(x)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
+
+    def test_roundtrip_batched(self, rng):
+        from mixed_radix_fast_fourier_transform_tpu.parallel import (
+            fft2_pencil,
+            ifft2_pencil,
+        )
+
+        mesh = _mesh_2d()
+        x = _rand_complex(rng, (2, 32, 64))
+        y = fft2_pencil(x, mesh, data_axis="data")
+        z = np.asarray(ifft2_pencil(y, mesh, data_axis="data"))
+        assert np.max(np.abs(z - x)) < 1e-4
+
+    def test_indivisible_raises(self, rng):
+        from mixed_radix_fast_fourier_transform_tpu.parallel import fft2_pencil
+
+        mesh = _mesh_seq()
+        with pytest.raises(ValueError):
+            fft2_pencil(_rand_complex(rng, (12, 16)), mesh)
