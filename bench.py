@@ -63,6 +63,51 @@ def bench_config(n: int, batch: int, iters: int, seed: int = 0):
     return _flops(n, batch) / dt / 1e9, err
 
 
+def bench_rfft_roundtrip(n: int, batch: int, iters: int, seed: int = 0):
+    """(gflops, max_abs_roundtrip_err) for rfft→irfft of real fp32 signals
+    (BASELINE config 3).  Flop model: two half-transforms = 5·N·log2 N."""
+    from mixed_radix_fast_fourier_transform_tpu.ops.rfft import irfft, rfft
+    from mixed_radix_fast_fourier_transform_tpu.utils.profiling import marginal_time
+
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((batch, n)).astype(np.float32)
+    xd = jax.device_put(x)
+
+    def fn(a):
+        return (irfft(rfft(a), n=n),)
+
+    back = np.asarray(jax.jit(fn)(xd)[0])
+    err = float(np.max(np.abs(back - x)))
+    dt = marginal_time(fn, (xd,), short=iters, long=5 * iters)
+    return _flops(n, batch) / dt / 1e9, err
+
+
+def bench_convolve(n_sig: int, n_ker: int, batch: int, iters: int, seed: int = 0):
+    """(gflops, max_abs_err vs numpy) for batched 'same' FFT convolution
+    (BASELINE config 5's single-chip shape).  Flop model: 3 rFFT-class
+    transforms of the padded length."""
+    from mixed_radix_fast_fourier_transform_tpu.ops.convolve import fft_convolve
+    from mixed_radix_fast_fourier_transform_tpu.utils.factorize import next_pow2
+    from mixed_radix_fast_fourier_transform_tpu.utils.profiling import marginal_time
+
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((batch, n_sig)).astype(np.float32)
+    k = rng.standard_normal(n_ker).astype(np.float32)
+    xd, kd = jax.device_put(x), jax.device_put(k[None, :])
+
+    def fn(a):
+        out = fft_convolve(a, kd, mode="same")
+        return (out,)
+
+    got = np.asarray(jax.jit(fn)(xd)[0])
+    want = np.stack([np.convolve(r.astype(np.float64), k, mode="same") for r in x[:4]])
+    err = float(np.max(np.abs(got[:4] - want)))
+    m = next_pow2(n_sig + n_ker - 1)
+    fl = 3 * 2.5 * m * math.log2(m) * batch
+    dt = marginal_time(fn, (xd,), short=iters, long=5 * iters)
+    return fl / dt / 1e9, err
+
+
 def main():
     platform = jax.devices()[0].platform
     configs = {
@@ -81,6 +126,20 @@ def main():
             worst_err = max(worst_err, err)
         except Exception as e:  # pragma: no cover — keep the bench line printable
             extras[name] = {"error": str(e)[:200]}
+    try:
+        gf, err = bench_rfft_roundtrip(4096, 64, 30)
+        extras["rfft4096_roundtrip_b64"] = {
+            "gflops": round(gf, 2), "max_abs_err": float(f"{err:.3g}")
+        }
+    except Exception as e:  # pragma: no cover
+        extras["rfft4096_roundtrip_b64"] = {"error": str(e)[:200]}
+    try:
+        gf, err = bench_convolve(4000, 129, 64, 20)
+        extras["conv4000x129_same_b64"] = {
+            "gflops": round(gf, 2), "max_abs_err": float(f"{err:.3g}")
+        }
+    except Exception as e:  # pragma: no cover
+        extras["conv4000x129_same_b64"] = {"error": str(e)[:200]}
     primary = extras.get("n1024_b256", {}).get("gflops", 0.0)
     print(json.dumps({
         "metric": "batched_fft_gflops_n1024_fp32",
