@@ -231,10 +231,13 @@ def _cfg_key(config: SpectralConfig):
 
 def get_plan(n: int, sign: int, kind: str = "complex",
              config: SpectralConfig = DEFAULT_CONFIG):
+    from .utils.metrics import incr, logger
+
     key = (kind, n, sign, _cfg_key(config))
     with _CACHE_LOCK:
         plan = _CACHE.get(key)
     if plan is not None:
+        incr("plan_cache_hits")
         return plan
     if kind == "complex":
         plan = build_complex_plan(n, sign, config)
@@ -242,6 +245,11 @@ def get_plan(n: int, sign: int, kind: str = "complex",
         plan = build_real_plan(n, sign, config)
     else:
         raise ValueError(f"unknown plan kind {kind!r}")
+    incr("plans_built")
+    logger.info(
+        "built %s plan n=%d sign=%+d (%s)", kind, n, sign,
+        type(plan).__name__,
+    )
     with _CACHE_LOCK:
         _CACHE.setdefault(key, plan)
     return plan

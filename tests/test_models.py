@@ -70,3 +70,70 @@ class TestDistributedModel:
         assert np.isfinite(float(loss))
         for leaf in jax.tree_util.tree_leaves(params2):
             assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+class TestCheckpoint:
+    def test_roundtrip_spectral_filter(self, tmp_path):
+        from mixed_radix_fast_fourier_transform_tpu.models.checkpoint import (
+            load_checkpoint,
+            save_checkpoint,
+        )
+
+        params = models.init_params(jax.random.PRNGKey(0), 128)
+        path = str(tmp_path / "ckpt.npz")
+        n = save_checkpoint(path, params)
+        assert n == 3
+        restored = load_checkpoint(path, like=params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(restored)
+        ):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_roundtrip_fno_nested(self, tmp_path):
+        from mixed_radix_fast_fourier_transform_tpu.models import fno
+        from mixed_radix_fast_fourier_transform_tpu.models.checkpoint import (
+            load_checkpoint,
+            save_checkpoint,
+        )
+
+        params = fno.init_fno(jax.random.PRNGKey(0), 2, 4, 1, n_layers=2, modes=4)
+        path = str(tmp_path / "fno.npz")
+        save_checkpoint(path, params)
+        restored = load_checkpoint(path, like=params)
+        assert isinstance(restored["layers"], list) and len(restored["layers"]) == 2
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 2, 64))
+        np.testing.assert_allclose(
+            np.asarray(fno.apply(params, x)), np.asarray(fno.apply(restored, x)),
+            rtol=1e-6,
+        )
+
+    def test_mismatch_raises(self, tmp_path):
+        from mixed_radix_fast_fourier_transform_tpu.models.checkpoint import (
+            load_checkpoint,
+            save_checkpoint,
+        )
+
+        params = models.init_params(jax.random.PRNGKey(0), 64)
+        path = str(tmp_path / "c.npz")
+        save_checkpoint(path, params)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            load_checkpoint(path, like={"different": np.zeros(3)})
+
+
+class TestMetrics:
+    def test_counters(self):
+        from mixed_radix_fast_fourier_transform_tpu.plan import clear_plan_cache, get_plan
+        from mixed_radix_fast_fourier_transform_tpu.utils.metrics import (
+            get_metrics,
+            reset_metrics,
+        )
+
+        clear_plan_cache()
+        reset_metrics()
+        get_plan(96, -1)
+        get_plan(96, -1)
+        m = get_metrics()
+        assert m["plans_built"] == 1
+        assert m["plan_cache_hits"] == 1
