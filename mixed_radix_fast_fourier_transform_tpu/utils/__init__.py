@@ -11,3 +11,5 @@ from .factorize import (
     prime_factors,
 )
 from .numerics import cmul, conj_planes, from_planes, to_planes
+from .metrics import enable_logging, get_metrics, reset_metrics
+from .profiling import marginal_time, plan_cost, roofline_summary, trace
