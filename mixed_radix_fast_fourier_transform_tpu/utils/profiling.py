@@ -24,8 +24,6 @@ from typing import Callable, List, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..plan import BluesteinPlan, MixedRadixPlan, RealPlan
-
 
 @dataclasses.dataclass(frozen=True)
 class PlanCost:
@@ -41,7 +39,7 @@ class PlanCost:
         return self.flops / max(self.hbm_bytes, 1.0)
 
 
-def _mixed_radix_cost(plan: MixedRadixPlan, dtype_bytes: int = 4) -> PlanCost:
+def _mixed_radix_cost(plan, dtype_bytes: int = 4) -> PlanCost:
     n = plan.n
     flops = 0.0
     bytes_ = 0.0
@@ -63,6 +61,8 @@ def _mixed_radix_cost(plan: MixedRadixPlan, dtype_bytes: int = 4) -> PlanCost:
 
 def plan_cost(plan, dtype_bytes: int = 4) -> PlanCost:
     """Analytic roofline model for any plan type."""
+    from ..plan import BluesteinPlan, MixedRadixPlan, RealPlan  # lazy: avoid cycle
+
     if isinstance(plan, MixedRadixPlan):
         return _mixed_radix_cost(plan, dtype_bytes)
     if isinstance(plan, BluesteinPlan):
