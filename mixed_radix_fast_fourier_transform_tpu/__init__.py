@@ -31,7 +31,7 @@ from .ops.fft import (
     ifftshift,
 )
 from .ops.rfft import rfft, irfft, rfftn, irfftn
-from .ops.convolve import fft_convolve, fft_correlate
+from .ops.convolve import fft_convolve, fft_correlate, fft_oaconvolve
 from .ops.stft import stft, istft, spectrogram, get_window
 from .plan import (
     BluesteinPlan,
@@ -58,7 +58,7 @@ __version__ = "0.1.0"
 __all__ = [
     "fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
     "rfft", "irfft", "rfftn", "irfftn",
-    "fft_convolve", "fft_correlate",
+    "fft_convolve", "fft_correlate", "fft_oaconvolve",
     "stft", "istft", "spectrogram", "get_window",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",
     "MixedRadixPlan", "BluesteinPlan", "RealPlan",

@@ -25,6 +25,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.config import DEFAULT_CONFIG, SpectralConfig
 from ..utils.factorize import next_fast_len, next_pow2
@@ -95,6 +96,76 @@ def fft_convolve(
     else:
         raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
     out = out[..., start : start + length]
+    return jnp.moveaxis(out, -1, axis)
+
+
+def fft_oaconvolve(
+    in1,
+    in2,
+    mode: str = "full",
+    *,
+    axis: int = -1,
+    block: Optional[int] = None,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Overlap-add FFT convolution for long signals against a short kernel.
+
+    Splits ``in1`` into frames, convolves each with one batched rFFT pipeline
+    (frames become the batch axis — ideal TPU shape), and overlap-adds.  Use
+    when len(in1) >> len(in2): work drops from O(N log N) at the padded full
+    length to O(N log n2).  Capability extension (scipy.signal.oaconvolve
+    class); the reference pads the whole signal to a power of two
+    (src/convolve.c:39-55), which is this function's degenerate single-block
+    case.
+    """
+    in1 = jnp.asarray(in1)
+    in2 = jnp.asarray(in2)
+    axis = axis % max(in1.ndim, 1)
+    in1 = jnp.moveaxis(in1, axis, -1)
+    if in2.ndim != 1:
+        in2 = jnp.ravel(in2)
+    n1, n2 = in1.shape[-1], in2.shape[0]
+    if n1 < 1 or n2 < 1:
+        raise ValueError("inputs must be non-empty")
+    if n2 > n1:
+        # overlap-add needs the short side as the kernel; fall back
+        out = fft_convolve(in1, in2.reshape((1,) * (in1.ndim - 1) + (-1,)),
+                           mode=mode, config=config)
+        return jnp.moveaxis(out, -1, axis)
+    if block is None:
+        block = max(8 * next_pow2(n2), 256)  # standard 8x-kernel block size
+    m = _padded_len(block + n2 - 1, config)
+    step = block
+    n_blocks = -(-n1 // step)
+    pad_sig = n_blocks * step - n1
+    x = jnp.pad(in1, [(0, 0)] * (in1.ndim - 1) + [(0, pad_sig)])
+    frames = x.reshape(*x.shape[:-1], n_blocks, step)
+
+    kf = rfft(in2, n=m, config=config)
+    ff = rfft(frames, n=m, config=config)
+    conv = irfft(ff * kf, n=m, axis=-1, config=config)  # (..., n_blocks, m)
+
+    # overlap-add: block b contributes to [b*step, b*step + m)
+    total = (n_blocks - 1) * step + m
+    idx = (np.arange(n_blocks)[:, None] * step + np.arange(m)[None, :]).reshape(-1)
+    flat = conv.reshape(*conv.shape[:-2], n_blocks * m)
+    out = jnp.zeros((*conv.shape[:-2], total), dtype=conv.dtype)
+    out = out.at[..., idx].add(flat)
+
+    conv_length = n1 + n2 - 1
+    out = out[..., :conv_length]
+    if mode == "full":
+        pass
+    elif mode == "same":
+        larger = max(n1, n2)
+        start = (conv_length - larger) // 2
+        out = out[..., start : start + larger]
+    elif mode == "valid":
+        smaller = min(n1, n2)
+        start = smaller - 1
+        out = out[..., start : start + max(n1, n2) - smaller + 1]
+    else:
+        raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
     return jnp.moveaxis(out, -1, axis)
 
 

@@ -67,3 +67,45 @@ def test_identity_kernel(rng):
     delta[0] = 1.0
     got = np.asarray(sp.fft_convolve(a, delta, mode="full"))
     np.testing.assert_allclose(got, a, atol=1e-5)
+
+
+class TestOverlapAdd:
+    def test_matches_direct(self, rng):
+        import mixed_radix_fast_fourier_transform_tpu as sp
+
+        x = rng.standard_normal(10000).astype(np.float32)
+        k = rng.standard_normal(33).astype(np.float32)
+        for mode in ("full", "same", "valid"):
+            got = np.asarray(sp.fft_oaconvolve(x, k, mode=mode))
+            want = np.convolve(x.astype(np.float64), k, mode=mode)
+            assert got.shape == want.shape, mode
+            assert np.max(np.abs(got - want)) < 2e-3, mode
+
+    def test_batched(self, rng):
+        import mixed_radix_fast_fourier_transform_tpu as sp
+
+        x = rng.standard_normal((3, 5000)).astype(np.float32)
+        k = rng.standard_normal(17).astype(np.float32)
+        got = np.asarray(sp.fft_oaconvolve(x, k, mode="same"))
+        for i in range(3):
+            want = np.convolve(x[i].astype(np.float64), k, mode="same")
+            assert np.max(np.abs(got[i] - want)) < 2e-3
+
+    def test_kernel_longer_than_signal_falls_back(self, rng):
+        import mixed_radix_fast_fourier_transform_tpu as sp
+
+        x = rng.standard_normal(16).astype(np.float32)
+        k = rng.standard_normal(64).astype(np.float32)
+        got = np.asarray(sp.fft_oaconvolve(x, k, mode="full"))
+        want = np.convolve(x.astype(np.float64), k, mode="full")
+        assert got.shape == want.shape
+        assert np.max(np.abs(got - want)) < 2e-3
+
+    def test_explicit_block(self, rng):
+        import mixed_radix_fast_fourier_transform_tpu as sp
+
+        x = rng.standard_normal(2048).astype(np.float32)
+        k = rng.standard_normal(5).astype(np.float32)
+        got = np.asarray(sp.fft_oaconvolve(x, k, mode="full", block=128))
+        want = np.convolve(x.astype(np.float64), k, mode="full")
+        assert np.max(np.abs(got - want)) < 2e-3
