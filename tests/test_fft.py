@@ -8,6 +8,7 @@ reference gets right, the sizes it gets WRONG (9, 12, 16, 36, 49, 60, 128,
 360, 504, 1024, 5040, …), and the sizes where it crashes (1, 13, 257).
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -146,3 +147,43 @@ def test_invalid_args(rng):
         sp.fft(x, n=0)
     with pytest.raises(ValueError):
         sp.fft(x, norm="nope")
+
+
+@pytest.mark.parametrize("radix", [2, 3, 4, 5, 7, 8, 11, 13, 17, 53])
+def test_single_radix_stage(rng, radix):
+    """Single-stage dense-DFT 'butterfly' for each radix the reference
+    hand-unrolls or handles generically (its parameterized butterfly tests,
+    test_mixedRadixFFT.cpp:675-733) — here one plan = one stage matmul.
+    Impulse and random inputs vs the fp64 oracle; radix 13 segfaults in the
+    reference (twiddle_tables[13] OOB), correct here."""
+    from mixed_radix_fast_fourier_transform_tpu.ops.stockham import exec_mixed_radix
+    from mixed_radix_fast_fourier_transform_tpu.plan import build_mixed_radix_plan
+
+    plan = build_mixed_radix_plan(radix, -1)
+    assert plan.factors == (radix,)
+    # impulse: flat unit spectrum
+    imp_r = np.zeros((1, radix), np.float32)
+    imp_r[0, 0] = 1.0
+    zr, zi = exec_mixed_radix(plan, jnp.asarray(imp_r), jnp.zeros_like(jnp.asarray(imp_r)))
+    np.testing.assert_allclose(np.asarray(zr), np.ones((1, radix)), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(zi), np.zeros((1, radix)), atol=1e-6)
+    # random input
+    x = rng.standard_normal(radix) + 1j * rng.standard_normal(radix)
+    zr, zi = exec_mixed_radix(
+        plan,
+        jnp.asarray(x.real.astype(np.float32))[None],
+        jnp.asarray(x.imag.astype(np.float32))[None],
+    )
+    got = np.asarray(zr)[0] + 1j * np.asarray(zi)[0]
+    want = np.fft.fft(x)
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-6
+
+
+@pytest.mark.parametrize("n", [2, 6, 9, 10, 12, 14, 16, 36, 49, 60, 128, 180, 360, 504, 509, 1024, 5040])
+def test_reference_broken_lengths(rng, n):
+    """Every length where the reference is silently wrong (SURVEY.md §2.9's
+    verified matrix) must be correct here."""
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    got = np.asarray(sp.fft(x)).astype(np.complex128)
+    want = np.fft.fft(x.astype(np.complex128))
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
