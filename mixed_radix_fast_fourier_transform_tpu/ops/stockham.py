@@ -40,34 +40,32 @@ from ..utils.numerics import cmul
 
 Array = jax.Array
 
-_PRECISION = DEFAULT_CONFIG.precision
-
 
 def _dft_apply_last(
-    xr: Array, xi: Array, wr: Array, wi: Array
+    xr: Array, xi: Array, wr: Array, wi: Array, precision: str
 ) -> Tuple[Array, Array]:
     """Dense DFT over the last axis: z[..., k] = Σ_n x[..., n] W[n, k].
 
-    Four real matmuls on the MXU.  ``preferred_element_type`` + HIGHEST
+    Four real matmuls on the MXU.  ``preferred_element_type`` + "highest"
     precision keep fp32 accuracy (multi-pass bf16 on TPU MXU).
     """
     dot = partial(
         jnp.einsum,
         "...n,nk->...k",
-        precision=_PRECISION,
+        precision=precision,
         preferred_element_type=xr.dtype,
     )
     return dot(xr, wr) - dot(xi, wi), dot(xr, wi) + dot(xi, wr)
 
 
 def _dft_apply_axis2(
-    xr: Array, xi: Array, wr: Array, wi: Array
+    xr: Array, xi: Array, wr: Array, wi: Array, precision: str
 ) -> Tuple[Array, Array]:
     """Dense DFT over axis -2: z[..., m, k] = Σ_n x[..., n, k] W[n, m]."""
     dot = partial(
         jnp.einsum,
         "...nk,nm->...mk",
-        precision=_PRECISION,
+        precision=precision,
         preferred_element_type=xr.dtype,
     )
     return dot(xr, wr) - dot(xi, wi), dot(xr, wi) + dot(xi, wr)
@@ -88,9 +86,10 @@ def _exec_level(
     path.
     """
     factors = plan.factors
+    prec = getattr(plan, "precision", "highest")
     f = factors[level]
     if level == len(factors) - 1:
-        return _dft_apply_last(xr, xi, plan.dft_re[level], plan.dft_im[level])
+        return _dft_apply_last(xr, xi, plan.dft_re[level], plan.dft_im[level], prec)
     n_rem = math.prod(factors[level + 1 :])
     batch = xr.shape[:-1]
     # (..., N_cur) -> (..., n2, n1) -> (..., n1, n2): sub-transform n1 over last axis
@@ -98,7 +97,7 @@ def _exec_level(
     xi = jnp.swapaxes(xi.reshape(*batch, n_rem, f), -1, -2)
     yr, yi = _exec_level(plan, level + 1, xr, xi)
     yr, yi = cmul(yr, yi, plan.tw_re[level], plan.tw_im[level])
-    zr, zi = _dft_apply_axis2(yr, yi, plan.dft_re[level], plan.dft_im[level])
+    zr, zi = _dft_apply_axis2(yr, yi, plan.dft_re[level], plan.dft_im[level], prec)
     return zr.reshape(*batch, f * n_rem), zi.reshape(*batch, f * n_rem)
 
 

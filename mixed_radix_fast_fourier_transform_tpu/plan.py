@@ -56,6 +56,9 @@ class MixedRadixPlan:
     n: int = dataclasses.field(metadata=dict(static=True))
     sign: int = dataclasses.field(metadata=dict(static=True))
     factors: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    # matmul precision for the stage DFTs, from the building config ("highest"
+    # keeps fp32 accuracy on the MXU; see SpectralConfig.precision)
+    precision: str = dataclasses.field(default="highest", metadata=dict(static=True))
     dft_re: Tuple[Array, ...] = ()
     dft_im: Tuple[Array, ...] = ()
     tw_re: Tuple[Array, ...] = ()
@@ -108,6 +111,17 @@ for _cls in (MixedRadixPlan, BluesteinPlan, RealPlan):
 ComplexPlan = (MixedRadixPlan, BluesteinPlan)
 
 
+def _precision_str(p) -> str:
+    """Canonical string for a jax.lax.Precision (or string) config value."""
+    if isinstance(p, str):
+        return p.lower()
+    return {
+        jax.lax.Precision.DEFAULT: "default",
+        jax.lax.Precision.HIGH: "high",
+        jax.lax.Precision.HIGHEST: "highest",
+    }[p]
+
+
 def _as_jnp(pair, dtype) -> Tuple[np.ndarray, np.ndarray]:
     """Plan constants are **host numpy arrays**, not device arrays: plans are
     built lazily — often inside a jit trace (the first `fft` call under a
@@ -144,6 +158,7 @@ def build_mixed_radix_plan(
         n=n,
         sign=sign,
         factors=factors,
+        precision=_precision_str(config.precision),
         dft_re=tuple(dft_re),
         dft_im=tuple(dft_im),
         tw_re=tuple(tw_re),
