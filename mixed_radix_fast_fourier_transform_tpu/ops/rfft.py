@@ -58,20 +58,13 @@ def _rfft_packed(x: Array, n: int, config: SpectralConfig):
     zr = x[..., 0::2]
     zi = x[..., 1::2]
     fr, fi = exec_complex(plan, zr, zi)
-    ar, ai = _extend_half(fr), _extend_half(fi)          # Z[k mod h]
-    br, bi = _reflect_half(fr), -_reflect_half(fi)       # conj(Z[(h-k) mod h])
-    er, ei = (ar + br) * 0.5, (ai + bi) * 0.5            # Ze
-    ur, ui = (ar - br) * 0.5, (ai - bi) * 0.5
-    orr, oi = ui, -ur                                    # Zo = -i·(Z - conj)/2
-    tw_re, tw_im = _split_tw(n, -1, config)              # e^(-2πik/n), k=0..h
-    xr = er + (orr * tw_re - oi * tw_im)
-    xi = ei + (orr * tw_im + oi * tw_re)
+    ar, ai = _extend_half(fr), _extend_half(fi)          # A = Z[k mod h]
+    br, bi = _reflect_half(fr), -_reflect_half(fi)       # B = conj(Z[(h-k) mod h])
+    # X = P⊙A + Q⊙B, P/Q precomputed plan constants — one fused pass
+    rp = get_plan(n, -1, "real", config)
+    xr = (ar * rp.p_re - ai * rp.p_im) + (br * rp.q_re - bi * rp.q_im)
+    xi = (ar * rp.p_im + ai * rp.p_re) + (br * rp.q_im + bi * rp.q_re)
     return xr, xi
-
-
-def _split_tw(n: int, sign: int, config: SpectralConfig):
-    plan = get_plan(n, sign, "real", config)
-    return plan.split_re, plan.split_im
 
 
 def rfft(
@@ -119,14 +112,12 @@ def _irfft_packed(xr: Array, xi: Array, n: int, config: SpectralConfig) -> Array
     br = jnp.flip(xr[..., 1:], -1)
     bi = -jnp.flip(xi[..., 1:], -1)
     ar, ai = xr[..., :h], xi[..., :h]
-    er, ei = (ar + br) * 0.5, (ai + bi) * 0.5
-    dr, di = (ar - br) * 0.5, (ai - bi) * 0.5
-    tw_re, tw_im = _split_tw(n, 1, config)  # e^(+2πik/n), k = 0..h
-    tr, ti = tw_re[..., :h], tw_im[..., :h]
-    orr = dr * tr - di * ti
-    oi = dr * ti + di * tr
-    zr = er - oi
-    zi = ei + orr
+    # Z = P⊙A + Q⊙B (same fused combine as forward, with the +sign plan's P/Q)
+    rp = get_plan(n, 1, "real", config)
+    pr, pi_ = rp.p_re[..., :h], rp.p_im[..., :h]
+    qr, qi_ = rp.q_re[..., :h], rp.q_im[..., :h]
+    zr = (ar * pr - ai * pi_) + (br * qr - bi * qi_)
+    zi = (ar * pi_ + ai * pr) + (br * qi_ + bi * qr)
     plan = get_plan(h, 1, "complex", config)
     gr, gi = exec_complex(plan, zr, zi)
     inv_h = jnp.asarray(1.0 / h, dtype=gr.dtype)

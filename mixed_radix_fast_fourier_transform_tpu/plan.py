@@ -98,6 +98,14 @@ class RealPlan:
     inner: object = None  # MixedRadixPlan | BluesteinPlan for n//2
     split_re: Array = None
     split_im: Array = None
+    # fused split/merge coefficients: X[k] = P[k]·Z[k mod h] + Q[k]·conj(Z[(h-k) mod h])
+    # with P = (1 + sign·i·w)/2, Q = (1 − sign·i·w)/2, w the split twiddle —
+    # one elementwise pass instead of the reference's multi-step split algebra
+    # (src/real.c:109-125)
+    p_re: Array = None
+    p_im: Array = None
+    q_re: Array = None
+    q_im: Array = None
 
 
 for _cls in (MixedRadixPlan, BluesteinPlan, RealPlan):
@@ -220,8 +228,17 @@ def build_real_plan(
     if n % 2 != 0:
         raise ValueError(f"packed real FFT requires even length, got {n}")
     inner = build_complex_plan(n // 2, sign, config)
-    sr, si = _as_jnp(split_twiddles(n, sign, np.float64), config.dtype)
-    return RealPlan(n=n, sign=sign, inner=inner, split_re=sr, split_im=si)
+    c64, s64 = split_twiddles(n, sign, np.float64)  # w = e^(sign·2πik/n)
+    dtype = config.dtype
+    p_re = ((1.0 - sign * s64) / 2.0).astype(dtype)
+    p_im = (sign * c64 / 2.0).astype(dtype)
+    q_re = ((1.0 + sign * s64) / 2.0).astype(dtype)
+    q_im = (-sign * c64 / 2.0).astype(dtype)
+    return RealPlan(
+        n=n, sign=sign, inner=inner,
+        split_re=c64.astype(dtype), split_im=s64.astype(dtype),
+        p_re=p_re, p_im=p_im, q_re=q_re, q_im=q_im,
+    )
 
 
 # --------------------------------------------------------------------------

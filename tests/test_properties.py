@@ -129,3 +129,29 @@ def test_vmap(rng, n):
     got = np.asarray(jax.vmap(sp.fft)(x))
     want = np.fft.fft(x.astype(np.complex128), axis=-1)
     np.testing.assert_allclose(got, want, atol=1e-4 * np.abs(want).max())
+
+
+def test_error_budget_baseline_configs(rng):
+    """BASELINE.md: max rel err <= 1e-5 vs fp64 oracle across the driver's
+    benchmark configs (1024; 360/5040 where the reference is wrong; rFFT 4096
+    round trip; Bluestein 1009/10007)."""
+    for n in (1024, 360, 5040, 1009, 10007):
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+        got = _c128(sp.fft(x))
+        want = np.fft.fft(x.astype(np.complex128))
+        rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+        assert rel <= 1e-5, (n, rel)
+    xr = rng.standard_normal(4096).astype(np.float32)
+    back = np.asarray(sp.irfft(sp.rfft(xr), n=4096))
+    assert np.max(np.abs(back - xr)) / np.max(np.abs(xr)) <= 1e-5
+
+
+def test_persistent_compile_cache_helper(tmp_path):
+    import jax
+
+    from mixed_radix_fast_fourier_transform_tpu.utils.cache import (
+        enable_persistent_cache,
+    )
+
+    path = enable_persistent_cache(str(tmp_path / "xla"))
+    assert jax.config.jax_compilation_cache_dir == path
