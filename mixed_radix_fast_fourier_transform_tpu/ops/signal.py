@@ -1,0 +1,125 @@
+"""Signal-analysis ops on top of the engine: hilbert, periodogram, welch.
+
+Capability extensions in the scipy.signal family (the reference's only
+signal op is convolution, src/convolve.c) — all batched, jittable, built on
+the plan-based FFT/rFFT/STFT machinery.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.config import DEFAULT_CONFIG, SpectralConfig
+from .fft import fft, fftfreq, ifft, rfftfreq
+from .rfft import rfft
+from .stft import get_window, stft
+
+Array = jax.Array
+
+
+def hilbert(x, n: Optional[int] = None, axis: int = -1,
+            *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """Analytic signal via the Hilbert transform: real (..., N) -> complex
+    whose real part is x and imaginary part its Hilbert transform
+    (scipy.signal.hilbert semantics)."""
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("hilbert requires a real signal")
+    axis = axis % x.ndim
+    xm = jnp.moveaxis(x, axis, -1)
+    n = int(n) if n is not None else xm.shape[-1]
+    spec = fft(xm, n=n, config=config)
+    h = np.zeros(n)
+    if n % 2 == 0:
+        h[0] = h[n // 2] = 1.0
+        h[1 : n // 2] = 2.0
+    else:
+        h[0] = 1.0
+        h[1 : (n + 1) // 2] = 2.0
+    out = ifft(spec * jnp.asarray(h, dtype=spec.dtype), config=config)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def periodogram(
+    x,
+    fs: float = 1.0,
+    window: str = "boxcar",
+    nfft: Optional[int] = None,
+    detrend: bool = True,
+    scaling: str = "density",
+    axis: int = -1,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Tuple[Array, Array]:
+    """(freqs, PSD) of a real signal — scipy.signal.periodogram semantics."""
+    x = jnp.asarray(x)
+    axis = axis % x.ndim
+    xm = jnp.moveaxis(x, axis, -1).astype(config.dtype)
+    n = xm.shape[-1]
+    if detrend:
+        xm = xm - jnp.mean(xm, axis=-1, keepdims=True)
+    w = jnp.asarray(get_window(window, n, np.dtype(config.dtype)))
+    xm = xm * w
+    nfft = int(nfft) if nfft is not None else n
+    spec = rfft(xm, n=nfft, config=config)
+    p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    wsum2 = float(np.sum(np.asarray(w, dtype=np.float64) ** 2))
+    wsum = float(np.sum(np.asarray(w, dtype=np.float64)))
+    if scaling == "density":
+        p = p / (fs * wsum2)
+    elif scaling == "spectrum":
+        p = p / (wsum ** 2)
+    else:
+        raise ValueError(f"scaling must be 'density' or 'spectrum', got {scaling!r}")
+    # one-sided: double everything but DC (and Nyquist when nfft even)
+    mult = np.full(nfft // 2 + 1, 2.0)
+    mult[0] = 1.0
+    if nfft % 2 == 0:
+        mult[-1] = 1.0
+    p = p * jnp.asarray(mult, dtype=p.dtype)
+    freqs = rfftfreq(nfft, 1.0 / fs)
+    return freqs, jnp.moveaxis(p, -1, axis)
+
+
+def welch(
+    x,
+    fs: float = 1.0,
+    window: str = "hann",
+    nperseg: int = 256,
+    noverlap: Optional[int] = None,
+    scaling: str = "density",
+    axis: int = -1,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Tuple[Array, Array]:
+    """Welch PSD estimate: averaged modified periodograms over overlapping
+    segments (scipy.signal.welch semantics, mean averaging)."""
+    x = jnp.asarray(x)
+    axis = axis % x.ndim
+    xm = jnp.moveaxis(x, axis, -1).astype(config.dtype)
+    if noverlap is None:
+        noverlap = nperseg // 2
+    xm = xm - jnp.mean(xm, axis=-1, keepdims=True)
+    spec = stft(
+        xm, nperseg=nperseg, noverlap=noverlap, window=window,
+        center=False, config=config,
+    )  # (..., frames, bins)
+    p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    w = np.asarray(get_window(window, nperseg, np.float64))
+    if scaling == "density":
+        p = p / (fs * float(np.sum(w ** 2)))
+    elif scaling == "spectrum":
+        p = p / (float(np.sum(w)) ** 2)
+    else:
+        raise ValueError(f"scaling must be 'density' or 'spectrum', got {scaling!r}")
+    mult = np.full(nperseg // 2 + 1, 2.0)
+    mult[0] = 1.0
+    if nperseg % 2 == 0:
+        mult[-1] = 1.0
+    p = jnp.mean(p, axis=-2) * jnp.asarray(mult, dtype=p.dtype)
+    freqs = rfftfreq(nperseg, 1.0 / fs)
+    return freqs, jnp.moveaxis(p, -1, axis)

@@ -1,0 +1,119 @@
+"""DCT, Hilbert transform, periodogram/Welch — oracle comparisons."""
+
+import math
+
+import numpy as np
+import pytest
+
+import mixed_radix_fast_fourier_transform_tpu as sp
+
+
+def _dct2_oracle(x, norm=None):
+    n = x.shape[-1]
+    m = np.arange(n); k = np.arange(n)
+    C = 2 * np.cos(np.pi * np.outer(k, 2 * m + 1) / (2 * n))
+    y = x @ C.T
+    if norm == "ortho":
+        s = np.full(n, math.sqrt(1 / (2 * n))); s[0] /= math.sqrt(2)
+        y = y * s
+    return y
+
+
+class TestDCT:
+    @pytest.mark.parametrize("n", [8, 15, 64, 360])
+    @pytest.mark.parametrize("norm", [None, "ortho"])
+    def test_dct2_vs_oracle(self, rng, n, norm):
+        x = rng.standard_normal((3, n))
+        got = np.asarray(sp.dct(x.astype(np.float32), 2, norm=norm))
+        want = _dct2_oracle(x, norm)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
+
+    @pytest.mark.parametrize("norm", [None, "ortho"])
+    def test_roundtrip(self, rng, norm):
+        x = rng.standard_normal(100).astype(np.float32)
+        back = np.asarray(sp.idct(sp.dct(x, 2, norm=norm), 2, norm=norm))
+        assert np.max(np.abs(back - x)) < 1e-4
+
+    def test_dct3_inverse_pairing(self, rng):
+        # scipy pairing: dct(·,3) == idct(·,2) * 2n (unnormalized)
+        x = rng.standard_normal(32).astype(np.float32)
+        a = np.asarray(sp.dct(x, 3))
+        b = np.asarray(sp.idct(x, 2)) * 64
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
+
+    def test_bad_type(self):
+        with pytest.raises(ValueError):
+            sp.dct(np.zeros(8, np.float32), type=1)
+
+    def test_ortho_is_orthonormal(self, rng):
+        n = 16
+        eye = np.eye(n, dtype=np.float32)
+        D = np.asarray(sp.dct(eye, 2, norm="ortho"))
+        np.testing.assert_allclose(D @ D.T, np.eye(n), atol=1e-5)
+
+
+class TestHilbert:
+    def test_cosine_to_analytic(self):
+        n = 256
+        t = np.arange(n)
+        x = np.cos(2 * np.pi * 8 * t / n).astype(np.float32)
+        z = np.asarray(sp.hilbert(x))
+        # analytic signal of cos = e^{iωt}: imag = sin
+        np.testing.assert_allclose(z.real, x, atol=1e-5)
+        np.testing.assert_allclose(
+            z.imag, np.sin(2 * np.pi * 8 * t / n), atol=1e-4
+        )
+
+    def test_envelope(self, rng):
+        n = 512
+        t = np.arange(n)
+        carrier = np.cos(2 * np.pi * 64 * t / n)
+        env = 1.0 + 0.5 * np.cos(2 * np.pi * 4 * t / n)
+        z = np.asarray(sp.hilbert((env * carrier).astype(np.float32)))
+        assert np.max(np.abs(np.abs(z)[32:-32] - env[32:-32])) < 0.05
+
+    def test_complex_input_raises(self):
+        with pytest.raises(ValueError):
+            sp.hilbert(np.zeros(8, np.complex64))
+
+
+class TestPSD:
+    def test_periodogram_parseval(self, rng):
+        # integral of density PSD == variance (boxcar, detrended)
+        n, fs = 1024, 10.0
+        x = rng.standard_normal(n).astype(np.float32)
+        f, p = sp.periodogram(x, fs=fs)
+        df = fs / n
+        total = float(np.sum(np.asarray(p)) * df)
+        var = float(np.var(x))
+        assert abs(total - var) / var < 1e-3
+
+    def test_periodogram_peak_at_tone(self):
+        n, fs = 1024, 1000.0
+        t = np.arange(n) / fs
+        x = np.sin(2 * np.pi * 125.0 * t).astype(np.float32)
+        f, p = sp.periodogram(x, fs=fs, detrend=False)
+        assert abs(float(np.asarray(f)[int(np.argmax(np.asarray(p)))]) - 125.0) < 1.0
+
+    def test_welch_peak_and_shape(self, rng):
+        n, fs = 4096, 1000.0
+        t = np.arange(n) / fs
+        x = (np.sin(2 * np.pi * 100 * t) + 0.1 * rng.standard_normal(n)).astype(
+            np.float32
+        )
+        f, p = sp.welch(x, fs=fs, nperseg=256)
+        f = np.asarray(f); p = np.asarray(p)
+        assert p.shape == (129,)
+        assert abs(f[np.argmax(p)] - 100.0) < 4.0
+
+    def test_welch_density_integral(self, rng):
+        n, fs = 8192, 1.0
+        x = rng.standard_normal(n).astype(np.float32)
+        f, p = sp.welch(x, fs=fs, nperseg=512)
+        df = fs / 512
+        total = float(np.sum(np.asarray(p)) * df)
+        assert abs(total - 1.0) < 0.15  # white noise unit variance
+
+    def test_bad_scaling(self):
+        with pytest.raises(ValueError):
+            sp.periodogram(np.zeros(64, np.float32), scaling="nope")
