@@ -33,7 +33,7 @@ from .ops.fft import (
 from .ops.rfft import rfft, irfft, rfftn, irfftn
 from .ops.convolve import fft_convolve, fft_correlate, fft_oaconvolve
 from .ops.stft import stft, istft, spectrogram, get_window
-from .ops.dct import dct, idct
+from .ops.dct import dct, idct, dst, idst
 from .ops.signal import hilbert, periodogram, welch
 from .plan import (
     BluesteinPlan,
@@ -62,7 +62,7 @@ __all__ = [
     "rfft", "irfft", "rfftn", "irfftn",
     "fft_convolve", "fft_correlate", "fft_oaconvolve",
     "stft", "istft", "spectrogram", "get_window",
-    "dct", "idct", "hilbert", "periodogram", "welch",
+    "dct", "idct", "dst", "idst", "hilbert", "periodogram", "welch",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",
     "MixedRadixPlan", "BluesteinPlan", "RealPlan",
     "build_mixed_radix_plan", "build_bluestein_plan",

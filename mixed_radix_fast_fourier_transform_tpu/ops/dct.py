@@ -129,3 +129,60 @@ def idct(
         nn = y.shape[axis]
         y = y / (2.0 * nn)
     return y
+
+
+def _alt_sign(n: int, dtype) -> Array:
+    return jnp.asarray((-1.0) ** np.arange(n), dtype=dtype)
+
+
+def dst(
+    x,
+    type: int = 2,
+    n: Optional[int] = None,
+    axis: int = -1,
+    norm: Optional[str] = None,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """DST of type 2 or 3 (scipy.fft.dst-compatible), via the exact flip/sign
+    identities DST-II(x) = flip(DCT-II((-1)^m x)) and
+    DST-III(x) = (-1)^m · DCT-III(flip(x)) — both carry the ortho scaling
+    through unchanged."""
+    if type not in (2, 3):
+        raise ValueError(f"only DST types 2 and 3 are supported, got {type}")
+    x = jnp.asarray(x)
+    axis = axis % x.ndim
+    xm = jnp.moveaxis(x, axis, -1).astype(config.dtype)
+    if n is not None:
+        cur = xm.shape[-1]
+        n = int(n)
+        xm = xm[..., :n] if cur >= n else jnp.pad(
+            xm, [(0, 0)] * (xm.ndim - 1) + [(0, n - cur)]
+        )
+    nn = xm.shape[-1]
+    sgn = _alt_sign(nn, xm.dtype)
+    if type == 2:
+        y = jnp.flip(dct(xm * sgn, 2, axis=-1, norm=norm, config=config), -1)
+    else:
+        y = sgn * dct(jnp.flip(xm, -1), 3, axis=-1, norm=norm, config=config)
+    return jnp.moveaxis(y, -1, axis)
+
+
+def idst(
+    x,
+    type: int = 2,
+    n: Optional[int] = None,
+    axis: int = -1,
+    norm: Optional[str] = None,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Inverse DST (pairing mirrors idct)."""
+    if type not in (2, 3):
+        raise ValueError(f"only DST types 2 and 3 are supported, got {type}")
+    inv_type = 3 if type == 2 else 2
+    y = dst(x, type=inv_type, n=n, axis=axis, norm=norm, config=config)
+    if norm is None:
+        nn = y.shape[axis]
+        y = y / (2.0 * nn)
+    return y

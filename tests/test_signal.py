@@ -117,3 +117,35 @@ class TestPSD:
     def test_bad_scaling(self):
         with pytest.raises(ValueError):
             sp.periodogram(np.zeros(64, np.float32), scaling="nope")
+
+
+def _dst2_oracle(x, norm=None):
+    n = x.shape[-1]
+    m = np.arange(n); k = np.arange(n)
+    S = 2 * np.sin(np.pi * np.outer(k + 1, 2 * m + 1) / (2 * n))
+    y = x @ S.T
+    if norm == "ortho":
+        s = np.full(n, math.sqrt(1 / (2 * n))); s[-1] /= math.sqrt(2)
+        y = y * s
+    return y
+
+
+class TestDST:
+    @pytest.mark.parametrize("n", [8, 15, 64])
+    @pytest.mark.parametrize("norm", [None, "ortho"])
+    def test_dst2_vs_oracle(self, rng, n, norm):
+        x = rng.standard_normal((2, n))
+        got = np.asarray(sp.dst(x.astype(np.float32), 2, norm=norm))
+        want = _dst2_oracle(x, norm)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
+
+    @pytest.mark.parametrize("norm", [None, "ortho"])
+    def test_roundtrip(self, rng, norm):
+        x = rng.standard_normal(60).astype(np.float32)
+        back = np.asarray(sp.idst(sp.dst(x, 2, norm=norm), 2, norm=norm))
+        assert np.max(np.abs(back - x)) < 1e-4
+
+    def test_ortho_orthonormal(self):
+        n = 16
+        D = np.asarray(sp.dst(np.eye(n, dtype=np.float32), 2, norm="ortho"))
+        np.testing.assert_allclose(D @ D.T, np.eye(n), atol=1e-5)
