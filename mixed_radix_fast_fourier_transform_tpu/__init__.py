@@ -34,7 +34,7 @@ from .ops.rfft import rfft, irfft, rfftn, irfftn
 from .ops.convolve import fft_convolve, fft_correlate, fft_oaconvolve
 from .ops.stft import stft, istft, spectrogram, get_window
 from .ops.dct import dct, idct, dst, idst
-from .ops.signal import hilbert, periodogram, welch
+from .ops.signal import hilbert, periodogram, welch, csd, coherence
 from .plan import (
     BluesteinPlan,
     MixedRadixPlan,
@@ -62,7 +62,7 @@ __all__ = [
     "rfft", "irfft", "rfftn", "irfftn",
     "fft_convolve", "fft_correlate", "fft_oaconvolve",
     "stft", "istft", "spectrogram", "get_window",
-    "dct", "idct", "dst", "idst", "hilbert", "periodogram", "welch",
+    "dct", "idct", "dst", "idst", "hilbert", "periodogram", "welch", "csd", "coherence",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",
     "MixedRadixPlan", "BluesteinPlan", "RealPlan",
     "build_mixed_radix_plan", "build_bluestein_plan",

@@ -85,6 +85,73 @@ def periodogram(
     return freqs, jnp.moveaxis(p, -1, axis)
 
 
+def _welch_spectra(x, nperseg, noverlap, window, config):
+    xm = x - jnp.mean(x, axis=-1, keepdims=True)
+    return stft(
+        xm, nperseg=nperseg, noverlap=noverlap, window=window,
+        center=False, config=config,
+    )
+
+
+def _onesided_scale(nperseg: int, fs: float, window, scaling: str) -> np.ndarray:
+    w = np.asarray(get_window(window, nperseg, np.float64))
+    if scaling == "density":
+        base = 1.0 / (fs * float(np.sum(w ** 2)))
+    elif scaling == "spectrum":
+        base = 1.0 / (float(np.sum(w)) ** 2)
+    else:
+        raise ValueError(f"scaling must be 'density' or 'spectrum', got {scaling!r}")
+    mult = np.full(nperseg // 2 + 1, 2.0 * base)
+    mult[0] = base
+    if nperseg % 2 == 0:
+        mult[-1] = base
+    return mult
+
+
+def csd(
+    x,
+    y,
+    fs: float = 1.0,
+    window: str = "hann",
+    nperseg: int = 256,
+    noverlap: Optional[int] = None,
+    scaling: str = "density",
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Tuple[Array, Array]:
+    """Cross spectral density P_xy via Welch averaging
+    (scipy.signal.csd semantics: conj(X)·Y, mean over segments)."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    if noverlap is None:
+        noverlap = nperseg // 2
+    sx = _welch_spectra(x.astype(config.dtype), nperseg, noverlap, window, config)
+    sy = _welch_spectra(y.astype(config.dtype), nperseg, noverlap, window, config)
+    pxy = jnp.mean(jnp.conj(sx) * sy, axis=-2)
+    mult = _onesided_scale(nperseg, fs, window, scaling)
+    freqs = rfftfreq(nperseg, 1.0 / fs)
+    return freqs, pxy * jnp.asarray(mult, dtype=jnp.real(pxy).dtype)
+
+
+def coherence(
+    x,
+    y,
+    fs: float = 1.0,
+    window: str = "hann",
+    nperseg: int = 256,
+    noverlap: Optional[int] = None,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Tuple[Array, Array]:
+    """Magnitude-squared coherence C_xy = |P_xy|² / (P_xx · P_yy)."""
+    f, pxy = csd(x, y, fs, window, nperseg, noverlap, config=config)
+    _, pxx = welch(x, fs, window, nperseg, noverlap, config=config)
+    _, pyy = welch(y, fs, window, nperseg, noverlap, config=config)
+    mag2 = jnp.real(pxy) ** 2 + jnp.imag(pxy) ** 2
+    denom = jnp.maximum(pxx * pyy, 1e-30)
+    return f, mag2 / denom
+
+
 def welch(
     x,
     fs: float = 1.0,

@@ -22,16 +22,35 @@ Array = jax.Array
 
 
 def get_window(window, nperseg: int, dtype=np.float32) -> np.ndarray:
-    """'hann', 'hamming', 'blackman', 'boxcar', or an explicit array."""
+    """Named window ('hann', 'hamming', 'blackman', 'blackmanharris',
+    'bartlett', 'flattop', 'boxcar', ('kaiser', beta)) or an explicit array.
+    Periodic (DFT-even) convention, matching scipy's spectral defaults."""
+    if isinstance(window, tuple):
+        name, *params = window
+        if name != "kaiser" or len(params) != 1:
+            raise ValueError(f"unknown parameterized window {window!r}")
+        beta = float(params[0])
+        n = np.arange(nperseg, dtype=np.float64)
+        ratio = 2.0 * n / nperseg - 1.0
+        w = np.i0(beta * np.sqrt(np.maximum(1.0 - ratio ** 2, 0.0))) / np.i0(beta)
+        return w.astype(dtype)
     if isinstance(window, str):
         n = np.arange(nperseg, dtype=np.float64)
+        ph = 2 * np.pi * n / nperseg
         if window == "hann":
-            w = 0.5 - 0.5 * np.cos(2 * np.pi * n / nperseg)
+            w = 0.5 - 0.5 * np.cos(ph)
         elif window == "hamming":
-            w = 0.54 - 0.46 * np.cos(2 * np.pi * n / nperseg)
+            w = 0.54 - 0.46 * np.cos(ph)
         elif window == "blackman":
-            w = (0.42 - 0.5 * np.cos(2 * np.pi * n / nperseg)
-                 + 0.08 * np.cos(4 * np.pi * n / nperseg))
+            w = 0.42 - 0.5 * np.cos(ph) + 0.08 * np.cos(2 * ph)
+        elif window == "blackmanharris":
+            w = (0.35875 - 0.48829 * np.cos(ph) + 0.14128 * np.cos(2 * ph)
+                 - 0.01168 * np.cos(3 * ph))
+        elif window == "flattop":
+            w = (0.21557895 - 0.41663158 * np.cos(ph) + 0.277263158 * np.cos(2 * ph)
+                 - 0.083578947 * np.cos(3 * ph) + 0.006947368 * np.cos(4 * ph))
+        elif window == "bartlett":
+            w = 1.0 - np.abs(2.0 * n / nperseg - 1.0)
         elif window == "boxcar":
             w = np.ones(nperseg)
         else:

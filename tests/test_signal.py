@@ -149,3 +149,43 @@ class TestDST:
         n = 16
         D = np.asarray(sp.dst(np.eye(n, dtype=np.float32), 2, norm="ortho"))
         np.testing.assert_allclose(D @ D.T, np.eye(n), atol=1e-5)
+
+
+class TestCsdCoherence:
+    def test_csd_self_is_welch(self, rng):
+        x = rng.standard_normal(4096).astype(np.float32)
+        f1, pxx = sp.welch(x, nperseg=256)
+        f2, pxy = sp.csd(x, x, nperseg=256)
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f2))
+        np.testing.assert_allclose(
+            np.asarray(pxx), np.real(np.asarray(pxy)), rtol=1e-4, atol=1e-6
+        )
+
+    def test_coherence_identical_signals(self, rng):
+        x = rng.standard_normal(4096).astype(np.float32)
+        f, c = sp.coherence(x, x, nperseg=256)
+        np.testing.assert_allclose(np.asarray(c), 1.0, atol=1e-3)
+
+    def test_coherence_independent_low(self, rng):
+        x = rng.standard_normal(16384).astype(np.float32)
+        y = rng.standard_normal(16384).astype(np.float32)
+        f, c = sp.coherence(x, y, nperseg=256)
+        assert float(np.mean(np.asarray(c))) < 0.25
+
+
+class TestWindows:
+    def test_kaiser_shape_and_peak(self):
+        w = sp.get_window(("kaiser", 8.0), 64)
+        assert w.shape == (64,)
+        assert abs(float(np.max(w)) - 1.0) < 1e-6
+        assert w[0] < 0.01
+
+    @pytest.mark.parametrize("name", ["blackmanharris", "flattop", "bartlett"])
+    def test_named_windows(self, name):
+        w = sp.get_window(name, 128)
+        assert w.shape == (128,)
+        assert np.all(np.isfinite(w))
+
+    def test_bad_parameterized(self):
+        with pytest.raises(ValueError):
+            sp.get_window(("gauss", 1.0), 64)
