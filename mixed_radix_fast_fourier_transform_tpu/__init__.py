@@ -31,7 +31,7 @@ from .ops.fft import (
     ifftshift,
 )
 from .ops.rfft import rfft, irfft, rfftn, irfftn
-from .ops.convolve import fft_convolve, fft_correlate, fft_oaconvolve
+from .ops.convolve import fft_convolve, fft_convolve2, fft_correlate, fft_oaconvolve
 from .ops.stft import stft, istft, spectrogram, get_window
 from .ops.dct import dct, idct, dst, idst
 from .ops.signal import hilbert, periodogram, welch, csd, coherence
@@ -60,7 +60,7 @@ __version__ = "0.1.0"
 __all__ = [
     "fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
     "rfft", "irfft", "rfftn", "irfftn",
-    "fft_convolve", "fft_correlate", "fft_oaconvolve",
+    "fft_convolve", "fft_convolve2", "fft_correlate", "fft_oaconvolve",
     "stft", "istft", "spectrogram", "get_window",
     "dct", "idct", "dst", "idst", "hilbert", "periodogram", "welch", "csd", "coherence",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",

@@ -169,6 +169,64 @@ def fft_oaconvolve(
     return jnp.moveaxis(out, -1, axis)
 
 
+def fft_convolve2(
+    in1,
+    in2,
+    mode: str = "full",
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """2-D FFT convolution over the last two axes (images/kernels), modes
+    full/same/valid per axis — scipy.signal.fftconvolve's 2-D behavior,
+    batched over leading axes.  Capability extension (the reference is 1-D
+    only); built as separable padded transforms: rfft over the last axis,
+    complex fft over the second-to-last, pointwise, inverse.
+    """
+    in1 = jnp.asarray(in1)
+    in2 = jnp.asarray(in2)
+    if in1.ndim < 2 or in2.ndim < 2:
+        raise ValueError("fft_convolve2 needs >= 2-D inputs")
+    s1 = in1.shape[-2:]
+    s2 = in2.shape[-2:]
+    if min(*s1, *s2) < 1:
+        raise ValueError("inputs must be non-empty")
+    full = (s1[0] + s2[0] - 1, s1[1] + s2[1] - 1)
+    m = tuple(_padded_len(f, config) for f in full)
+    complex_input = jnp.issubdtype(in1.dtype, jnp.complexfloating) or jnp.issubdtype(
+        in2.dtype, jnp.complexfloating
+    )
+    if complex_input:
+        f1 = fft(fft(in1, n=m[1], axis=-1, config=config), n=m[0], axis=-2, config=config)
+        f2 = fft(fft(in2, n=m[1], axis=-1, config=config), n=m[0], axis=-2, config=config)
+        prod = f1 * f2
+        out = ifft(ifft(prod, axis=-1, config=config), axis=-2, config=config)
+    else:
+        f1 = fft(rfft(in1, n=m[1], axis=-1, config=config), n=m[0], axis=-2, config=config)
+        f2 = fft(rfft(in2, n=m[1], axis=-1, config=config), n=m[0], axis=-2, config=config)
+        prod = f1 * f2
+        out = irfft(ifft(prod, axis=-2, config=config), n=m[1], axis=-1, config=config)
+
+    def _slice(o, axis, n1, n2):
+        conv_length = n1 + n2 - 1
+        if mode == "full":
+            start, length = 0, conv_length
+        elif mode == "same":
+            larger = max(n1, n2)
+            start, length = (conv_length - larger) // 2, larger
+        elif mode == "valid":
+            smaller = min(n1, n2)
+            start, length = smaller - 1, max(n1, n2) - smaller + 1
+        else:
+            raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
+        idx = [slice(None)] * o.ndim
+        idx[axis] = slice(start, start + length)
+        return o[tuple(idx)]
+
+    out = _slice(out, -2, s1[0], s2[0])
+    out = _slice(out, -1, s1[1], s2[1])
+    return out
+
+
 def fft_correlate(
     in1,
     in2,

@@ -109,3 +109,60 @@ class TestOverlapAdd:
         got = np.asarray(sp.fft_oaconvolve(x, k, mode="full", block=128))
         want = np.convolve(x.astype(np.float64), k, mode="full")
         assert np.max(np.abs(got - want)) < 2e-3
+
+
+class TestConvolve2D:
+    def _oracle(self, a, k, mode):
+        # direct 2-D convolution via numpy (small sizes)
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        full = np.zeros((a.shape[0] + k.shape[0] - 1, a.shape[1] + k.shape[1] - 1))
+        for i in range(k.shape[0]):
+            for j in range(k.shape[1]):
+                full[i : i + a.shape[0], j : j + a.shape[1]] += k[i, j] * a
+        if mode == "full":
+            return full
+        if mode == "same":
+            h = max(a.shape[0], k.shape[0]); w = max(a.shape[1], k.shape[1])
+            si = (full.shape[0] - h) // 2; sj = (full.shape[1] - w) // 2
+            return full[si : si + h, sj : sj + w]
+        hi = min(a.shape[0], k.shape[0]) - 1
+        wj = min(a.shape[1], k.shape[1]) - 1
+        return full[hi : full.shape[0] - hi, wj : full.shape[1] - wj]
+
+    @pytest.mark.parametrize("mode", ["full", "same", "valid"])
+    def test_matches_direct(self, rng, mode):
+        import mixed_radix_fast_fourier_transform_tpu as sp
+
+        a = rng.standard_normal((24, 30)).astype(np.float32)
+        k = rng.standard_normal((5, 7)).astype(np.float32)
+        got = np.asarray(sp.fft_convolve2(a, k, mode=mode))
+        want = self._oracle(a.astype(np.float64), k.astype(np.float64), mode)
+        assert got.shape == want.shape, mode
+        assert np.max(np.abs(got - want)) < 1e-3
+
+    def test_batched(self, rng):
+        import mixed_radix_fast_fourier_transform_tpu as sp
+
+        a = rng.standard_normal((2, 16, 16)).astype(np.float32)
+        k = rng.standard_normal((1, 3, 3)).astype(np.float32)
+        got = np.asarray(sp.fft_convolve2(a, k, mode="same"))
+        assert got.shape == (2, 16, 16)
+        want = self._oracle(a[0].astype(np.float64), k[0].astype(np.float64), "same")
+        assert np.max(np.abs(got[0] - want)) < 1e-3
+
+    def test_complex(self, rng):
+        import mixed_radix_fast_fourier_transform_tpu as sp
+
+        a = (rng.standard_normal((8, 8)) + 1j * rng.standard_normal((8, 8))).astype(
+            np.complex64
+        )
+        k = np.ones((2, 2), np.complex64)
+        got = np.asarray(sp.fft_convolve2(a, k, mode="full"))
+        assert got.shape == (9, 9)
+
+    def test_1d_raises(self):
+        import mixed_radix_fast_fourier_transform_tpu as sp
+
+        with pytest.raises(ValueError):
+            sp.fft_convolve2(np.zeros(8, np.float32), np.zeros((2, 2), np.float32))
