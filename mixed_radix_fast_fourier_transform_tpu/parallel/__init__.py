@@ -18,6 +18,8 @@ from .distributed import (
     fft_four_step,
     fft_four_step_scrambled,
     ifft_four_step,
+    irfft_four_step,
+    rfft_four_step,
     ifft_four_step_scrambled,
     shard_batch,
 )
@@ -29,5 +31,6 @@ __all__ = [
     "fft_four_step_scrambled", "ifft_four_step_scrambled",
     "fft_convolve_sharded",
     "fft2_pencil", "ifft2_pencil",
+    "rfft_four_step", "irfft_four_step",
     "fft_batch_sharded", "shard_batch",
 ]

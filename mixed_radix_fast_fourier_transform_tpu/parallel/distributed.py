@@ -413,6 +413,82 @@ def fft_convolve_sharded(
 
 
 # ---------------------------------------------------------------------------
+# Distributed real transforms: packed rfft/irfft over the four-step engine.
+# ---------------------------------------------------------------------------
+
+def rfft_four_step(
+    x,
+    mesh: Mesh,
+    *,
+    seq_axis: str = SEQ_AXIS,
+    data_axis: Optional[str] = None,
+    n1: Optional[int] = None,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Distributed real-input FFT: (..., N) real, N even, -> (..., N/2+1)
+    complex bins.
+
+    Packed scheme (ops/rfft.py's algebra) on top of the sharded complex
+    four-step: the even/odd interleave is shard-local (a contiguous shard of
+    the signal covers a contiguous range of the packed index), the half-length
+    transform runs the four-step with its ICI all-to-alls, and the split
+    epilogue X = P⊙Z + Q⊙conj(reflect(Z)) runs at jit level on the sharded
+    spectrum — the partitioner inserts the mirror's collective-permute.
+    """
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("rfft_four_step requires real input")
+    n = x.shape[-1]
+    if n % 2:
+        raise ValueError(f"distributed rfft requires even length, got {n}")
+    h = n // 2
+    x = x.astype(config.dtype)
+    z = jax.lax.complex(x[..., 0::2], x[..., 1::2])
+    zc = fft_four_step(
+        z, mesh, seq_axis=seq_axis, data_axis=data_axis, n1=n1, config=config
+    )
+    a = jnp.concatenate([zc, zc[..., :1]], axis=-1)  # Z[k mod h]
+    b = jnp.conj(
+        jnp.concatenate([zc[..., :1], jnp.flip(zc[..., 1:], -1), zc[..., :1]], -1)
+    )  # conj(Z[(h-k) mod h])
+    rp = get_plan(n, -1, "real", config)
+    p = jax.lax.complex(jnp.asarray(rp.p_re), jnp.asarray(rp.p_im))
+    q = jax.lax.complex(jnp.asarray(rp.q_re), jnp.asarray(rp.q_im))
+    return p * a + q * b
+
+
+def irfft_four_step(
+    spec,
+    mesh: Mesh,
+    n: Optional[int] = None,
+    *,
+    seq_axis: str = SEQ_AXIS,
+    data_axis: Optional[str] = None,
+    n1: Optional[int] = None,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Inverse of :func:`rfft_four_step`: (..., N/2+1) Hermitian bins ->
+    (..., N) real, with the 1/N normalization."""
+    spec = jnp.asarray(spec)
+    if n is None:
+        n = 2 * (spec.shape[-1] - 1)
+    if n % 2 or spec.shape[-1] != n // 2 + 1:
+        raise ValueError(f"need n even and {n//2 + 1} bins, got {spec.shape[-1]}")
+    h = n // 2
+    a = spec[..., :h]
+    b = jnp.conj(jnp.flip(spec[..., 1:], -1))  # conj(X[h-k]), k = 0..h-1
+    rp = get_plan(n, 1, "real", config)
+    p = jax.lax.complex(jnp.asarray(rp.p_re[:h]), jnp.asarray(rp.p_im[:h]))
+    q = jax.lax.complex(jnp.asarray(rp.q_re[:h]), jnp.asarray(rp.q_im[:h]))
+    z = p * a + q * b
+    g = ifft_four_step(
+        z, mesh, seq_axis=seq_axis, data_axis=data_axis, n1=n1, config=config
+    )
+    out = jnp.stack([jnp.real(g), jnp.imag(g)], axis=-1)
+    return out.reshape(*g.shape[:-1], n)
+
+
+# ---------------------------------------------------------------------------
 # 2-D pencil decomposition: distributed fft2 over the last two axes.
 # ---------------------------------------------------------------------------
 

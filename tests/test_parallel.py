@@ -223,3 +223,41 @@ class TestPencil2D:
         mesh = _mesh_seq()
         with pytest.raises(ValueError):
             fft2_pencil(_rand_complex(rng, (12, 16)), mesh)
+
+
+class TestDistributedRfft:
+    def test_rfft_matches_numpy(self, rng):
+        from mixed_radix_fast_fourier_transform_tpu.parallel import rfft_four_step
+
+        mesh = _mesh_seq()
+        x = rng.standard_normal(2048).astype(np.float32)
+        got = np.asarray(rfft_four_step(x, mesh))
+        want = np.fft.rfft(x.astype(np.float64))
+        assert got.shape == (1025,)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
+
+    def test_roundtrip_batched(self, rng):
+        from mixed_radix_fast_fourier_transform_tpu.parallel import (
+            irfft_four_step,
+            rfft_four_step,
+        )
+
+        mesh = _mesh_2d()
+        x = rng.standard_normal((4, 4096)).astype(np.float32)
+        spec = rfft_four_step(x, mesh, data_axis="data")
+        back = np.asarray(irfft_four_step(spec, mesh, n=4096, data_axis="data"))
+        assert np.max(np.abs(back - x)) < 1e-4
+
+    def test_complex_input_raises(self, rng):
+        from mixed_radix_fast_fourier_transform_tpu.parallel import rfft_four_step
+
+        mesh = _mesh_seq()
+        with pytest.raises(ValueError):
+            rfft_four_step(np.zeros(64, np.complex64), mesh)
+
+    def test_odd_length_raises(self, rng):
+        from mixed_radix_fast_fourier_transform_tpu.parallel import rfft_four_step
+
+        mesh = _mesh_seq()
+        with pytest.raises(ValueError):
+            rfft_four_step(np.zeros(63, np.float32), mesh)
