@@ -148,6 +148,7 @@ def main():
         "vs_baseline": round(primary / REFERENCE_GFLOPS, 3) if primary else 0.0,
         "platform": platform,
         "max_rel_err": float(f"{worst_err:.3g}"),
+        "error_budget_ok": bool(worst_err <= 1e-5),  # BASELINE.md budget
         "configs": extras,
     }))
 

@@ -41,7 +41,6 @@ spectrum (the reference's is internally inconsistent on that path).
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
