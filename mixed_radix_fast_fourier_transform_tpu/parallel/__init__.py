@@ -12,7 +12,9 @@ from .mesh import (
 from .distributed import (
     choose_split,
     fft2_pencil,
+    fftn_pencil,
     ifft2_pencil,
+    ifftn_pencil,
     fft_batch_sharded,
     fft_convolve_sharded,
     fft_four_step,
@@ -30,7 +32,7 @@ __all__ = [
     "choose_split", "fft_four_step", "ifft_four_step",
     "fft_four_step_scrambled", "ifft_four_step_scrambled",
     "fft_convolve_sharded",
-    "fft2_pencil", "ifft2_pencil",
+    "fft2_pencil", "ifft2_pencil", "fftn_pencil", "ifftn_pencil",
     "rfft_four_step", "irfft_four_step",
     "fft_batch_sharded", "shard_batch",
 ]

@@ -557,6 +557,89 @@ def ifft2_pencil(x, mesh: Mesh, **kw) -> Array:
     return fft2_pencil(x, mesh, inverse=True, **kw)
 
 
+def fftn_pencil(
+    x,
+    mesh: Mesh,
+    axes: Optional[Tuple[int, ...]] = None,
+    *,
+    seq_axis: str = SEQ_AXIS,
+    data_axis: Optional[str] = None,
+    shard_dim: int = -2,
+    inverse: bool = False,
+    norm: Optional[str] = "backward",
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Distributed N-D FFT over ``axes`` with one array dimension
+    (``shard_dim``) sharded over ``seq_axis`` — the generalized pencil scheme.
+
+    All transform axes other than ``shard_dim`` are local batched transforms;
+    ``shard_dim`` (if it is a transform axis) is handled by one all-to-all
+    transpose against the last axis, a local transform, and the transpose
+    back.  For 3-D data on a v5e slice this is the standard slab/pencil
+    decomposition with 2 collectives total.
+    """
+    x = jnp.asarray(x)
+    ndim = x.ndim
+    if axes is None:
+        axes = tuple(range(ndim))
+    axes = tuple(a % ndim for a in axes)
+    shard_dim = shard_dim % ndim
+    if shard_dim == ndim - 1:
+        raise ValueError("shard_dim must not be the last axis (the transpose partner)")
+    p = mesh.shape[seq_axis]
+    if x.shape[shard_dim] % p or x.shape[-1] % p:
+        raise ValueError(
+            f"shape[{shard_dim}]={x.shape[shard_dim]} and last axis "
+            f"{x.shape[-1]} must divide by mesh size {p}"
+        )
+    sign = 1 if inverse else -1
+
+    local_axes = [a for a in axes if a != shard_dim]
+    plans = {a: get_plan(x.shape[a], sign, "complex", config) for a in axes}
+
+    bspec = [None] * ndim
+    if data_axis is not None and 0 not in (shard_dim,):
+        bspec[0] = data_axis
+    bspec[shard_dim] = seq_axis
+    spec = P(*bspec)
+
+    def _fft_axis(xr, xi, axis, plan):
+        xr = jnp.moveaxis(xr, axis, -1)
+        xi = jnp.moveaxis(xi, axis, -1)
+        zr, zi = exec_complex(plan, xr, xi)
+        return jnp.moveaxis(zr, -1, axis), jnp.moveaxis(zi, -1, axis)
+
+    def body(xr, xi):
+        for a in local_axes:
+            xr, xi = _fft_axis(xr, xi, a, plans[a])
+        if shard_dim in axes:
+            a2a = partial(jax.lax.all_to_all, axis_name=seq_axis, tiled=True)
+            xr = a2a(xr, split_axis=ndim - 1, concat_axis=shard_dim)
+            xi = a2a(xi, split_axis=ndim - 1, concat_axis=shard_dim)
+            xr, xi = _fft_axis(xr, xi, shard_dim, plans[shard_dim])
+            xr = a2a(xr, split_axis=shard_dim, concat_axis=ndim - 1)
+            xi = a2a(xi, split_axis=shard_dim, concat_axis=ndim - 1)
+        return xr, xi
+
+    sharded = jax.shard_map(body, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec))
+    xr, xi = _prep_planes(x, config)
+    zr, zi = sharded(xr, xi)
+
+    from ..ops.fft import _norm_scale
+
+    scale = 1.0
+    for a in axes:
+        scale *= _norm_scale(x.shape[a], sign, norm)
+    if scale != 1.0:
+        s = jnp.asarray(scale, dtype=zr.dtype)
+        zr, zi = zr * s, zi * s
+    return jax.lax.complex(zr, zi)
+
+
+def ifftn_pencil(x, mesh: Mesh, axes=None, **kw) -> Array:
+    return fftn_pencil(x, mesh, axes, inverse=True, **kw)
+
+
 # ---------------------------------------------------------------------------
 # Batch sharding — many independent transforms over the mesh.
 # ---------------------------------------------------------------------------

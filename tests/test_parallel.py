@@ -261,3 +261,50 @@ class TestDistributedRfft:
         mesh = _mesh_seq()
         with pytest.raises(ValueError):
             rfft_four_step(np.zeros(63, np.float32), mesh)
+
+
+class TestPencilND:
+    def test_3d_matches_numpy(self, rng):
+        from mixed_radix_fast_fourier_transform_tpu.parallel import fftn_pencil
+
+        mesh = _mesh_seq()
+        x = _rand_complex(rng, (16, 24, 32))
+        got = np.asarray(fftn_pencil(x, mesh, shard_dim=-2))
+        want = np.fft.fftn(x)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 3e-5
+
+    def test_3d_roundtrip(self, rng):
+        from mixed_radix_fast_fourier_transform_tpu.parallel import (
+            fftn_pencil,
+            ifftn_pencil,
+        )
+
+        mesh = _mesh_seq()
+        x = _rand_complex(rng, (8, 16, 64))
+        y = fftn_pencil(x, mesh, shard_dim=-2)
+        z = np.asarray(ifftn_pencil(y, mesh, shard_dim=-2))
+        assert np.max(np.abs(z - x)) < 1e-4
+
+    def test_partial_axes(self, rng):
+        # transform only the last two axes of a 3-D array, shard the middle one
+        from mixed_radix_fast_fourier_transform_tpu.parallel import fftn_pencil
+
+        mesh = _mesh_seq()
+        x = _rand_complex(rng, (4, 16, 32))
+        got = np.asarray(fftn_pencil(x, mesh, axes=(1, 2), shard_dim=1))
+        want = np.fft.fftn(x, axes=(1, 2))
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 3e-5
+
+    def test_shard_last_axis_raises(self, rng):
+        from mixed_radix_fast_fourier_transform_tpu.parallel import fftn_pencil
+
+        mesh = _mesh_seq()
+        with pytest.raises(ValueError):
+            fftn_pencil(_rand_complex(rng, (8, 16)), mesh, shard_dim=-1)
+
+    def test_indivisible_raises(self, rng):
+        from mixed_radix_fast_fourier_transform_tpu.parallel import fftn_pencil
+
+        mesh = _mesh_seq()
+        with pytest.raises(ValueError):
+            fftn_pencil(_rand_complex(rng, (12, 32)), mesh, shard_dim=0)
