@@ -73,15 +73,15 @@ def _fft_1d(
         raise ValueError(f"transform length must be >= 1, got {n}")
     x = _resize_last(x, n)
     xr, xi = to_planes(x, config.dtype)
-    zr = zi = None
-    if config.use_pallas and n > 1:
-        from .pallas_fft import exec_pallas, supports
+    out = None
+    if config.use_pallas:
+        from .pallas_fft import maybe_exec_pallas
 
-        if supports(n, math.prod(xr.shape[:-1]) if xr.ndim > 1 else 1):
-            zr, zi = exec_pallas(xr, xi, n, sign)
-    if zr is None:
+        out = maybe_exec_pallas(config, n, sign, xr, xi)
+    if out is None:
         plan = get_plan(n, sign, "complex", config)
-        zr, zi = exec_complex(plan, xr, xi)
+        out = exec_complex(plan, xr, xi)
+    zr, zi = out
     scale = _norm_scale(n, sign, norm)
     if scale != 1.0:
         s = jnp.asarray(scale, dtype=zr.dtype)

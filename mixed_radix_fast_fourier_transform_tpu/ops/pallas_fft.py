@@ -209,6 +209,19 @@ def _kernel(xr_ref, xi_ref, *rest, factors, sign):
     oi_ref[:] = zi.T
 
 
+def maybe_exec_pallas(config, n: int, sign: int, xr: Array, xi: Array):
+    """Dispatch helper for the op layer: run the fused kernel when the config
+    opts in and the transform qualifies; None means 'use the XLA path'."""
+    if not getattr(config, "use_pallas", False) or n <= 1:
+        return None
+    batch = 1
+    for d in xr.shape[:-1]:
+        batch *= d
+    if not supports(n, batch):
+        return None
+    return exec_pallas(xr, xi, n, sign)
+
+
 def exec_pallas(
     xr: Array, xi: Array, n: int, sign: int, *, interpret: bool | None = None
 ) -> Tuple[Array, Array]:

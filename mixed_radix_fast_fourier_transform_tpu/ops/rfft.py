@@ -54,10 +54,17 @@ def _rfft_packed(x: Array, n: int, config: SpectralConfig):
     DC and Nyquist fall out of the same vectorized expression (indices mod h).
     """
     h = n // 2
-    plan = get_plan(h, -1, "complex", config)
     zr = x[..., 0::2]
     zi = x[..., 1::2]
-    fr, fi = exec_complex(plan, zr, zi)
+    out = None
+    if config.use_pallas:
+        from .pallas_fft import maybe_exec_pallas
+
+        out = maybe_exec_pallas(config, h, -1, zr, zi)
+    if out is None:
+        plan = get_plan(h, -1, "complex", config)
+        out = exec_complex(plan, zr, zi)
+    fr, fi = out
     ar, ai = _extend_half(fr), _extend_half(fi)          # A = Z[k mod h]
     br, bi = _reflect_half(fr), -_reflect_half(fi)       # B = conj(Z[(h-k) mod h])
     # X = P⊙A + Q⊙B, P/Q precomputed plan constants — one fused pass
@@ -118,6 +125,16 @@ def _irfft_packed(xr: Array, xi: Array, n: int, config: SpectralConfig) -> Array
     qr, qi_ = rp.q_re[..., :h], rp.q_im[..., :h]
     zr = (ar * pr - ai * pi_) + (br * qr - bi * qi_)
     zi = (ar * pi_ + ai * pr) + (br * qi_ + bi * qr)
+    out = None
+    if config.use_pallas:
+        from .pallas_fft import maybe_exec_pallas
+
+        out = maybe_exec_pallas(config, h, 1, zr, zi)
+    if out is not None:
+        gr, gi = out
+        inv_h = jnp.asarray(1.0 / h, dtype=gr.dtype)
+        gr, gi = gr * inv_h, gi * inv_h
+        return jnp.stack([gr, gi], axis=-1).reshape(*gr.shape[:-1], n)
     plan = get_plan(h, 1, "complex", config)
     gr, gi = exec_complex(plan, zr, zi)
     inv_h = jnp.asarray(1.0 / h, dtype=gr.dtype)

@@ -92,3 +92,18 @@ class TestDispatch:
         got = np.asarray(sp.fft(x, config=cfg))
         want = np.fft.fft(x)
         assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
+
+
+class TestRfftDispatch:
+    def test_rfft_through_pallas(self, rng):
+        cfg = dataclasses.replace(DEFAULT_CONFIG, use_pallas=True)
+        x = rng.standard_normal(720).astype(np.float32)  # h=360: 2/3/5-smooth
+        got = np.asarray(sp.rfft(x, config=cfg))
+        want = np.fft.rfft(x.astype(np.float64))
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
+
+    def test_irfft_through_pallas(self, rng):
+        cfg = dataclasses.replace(DEFAULT_CONFIG, use_pallas=True)
+        x = rng.standard_normal(512).astype(np.float32)
+        back = np.asarray(sp.irfft(sp.rfft(x, config=cfg), n=512, config=cfg))
+        assert np.max(np.abs(back - x)) < 1e-4
