@@ -17,6 +17,7 @@ from .distributed import (
     ifftn_pencil,
     fft_batch_sharded,
     fft_convolve_sharded,
+    fft_convolve2_sharded,
     fft_four_step,
     fft_four_step_scrambled,
     ifft_four_step,
@@ -31,7 +32,7 @@ __all__ = [
     "make_mesh", "batch_sharding", "replicated", "initialize_multihost",
     "choose_split", "fft_four_step", "ifft_four_step",
     "fft_four_step_scrambled", "ifft_four_step_scrambled",
-    "fft_convolve_sharded",
+    "fft_convolve_sharded", "fft_convolve2_sharded",
     "fft2_pencil", "ifft2_pencil", "fftn_pencil", "ifftn_pencil",
     "rfft_four_step", "irfft_four_step",
     "fft_batch_sharded", "shard_batch",

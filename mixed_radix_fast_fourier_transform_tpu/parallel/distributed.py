@@ -557,6 +557,62 @@ def ifft2_pencil(x, mesh: Mesh, **kw) -> Array:
     return fft2_pencil(x, mesh, inverse=True, **kw)
 
 
+def fft_convolve2_sharded(
+    x,
+    kernel: np.ndarray,
+    mesh: Mesh,
+    *,
+    seq_axis: str = SEQ_AXIS,
+    data_axis: Optional[str] = None,
+    mode: str = "circular",
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Distributed 2-D convolution of (..., H, W) images with a fixed host
+    kernel, rows sharded over the mesh: fft2_pencil → pointwise gain →
+    ifft2_pencil = 4 all-to-alls total.
+
+    ``mode='circular'`` wraps at (H, W); ``mode='same'`` zero-pads to the next
+    mesh-divisible size >= (H+kh-1, W+kw-1) and crops the centered window.
+    """
+    x = jnp.asarray(x)
+    kernel = np.asarray(kernel)
+    if kernel.ndim != 2:
+        raise ValueError("kernel must be 2-D")
+    h, w = x.shape[-2], x.shape[-1]
+    p = mesh.shape[seq_axis]
+    kh, kw = kernel.shape
+    if mode == "same":
+        th = -(-(h + kh - 1) // p) * p
+        tw = -(-(w + kw - 1) // p) * p
+        pad = [(0, 0)] * (x.ndim - 2) + [(0, th - h), (0, tw - w)]
+        x = jnp.pad(x, pad)
+    elif mode != "circular":
+        raise ValueError(f"mode must be 'circular' or 'same', got {mode!r}")
+    hh, ww = x.shape[-2], x.shape[-1]
+    if hh % p or ww % p:
+        raise ValueError(f"image {hh}x{ww} must divide by mesh size {p}")
+    if kh > hh or kw > ww:
+        raise ValueError("kernel larger than (padded) image")
+
+    kpad = np.zeros((hh, ww), dtype=np.float64)
+    kpad[:kh, :kw] = kernel
+    kspec = np.fft.fft2(kpad)
+    gr = jnp.asarray(kspec.real, dtype=config.dtype)
+    gi = jnp.asarray(kspec.imag, dtype=config.dtype)
+
+    spec = fft2_pencil(
+        x, mesh, seq_axis=seq_axis, data_axis=data_axis, config=config
+    )
+    out = ifft2_pencil(
+        spec * jax.lax.complex(gr, gi), mesh,
+        seq_axis=seq_axis, data_axis=data_axis, config=config,
+    )
+    if mode == "same":
+        si, sj = (kh - 1) // 2, (kw - 1) // 2
+        out = out[..., si : si + h, sj : sj + w]
+    return out
+
+
 def fftn_pencil(
     x,
     mesh: Mesh,

@@ -308,3 +308,48 @@ class TestPencilND:
         mesh = _mesh_seq()
         with pytest.raises(ValueError):
             fftn_pencil(_rand_complex(rng, (12, 32)), mesh, shard_dim=0)
+
+
+class TestConvolve2Sharded:
+    def test_circular_matches_numpy(self, rng):
+        from mixed_radix_fast_fourier_transform_tpu.parallel import (
+            fft_convolve2_sharded,
+        )
+
+        mesh = _mesh_seq()
+        img = rng.standard_normal((32, 64)).astype(np.float32)
+        k = rng.standard_normal((3, 5)).astype(np.float32)
+        got = np.asarray(fft_convolve2_sharded(img, k, mesh, mode="circular"))
+        kpad = np.zeros((32, 64)); kpad[:3, :5] = k
+        want = np.fft.ifft2(np.fft.fft2(img) * np.fft.fft2(kpad))
+        assert np.max(np.abs(got - want)) < 1e-3
+
+    def test_same_matches_direct(self, rng):
+        from mixed_radix_fast_fourier_transform_tpu.parallel import (
+            fft_convolve2_sharded,
+        )
+
+        mesh = _mesh_seq()
+        img = rng.standard_normal((30, 50)).astype(np.float32)
+        k = rng.standard_normal((5, 5)).astype(np.float32)
+        got = np.real(np.asarray(fft_convolve2_sharded(img, k, mesh, mode="same")))
+        full = np.zeros((34, 54))
+        for i in range(5):
+            for j in range(5):
+                full[i : i + 30, j : j + 50] += k[i, j] * img
+        want = full[2:32, 2:52]
+        assert got.shape == want.shape
+        assert np.max(np.abs(got - want)) < 1e-3
+
+    def test_batched_data_axis(self, rng):
+        from mixed_radix_fast_fourier_transform_tpu.parallel import (
+            fft_convolve2_sharded,
+        )
+
+        mesh = _mesh_2d()
+        img = rng.standard_normal((2, 16, 32)).astype(np.float32)
+        k = np.ones((2, 2), np.float32)
+        got = np.asarray(
+            fft_convolve2_sharded(img, k, mesh, mode="circular", data_axis="data")
+        )
+        assert got.shape == (2, 16, 32)
