@@ -38,7 +38,11 @@ _MODES = ("full", "same", "valid")
 
 
 def _padded_len(n: int, config: SpectralConfig) -> int:
-    return next_fast_len(n) if config.pad_mode == "fast" else next_pow2(n)
+    if config.pad_mode == "fast":
+        return next_fast_len(n)
+    if config.pad_mode == "pow23":
+        return min(next_pow2(n), 3 * next_pow2(-(-n // 3)))
+    return next_pow2(n)
 
 
 def fft_convolve(

@@ -181,6 +181,12 @@ def _padded_length(n: int, config: SpectralConfig) -> int:
     need = 2 * n - 1
     if config.pad_mode == "fast":
         return next_fast_len(need)
+    if config.pad_mode == "pow23":
+        # smallest 2^a or 3·2^a >= need: up to 25% less transform work than
+        # pow2 while keeping balanced power-of-two-dominated stages
+        p2 = next_pow2(need)
+        p3 = 3 * next_pow2(-(-need // 3))
+        return min(p2, p3)
     return next_pow2(need)
 
 

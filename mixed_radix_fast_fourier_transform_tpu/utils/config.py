@@ -32,11 +32,12 @@ class SpectralConfig:
     # Matmul precision for the stage DFTs.  HIGHEST = fp32-accurate on the MXU
     # (multi-pass bf16); required for the <=1e-5 error budget.
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
-    # Padded-length selector for Bluestein / convolution: "pow2" mirrors the
-    # reference (src/convolve.c:20-25) and measured faster than "fast"
-    # (2·3·5·7-smooth padding) on v5e — balanced pow2 stages beat the smaller
-    # but odd-shaped smooth lengths.
-    pad_mode: str = "pow2"
+    # Padded-length selector for Bluestein / convolution: "pow23" picks the
+    # smallest 2^a or 3·2^a — measured 1.35x faster than "pow2" for Bluestein
+    # N=10007 on v5e (interleaved A/B, m=24576 (192,128) vs 32768 (256,128)),
+    # same ~1e-7 accuracy.  "pow2" mirrors the reference (src/convolve.c:20-25);
+    # "fast" (2·3·5·7-smooth) measured slower than both (odd stage shapes).
+    pad_mode: str = "pow23"
     # Opt-in fused Pallas kernel path for smooth lengths (ops/pallas_fft.py).
     # Correct but currently slower than the XLA matmul pipeline on v5e —
     # see the module docstring for measurements.

@@ -129,6 +129,35 @@ def marginal_time(
     return max((times[long] - times[short]) / (long - short), 1e-12)
 
 
+def ab_compare(
+    fn_a: Callable,
+    fn_b: Callable,
+    args: Tuple,
+    *,
+    short: int = 100,
+    long: int = 500,
+    rounds: int = 5,
+) -> dict:
+    """Interleaved A/B timing: measure marginal_time(A), marginal_time(B)
+    back-to-back per round and report the per-round ratios.  The device's
+    clock/thermal/tunnel state drifts on ~minute scales (±30-50% observed on
+    tunneled v5e), so only interleaved pairs are comparable — never two
+    separate runs.  Returns {'a': [...], 'b': [...], 'ratio_median': float},
+    ratio > 1 meaning B is faster.
+    """
+    ta: List[float] = []
+    tb: List[float] = []
+    for _ in range(rounds):
+        ta.append(marginal_time(fn_a, args, short=short, long=long, reps=1))
+        tb.append(marginal_time(fn_b, args, short=short, long=long, reps=1))
+    ratios = sorted(a / b for a, b in zip(ta, tb))
+    return {
+        "a_seconds": ta,
+        "b_seconds": tb,
+        "ratio_median": ratios[len(ratios) // 2],
+    }
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Capture a jax.profiler trace to ``log_dir`` (view with TensorBoard /
