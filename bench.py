@@ -86,8 +86,11 @@ def bench_convolve(n_sig: int, n_ker: int, batch: int, iters: int, seed: int = 0
     """(gflops, max_abs_err vs numpy) for batched 'same' FFT convolution
     (BASELINE config 5's single-chip shape).  Flop model: 3 rFFT-class
     transforms of the padded length."""
-    from mixed_radix_fast_fourier_transform_tpu.ops.convolve import fft_convolve
-    from mixed_radix_fast_fourier_transform_tpu.utils.factorize import next_pow2
+    from mixed_radix_fast_fourier_transform_tpu.ops.convolve import (
+        _padded_len,
+        fft_convolve,
+    )
+    from mixed_radix_fast_fourier_transform_tpu.utils.config import DEFAULT_CONFIG
     from mixed_radix_fast_fourier_transform_tpu.utils.profiling import marginal_time
 
     rng = np.random.default_rng(seed)
@@ -102,7 +105,7 @@ def bench_convolve(n_sig: int, n_ker: int, batch: int, iters: int, seed: int = 0
     got = np.asarray(jax.jit(fn)(xd)[0])
     want = np.stack([np.convolve(r.astype(np.float64), k, mode="same") for r in x[:4]])
     err = float(np.max(np.abs(got[:4] - want)))
-    m = next_pow2(n_sig + n_ker - 1)
+    m = _padded_len(n_sig + n_ker - 1, DEFAULT_CONFIG)
     fl = 3 * 2.5 * m * math.log2(m) * batch
     dt = marginal_time(fn, (xd,), short=iters, long=5 * iters)
     return fl / dt / 1e9, err

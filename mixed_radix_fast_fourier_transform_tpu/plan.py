@@ -150,7 +150,7 @@ def build_mixed_radix_plan(
     if n == 1 or n <= config.direct_dft_max:
         factors: Tuple[int, ...] = (n,)
     else:
-        factors = plan_stages(n, config.max_stage)
+        factors = plan_stages(n, config.max_stage, config.stage_strategy)
     dtype = config.dtype
     dft_re, dft_im, tw_re, tw_im = [], [], [], []
     for i, f in enumerate(factors):
@@ -264,6 +264,7 @@ def _cfg_key(config: SpectralConfig):
         str(config.dtype),
         str(config.precision),
         config.pad_mode,
+        config.stage_strategy,
     )
 
 

@@ -155,3 +155,16 @@ def test_persistent_compile_cache_helper(tmp_path):
 
     path = enable_persistent_cache(str(tmp_path / "xla"))
     assert jax.config.jax_compilation_cache_dir == path
+
+
+def test_stage_strategy_respected_and_cached_separately():
+    import dataclasses
+
+    sp.clear_plan_cache()
+    cfg_g = dataclasses.replace(sp.DEFAULT_CONFIG, stage_strategy="greedy", max_stage=64)
+    cfg_b = dataclasses.replace(sp.DEFAULT_CONFIG, stage_strategy="balanced", max_stage=64)
+    pg = sp.get_plan(1024, -1, config=cfg_g)
+    pb = sp.get_plan(1024, -1, config=cfg_b)
+    assert pg.factors == (64, 16)   # greedy packs toward max_stage
+    assert pb.factors == (32, 32)   # balanced LPT
+    assert pg is not pb
