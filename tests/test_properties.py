@@ -168,3 +168,25 @@ def test_stage_strategy_respected_and_cached_separately():
     assert pg.factors == (64, 16)   # greedy packs toward max_stage
     assert pb.factors == (32, 32)   # balanced LPT
     assert pg is not pb
+
+
+@pytest.mark.slow
+def test_random_length_sweep(rng):
+    """Safety net: 40 random lengths across the mixed-radix/Bluestein split."""
+    lengths = sorted(set(int(v) for v in rng.integers(2, 4097, size=40)))
+    for n in lengths:
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+        got = _c128(sp.fft(x))
+        want = np.fft.fft(x.astype(np.complex128))
+        rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+        assert rel < 2e-5, (n, rel)
+
+
+@pytest.mark.parametrize("norm", ["backward", "ortho", "forward"])
+def test_rfft_norm_roundtrips(rng, norm):
+    x = rng.standard_normal(256).astype(np.float32)
+    spec = sp.rfft(x, norm=norm)
+    back = np.asarray(sp.irfft(spec, n=256, norm=norm))
+    assert np.max(np.abs(back - x)) < 1e-4
+    want = np.fft.rfft(x.astype(np.float64), norm=norm)
+    assert np.max(np.abs(np.asarray(spec) - want)) / np.max(np.abs(want)) < 2e-5
