@@ -44,4 +44,22 @@ class SpectralConfig:
     use_pallas: bool = False
 
 
+    def __post_init__(self):
+        if self.pad_mode not in ("pow2", "pow23", "fast"):
+            raise ValueError(
+                f"pad_mode must be 'pow2', 'pow23' or 'fast', got {self.pad_mode!r}"
+            )
+        if self.stage_strategy not in ("balanced", "greedy"):
+            raise ValueError(
+                f"stage_strategy must be 'balanced' or 'greedy', "
+                f"got {self.stage_strategy!r}"
+            )
+        if self.max_stage < 2:
+            raise ValueError(f"max_stage must be >= 2, got {self.max_stage}")
+        if self.direct_dft_max < 1:
+            raise ValueError(
+                f"direct_dft_max must be >= 1, got {self.direct_dft_max}"
+            )
+
+
 DEFAULT_CONFIG = SpectralConfig()

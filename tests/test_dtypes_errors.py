@@ -96,3 +96,23 @@ class TestErrorPaths:
     def test_unknown_plan_kind(self):
         with pytest.raises(ValueError):
             sp.get_plan(8, -1, "quaternion")
+
+
+class TestConfigValidation:
+    def test_bad_pad_mode(self):
+        import dataclasses
+
+        with pytest.raises(ValueError):
+            dataclasses.replace(DEFAULT_CONFIG, pad_mode="weird")
+
+    def test_bad_strategy(self):
+        import dataclasses
+
+        with pytest.raises(ValueError):
+            dataclasses.replace(DEFAULT_CONFIG, stage_strategy="chaotic")
+
+    def test_bad_max_stage(self):
+        import dataclasses
+
+        with pytest.raises(ValueError):
+            dataclasses.replace(DEFAULT_CONFIG, max_stage=1)
