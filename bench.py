@@ -59,7 +59,12 @@ def bench_config(n: int, batch: int, iters: int, seed: int = 0):
     want = np.fft.fft(x, axis=-1)
     err = float(np.max(np.abs(got - want)) / np.max(np.abs(want)))
 
-    dt = marginal_time(fn, (xr, xi), short=iters, long=5 * iters)
+    # two independent marginal measurements, keep the faster (occasional
+    # multi-hundred-µs hiccups on the tunneled chip corrupt a single diff)
+    dt = min(
+        marginal_time(fn, (xr, xi), short=iters, long=5 * iters)
+        for _ in range(2)
+    )
     return _flops(n, batch) / dt / 1e9, err
 
 
