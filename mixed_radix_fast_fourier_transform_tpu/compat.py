@@ -46,7 +46,6 @@ from typing import List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from .ops.fft import fft as _fft
 from .ops.rfft import irfft as _irfft, rfft as _rfft
 from .plan import get_plan
 from .utils.config import DEFAULT_CONFIG, SpectralConfig

@@ -19,7 +19,7 @@ differentiate through every stage matmul of the FFT engine.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

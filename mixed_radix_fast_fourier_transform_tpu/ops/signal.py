@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.config import DEFAULT_CONFIG, SpectralConfig
-from .fft import fft, fftfreq, ifft, rfftfreq
+from .fft import fft, ifft, rfftfreq
 from .rfft import rfft
 from .stft import get_window, stft
 

@@ -9,7 +9,7 @@ istft uses windowed overlap-add with the standard NOLA normalization.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -35,7 +35,6 @@ import jax
 import jax.numpy as jnp
 
 from ..plan import BluesteinPlan, MixedRadixPlan
-from ..utils.config import DEFAULT_CONFIG
 from ..utils.numerics import cmul
 
 Array = jax.Array

@@ -30,10 +30,9 @@ from __future__ import annotations
 import dataclasses
 import math
 import threading
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .utils.config import DEFAULT_CONFIG, SpectralConfig

@@ -22,7 +22,6 @@ import time
 from typing import Callable, List, Tuple
 
 import jax
-import jax.numpy as jnp
 
 
 @dataclasses.dataclass(frozen=True)
