@@ -59,12 +59,14 @@ def bench_config(n: int, batch: int, iters: int, seed: int = 0):
     want = np.fft.fft(x, axis=-1)
     err = float(np.max(np.abs(got - want)) / np.max(np.abs(want)))
 
-    # two independent marginal measurements, keep the faster (occasional
-    # multi-hundred-µs hiccups on the tunneled chip corrupt a single diff)
-    dt = min(
+    # median of three marginal measurements: the tunneled chip's clock state
+    # drifts on ~minute scales, corrupting single short-vs-long diffs in
+    # either direction (hiccups deflate, drift across the pair inflates)
+    ts = sorted(
         marginal_time(fn, (xr, xi), short=iters, long=5 * iters)
-        for _ in range(2)
+        for _ in range(3)
     )
+    dt = ts[1]
     return _flops(n, batch) / dt / 1e9, err
 
 
