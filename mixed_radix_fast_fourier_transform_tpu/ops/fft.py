@@ -74,7 +74,7 @@ def _fft_1d(
     x = _resize_last(x, n)
     xr, xi = to_planes(x, config.dtype)
     out = None
-    if config.use_pallas:
+    if config.use_pallas is not False:
         from .pallas_fft import maybe_exec_pallas
 
         out = maybe_exec_pallas(config, n, sign, xr, xi)

@@ -11,8 +11,13 @@ Stockham autosort recurrence
 with the batch as the minor (lane) axis, radix combines unrolled at trace
 time into VPU adds/multiplies (coefficients that are exactly 0/±1/±i become
 plane swaps and sign flips — the classic radix-2/4/8 butterflies fall out
-automatically), and per-stage twiddles embedded as constants.  One HBM read
-and one HBM write per plane total, versus one per stage on the XLA path.
+automatically), per-stage twiddles as kernel inputs, and **each stage
+materialized through a pair of explicit VMEM scratch buffers** (ping-pong).
+The scratch stores are the load-bearing trick: they bound Mosaic's stack
+allocation at ~4 buffers (a purely functional straight-line pipeline made
+Mosaic stack-allocate every intermediate — 30 MB and 2.7x slower than XLA,
+with 15-minute compiles).  One HBM read and one HBM write per plane total,
+versus one per stage on the XLA path.
 
 This is the Pallas realization of the reference's hot loop
 (mixed_radix_dit_rec, /root/reference/src/highSpeedFFT.c:318-1629): same
@@ -21,15 +26,14 @@ across lanes, and correct for every radix from one generic combine.
 
 Scope: batch-tiled transforms with prime factors <= MAX_UNROLL_RADIX and
 N·BT within VMEM; everything else falls back to the XLA path (the public op
-layer dispatches).
+layer dispatches via :func:`maybe_exec_pallas`).
 
-Status (measured, TPU v5e, 2026-08): correct everywhere (max rel err ~1.5e-7
-at N=1024) but ~2.7x slower than the XLA matmul pipeline (68 us vs 25 us at
-N=1024 B=256) — Mosaic stack-allocates the long straight-line stage pipeline
-(needs vmem_limit_bytes raised above the 16 MB default) and the sublane
-restacking between stages dominates.  Kept as an opt-in
-(`SpectralConfig.use_pallas`) and an interpret-mode-tested reference for
-future Mosaic work; the default path remains ops/stockham.py.
+Status (measured, TPU v5e, 2026-08, interleaved A/B vs the XLA pipeline):
+1.07-1.43x faster at N=1024 B=256 (max rel err 1.5e-7, 24-75 s compile),
+parity at N=4096 (362 s compile), untested beyond (compile time grows
+steeply with stage count x radix).  Off by default
+(`SpectralConfig.use_pallas = False`); None = auto-on for TPU backends,
+True = force (interpreter off-TPU).
 """
 
 from __future__ import annotations
@@ -49,8 +53,10 @@ Array = jax.Array
 
 MAX_UNROLL_RADIX = 8        # scalar-coefficient unroll bound (radix 2..8)
 LANE_TILE = 128             # batch tile = lane width
-VMEM_BUDGET_BYTES = 12 * 2 ** 20
-VMEM_LIMIT_BYTES = 100 * 2 ** 20  # ask Mosaic for headroom; v5e has 128 MiB
+# Working set ≈ 12 (n, LANE_TILE) fp32 buffers: 4 scratch + in/out blocks with
+# pipeline double-buffering + stage temporaries.  48 MiB cap → n <= ~8192.
+VMEM_BUDGET_BYTES = 48 * 2 ** 20
+VMEM_LIMIT_BYTES = 100 * 2 ** 20  # ask Mosaic for headroom (v5e has > 16 MiB)
 
 
 def pallas_factors(n: int) -> Tuple[int, ...]:
@@ -90,8 +96,8 @@ def supports(n: int, batch: int, itemsize: int = 4) -> bool:
         pallas_factors(n)
     except ValueError:
         return False
-    # planes + ping-pong working set per tile
-    need = 4 * n * LANE_TILE * itemsize
+    # scratch + block + temporary working set per tile
+    need = 12 * n * LANE_TILE * itemsize
     return need <= VMEM_BUDGET_BYTES
 
 
@@ -147,72 +153,77 @@ def stage_twiddles(
     return out
 
 
-def _fft_tile(
-    xr: Array,
-    xi: Array,
-    factors: Sequence[int],
-    sign: int,
-    twiddles: Sequence[Tuple[Array, Array]],
-) -> Tuple[Array, Array]:
-    """(N, BT) planes -> (N, BT) transformed, all in registers/VMEM."""
-    n, bt = xr.shape
+def _stage(src_r: Array, src_i: Array, f: int, mp: int, l: int, sign: int,
+           tw) -> Tuple[Array, Array]:
+    """One Stockham stage on (N, BT) planes: slab twiddles + unrolled combine.
+    Returns the stage output in (N, BT) layout."""
+    n, bt = src_r.shape
+    xr4 = src_r.reshape(f, mp, l, bt)
+    xi4 = src_i.reshape(f, mp, l, bt)
+    zs: List[Tuple[Array, Array]] = []
+    for p in range(f):
+        zr, zi = xr4[p], xi4[p]
+        if tw is not None and p > 0:
+            tr = tw[0][p].reshape(1, l, 1)
+            ti = tw[1][p].reshape(1, l, 1)
+            zr, zi = zr * tr - zi * ti, zr * ti + zi * tr
+        zs.append((zr, zi))
+    yks_r: List[Array] = []
+    yks_i: List[Array] = []
+    for k in range(f):
+        acc_r = None
+        acc_i = None
+        for p in range(f):
+            wr, wi = _coeff(k * p, f, sign)
+            tr, ti = _scalar_cmul(wr, wi, zs[p][0], zs[p][1])
+            acc_r = tr if acc_r is None else acc_r + tr
+            acc_i = ti if acc_i is None else acc_i + ti
+        yks_r.append(acc_r)
+        yks_i.append(acc_i)
+    # Y layout (mp, f, l, bt) -> (N, bt): stack k as axis 1
+    return (
+        jnp.stack(yks_r, axis=1).reshape(n, bt),
+        jnp.stack(yks_i, axis=1).reshape(n, bt),
+    )
+
+
+def _kernel(xr_ref, xi_ref, *rest, factors, sign, n):
+    """Ping-pong kernel: each stage writes its full output into one of two
+    VMEM scratch pairs.  The explicit stores bound Mosaic's stack allocator
+    to ~4 live buffers (see module docstring)."""
+    n_tw = sum(1 for _ in factors[1:])
+    tw_refs = rest[: 2 * n_tw]
+    or_ref, oi_ref = rest[2 * n_tw : 2 * n_tw + 2]
+    sa_r, sa_i, sb_r, sb_i = rest[2 * n_tw + 2 :]
+    sa_r[:] = xr_ref[:].T  # (BT, N) -> (N, BT): batch on lanes
+    sa_i[:] = xi_ref[:].T
+    src, dst = (sa_r, sa_i), (sb_r, sb_i)
     l, m = 1, n
     tw_idx = 0
     for f in factors:
         mp = m // f
-        xr4 = xr.reshape(f, mp, l, bt)
-        xi4 = xi.reshape(f, mp, l, bt)
-        # twiddled slabs Z_p = T[p] ⊙ X[p]
+        tw = None
         if l > 1:
-            twr, twi = twiddles[tw_idx]
+            tw = (tw_refs[2 * tw_idx][:], tw_refs[2 * tw_idx + 1][:])
             tw_idx += 1
-        zs: List[Tuple[Array, Array]] = []
-        for p in range(f):
-            zr, zi = xr4[p], xi4[p]
-            if l > 1 and p > 0:
-                tr = twr[p].reshape(1, l, 1)
-                ti = twi[p].reshape(1, l, 1)
-                zr, zi = zr * tr - zi * ti, zr * ti + zi * tr
-            zs.append((zr, zi))
-        # combine: Y[k] = Σ_p W_f^{kp} Z_p  (scalar coefficients, unrolled)
-        yks_r: List[Array] = []
-        yks_i: List[Array] = []
-        for k in range(f):
-            acc_r = None
-            acc_i = None
-            for p in range(f):
-                wr, wi = _coeff(k * p, f, sign)
-                tr, ti = _scalar_cmul(wr, wi, zs[p][0], zs[p][1])
-                acc_r = tr if acc_r is None else acc_r + tr
-                acc_i = ti if acc_i is None else acc_i + ti
-            yks_r.append(acc_r)
-            yks_i.append(acc_i)
-        # Y layout (mp, f, l, bt) -> (N, bt): stack k as axis 1
-        xr = jnp.stack(yks_r, axis=1).reshape(n, bt)
-        xi = jnp.stack(yks_i, axis=1).reshape(n, bt)
+        yr, yi = _stage(src[0][:], src[1][:], f, mp, l, sign, tw)
+        dst[0][:] = yr
+        dst[1][:] = yi
+        src, dst = dst, src
         l *= f
         m = mp
-    return xr, xi
-
-
-def _kernel(xr_ref, xi_ref, *rest, factors, sign):
-    n_tw = (len(rest) - 2) // 2
-    tw_refs = rest[:-2]
-    or_ref, oi_ref = rest[-2:]
-    twiddles = [
-        (tw_refs[2 * i][:], tw_refs[2 * i + 1][:]) for i in range(n_tw)
-    ]
-    xr = xr_ref[:].T  # (BT, N) -> (N, BT): batch on lanes
-    xi = xi_ref[:].T
-    zr, zi = _fft_tile(xr, xi, factors, sign, twiddles)
-    or_ref[:] = zr.T
-    oi_ref[:] = zi.T
+    or_ref[:] = src[0][:].T
+    oi_ref[:] = src[1][:].T
 
 
 def maybe_exec_pallas(config, n: int, sign: int, xr: Array, xi: Array):
     """Dispatch helper for the op layer: run the fused kernel when the config
-    opts in and the transform qualifies; None means 'use the XLA path'."""
-    if not getattr(config, "use_pallas", False) or n <= 1:
+    opts in (use_pallas=True, or None = auto on TPU backends) and the
+    transform qualifies; None return means 'use the XLA path'."""
+    flag = getattr(config, "use_pallas", False)
+    if flag is None:
+        flag = jax.default_backend() == "tpu"
+    if not flag or n <= 1:
         return None
     batch = 1
     for d in xr.shape[:-1]:
@@ -245,7 +256,7 @@ def exec_pallas(
         xi2 = jnp.pad(xi2, ((0, pad), (0, 0)))
     grid = (xr2.shape[0] // bt,)
 
-    kernel = functools.partial(_kernel, factors=factors, sign=sign)
+    kernel = functools.partial(_kernel, factors=factors, sign=sign, n=n)
     out_shape = [
         jax.ShapeDtypeStruct(xr2.shape, xr2.dtype),
         jax.ShapeDtypeStruct(xi2.shape, xi2.dtype),
@@ -263,6 +274,7 @@ def exec_pallas(
         in_specs=[spec, spec, *tw_specs],
         out_specs=[spec, spec],
         out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((n, bt), xr2.dtype) for _ in range(4)],
         interpret=interpret,
         compiler_params=None
         if interpret

@@ -57,7 +57,7 @@ def _rfft_packed(x: Array, n: int, config: SpectralConfig):
     zr = x[..., 0::2]
     zi = x[..., 1::2]
     out = None
-    if config.use_pallas:
+    if config.use_pallas is not False:
         from .pallas_fft import maybe_exec_pallas
 
         out = maybe_exec_pallas(config, h, -1, zr, zi)
@@ -126,7 +126,7 @@ def _irfft_packed(xr: Array, xi: Array, n: int, config: SpectralConfig) -> Array
     zr = (ar * pr - ai * pi_) + (br * qr - bi * qi_)
     zi = (ar * pi_ + ai * pr) + (br * qi_ + bi * qr)
     out = None
-    if config.use_pallas:
+    if config.use_pallas is not False:
         from .pallas_fft import maybe_exec_pallas
 
         out = maybe_exec_pallas(config, h, 1, zr, zi)

@@ -38,10 +38,12 @@ class SpectralConfig:
     # same ~1e-7 accuracy.  "pow2" mirrors the reference (src/convolve.c:20-25);
     # "fast" (2·3·5·7-smooth) measured slower than both (odd stage shapes).
     pad_mode: str = "pow23"
-    # Opt-in fused Pallas kernel path for smooth lengths (ops/pallas_fft.py).
-    # Correct but currently slower than the XLA matmul pipeline on v5e —
-    # see the module docstring for measurements.
-    use_pallas: bool = False
+    # Fused Pallas kernel path for smooth lengths (ops/pallas_fft.py):
+    # False (default) = always XLA; None = auto (kernel on TPU backends);
+    # True = force (interpreter off-TPU).  Measured on v5e: 1.07-1.43x faster
+    # than the XLA pipeline at N=1024, parity at N=4096, but Mosaic compiles
+    # cost minutes at N >= 4096 — opt in per workload.
+    use_pallas: "bool | None" = False
 
 
     def __post_init__(self):
