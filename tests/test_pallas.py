@@ -107,3 +107,15 @@ class TestRfftDispatch:
         x = rng.standard_normal(512).astype(np.float32)
         back = np.asarray(sp.irfft(sp.rfft(x, config=cfg), n=512, config=cfg))
         assert np.max(np.abs(back - x)) < 1e-4
+
+
+class TestAutoMode:
+    def test_auto_uses_xla_on_cpu(self, rng):
+        # use_pallas=None -> auto: off-TPU backends take the XLA path, same result
+        cfg = dataclasses.replace(DEFAULT_CONFIG, use_pallas=None)
+        x = (rng.standard_normal(256) + 1j * rng.standard_normal(256)).astype(
+            np.complex64
+        )
+        got = np.asarray(sp.fft(x, config=cfg))
+        want = np.fft.fft(x)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
