@@ -70,6 +70,26 @@ def bench_config(n: int, batch: int, iters: int, seed: int = 0):
     return _flops(n, batch) / dt / 1e9, err
 
 
+def bench_xla_builtin(n: int, batch: int, iters: int, seed: int = 0) -> float:
+    """GFLOP/s of XLA's own jnp.fft.fft on the same shape — context for the
+    primary metric (this library's matmul pipeline beats the builtin on v5e)."""
+    from mixed_radix_fast_fourier_transform_tpu.utils.profiling import marginal_time
+
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    xr = jax.device_put(x.real.astype(np.float32))
+    xi = jax.device_put(x.imag.astype(np.float32))
+
+    def fn(ar, ai):
+        z = jnp.fft.fft(jax.lax.complex(ar, ai))
+        return jnp.real(z), jnp.imag(z)
+
+    ts = sorted(
+        marginal_time(fn, (xr, xi), short=iters, long=5 * iters) for _ in range(3)
+    )
+    return _flops(n, batch) / ts[1] / 1e9
+
+
 def bench_rfft_roundtrip(n: int, batch: int, iters: int, seed: int = 0):
     """(gflops, max_abs_roundtrip_err) for rfft→irfft of real fp32 signals
     (BASELINE config 3).  Flop model: two half-transforms = 5·N·log2 N."""
@@ -136,6 +156,11 @@ def main():
             worst_err = max(worst_err, err)
         except Exception as e:  # pragma: no cover — keep the bench line printable
             extras[name] = {"error": str(e)[:200]}
+    try:
+        gf = bench_xla_builtin(1024, 256, 50)
+        extras["xla_builtin_fft_n1024_b256"] = {"gflops": round(gf, 2)}
+    except Exception as e:  # pragma: no cover
+        extras["xla_builtin_fft_n1024_b256"] = {"error": str(e)[:200]}
     try:
         gf, err = bench_rfft_roundtrip(4096, 64, 30)
         extras["rfft4096_roundtrip_b64"] = {
