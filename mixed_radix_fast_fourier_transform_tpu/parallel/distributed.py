@@ -141,7 +141,7 @@ def fft_four_step(
 
     nbatch = x.ndim - 1
     bspec = [None] * nbatch
-    if data_axis is not None:
+    if data_axis is not None and nbatch:
         bspec[0] = data_axis
     spec_in = P(*bspec, seq_axis)  # contiguous shard of the signal axis
     spec_rows = P(*bspec, seq_axis, None)  # (n1, n2) matrix, rows sharded
