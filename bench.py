@@ -70,24 +70,26 @@ def bench_config(n: int, batch: int, iters: int, seed: int = 0):
     return _flops(n, batch) / dt / 1e9, err
 
 
-def bench_xla_builtin(n: int, batch: int, iters: int, seed: int = 0) -> float:
-    """GFLOP/s of XLA's own jnp.fft.fft on the same shape — context for the
-    primary metric (this library's matmul pipeline beats the builtin on v5e)."""
-    from mixed_radix_fast_fourier_transform_tpu.utils.profiling import marginal_time
+def bench_vs_xla_builtin(n: int, batch: int, iters: int, seed: int = 0) -> float:
+    """Interleaved A/B ratio of XLA's builtin jnp.fft.fft time over this
+    library's pipeline (>1 means this library is faster).  Interleaving is
+    required: the chip's effective speed drifts between sequentially-timed
+    configs, so two separately-measured GFLOP/s numbers are not comparable."""
+    from mixed_radix_fast_fourier_transform_tpu.utils.profiling import ab_compare
 
     rng = np.random.default_rng(seed)
     x = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
     xr = jax.device_put(x.real.astype(np.float32))
     xi = jax.device_put(x.imag.astype(np.float32))
+    plan = get_plan(n, -1, "complex")
 
-    def fn(ar, ai):
+    def builtin(ar, ai):
         z = jnp.fft.fft(jax.lax.complex(ar, ai))
         return jnp.real(z), jnp.imag(z)
 
-    ts = sorted(
-        marginal_time(fn, (xr, xi), short=iters, long=5 * iters) for _ in range(3)
-    )
-    return _flops(n, batch) / ts[1] / 1e9
+    ours = lambda ar, ai: exec_complex(plan, ar, ai)
+    res = ab_compare(builtin, ours, (xr, xi), short=iters, long=5 * iters, rounds=3)
+    return res["ratio_median"]
 
 
 def bench_rfft_roundtrip(n: int, batch: int, iters: int, seed: int = 0):
@@ -157,10 +159,10 @@ def main():
         except Exception as e:  # pragma: no cover — keep the bench line printable
             extras[name] = {"error": str(e)[:200]}
     try:
-        gf = bench_xla_builtin(1024, 256, 50)
-        extras["xla_builtin_fft_n1024_b256"] = {"gflops": round(gf, 2)}
+        ratio = bench_vs_xla_builtin(1024, 256, 50)
+        extras["speedup_vs_xla_builtin_n1024"] = round(ratio, 3)
     except Exception as e:  # pragma: no cover
-        extras["xla_builtin_fft_n1024_b256"] = {"error": str(e)[:200]}
+        extras["speedup_vs_xla_builtin_n1024"] = {"error": str(e)[:200]}
     try:
         gf, err = bench_rfft_roundtrip(4096, 64, 30)
         extras["rfft4096_roundtrip_b64"] = {
