@@ -88,7 +88,8 @@ def bench_vs_xla_builtin(n: int, batch: int, iters: int, seed: int = 0) -> float
         return jnp.real(z), jnp.imag(z)
 
     ours = lambda ar, ai: exec_complex(plan, ar, ai)
-    res = ab_compare(builtin, ours, (xr, xi), short=iters, long=5 * iters, rounds=3)
+    res = ab_compare(builtin, ours, (xr, xi), short=2 * iters, long=10 * iters,
+                     rounds=5)
     return res["ratio_median"]
 
 

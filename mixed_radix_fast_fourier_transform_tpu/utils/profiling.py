@@ -149,7 +149,12 @@ def ab_compare(
     for _ in range(rounds):
         ta.append(marginal_time(fn_a, args, short=short, long=long, reps=1))
         tb.append(marginal_time(fn_b, args, short=short, long=long, reps=1))
-    ratios = sorted(a / b for a, b in zip(ta, tb))
+    # a hiccup can make T_long < T_short, clamping a measurement to ~0 —
+    # those pairs carry no information, drop them
+    valid = [(a, b) for a, b in zip(ta, tb) if a > 1e-9 and b > 1e-9]
+    if not valid:
+        raise RuntimeError("all A/B rounds degenerate (timing hiccups)")
+    ratios = sorted(a / b for a, b in valid)
     return {
         "a_seconds": ta,
         "b_seconds": tb,
