@@ -1,0 +1,131 @@
+"""On-chip tuning harness: interleaved A/B comparisons of engine variants.
+
+All performance decisions in this repo were made with interleaved
+measurements (utils/profiling.ab_compare) because the tunneled chip's
+effective speed drifts ±30-50% on ~minute scales — two sequentially-measured
+numbers are NOT comparable.  This script packages the probes used in round 1
+so future tuning starts here instead of ad-hoc scripts.
+
+Usage (on the TPU host):
+    python tools/tune.py stages 1024 256     # stage-split variants at N, B
+    python tools/tune.py pad 10007 16        # Bluestein padding variants
+    python tools/tune.py pallas 1024 256     # fused kernel vs XLA pipeline
+    python tools/tune.py precision 1024 256  # matmul precision ladder
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax  # noqa: E402
+
+from mixed_radix_fast_fourier_transform_tpu.ops.stockham import exec_complex  # noqa: E402
+from mixed_radix_fast_fourier_transform_tpu.plan import build_complex_plan  # noqa: E402
+from mixed_radix_fast_fourier_transform_tpu.utils.config import DEFAULT_CONFIG  # noqa: E402
+from mixed_radix_fast_fourier_transform_tpu.utils.profiling import ab_compare  # noqa: E402
+
+
+def _planes(n: int, b: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((b, n)) + 1j * rng.standard_normal((b, n))
+    return (
+        jax.device_put(x.real.astype(np.float32)),
+        jax.device_put(x.imag.astype(np.float32)),
+    ), x
+
+
+def _report(name_a, name_b, res):
+    ra = [f"{t*1e6:.0f}" for t in res["a_seconds"]]
+    rb = [f"{t*1e6:.0f}" for t in res["b_seconds"]]
+    print(f"  {name_a} us: {ra}")
+    print(f"  {name_b} us: {rb}")
+    print(f"  median ratio {name_a}/{name_b}: {res['ratio_median']:.3f} "
+          f"(>1 means {name_b} faster)")
+
+
+def tune_stages(n: int, b: int):
+    (xr, xi), _ = _planes(n, b)
+    base = build_complex_plan(n, -1, DEFAULT_CONFIG)
+    print(f"baseline factors: {base.factors}")
+    for max_stage in (32, 64, 128, 256):
+        cfg = dataclasses.replace(DEFAULT_CONFIG, max_stage=max_stage)
+        try:
+            plan = build_complex_plan(n, -1, cfg)
+        except ValueError:
+            continue
+        if plan.factors == base.factors:
+            continue
+        res = ab_compare(
+            lambda a, c: exec_complex(base, a, c),
+            lambda a, c, p=plan: exec_complex(p, a, c),
+            (xr, xi), rounds=5,
+        )
+        print(f"vs max_stage={max_stage} {plan.factors}:")
+        _report("base", str(plan.factors), res)
+
+
+def tune_pad(n: int, b: int):
+    (xr, xi), _ = _planes(n, b)
+    plans = {}
+    for mode in ("pow2", "pow23", "fast"):
+        cfg = dataclasses.replace(DEFAULT_CONFIG, pad_mode=mode)
+        plans[mode] = build_complex_plan(n, -1, cfg)
+        print(f"{mode}: m={getattr(plans[mode], 'm', None)}")
+    for mode in ("pow23", "fast"):
+        res = ab_compare(
+            lambda a, c: exec_complex(plans["pow2"], a, c),
+            lambda a, c, p=plans[mode]: exec_complex(p, a, c),
+            (xr, xi), short=50, long=250, rounds=5,
+        )
+        print(f"pow2 vs {mode}:")
+        _report("pow2", mode, res)
+
+
+def tune_pallas(n: int, b: int):
+    from mixed_radix_fast_fourier_transform_tpu.ops.pallas_fft import exec_pallas
+
+    (xr, xi), x = _planes(n, b)
+    plan = build_complex_plan(n, -1, DEFAULT_CONFIG)
+    zr, zi = jax.jit(lambda a, c: exec_pallas(a, c, n, -1))(xr, xi)
+    got = np.asarray(zr) + 1j * np.asarray(zi)
+    want = np.fft.fft(x, axis=-1)
+    print(f"pallas err: {np.max(np.abs(got-want))/np.max(np.abs(want)):.2e}")
+    res = ab_compare(
+        lambda a, c: exec_complex(plan, a, c),
+        lambda a, c: exec_pallas(a, c, n, -1),
+        (xr, xi), rounds=5,
+    )
+    _report("xla", "pallas", res)
+
+
+def tune_precision(n: int, b: int):
+    (xr, xi), x = _planes(n, b)
+    want = np.fft.fft(x, axis=-1)
+    plans = {}
+    for prec in ("highest", "high", "default"):
+        cfg = dataclasses.replace(DEFAULT_CONFIG, precision=prec)
+        plans[prec] = build_complex_plan(n, -1, cfg)
+        zr, zi = jax.jit(lambda a, c, p=plans[prec]: exec_complex(p, a, c))(xr, xi)
+        got = np.asarray(zr) + 1j * np.asarray(zi)
+        print(f"{prec}: err {np.max(np.abs(got-want))/np.max(np.abs(want)):.2e}")
+    for prec in ("high", "default"):
+        res = ab_compare(
+            lambda a, c: exec_complex(plans["highest"], a, c),
+            lambda a, c, p=plans[prec]: exec_complex(p, a, c),
+            (xr, xi), rounds=5,
+        )
+        print(f"highest vs {prec}:")
+        _report("highest", prec, res)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "stages"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    b = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    {"stages": tune_stages, "pad": tune_pad,
+     "pallas": tune_pallas, "precision": tune_precision}[which](n, b)
