@@ -100,3 +100,82 @@ def train_step(params, x, target, lr: float = 1e-3, *, config=DEFAULT_CONFIG):
     loss, grads = jax.value_and_grad(loss_fn)(params, x, target, config=config)
     params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
     return params, loss
+
+
+# ---------------------------------------------------------------------------
+# 2-D FNO: the standard image/PDE-grid operator block, built on rfft2-style
+# separable transforms (rfft over W, complex fft over H).
+# ---------------------------------------------------------------------------
+
+def init_layer2d(key, channels: int, modes_h: int, modes_w: int, dtype=jnp.float32) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    scale = 1.0 / channels
+    shape = (channels, channels, modes_h, modes_w)
+    return {
+        "r_re": scale * jax.random.normal(k1, shape, dtype),
+        "r_im": scale * jax.random.normal(k2, shape, dtype),
+        "w": scale * jax.random.normal(k3, (channels, channels), dtype),
+        "b": jnp.zeros((channels,), dtype),
+    }
+
+
+def init_fno2d(
+    key, in_channels: int, hidden: int, out_channels: int,
+    n_layers: int = 2, modes: int = 8, dtype=jnp.float32,
+) -> Dict[str, object]:
+    keys = jax.random.split(key, n_layers + 2)
+    return {
+        "lift": {
+            "w": jax.random.normal(keys[0], (in_channels, hidden), dtype)
+            / max(in_channels, 1),
+            "b": jnp.zeros((hidden,), dtype),
+        },
+        "layers": [
+            init_layer2d(keys[i + 1], hidden, modes, modes, dtype)
+            for i in range(n_layers)
+        ],
+        "proj": {
+            "w": jax.random.normal(keys[-1], (hidden, out_channels), dtype) / hidden,
+            "b": jnp.zeros((out_channels,), dtype),
+        },
+    }
+
+
+def spectral_mix2d(layer: Params, x: Array, *, config: SpectralConfig) -> Array:
+    """(b, c, H, W) -> (b, c, H, W): low-mode channel mixing in 2-D frequency
+    space (rfft over W, complex fft over H; mixes the lowest modes_h x modes_w
+    corner — sufficient for smooth operators and keeps the einsum small)."""
+    from ..ops.fft import fft, ifft
+
+    bh, bw = x.shape[-2], x.shape[-1]
+    mh, mw = layer["r_re"].shape[-2:]
+    spec = fft(rfft(x, config=config), axis=-2, config=config)  # (b,c,H,W//2+1)
+    lo = spec[..., :mh, :mw]
+    r = jax.lax.complex(layer["r_re"], layer["r_im"])
+    mixed = jnp.einsum("bihw,iohw->bohw", lo, r)
+    pad = [(0, 0), (0, 0), (0, spec.shape[-2] - mh), (0, spec.shape[-1] - mw)]
+    mixed = jnp.pad(mixed, pad)
+    return irfft(ifft(mixed, axis=-2, config=config), n=bw, config=config)
+
+
+def fno2d_layer(layer: Params, x: Array, *, config: SpectralConfig) -> Array:
+    local = jnp.einsum("bihw,io->bohw", x, layer["w"]) + layer["b"][None, :, None, None]
+    return jax.nn.gelu(local + spectral_mix2d(layer, x, config=config))
+
+
+def apply2d(params, x: Array, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """(batch, in_channels, H, W) -> (batch, out_channels, H, W)."""
+    h = jnp.einsum("bihw,io->bohw", x, params["lift"]["w"]) + params["lift"]["b"][None, :, None, None]
+    for layer in params["layers"]:
+        h = fno2d_layer(layer, h, config=config)
+    return jnp.einsum("bihw,io->bohw", h, params["proj"]["w"]) + params["proj"]["b"][None, :, None, None]
+
+
+def loss_fn2d(params, x, target, *, config=DEFAULT_CONFIG) -> Array:
+    return jnp.mean((apply2d(params, x, config=config) - target) ** 2)
+
+
+def train_step2d(params, x, target, lr: float = 1e-3, *, config=DEFAULT_CONFIG):
+    loss, grads = jax.value_and_grad(loss_fn2d)(params, x, target, config=config)
+    params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
+    return params, loss

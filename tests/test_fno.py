@@ -39,3 +39,46 @@ class TestFNO:
         x = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 360))
         y = fno.apply(params, x)
         assert y.shape == (2, 1, 360)
+
+
+class TestFNO2D:
+    def test_forward_shape(self):
+        params = fno.init_fno2d(jax.random.PRNGKey(0), 2, 6, 3, n_layers=2, modes=4)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 2, 32, 32))
+        y = fno.apply2d(params, x)
+        assert y.shape == (2, 3, 32, 32)
+        assert np.all(np.isfinite(np.asarray(y)))
+
+    def test_grads_finite(self):
+        params = fno.init_fno2d(jax.random.PRNGKey(0), 1, 4, 1, n_layers=1, modes=4)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 16, 16))
+        t = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 16, 16))
+        grads = jax.grad(fno.loss_fn2d)(params, x, t)
+        for leaf in jax.tree_util.tree_leaves(grads):
+            assert np.all(np.isfinite(np.asarray(leaf)))
+
+    def test_learns_smoothing(self):
+        # target = low-pass of input: expressible by the spectral mix
+        n = 16
+        params = fno.init_fno2d(jax.random.PRNGKey(0), 1, 6, 1, n_layers=1, modes=6)
+        x = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (8, 1, n, n)))
+        spec = np.fft.rfft2(x, axes=(-2, -1))
+        spec[..., 4:, :] = 0
+        spec[..., :, 4:] = 0
+        t = jnp.asarray(np.fft.irfft2(spec, s=(n, n), axes=(-2, -1)).astype(np.float32))
+        xj = jnp.asarray(x.astype(np.float32))
+        import optax
+
+        opt = optax.adam(5e-3)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(p, s, x_, y_):
+            l, g = jax.value_and_grad(fno.loss_fn2d)(p, x_, y_)
+            u, s = opt.update(g, s)
+            return optax.apply_updates(p, u), s, l
+
+        _, _, loss0 = step(params, opt_state, xj, t)
+        for _ in range(150):
+            params, opt_state, loss = step(params, opt_state, xj, t)
+        assert float(loss) < 0.05 * float(loss0)
