@@ -21,6 +21,35 @@ from .stft import get_window, stft
 Array = jax.Array
 
 
+def spectral_diff(
+    x,
+    order: int = 1,
+    period: float = 2.0 * np.pi,
+    axis: int = -1,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Spectral derivative of a periodic real signal: d^order/dz^order via
+    (i·k)^order multiplication in frequency space — the PDE-toolbox primitive
+    (exponentially accurate for smooth periodic data).  ``period`` is the
+    domain length the samples cover."""
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("spectral_diff expects a real signal")
+    if order < 1:
+        raise ValueError(f"order must be >= 1, got {order}")
+    axis = axis % x.ndim
+    xm = jnp.moveaxis(x, axis, -1).astype(config.dtype)
+    n = xm.shape[-1]
+    spec = rfft(xm, config=config)
+    k = 2.0 * np.pi * np.arange(n // 2 + 1, dtype=np.float64) / period
+    mult = (1j * k) ** order
+    if order % 2 == 1 and n % 2 == 0:
+        mult[-1] = 0.0  # odd derivative of the Nyquist mode is ill-defined
+    out = irfft(spec * jnp.asarray(mult, dtype=spec.dtype), n=n, config=config)
+    return jnp.moveaxis(out, -1, axis)
+
+
 def hilbert(x, n: Optional[int] = None, axis: int = -1,
             *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
     """Analytic signal via the Hilbert transform: real (..., N) -> complex

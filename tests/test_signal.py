@@ -189,3 +189,32 @@ class TestWindows:
     def test_bad_parameterized(self):
         with pytest.raises(ValueError):
             sp.get_window(("gauss", 1.0), 64)
+
+
+class TestSpectralDiff:
+    def test_sine_derivative(self):
+        n = 128
+        t = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        x = np.sin(3 * t).astype(np.float32)
+        d = np.asarray(sp.spectral_diff(x))
+        np.testing.assert_allclose(d, 3 * np.cos(3 * t), atol=1e-3)
+
+    def test_second_derivative(self):
+        n = 64
+        t = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        x = np.cos(2 * t).astype(np.float32)
+        d2 = np.asarray(sp.spectral_diff(x, order=2))
+        np.testing.assert_allclose(d2, -4 * np.cos(2 * t), atol=1e-3)
+
+    def test_custom_period(self):
+        n, L = 100, 10.0
+        t = np.linspace(0, L, n, endpoint=False)
+        x = np.sin(2 * np.pi * t / L).astype(np.float32)
+        d = np.asarray(sp.spectral_diff(x, period=L))
+        np.testing.assert_allclose(d, (2 * np.pi / L) * np.cos(2 * np.pi * t / L), atol=1e-3)
+
+    def test_errors(self):
+        with pytest.raises(ValueError):
+            sp.spectral_diff(np.zeros(8, np.complex64))
+        with pytest.raises(ValueError):
+            sp.spectral_diff(np.zeros(8, np.float32), order=0)
