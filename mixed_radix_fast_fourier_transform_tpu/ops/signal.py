@@ -15,7 +15,7 @@ import numpy as np
 
 from ..utils.config import DEFAULT_CONFIG, SpectralConfig
 from .fft import fft, ifft, rfftfreq
-from .rfft import rfft
+from .rfft import irfft, rfft
 from .stft import get_window, stft
 
 Array = jax.Array
