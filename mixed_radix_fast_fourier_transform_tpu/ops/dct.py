@@ -131,6 +131,39 @@ def idct(
     return y
 
 
+def dctn(
+    x,
+    type: int = 2,
+    axes=None,
+    norm: Optional[str] = None,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """N-D DCT: separable 1-D DCTs over ``axes`` (scipy.fft.dctn)."""
+    x = jnp.asarray(x)
+    if axes is None:
+        axes = tuple(range(x.ndim))
+    for a in axes:
+        x = dct(x, type=type, axis=a, norm=norm, config=config)
+    return x
+
+
+def idctn(
+    x,
+    type: int = 2,
+    axes=None,
+    norm: Optional[str] = None,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    x = jnp.asarray(x)
+    if axes is None:
+        axes = tuple(range(x.ndim))
+    for a in axes:
+        x = idct(x, type=type, axis=a, norm=norm, config=config)
+    return x
+
+
 def _alt_sign(n: int, dtype) -> Array:
     return jnp.asarray((-1.0) ** np.arange(n), dtype=dtype)
 

@@ -218,3 +218,22 @@ class TestSpectralDiff:
             sp.spectral_diff(np.zeros(8, np.complex64))
         with pytest.raises(ValueError):
             sp.spectral_diff(np.zeros(8, np.float32), order=0)
+
+
+class TestDCTN:
+    def test_2d_matches_separable_oracle(self, rng):
+        x = rng.standard_normal((8, 12))
+        got = np.asarray(sp.dctn(x.astype(np.float32), norm="ortho"))
+        want = _dct2_oracle(_dct2_oracle(x, "ortho").T, "ortho").T
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
+
+    def test_roundtrip(self, rng):
+        x = rng.standard_normal((6, 10)).astype(np.float32)
+        back = np.asarray(sp.idctn(sp.dctn(x, norm="ortho"), norm="ortho"))
+        assert np.max(np.abs(back - x)) < 1e-4
+
+    def test_partial_axes(self, rng):
+        x = rng.standard_normal((3, 8, 12)).astype(np.float32)
+        got = np.asarray(sp.dctn(x, axes=(-1,), norm="ortho"))
+        want = np.asarray(sp.dct(x, 2, axis=-1, norm="ortho"))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
