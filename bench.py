@@ -30,6 +30,17 @@ from mixed_radix_fast_fourier_transform_tpu.plan import get_plan
 
 REFERENCE_GFLOPS = 8.5  # BASELINE.md: reference C, N=512, 1-core Xeon 2.7 GHz
 
+# TPU v5e peaks for the roofline fields (documented derivation):
+# - MXU: 197 bf16 TFLOP/s/chip (public spec) = 4 MXUs x 128x128x2 flops/cycle
+#   at ~1.5 GHz.
+# - VPU: 8 sublanes x 128 lanes x 4 ALUs x 1.5 GHz = 6.1 fp32 TFLOP/s
+#   (1 flop/ALU/cycle — conservative, no FMA double-counting).
+# BASELINE.md's ">= 70% of VPU roofline" target is scored on the canonical
+# 5*N*log2(N) FFT flop model against the VPU peak: a hypothetical pure-VPU
+# radix-2 pipeline at 100% utilization would sustain exactly that.
+V5E_VPU_FP32_PEAK_GFLOPS = 6144.0
+V5E_MXU_BF16_PEAK_GFLOPS = 197_000.0
+
 
 def _flops(n: int, batch: int) -> float:
     return 5.0 * n * math.log2(n) * batch
@@ -67,7 +78,24 @@ def bench_config(n: int, batch: int, iters: int, seed: int = 0):
         for _ in range(3)
     )
     dt = ts[1]
-    return _flops(n, batch) / dt / 1e9, err
+
+    from mixed_radix_fast_fourier_transform_tpu.utils.profiling import (
+        roofline_summary,
+    )
+
+    roof = roofline_summary(plan, dt, batch)
+    return {
+        "gflops": round(roof["gflops_fft_model"], 2),
+        "max_rel_err": float(f"{err:.3g}"),
+        "gflops_actual": round(roof["gflops_actual"], 2),
+        "arithmetic_intensity": round(roof["arithmetic_intensity"], 2),
+        "pct_vpu_roofline": round(
+            100.0 * roof["gflops_fft_model"] / V5E_VPU_FP32_PEAK_GFLOPS, 2
+        ),
+        "pct_mxu_bf16_roofline": round(
+            100.0 * roof["gflops_actual"] / V5E_MXU_BF16_PEAK_GFLOPS, 2
+        ),
+    }, err
 
 
 def bench_vs_xla_builtin(n: int, batch: int, iters: int, seed: int = 0) -> float:
@@ -107,7 +135,8 @@ def bench_rfft_roundtrip(n: int, batch: int, iters: int, seed: int = 0):
         return (irfft(rfft(a), n=n),)
 
     back = np.asarray(jax.jit(fn)(xd)[0])
-    err = float(np.max(np.abs(back - x)))
+    # relative error so it folds into the 1e-5 budget check
+    err = float(np.max(np.abs(back - x)) / np.max(np.abs(x)))
     dt = marginal_time(fn, (xd,), short=iters, long=5 * iters)
     return _flops(n, batch) / dt / 1e9, err
 
@@ -134,7 +163,8 @@ def bench_convolve(n_sig: int, n_ker: int, batch: int, iters: int, seed: int = 0
 
     got = np.asarray(jax.jit(fn)(xd)[0])
     want = np.stack([np.convolve(r.astype(np.float64), k, mode="same") for r in x[:4]])
-    err = float(np.max(np.abs(got[:4] - want)))
+    # relative error so it folds into the 1e-5 budget check
+    err = float(np.max(np.abs(got[:4] - want)) / np.max(np.abs(want)))
     m = _padded_len(n_sig + n_ker - 1, DEFAULT_CONFIG)
     fl = 3 * 2.5 * m * math.log2(m) * batch
     dt = marginal_time(fn, (xd,), short=iters, long=5 * iters)
@@ -154,8 +184,8 @@ def main():
     worst_err = 0.0
     for name, (n, b, it) in configs.items():
         try:
-            gf, err = bench_config(n, b, it)
-            extras[name] = {"gflops": round(gf, 2), "max_rel_err": float(f"{err:.3g}")}
+            stats, err = bench_config(n, b, it)
+            extras[name] = stats
             worst_err = max(worst_err, err)
         except Exception as e:  # pragma: no cover — keep the bench line printable
             extras[name] = {"error": str(e)[:200]}
@@ -167,17 +197,31 @@ def main():
     try:
         gf, err = bench_rfft_roundtrip(4096, 64, 30)
         extras["rfft4096_roundtrip_b64"] = {
-            "gflops": round(gf, 2), "max_abs_err": float(f"{err:.3g}")
+            "gflops": round(gf, 2), "max_rel_err": float(f"{err:.3g}")
         }
+        worst_err = max(worst_err, err)
     except Exception as e:  # pragma: no cover
         extras["rfft4096_roundtrip_b64"] = {"error": str(e)[:200]}
     try:
         gf, err = bench_convolve(4000, 129, 64, 20)
         extras["conv4000x129_same_b64"] = {
-            "gflops": round(gf, 2), "max_abs_err": float(f"{err:.3g}")
+            "gflops": round(gf, 2), "max_rel_err": float(f"{err:.3g}")
         }
+        worst_err = max(worst_err, err)
     except Exception as e:  # pragma: no cover
         extras["conv4000x129_same_b64"] = {"error": str(e)[:200]}
+    try:
+        # BASELINE config 5's actual transform shape on one chip: 65536-point
+        # FFT convolution (signal 65408 + kernel 129 pads to exactly 65536).
+        # Batch 256 is the largest that keeps this config's share of the bench
+        # run to ~1 min; throughput is batch-flat from 16 up (CLAUDE.md).
+        gf, err = bench_convolve(65408, 129, 256, 5)
+        extras["conv65408x129_same_b256"] = {
+            "gflops": round(gf, 2), "max_rel_err": float(f"{err:.3g}")
+        }
+        worst_err = max(worst_err, err)
+    except Exception as e:  # pragma: no cover
+        extras["conv65408x129_same_b256"] = {"error": str(e)[:200]}
     primary = extras.get("n1024_b256", {}).get("gflops", 0.0)
     print(json.dumps({
         "metric": "batched_fft_gflops_n1024_fp32",

@@ -171,13 +171,20 @@ def fft_exec(obj: fft_object, inp, oup=None):
     tunneled TPU).  Device arrays take the TPU pipeline."""
     if obj is None:
         raise ValueError("fft_exec: NULL plan")
+    in_len = np.shape(inp)[-1] if np.ndim(inp) else 0
+    if in_len != obj.N:
+        raise ValueError(f"fft_exec: input length {in_len} != plan N {obj.N}")
     if isinstance(inp, (np.ndarray, list, tuple)) and obj.N <= 65536:
         from .utils import native
 
         if native.available():
             x64 = np.asarray(inp, dtype=np.complex128)
-            # compat sgn=+1 is the numpy-forward kernel e^{-2πi·nk/N}
-            return native.oracle_fft(x64, -1 if obj.sgn == 1 else 1)
+            # compat sgn=+1 is the numpy-forward kernel e^{-2πi·nk/N}; cast to
+            # the config dtype so the native and device paths agree regardless
+            # of whether libspectral_native.so is present
+            out = native.oracle_fft(x64, -1 if obj.sgn == 1 else 1)
+            cdtype = np.complex64 if obj._config.dtype == np.float32 else np.complex128
+            return out.astype(cdtype)
     x = jnp.asarray(inp)
     xr, xi = to_planes(x, obj._config.dtype)
     zr, zi = exec_complex(obj._plan, xr, xi)

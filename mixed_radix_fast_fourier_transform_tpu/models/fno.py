@@ -108,12 +108,18 @@ def train_step(params, x, target, lr: float = 1e-3, *, config=DEFAULT_CONFIG):
 # ---------------------------------------------------------------------------
 
 def init_layer2d(key, channels: int, modes_h: int, modes_w: int, dtype=jnp.float32) -> Params:
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     scale = 1.0 / channels
     shape = (channels, channels, modes_h, modes_w)
+    # Two learned tensors, one per low-frequency corner of the half-plane
+    # spectrum (non-negative and negative H modes) — the standard FNO-2D
+    # block (Li et al. 2021) needs both: with only the non-negative corner,
+    # operators with energy in the negative H modes are unrepresentable.
     return {
         "r_re": scale * jax.random.normal(k1, shape, dtype),
         "r_im": scale * jax.random.normal(k2, shape, dtype),
+        "r2_re": scale * jax.random.normal(k4, shape, dtype),
+        "r2_im": scale * jax.random.normal(k5, shape, dtype),
         "w": scale * jax.random.normal(k3, (channels, channels), dtype),
         "b": jnp.zeros((channels,), dtype),
     }
@@ -143,18 +149,26 @@ def init_fno2d(
 
 def spectral_mix2d(layer: Params, x: Array, *, config: SpectralConfig) -> Array:
     """(b, c, H, W) -> (b, c, H, W): low-mode channel mixing in 2-D frequency
-    space (rfft over W, complex fft over H; mixes the lowest modes_h x modes_w
-    corner — sufficient for smooth operators and keeps the einsum small)."""
+    space (rfft over W, complex fft over H).  Mixes BOTH low-frequency corners
+    of the half-plane spectrum — non-negative H modes (spec[:mh]) with r and
+    negative H modes (spec[-mh:]) with r2 — the standard FNO-2D block
+    (Li et al. 2021)."""
     from ..ops.fft import fft, ifft
 
     bh, bw = x.shape[-2], x.shape[-1]
     mh, mw = layer["r_re"].shape[-2:]
+    if 2 * mh > bh:
+        raise ValueError(f"modes_h={mh} needs H >= 2*modes_h, got H={bh}")
     spec = fft(rfft(x, config=config), axis=-2, config=config)  # (b,c,H,W//2+1)
-    lo = spec[..., :mh, :mw]
     r = jax.lax.complex(layer["r_re"], layer["r_im"])
-    mixed = jnp.einsum("bihw,iohw->bohw", lo, r)
-    pad = [(0, 0), (0, 0), (0, spec.shape[-2] - mh), (0, spec.shape[-1] - mw)]
-    mixed = jnp.pad(mixed, pad)
+    r2 = jax.lax.complex(layer["r2_re"], layer["r2_im"])
+    mixed = jnp.zeros(spec.shape[:1] + r.shape[1:2] + spec.shape[2:], dtype=spec.dtype)
+    mixed = mixed.at[..., :mh, :mw].set(
+        jnp.einsum("bihw,iohw->bohw", spec[..., :mh, :mw], r)
+    )
+    mixed = mixed.at[..., bh - mh :, :mw].set(
+        jnp.einsum("bihw,iohw->bohw", spec[..., bh - mh :, :mw], r2)
+    )
     return irfft(ifft(mixed, axis=-2, config=config), n=bw, config=config)
 
 

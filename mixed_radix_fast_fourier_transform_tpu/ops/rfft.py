@@ -74,6 +74,40 @@ def _rfft_packed(x: Array, n: int, config: SpectralConfig):
     return xr, xi
 
 
+def _rfft_odd_two_for_one(x: Array, n: int, config: SpectralConfig):
+    """Odd-N real forward path, batch >= 2: the classic two-for-one pack.
+
+    The even-N half-length scheme is impossible for odd N (the reference
+    simply rejects odd lengths, src/real.c:28-32).  Instead of paying a full
+    complex transform per real row (2x the needed work), pack PAIRS of batch
+    rows as z = x1 + i·x2 — one complex FFT then separates via Hermitian
+    symmetry:  X1 = (Z + conj(Z-))/2,  X2 = -i·(Z - conj(Z-))/2  with
+    Z-[k] = Z[(n-k) mod n].  Halves the transform work for any batch >= 2.
+    """
+    h1 = n // 2 + 1
+    batch = x.shape[:-1]
+    b = 1
+    for d in batch:
+        b *= d
+    x2 = x.reshape(b, n)
+    bp = b + (b % 2)
+    if bp != b:
+        x2 = jnp.pad(x2, ((0, 1), (0, 0)))
+    zr, zi = x2[0::2], x2[1::2]
+    plan = get_plan(n, -1, "complex", config)
+    fr, fi = exec_complex(plan, zr, zi)
+    # Z-[k] = Z[(n-k) mod n], truncated to the n//2+1 output bins
+    rr = jnp.concatenate([fr[..., :1], jnp.flip(fr[..., 1:], -1)], -1)[..., :h1]
+    ri = jnp.concatenate([fi[..., :1], jnp.flip(fi[..., 1:], -1)], -1)[..., :h1]
+    fr, fi = fr[..., :h1], fi[..., :h1]
+    half = jnp.asarray(0.5, dtype=fr.dtype)
+    x1r, x1i = (fr + rr) * half, (fi - ri) * half
+    x2r, x2i = (fi + ri) * half, (rr - fr) * half
+    xr = jnp.stack([x1r, x2r], axis=1).reshape(bp, h1)[:b]
+    xi = jnp.stack([x1i, x2i], axis=1).reshape(bp, h1)[:b]
+    return xr.reshape(*batch, h1), xi.reshape(*batch, h1)
+
+
 def rfft(
     x,
     n: Optional[int] = None,
@@ -92,8 +126,10 @@ def rfft(
     x = _resize_last(x, n)
     if n % 2 == 0 and n >= 2:
         xr, xi = _rfft_packed(x, n, config)
+    elif n > 1 and math.prod(x.shape[:-1]) >= 2:
+        xr, xi = _rfft_odd_two_for_one(x, n, config)
     else:
-        # Odd/one-point fallback: full complex transform, keep lower half.
+        # Single odd transform / one-point: full complex, keep lower half.
         plan = get_plan(n, -1, "complex", config)
         fr, fi = exec_complex(plan, x, jnp.zeros_like(x))
         xr, xi = fr[..., : n // 2 + 1], fi[..., : n // 2 + 1]
@@ -163,12 +199,30 @@ def irfft(
     if n % 2 == 0 and n >= 2:
         out = _irfft_packed(xr, xi, n, config)
     else:
-        # Odd-length fallback: rebuild the full Hermitian spectrum, complex ifft.
+        # Odd length: rebuild the full Hermitian spectrum, then invert PAIRS
+        # of spectra through one complex ifft (dual of the forward
+        # two-for-one): Z = F1 + i·F2 ⇒ ifft(Z) = x1 + i·x2 exactly, because
+        # both inverses are real.  Falls back to a single transform at batch 1.
         fr = jnp.concatenate([xr, jnp.flip(xr[..., 1:], -1)], axis=-1)
         fi = jnp.concatenate([xi, -jnp.flip(xi[..., 1:], -1)], axis=-1)
         plan = get_plan(n, 1, "complex", config)
-        gr, _ = exec_complex(plan, fr, fi)
-        out = gr / n
+        batch = fr.shape[:-1]
+        b = math.prod(batch)
+        if n > 1 and b >= 2:
+            bp = b + (b % 2)
+            fr2 = fr.reshape(b, n)
+            fi2 = fi.reshape(b, n)
+            if bp != b:
+                fr2 = jnp.pad(fr2, ((0, 1), (0, 0)))
+                fi2 = jnp.pad(fi2, ((0, 1), (0, 0)))
+            zr = fr2[0::2] - fi2[1::2]
+            zi = fi2[0::2] + fr2[1::2]
+            gr, gi = exec_complex(plan, zr, zi)
+            out = jnp.stack([gr, gi], axis=1).reshape(bp, n)[:b]
+            out = out.reshape(*batch, n) / n
+        else:
+            gr, _ = exec_complex(plan, fr, fi)
+            out = gr / n
     # _norm_scale(n, 1, norm) already includes the 1/n of "backward"; the packed
     # path folded 1/h and the interleave supplies the rest ⇒ rescale relative
     # to backward.

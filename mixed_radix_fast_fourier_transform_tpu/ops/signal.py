@@ -16,7 +16,7 @@ import numpy as np
 from ..utils.config import DEFAULT_CONFIG, SpectralConfig
 from .fft import fft, ifft, rfftfreq
 from .rfft import irfft, rfft
-from .stft import get_window, stft
+from .stft import _frame, get_window
 
 Array = jax.Array
 
@@ -115,11 +115,21 @@ def periodogram(
 
 
 def _welch_spectra(x, nperseg, noverlap, window, config):
-    xm = x - jnp.mean(x, axis=-1, keepdims=True)
-    return stft(
-        xm, nperseg=nperseg, noverlap=noverlap, window=window,
-        center=False, config=config,
-    )
+    """Windowed segment spectra with scipy's Welch conventions: a partial
+    tail frame is DROPPED (never zero-padded — padding biases the averaged
+    PSD low) and the constant detrend is applied PER SEGMENT, not to the
+    whole signal (scipy.signal.welch's detrend='constant')."""
+    t = x.shape[-1]
+    if not 0 <= noverlap < nperseg:
+        raise ValueError(f"need 0 <= noverlap < nperseg, got {noverlap}")
+    if t < nperseg:
+        raise ValueError(f"signal length {t} < nperseg {nperseg}")
+    hop = nperseg - noverlap
+    n_frames = 1 + (t - nperseg) // hop
+    frames = _frame(x[..., : nperseg + (n_frames - 1) * hop], nperseg, hop)
+    frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    w = jnp.asarray(get_window(window, nperseg, np.dtype(config.dtype)))
+    return rfft(frames * w, config=config)
 
 
 def _onesided_scale(nperseg: int, fs: float, window, scaling: str) -> np.ndarray:
@@ -199,11 +209,7 @@ def welch(
     xm = jnp.moveaxis(x, axis, -1).astype(config.dtype)
     if noverlap is None:
         noverlap = nperseg // 2
-    xm = xm - jnp.mean(xm, axis=-1, keepdims=True)
-    spec = stft(
-        xm, nperseg=nperseg, noverlap=noverlap, window=window,
-        center=False, config=config,
-    )  # (..., frames, bins)
+    spec = _welch_spectra(xm, nperseg, noverlap, window, config)  # (..., frames, bins)
     p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     w = np.asarray(get_window(window, nperseg, np.float64))
     if scaling == "density":

@@ -123,14 +123,13 @@ def exec_bluestein(plan: BluesteinPlan, xr: Array, xi: Array) -> Tuple[Array, Ar
     pad = [(0, 0)] * len(batch) + [(0, m - n)]
     ar = jnp.pad(ar, pad)
     ai = jnp.pad(ai, pad)
-    # A = fft_m(a); B = A ⊙ Ĉ; b = ifft_m(B) = conj(fft_m(conj(B))) / m
+    # A = fft_m(a); B = A ⊙ (Ĉ/m); b = ifft_m'(B) = conj(fft_m(conj(B)))
+    # (the 1/m normalization is baked into spec_* at plan time)
     fr, fi = exec_mixed_radix(plan.inner, ar, ai)
     br, bi = cmul(fr, fi, plan.spec_re, plan.spec_im)
     gr, gi = exec_mixed_radix(plan.inner, br, -bi)
-    inv_m = jnp.asarray(1.0 / m, dtype=xr.dtype)
-    gr, gi = gr * inv_m, -gi * inv_m
-    # X = w ⊙ b[:n]
-    return cmul(gr[..., :n], gi[..., :n], plan.chirp_re, plan.chirp_im)
+    # X = w ⊙ conj(b)[:n]
+    return cmul(gr[..., :n], -gi[..., :n], plan.chirp_re, plan.chirp_im)
 
 
 def exec_complex(plan, xr: Array, xi: Array) -> Tuple[Array, Array]:

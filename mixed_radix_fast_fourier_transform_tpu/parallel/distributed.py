@@ -44,7 +44,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.stockham import exec_complex
 from ..plan import get_plan
 from ..utils.config import DEFAULT_CONFIG, SpectralConfig
-from ..utils.factorize import is_smooth
+from ..utils.factorize import is_smooth, next_splittable_len
 from .mesh import DATA_AXIS, SEQ_AXIS
 
 Array = jax.Array
@@ -374,14 +374,7 @@ def fft_convolve_sharded(
     n = x.shape[-1]
     p = mesh.shape[seq_axis]
     if mode == "same":
-        need = n + len(kernel) - 1
-        m = need
-        while True:
-            try:
-                choose_split(m, p, config.max_stage)
-                break
-            except ValueError:
-                m += 1
+        m = next_splittable_len(n + len(kernel) - 1, p, config.max_stage)
         pad = [(0, 0)] * (x.ndim - 1) + [(0, m - n)]
         x = jnp.pad(x, pad)
     elif mode != "circular":
@@ -654,7 +647,13 @@ def fftn_pencil(
     plans = {a: get_plan(x.shape[a], sign, "complex", config) for a in axes}
 
     bspec = [None] * ndim
-    if data_axis is not None and 0 not in (shard_dim,):
+    if data_axis is not None:
+        if shard_dim == 0 or 0 in axes:
+            raise ValueError(
+                "data_axis shards array axis 0 as a batch axis, so axis 0 "
+                "must be neither shard_dim nor a transform axis (pass axes "
+                "that exclude 0, e.g. axes=(1, 2) for batched 2-D transforms)"
+            )
         bspec[0] = data_axis
     bspec[shard_dim] = seq_axis
     spec = P(*bspec)

@@ -195,14 +195,21 @@ def build_bluestein_plan(
     if sign not in (-1, 1):
         raise ValueError(f"sign must be -1 or +1, got {sign}")
     m = _padded_length(n, config)
-    inner = build_mixed_radix_plan(m, -1, config)
+    # The inner padded plan comes from the shared cache: every Bluestein
+    # length with the same padded m (e.g. all primes in (8192, 12288]) reuses
+    # one plan object, so their jitted inner pipelines share XLA cache entries
+    # (the reference instead rebuilds per length AND re-FFTs the chirp per
+    # exec, src/highSpeedFFT.c:1786-1797).
+    inner = get_plan(m, -1, "complex", config)
     # Chirp w[j] = e^(sign·iπj²/n); kernel c = conj(w) wrapped circularly.
     wr64, wi64 = chirp(n, sign, np.float64)
     c = np.zeros(m, dtype=np.complex128)
     w64 = wr64 + 1j * wi64
     c[:n] = np.conj(w64)
     c[m - n + 1 :] = np.conj(w64)[1:][::-1]
-    spec = np.fft.fft(c)  # plan-time fp64 spectrum of the chirp kernel
+    # Plan-time fp64 spectrum of the chirp kernel, with the inverse inner
+    # FFT's 1/m normalization folded in — saves one elementwise pass per exec.
+    spec = np.fft.fft(c) / m
     dtype = config.dtype
     return BluesteinPlan(
         n=n,

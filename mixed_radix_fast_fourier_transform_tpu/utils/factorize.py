@@ -214,3 +214,26 @@ def _lpt_pack(primes, s: int, max_stage: int):
 def is_smooth(n: int, max_prime: int) -> bool:
     """True if every prime factor of n is <= max_prime."""
     return largest_prime_factor(n) <= max_prime
+
+
+def next_splittable_len(n: int, parts: int, max_stage: int = 256) -> int:
+    """Smallest convenient m >= n that splits as m = n1·n2 with parts | n1,
+    parts | n2 and both factors ``max_stage``-smooth — the padded-length
+    contract of the distributed four-step (`parallel.distributed.choose_split`).
+
+    Closed form rather than increment-and-retry: m = parts² · s with s the
+    next 7-smooth integer >= ceil(n / parts²).  Any divisor pair (a, b) of s
+    then yields n1 = parts·a, n2 = parts·b, both divisible by parts and smooth
+    (7-smooth · smooth parts), so `choose_split(m, parts)` always succeeds.
+    Each candidate test is O(log s) small-prime division, not the O(√m)
+    factorization scan of the retry loop this replaces.
+    """
+    if parts < 1:
+        raise ValueError(f"parts must be >= 1, got {parts}")
+    if not is_smooth(parts, max_stage):
+        raise ValueError(
+            f"mesh size {parts} has a prime factor > max_stage={max_stage}"
+        )
+    pp = parts * parts
+    s = next_fast_len(-(-n // pp))
+    return pp * s

@@ -23,6 +23,21 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The native .so is not checked in (reviewability: no opaque binaries in VCS).
+# Build it here so the native-parity tests run on fresh clones; they skip
+# cleanly if the toolchain is missing.
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_so = os.path.join(_repo, "native", "libspectral_native.so")
+if not os.path.exists(_so):
+    import subprocess
+    import sys
+
+    subprocess.run(
+        [sys.executable, os.path.join(_repo, "native", "build.py")],
+        capture_output=True,
+        check=False,
+    )
+
 
 @pytest.fixture(scope="session")
 def rng():

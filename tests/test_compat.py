@@ -137,6 +137,18 @@ def test_crash_sizes_work():
         np.testing.assert_allclose(out, np.fft.fft(np.ones(n)), atol=1e-4 * n)
 
 
+def test_fft_exec_rejects_wrong_length_and_pins_dtype(rng):
+    """The host/native path must validate input length against the plan and
+    return the config dtype (complex64), matching the device path regardless
+    of whether libspectral_native.so is present."""
+    obj = compat.fft_init(1024, 1)
+    with pytest.raises(ValueError):
+        compat.fft_exec(obj, np.zeros(512, np.complex64))
+    x = (rng.standard_normal(1024) + 1j * rng.standard_normal(1024)).astype(np.complex64)
+    out = compat.fft_exec(obj, x)
+    assert np.asarray(out).dtype == np.complex64
+
+
 def test_plan_struct_fields():
     obj = compat.fft_init(1024, 1)
     assert (obj.N, obj.sgn, obj.lt) == (1024, 1, 0)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mixed_radix_fast_fourier_transform_tpu.models import fno
 
@@ -23,6 +24,7 @@ class TestFNO:
         for leaf in jax.tree_util.tree_leaves(grads):
             assert np.all(np.isfinite(np.asarray(leaf)))
 
+    @pytest.mark.slow
     def test_learns_identity(self):
         # target = input; a 1-layer FNO should reduce loss quickly
         params = fno.init_fno(jax.random.PRNGKey(0), 1, 8, 1, n_layers=1, modes=8)
@@ -49,6 +51,7 @@ class TestFNO2D:
         assert y.shape == (2, 3, 32, 32)
         assert np.all(np.isfinite(np.asarray(y)))
 
+    @pytest.mark.slow
     def test_grads_finite(self):
         params = fno.init_fno2d(jax.random.PRNGKey(0), 1, 4, 1, n_layers=1, modes=4)
         x = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 16, 16))
@@ -57,6 +60,19 @@ class TestFNO2D:
         for leaf in jax.tree_util.tree_leaves(grads):
             assert np.all(np.isfinite(np.asarray(leaf)))
 
+    def test_negative_h_modes_mixed(self):
+        # The conjugate (negative-H) corner must be learnable: its tensor r2
+        # receives gradient, and perturbing r2 changes the output.
+        params = fno.init_fno2d(jax.random.PRNGKey(0), 1, 4, 1, n_layers=1, modes=4)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 16, 16))
+        t = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 16, 16))
+        grads = jax.grad(fno.loss_fn2d)(params, x, t)
+        g2 = np.asarray(grads["layers"][0]["r2_re"])
+        assert np.max(np.abs(g2)) > 0
+        for leaf in jax.tree_util.tree_leaves(grads):
+            assert np.all(np.isfinite(np.asarray(leaf)))
+
+    @pytest.mark.slow
     def test_learns_smoothing(self):
         # target = low-pass of input: expressible by the spectral mix
         n = 16

@@ -44,6 +44,7 @@ class TestLocalModel:
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 class TestDistributedModel:
+    @pytest.mark.slow
     def test_distributed_matches_local_filter(self):
         mesh = make_mesh((2, 4))
         n = 256
@@ -89,6 +90,7 @@ class TestCheckpoint:
         ):
             assert np.array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.slow
     def test_roundtrip_fno_nested(self, tmp_path):
         from mixed_radix_fast_fourier_transform_tpu.models import fno
         from mixed_radix_fast_fourier_transform_tpu.models.checkpoint import (

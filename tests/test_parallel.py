@@ -64,6 +64,7 @@ class TestFourStep:
         want = np.fft.fft(x, axis=-1)
         assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
 
+    @pytest.mark.slow
     def test_roundtrip(self, rng):
         mesh = _mesh_seq()
         x = _rand_complex(rng, (2, 4096))
@@ -144,6 +145,7 @@ class TestScrambledOrder:
         want = np.fft.fft(x).reshape(32, 32).T  # Y[k1,k2] = X[k2*n1+k1]
         assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 2e-5
 
+    @pytest.mark.slow
     def test_scrambled_roundtrip(self, rng):
         from mixed_radix_fast_fourier_transform_tpu.parallel import (
             fft_four_step_scrambled,
@@ -158,6 +160,7 @@ class TestScrambledOrder:
 
 
 class TestConvolveSharded:
+    @pytest.mark.slow
     def test_circular_matches_numpy(self, rng):
         from mixed_radix_fast_fourier_transform_tpu.parallel import fft_convolve_sharded
 
@@ -171,6 +174,7 @@ class TestConvolveSharded:
         want = np.fft.ifft(np.fft.fft(x, axis=-1) * np.fft.fft(kpad), axis=-1)
         assert np.max(np.abs(got - want)) < 1e-3
 
+    @pytest.mark.slow
     def test_same_mode_matches_scipy_semantics(self, rng):
         from mixed_radix_fast_fourier_transform_tpu.parallel import fft_convolve_sharded
 
@@ -194,6 +198,28 @@ class TestConvolveSharded:
         want = np.fft.ifft(np.fft.fft(x, axis=-1) * np.fft.fft(kpad), axis=-1)
         assert np.max(np.abs(got - want)) < 1e-3
 
+    @pytest.mark.slow
+    def test_config5_shape_65536(self, rng):
+        # BASELINE config 5's class of shape on the 8-virtual-device mesh:
+        # 65536-point FFT convolution, large batch sharded over 'data', the
+        # transform sharded over 'seq'.  Batch scaled from 4096 to 64 to keep
+        # the CPU-mesh test tractable; the sharding pattern is identical.
+        from mixed_radix_fast_fourier_transform_tpu.parallel import fft_convolve_sharded
+
+        mesh = _mesh_2d()
+        n, batch = 65536, 64
+        x = rng.standard_normal((batch, n)).astype(np.float32)
+        k = rng.standard_normal(129).astype(np.float32)
+        got = np.asarray(
+            fft_convolve_sharded(x, k, mesh, mode="circular", data_axis="data")
+        ).real
+        kpad = np.zeros(n)
+        kpad[:129] = k
+        want = np.fft.ifft(
+            np.fft.fft(x[:2].astype(np.float64), axis=-1) * np.fft.fft(kpad), axis=-1
+        ).real
+        assert np.max(np.abs(got[:2] - want)) / np.max(np.abs(want)) < 1e-4
+
 
 class TestPencil2D:
     def test_fft2_matches_numpy(self, rng):
@@ -205,6 +231,7 @@ class TestPencil2D:
         want = np.fft.fft2(x)
         assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
 
+    @pytest.mark.slow
     def test_roundtrip_batched(self, rng):
         from mixed_radix_fast_fourier_transform_tpu.parallel import (
             fft2_pencil,
@@ -236,6 +263,7 @@ class TestDistributedRfft:
         assert got.shape == (1025,)
         assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
 
+    @pytest.mark.slow
     def test_roundtrip_batched(self, rng):
         from mixed_radix_fast_fourier_transform_tpu.parallel import (
             irfft_four_step,
@@ -273,6 +301,7 @@ class TestPencilND:
         want = np.fft.fftn(x)
         assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 3e-5
 
+    @pytest.mark.slow
     def test_3d_roundtrip(self, rng):
         from mixed_radix_fast_fourier_transform_tpu.parallel import (
             fftn_pencil,
@@ -309,6 +338,27 @@ class TestPencilND:
         with pytest.raises(ValueError):
             fftn_pencil(_rand_complex(rng, (12, 32)), mesh, shard_dim=0)
 
+    def test_data_axis_with_axis0_transform_raises(self, rng):
+        # data_axis shards array axis 0 as batch; axes including 0 (the
+        # default) must raise a clear error instead of an opaque trace error.
+        from mixed_radix_fast_fourier_transform_tpu.parallel import fftn_pencil
+        from mixed_radix_fast_fourier_transform_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh((2, 4))
+        x = _rand_complex(rng, (4, 16, 32))
+        with pytest.raises(ValueError, match="axis 0"):
+            fftn_pencil(x, mesh, shard_dim=1, data_axis="data")
+
+    def test_data_axis_batched_matches_numpy(self, rng):
+        from mixed_radix_fast_fourier_transform_tpu.parallel import fftn_pencil
+        from mixed_radix_fast_fourier_transform_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh((2, 4))
+        x = _rand_complex(rng, (4, 16, 32))
+        got = np.asarray(fftn_pencil(x, mesh, axes=(1, 2), shard_dim=1, data_axis="data"))
+        want = np.fft.fftn(x, axes=(1, 2))
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 3e-5
+
 
 class TestConvolve2Sharded:
     def test_circular_matches_numpy(self, rng):
@@ -324,6 +374,7 @@ class TestConvolve2Sharded:
         want = np.fft.ifft2(np.fft.fft2(img) * np.fft.fft2(kpad))
         assert np.max(np.abs(got - want)) < 1e-3
 
+    @pytest.mark.slow
     def test_same_matches_direct(self, rng):
         from mixed_radix_fast_fourier_transform_tpu.parallel import (
             fft_convolve2_sharded,
@@ -341,6 +392,7 @@ class TestConvolve2Sharded:
         assert got.shape == want.shape
         assert np.max(np.abs(got - want)) < 1e-3
 
+    @pytest.mark.slow
     def test_batched_data_axis(self, rng):
         from mixed_radix_fast_fourier_transform_tpu.parallel import (
             fft_convolve2_sharded,

@@ -95,6 +95,28 @@ def test_planner_invariants():
     assert not sp.dividebyN(59)
 
 
+def test_next_splittable_len():
+    from mixed_radix_fast_fourier_transform_tpu.parallel.distributed import (
+        choose_split,
+    )
+    from mixed_radix_fast_fourier_transform_tpu.utils.factorize import (
+        next_splittable_len,
+    )
+
+    for n in [7, 100, 4128, 4129, 65535, 65537, 100003]:
+        for p in [1, 2, 4, 8]:
+            m = next_splittable_len(n, p)
+            assert m >= n
+            n1, n2 = choose_split(m, p)  # must never raise
+            assert n1 * n2 == m and n1 % p == 0 and n2 % p == 0
+    # awkward shape from the old retry loop's worst case: kernel+signal sums
+    # landing just past a splittable length
+    m = next_splittable_len(4000 + 129 - 1, 4)
+    assert m >= 4128 and choose_split(m, 4)
+    with pytest.raises(ValueError):
+        next_splittable_len(100, 257, max_stage=256)
+
+
 def test_plan_cache_identity():
     p1 = sp.get_plan(360, -1)
     p2 = sp.get_plan(360, -1)

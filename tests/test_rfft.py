@@ -48,6 +48,19 @@ def test_irfft_default_length(rng):
     assert sp.irfft(spec).shape == (64,)
 
 
+@pytest.mark.parametrize("n", [3, 9, 15, 1009])
+@pytest.mark.parametrize("bshape", [(2,), (3,), (5,), (2, 3)])
+def test_odd_batched_two_for_one(rng, n, bshape):
+    """Odd-N batched rfft/irfft take the two-for-one pairing path (including
+    odd batch counts, which pad one zero row)."""
+    x = rng.standard_normal(bshape + (n,)).astype(np.float32)
+    got = sp.rfft(x)
+    want = np.fft.rfft(x.astype(np.float64), axis=-1)
+    assert _rel_err(got, want) < TOL
+    back = sp.irfft(np.asarray(got), n=n)
+    np.testing.assert_allclose(np.asarray(back), x, atol=2e-4)
+
+
 @pytest.mark.parametrize("norm", ["backward", "ortho", "forward"])
 def test_rfft_norms(rng, norm):
     n = 4096

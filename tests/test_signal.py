@@ -43,13 +43,82 @@ class TestDCT:
 
     def test_bad_type(self):
         with pytest.raises(ValueError):
-            sp.dct(np.zeros(8, np.float32), type=1)
+            sp.dct(np.zeros(8, np.float32), type=5)
 
     def test_ortho_is_orthonormal(self, rng):
         n = 16
         eye = np.eye(n, dtype=np.float32)
         D = np.asarray(sp.dct(eye, 2, norm="ortho"))
         np.testing.assert_allclose(D @ D.T, np.eye(n), atol=1e-5)
+
+
+def _dct1_mat(n):
+    k = np.arange(n)[:, None]; m = np.arange(n)[None, :]
+    M = 2 * np.cos(np.pi * k * m / (n - 1))
+    M[:, 0] = 1
+    M[:, -1] = (-1.0) ** k[:, 0]
+    return M
+
+
+def _dct4_mat(n):
+    k = np.arange(n)[:, None]; m = np.arange(n)[None, :]
+    return 2 * np.cos(np.pi * (2 * k + 1) * (2 * m + 1) / (4 * n))
+
+
+def _dst1_mat(n):
+    k = np.arange(n)[:, None]; m = np.arange(n)[None, :]
+    return 2 * np.sin(np.pi * (k + 1) * (m + 1) / (n + 1))
+
+
+def _dst4_mat(n):
+    k = np.arange(n)[:, None]; m = np.arange(n)[None, :]
+    return 2 * np.sin(np.pi * (2 * k + 1) * (2 * m + 1) / (4 * n))
+
+
+class TestDCTDSTTypes14:
+    """DCT/DST types I and IV vs explicit fp64 transform matrices (scipy
+    unnormalized conventions)."""
+
+    @pytest.mark.parametrize("n", [2, 8, 15, 64])
+    def test_vs_oracle_matrices(self, rng, n):
+        x = rng.standard_normal((3, n))
+        cases = [
+            (lambda a: sp.dct(a, 1), _dct1_mat),
+            (lambda a: sp.dct(a, 4), _dct4_mat),
+            (lambda a: sp.dst(a, 1), _dst1_mat),
+            (lambda a: sp.dst(a, 4), _dst4_mat),
+        ]
+        for fn, mat in cases:
+            got = np.asarray(fn(x.astype(np.float32)))
+            want = x @ mat(n).T
+            err = np.max(np.abs(got - want)) / np.max(np.abs(want))
+            assert err < 3e-5
+
+    @pytest.mark.parametrize("type", [1, 4])
+    def test_ortho_orthonormal(self, type):
+        n = 16
+        eye = np.eye(n, dtype=np.float32)
+        for f in (sp.dct, sp.dst):
+            D = np.asarray(f(eye, type, norm="ortho"))
+            np.testing.assert_allclose(D @ D.T, np.eye(n), atol=2e-5)
+
+    @pytest.mark.parametrize("type", [1, 4])
+    @pytest.mark.parametrize("norm", [None, "ortho"])
+    def test_roundtrips(self, rng, type, norm):
+        x = rng.standard_normal((2, 31)).astype(np.float32)
+        back = np.asarray(sp.idct(sp.dct(x, type, norm=norm), type, norm=norm))
+        assert np.max(np.abs(back - x)) < 1e-4
+        back = np.asarray(sp.idst(sp.dst(x, type, norm=norm), type, norm=norm))
+        assert np.max(np.abs(back - x)) < 1e-4
+
+    def test_dct1_needs_two(self):
+        with pytest.raises(ValueError):
+            sp.dct(np.zeros(1, np.float32), 1)
+
+    def test_dstn_roundtrip(self, rng):
+        img = rng.standard_normal((6, 10)).astype(np.float32)
+        back = np.asarray(sp.idstn(sp.dstn(img, 2, norm="ortho"), 2, norm="ortho"))
+        assert np.max(np.abs(back - img)) < 1e-4
 
 
 class TestHilbert:
@@ -113,6 +182,24 @@ class TestPSD:
         df = fs / 512
         total = float(np.sum(np.asarray(p)) * df)
         assert abs(total - 1.0) < 0.15  # white noise unit variance
+
+    def test_welch_nondividing_length_matches_scipy_convention(self, rng):
+        # len=1000, nperseg=256, hop=128: (1000-256) % 128 != 0, so scipy
+        # DROPS the partial tail frame and detrends each segment separately.
+        # Oracle: hand-written scipy-convention Welch in fp64.
+        n, fs, nperseg = 1000, 1.0, 256
+        hop = nperseg - nperseg // 2
+        x = rng.standard_normal(n).astype(np.float32)
+        xd = x.astype(np.float64)
+        w = np.asarray(sp.get_window("hann", nperseg), dtype=np.float64)
+        n_frames = 1 + (n - nperseg) // hop
+        segs = np.stack([xd[i * hop : i * hop + nperseg] for i in range(n_frames)])
+        segs = segs - segs.mean(axis=-1, keepdims=True)
+        spec = np.fft.rfft(segs * w, axis=-1)
+        p = (np.abs(spec) ** 2).mean(axis=0) / (fs * np.sum(w**2))
+        p[1:-1] *= 2.0  # one-sided (nperseg even: DC and Nyquist not doubled)
+        f, got = sp.welch(x, fs=fs, nperseg=nperseg)
+        np.testing.assert_allclose(np.asarray(got), p, rtol=1e-4, atol=1e-7)
 
     def test_bad_scaling(self):
         with pytest.raises(ValueError):
