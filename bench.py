@@ -116,7 +116,7 @@ def bench_vs_xla_builtin(n: int, batch: int, iters: int, seed: int = 0) -> float
         return jnp.real(z), jnp.imag(z)
 
     ours = lambda ar, ai: exec_complex(plan, ar, ai)
-    res = ab_compare(builtin, ours, (xr, xi), short=2 * iters, long=10 * iters,
+    res = ab_compare(builtin, ours, (xr, xi), short=iters, long=5 * iters,
                      rounds=5)
     return res["ratio_median"]
 
@@ -173,12 +173,15 @@ def bench_convolve(n_sig: int, n_ker: int, batch: int, iters: int, seed: int = 0
 
 def main():
     platform = jax.devices()[0].platform
+    # Chain lengths sized so the measured T_long - T_short difference is
+    # tens of milliseconds: round-1 chains (diff ~2-8 ms) were inside the
+    # tunnel's noise floor and produced non-reproducible ratios.
     configs = {
-        "n1024_b256": (1024, 256, 50),
-        "n4096_b64": (4096, 64, 50),
-        "n5040_b64": (5040, 64, 30),   # mixed radix 2/3/5/7 (reference wrong here)
-        "n10007_b16": (10007, 16, 20),  # Bluestein prime
-        "n65536_b16": (65536, 16, 20),
+        "n1024_b256": (1024, 256, 1000),
+        "n4096_b64": (4096, 64, 500),
+        "n5040_b64": (5040, 64, 300),   # mixed radix 2/3/5/7 (reference wrong here)
+        "n10007_b16": (10007, 16, 100),  # Bluestein prime
+        "n65536_b16": (65536, 16, 100),
     }
     extras = {}
     worst_err = 0.0
@@ -190,12 +193,17 @@ def main():
         except Exception as e:  # pragma: no cover — keep the bench line printable
             extras[name] = {"error": str(e)[:200]}
     try:
-        ratio = bench_vs_xla_builtin(1024, 256, 50)
+        ratio = bench_vs_xla_builtin(1024, 256, 1000)
         extras["speedup_vs_xla_builtin_n1024"] = round(ratio, 3)
     except Exception as e:  # pragma: no cover
         extras["speedup_vs_xla_builtin_n1024"] = {"error": str(e)[:200]}
     try:
-        gf, err = bench_rfft_roundtrip(4096, 64, 30)
+        ratio = bench_vs_xla_builtin(65536, 16, 100)
+        extras["speedup_vs_xla_builtin_n65536"] = round(ratio, 3)
+    except Exception as e:  # pragma: no cover
+        extras["speedup_vs_xla_builtin_n65536"] = {"error": str(e)[:200]}
+    try:
+        gf, err = bench_rfft_roundtrip(4096, 64, 300)
         extras["rfft4096_roundtrip_b64"] = {
             "gflops": round(gf, 2), "max_rel_err": float(f"{err:.3g}")
         }
@@ -203,7 +211,7 @@ def main():
     except Exception as e:  # pragma: no cover
         extras["rfft4096_roundtrip_b64"] = {"error": str(e)[:200]}
     try:
-        gf, err = bench_convolve(4000, 129, 64, 20)
+        gf, err = bench_convolve(4000, 129, 64, 200)
         extras["conv4000x129_same_b64"] = {
             "gflops": round(gf, 2), "max_rel_err": float(f"{err:.3g}")
         }
@@ -215,7 +223,7 @@ def main():
         # FFT convolution (signal 65408 + kernel 129 pads to exactly 65536).
         # Batch 256 is the largest that keeps this config's share of the bench
         # run to ~1 min; throughput is batch-flat from 16 up (CLAUDE.md).
-        gf, err = bench_convolve(65408, 129, 256, 5)
+        gf, err = bench_convolve(65408, 129, 256, 20)
         extras["conv65408x129_same_b256"] = {
             "gflops": round(gf, 2), "max_rel_err": float(f"{err:.3g}")
         }

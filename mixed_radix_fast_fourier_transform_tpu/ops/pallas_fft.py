@@ -28,12 +28,15 @@ Scope: batch-tiled transforms with prime factors <= MAX_UNROLL_RADIX and
 N·BT within VMEM; everything else falls back to the XLA path (the public op
 layer dispatches via :func:`maybe_exec_pallas`).
 
-Status (measured, TPU v5e, 2026-08, interleaved A/B vs the XLA pipeline):
-1.07-1.43x faster at N=1024 B=256 (max rel err 1.5e-7, 24-75 s compile),
-parity at N=4096 (362 s compile), untested beyond (compile time grows
-steeply with stage count x radix).  Off by default
-(`SpectralConfig.use_pallas = False`); None = auto-on for TPU backends,
-True = force (interpreter off-TPU).
+Status (measured, TPU v5e, 2026-08-16, interleaved A/B): parity with the
+OLD 4-matmul XLA pipeline at N=1024 (both ~24 µs b=256), but the engine's
+stacked/Karatsuba stage-matmul forms (ops/stockham.py) have since pushed
+the XLA path to ~14 µs — the fused VPU kernel now LOSES to the better-fed
+MXU at every measured size.  Kept as an opt-in component
+(`SpectralConfig.use_pallas = True`; None = auto-on-TPU) because its
+one-HBM-pass structure is the right scaffold for future fusion work
+(scrambled-order epilogues, in-kernel chirp multiplies), but it is not the
+default path and the default should stay False until it wins again.
 """
 
 from __future__ import annotations

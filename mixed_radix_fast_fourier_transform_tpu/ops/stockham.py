@@ -28,7 +28,6 @@ All functions are jittable; the plan rides along as a pytree argument.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Tuple
 
 import jax
@@ -40,34 +39,75 @@ from ..utils.numerics import cmul
 Array = jax.Array
 
 
+# Complex stage matmul forms, chosen per stage size f (measured on v5e,
+# interleaved A/B, fp32 HIGHEST):
+#
+# * STACKED (f < KARATSUBA_MIN_STAGE): one real matmul with the re/im planes
+#   concatenated on the contraction axis against the (2f, 2f) block matrix
+#   [[Wr, Wi], [−Wi, Wr]].  Same flops as the naive 4-matmul form but double
+#   the contraction depth K — at small K the MXU is utilization-starved
+#   (K=32 runs ~4.5 of ~33 fp32-effective TFLOP/s), so doubling K is ~free
+#   speed: 1.77x at N=1024 (32,32), 1.25x at N=4096 (64,64).
+# * KARATSUBA (f >= KARATSUBA_MIN_STAGE): three real matmuls
+#   M1 = xr·Wr, M2 = xi·Wi, M3 = (xr+xi)·(Wr+Wi); zr = M1−M2,
+#   zi = M3−M1−M2.  At large K the MXU is already near its flop roofline, so
+#   the 25% flop cut beats better utilization: 1.35x over stacked at
+#   N=65536 (256,256), putting that size 1.14x ahead of jnp.fft.fft.
+KARATSUBA_MIN_STAGE = 128
+
+
+def _stacked_dft_matrix(wr: Array, wi: Array) -> Array:
+    """(2f, 2f) real block matrix [[Wr, Wi], [−Wi, Wr]].  XLA constant-folds
+    this build when the plan leaves are constants (the usual case)."""
+    wr = jnp.asarray(wr)
+    wi = jnp.asarray(wi)
+    top = jnp.concatenate([wr, wi], axis=1)
+    bot = jnp.concatenate([-wi, wr], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def _dft_apply(
+    subscripts: str,
+    axis: int,
+    xr: Array,
+    xi: Array,
+    wr: Array,
+    wi: Array,
+    precision: str,
+) -> Tuple[Array, Array]:
+    """Dense complex DFT stage over ``axis`` via ``subscripts`` einsum,
+    dispatching on the measured stacked/Karatsuba crossover."""
+    f = wr.shape[0]
+    dot = lambda a, w: jnp.einsum(
+        subscripts, a, w, precision=precision, preferred_element_type=xr.dtype
+    )
+    if f >= KARATSUBA_MIN_STAGE:
+        wr = jnp.asarray(wr)
+        wi = jnp.asarray(wi)
+        m1 = dot(xr, wr)
+        m2 = dot(xi, wi)
+        m3 = dot(xr + xi, wr + wi)
+        return m1 - m2, m3 - m1 - m2
+    w2 = _stacked_dft_matrix(wr, wi)
+    x2 = jnp.concatenate([xr, xi], axis=axis)
+    z2 = dot(x2, w2)
+    if axis == -1:
+        return z2[..., :f], z2[..., f:]
+    return z2[..., :f, :], z2[..., f:, :]
+
+
 def _dft_apply_last(
     xr: Array, xi: Array, wr: Array, wi: Array, precision: str
 ) -> Tuple[Array, Array]:
-    """Dense DFT over the last axis: z[..., k] = Σ_n x[..., n] W[n, k].
-
-    Four real matmuls on the MXU.  ``preferred_element_type`` + "highest"
-    precision keep fp32 accuracy (multi-pass bf16 on TPU MXU).
-    """
-    dot = partial(
-        jnp.einsum,
-        "...n,nk->...k",
-        precision=precision,
-        preferred_element_type=xr.dtype,
-    )
-    return dot(xr, wr) - dot(xi, wi), dot(xr, wi) + dot(xi, wr)
+    """DFT over the last axis: z[..., k] = Σ_n x[..., n] W[n, k]."""
+    return _dft_apply("...n,nk->...k", -1, xr, xi, wr, wi, precision)
 
 
 def _dft_apply_axis2(
     xr: Array, xi: Array, wr: Array, wi: Array, precision: str
 ) -> Tuple[Array, Array]:
-    """Dense DFT over axis -2: z[..., m, k] = Σ_n x[..., n, k] W[n, m]."""
-    dot = partial(
-        jnp.einsum,
-        "...nk,nm->...mk",
-        precision=precision,
-        preferred_element_type=xr.dtype,
-    )
-    return dot(xr, wr) - dot(xi, wi), dot(xr, wi) + dot(xi, wr)
+    """DFT over axis -2: z[..., m, k] = Σ_n x[..., n, k] W[n, m]."""
+    return _dft_apply("...nk,nm->...mk", -2, xr, xi, wr, wi, precision)
 
 
 def _exec_level(

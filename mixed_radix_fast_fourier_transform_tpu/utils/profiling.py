@@ -39,12 +39,16 @@ class PlanCost:
 
 
 def _mixed_radix_cost(plan, dtype_bytes: int = 4) -> PlanCost:
+    from ..ops.stockham import KARATSUBA_MIN_STAGE  # lazy: avoid cycle
+
     n = plan.n
     flops = 0.0
     bytes_ = 0.0
     for i, f in enumerate(plan.factors):
-        # stage DFT: 4 real matmuls contracting f: 8·n·f real flops
-        flops += 8.0 * n * f
+        # stage DFT matmul flops: stacked form (one 2f-contraction real
+        # matmul) costs 8·n·f; the Karatsuba form used at f >= the measured
+        # crossover costs 6·n·f (three matmuls instead of four)
+        flops += (6.0 if f >= KARATSUBA_MIN_STAGE else 8.0) * n * f
         # split twiddle multiply (all but last stage): 6 flops per point
         if i < len(plan.factors) - 1:
             flops += 6.0 * n

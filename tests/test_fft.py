@@ -187,3 +187,28 @@ def test_reference_broken_lengths(rng, n):
     got = np.asarray(sp.fft(x)).astype(np.complex128)
     want = np.fft.fft(x.astype(np.complex128))
     assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
+
+
+def test_stage_matmul_forms_crossover(rng):
+    """One plan mixing both stage-matmul forms: a >=128 stage (Karatsuba
+    3-matmul) and a <128 stage (stacked block matmul) must compose correctly
+    (ops/stockham.KARATSUBA_MIN_STAGE crossover, measured on v5e)."""
+    from mixed_radix_fast_fourier_transform_tpu.ops.stockham import (
+        KARATSUBA_MIN_STAGE,
+        exec_mixed_radix,
+    )
+    from mixed_radix_fast_fourier_transform_tpu.plan import build_mixed_radix_plan
+    from mixed_radix_fast_fourier_transform_tpu.utils.config import DEFAULT_CONFIG
+
+    plan = build_mixed_radix_plan(8192, -1, DEFAULT_CONFIG)  # (128, 64)
+    assert any(f >= KARATSUBA_MIN_STAGE for f in plan.factors), plan.factors
+    assert any(f < KARATSUBA_MIN_STAGE for f in plan.factors), plan.factors
+    x = rng.standard_normal(8192) + 1j * rng.standard_normal(8192)
+    zr, zi = exec_mixed_radix(
+        plan,
+        jnp.asarray(x.real.astype(np.float32))[None],
+        jnp.asarray(x.imag.astype(np.float32))[None],
+    )
+    got = np.asarray(zr)[0] + 1j * np.asarray(zi)[0]
+    want = np.fft.fft(x)
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
