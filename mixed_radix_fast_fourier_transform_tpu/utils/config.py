@@ -29,8 +29,12 @@ class SpectralConfig:
     stage_strategy: str = "balanced"
     # Working dtype of the (re, im) planes on device.
     dtype: jnp.dtype = jnp.float32
-    # Matmul precision for the stage DFTs.  HIGHEST = fp32-accurate on the MXU
-    # (multi-pass bf16); required for the <=1e-5 error budget.
+    # Matmul precision for the stage DFTs.  Measured ladder at N=1024 on v5e:
+    # HIGHEST (6-pass bf16, fp32-exact) err 1.4e-7; HIGH (3-pass) err 1.7e-5 —
+    # just OVER the 1e-5 budget but ~1.2-2x faster where acceptable; DEFAULT
+    # (1-pass bf16) err 3.2e-3.  HIGHEST is required for the default budget;
+    # pass SpectralConfig(precision="high") per-workload to trade accuracy
+    # for speed.
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
     # Padded-length selector for Bluestein / convolution: "pow23" picks the
     # smallest 2^a or 3·2^a — measured 1.35x faster than "pow2" for Bluestein
@@ -40,9 +44,9 @@ class SpectralConfig:
     pad_mode: str = "pow23"
     # Fused Pallas kernel path for smooth lengths (ops/pallas_fft.py):
     # False (default) = always XLA; None = auto (kernel on TPU backends);
-    # True = force (interpreter off-TPU).  Measured on v5e: 1.07-1.43x faster
-    # than the XLA pipeline at N=1024, parity at N=4096, but Mosaic compiles
-    # cost minutes at N >= 4096 — opt in per workload.
+    # True = force (interpreter off-TPU).  Since the stacked/Karatsuba stage
+    # matmuls landed (ops/stockham.py) the XLA path is FASTER than the kernel
+    # at every measured size — keep False unless experimenting.
     use_pallas: "bool | None" = False
 
 

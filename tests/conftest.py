@@ -20,6 +20,16 @@ import jax  # noqa: E402
 # overrides JAX_PLATFORMS; jax.config wins over both.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: XLA CPU compiles dominate the suite's wall
+# time (1-core box); cache them across runs.  Also caches CPU-as-TPU-stand-in
+# compiles for the mesh tests.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

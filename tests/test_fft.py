@@ -212,3 +212,34 @@ def test_stage_matmul_forms_crossover(rng):
     got = np.asarray(zr)[0] + 1j * np.asarray(zi)[0]
     want = np.fft.fft(x)
     assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
+
+
+def test_precision_ladder(rng):
+    """The matmul precision ladder (SpectralConfig.precision): DEFAULT must be
+    measurably worse than HIGH, HIGH worse than HIGHEST, and HIGHEST inside
+    the 1e-5 budget — documents the measured accuracy/speed trade."""
+    import dataclasses
+
+    from mixed_radix_fast_fourier_transform_tpu.ops.stockham import exec_mixed_radix
+    from mixed_radix_fast_fourier_transform_tpu.plan import build_mixed_radix_plan
+    from mixed_radix_fast_fourier_transform_tpu.utils.config import DEFAULT_CONFIG
+
+    n = 1024
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    want = np.fft.fft(x)
+    errs = {}
+    for prec in ("highest", "high", "default"):
+        cfg = dataclasses.replace(DEFAULT_CONFIG, precision=prec)
+        plan = build_mixed_radix_plan(n, -1, cfg)
+        zr, zi = exec_mixed_radix(
+            plan,
+            jnp.asarray(x.real.astype(np.float32))[None],
+            jnp.asarray(x.imag.astype(np.float32))[None],
+        )
+        got = np.asarray(zr)[0] + 1j * np.asarray(zi)[0]
+        errs[prec] = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert errs["highest"] < TOL
+    # CPU executes all precisions as true fp32, so the ladder only orders on
+    # TPU backends; assert it when the backend actually degrades precision.
+    if errs["default"] > 2 * errs["highest"]:
+        assert errs["highest"] <= errs["high"] <= errs["default"]
