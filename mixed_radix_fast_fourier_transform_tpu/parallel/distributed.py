@@ -110,6 +110,7 @@ def fft_four_step(
     inverse: bool = False,
     norm: Optional[str] = "backward",
     n1: Optional[int] = None,
+    overlap_chunks: int = 1,
     config: SpectralConfig = DEFAULT_CONFIG,
 ) -> Array:
     """Distributed 1-D FFT along the last axis, natural order in and out.
@@ -121,6 +122,12 @@ def fft_four_step(
     Three all-to-alls.  For convolution-style pipelines that don't need
     natural-order spectra, see :func:`fft_four_step_scrambled` /
     :func:`ifft_four_step_scrambled` (two all-to-alls each).
+
+    ``overlap_chunks > 1`` splits the leading batch axis into that many
+    independent chunk pipelines inside one shard_map, so XLA's latency-hiding
+    scheduler can overlap chunk i's ICI all-to-all with chunk j's local FFT
+    compute (SURVEY §7 hard part (d)).  Requires a leading batch axis whose
+    local size divides by the chunk count; numerics are identical.
     """
     x = jnp.asarray(x)
     n = x.shape[-1]
@@ -140,6 +147,13 @@ def fft_four_step(
     twi = jnp.asarray(twi, dtype=config.dtype)
 
     nbatch = x.ndim - 1
+    if overlap_chunks < 1:
+        raise ValueError(f"overlap_chunks must be >= 1, got {overlap_chunks}")
+    if overlap_chunks > 1 and nbatch == 0:
+        raise ValueError(
+            "overlap_chunks needs a leading batch axis to chunk; "
+            "reshape the input to (batch, N) or pass overlap_chunks=1"
+        )
     bspec = [None] * nbatch
     if data_axis is not None and nbatch:
         bspec[0] = data_axis
@@ -148,7 +162,7 @@ def fft_four_step(
     spec_cols = P(*bspec, None, seq_axis)  # columns sharded
     spec_tw = P(None, seq_axis)
 
-    def body(xr, xi, twr, twi):
+    def pipeline(xr, xi, twr, twi):
         # entry: local (..., n1/P, n2) — rows sharded; reshard to columns
         a2a = partial(jax.lax.all_to_all, axis_name=seq_axis, tiled=True)
         xr = a2a(xr, split_axis=xr.ndim - 1, concat_axis=xr.ndim - 2)
@@ -171,7 +185,7 @@ def fft_four_step(
         return xr.reshape(shp), xi.reshape(shp)
 
     sharded = jax.shard_map(
-        body,
+        _chunked(pipeline, overlap_chunks),
         mesh=mesh,
         in_specs=(spec_rows, spec_rows, spec_tw, spec_tw),
         out_specs=(spec_in, spec_in),
@@ -209,6 +223,38 @@ def ifft_four_step(x, mesh: Mesh, **kw) -> Array:
 # distributed convolution costs 4 all-to-alls instead of 6.
 # ---------------------------------------------------------------------------
 
+def _chunked(pipeline, chunks: int):
+    """Wrap a per-shard (xr, xi, *consts) -> (yr, yi) pipeline with leading-
+    batch-axis chunking: ``chunks`` independent sub-pipelines inside one
+    shard_map give XLA's latency-hiding scheduler the freedom to overlap one
+    chunk's collectives with another's local FFT compute."""
+    if chunks == 1:
+        return pipeline
+
+    def body(xr, xi, *consts):
+        if xr.ndim < 3:
+            raise ValueError(
+                "overlap_chunks needs a leading batch axis to chunk; "
+                "reshape the input to (batch, N) or pass overlap_chunks=1"
+            )
+        if xr.shape[0] % chunks:
+            raise ValueError(
+                f"local batch {xr.shape[0]} must divide by overlap_chunks={chunks}"
+            )
+        outs = [
+            pipeline(cr, ci, *consts)
+            for cr, ci in zip(
+                jnp.split(xr, chunks, axis=0), jnp.split(xi, chunks, axis=0)
+            )
+        ]
+        return (
+            jnp.concatenate([o[0] for o in outs], axis=0),
+            jnp.concatenate([o[1] for o in outs], axis=0),
+        )
+
+    return body
+
+
 def _prep_planes(x, config):
     x = jnp.asarray(x)
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
@@ -234,11 +280,12 @@ def fft_four_step_scrambled(
     seq_axis: str = SEQ_AXIS,
     data_axis: Optional[str] = None,
     n1: Optional[int] = None,
+    overlap_chunks: int = 1,
     config: SpectralConfig = DEFAULT_CONFIG,
 ) -> Array:
     """Forward FFT, output left in four-step matrix order: returns (..., n1, n2)
     with Y[k1, k2] = X[k2·n1 + k1], rows (k1) sharded over ``seq_axis``.
-    Two all-to-alls."""
+    Two all-to-alls.  ``overlap_chunks``: see :func:`fft_four_step`."""
     x = jnp.asarray(x)
     n = x.shape[-1]
     p = mesh.shape[seq_axis]
@@ -269,7 +316,7 @@ def fft_four_step_scrambled(
         return _local_fft_last(plan2, xr, xi)
 
     sharded = jax.shard_map(
-        body,
+        _chunked(body, overlap_chunks),
         mesh=mesh,
         in_specs=(spec_rows, spec_rows, spec_tw, spec_tw),
         out_specs=(spec_rows, spec_rows),
@@ -286,6 +333,7 @@ def ifft_four_step_scrambled(
     *,
     seq_axis: str = SEQ_AXIS,
     data_axis: Optional[str] = None,
+    overlap_chunks: int = 1,
     config: SpectralConfig = DEFAULT_CONFIG,
 ) -> Array:
     """Inverse of :func:`fft_four_step_scrambled`: input (..., n1, n2) in
@@ -335,7 +383,7 @@ def ifft_four_step_scrambled(
         return (yr * s).reshape(shp), (yi * s).reshape(shp)
 
     sharded = jax.shard_map(
-        body,
+        _chunked(body, overlap_chunks),
         mesh=mesh,
         in_specs=(spec_rows, spec_rows, spec_tw, spec_tw),
         out_specs=(spec_flat, spec_flat),
@@ -353,11 +401,13 @@ def fft_convolve_sharded(
     seq_axis: str = SEQ_AXIS,
     data_axis: Optional[str] = None,
     mode: str = "circular",
+    overlap_chunks: int = 1,
     config: SpectralConfig = DEFAULT_CONFIG,
 ) -> Array:
     """Distributed FFT convolution of (..., N) signals with a fixed host-side
     kernel (filter taps).  BASELINE config 5's shape: long transforms, large
-    batch, sharded over the mesh.
+    batch, sharded over the mesh.  ``overlap_chunks``: see
+    :func:`fft_four_step` (batch-chunked comm/compute overlap).
 
     ``mode='circular'``: circular convolution of length N (kernel zero-padded
     or wrapped to N).  ``mode='same'``: linear convolution truncated to N —
@@ -393,11 +443,13 @@ def fft_convolve_sharded(
     ki = jnp.asarray(kmat.imag, dtype=config.dtype)
 
     spec = fft_four_step_scrambled(
-        x, mesh, seq_axis=seq_axis, data_axis=data_axis, n1=n1, config=config
+        x, mesh, seq_axis=seq_axis, data_axis=data_axis, n1=n1,
+        overlap_chunks=overlap_chunks, config=config,
     )
     gain = jax.lax.complex(kr, ki)
     out = ifft_four_step_scrambled(
-        spec * gain, mesh, seq_axis=seq_axis, data_axis=data_axis, config=config
+        spec * gain, mesh, seq_axis=seq_axis, data_axis=data_axis,
+        overlap_chunks=overlap_chunks, config=config,
     )
     if mode == "same":
         start = (len(kernel) - 1) // 2

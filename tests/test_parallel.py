@@ -108,6 +108,21 @@ class TestFourStep:
         want = np.fft.fft(x, norm="ortho")
         assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
 
+    @pytest.mark.parametrize("chunks", [2, 4])
+    def test_overlap_chunks_matches(self, rng, chunks):
+        """Batch-chunked comm/compute overlap pipelines are numerically
+        identical to the monolithic body (SURVEY §7 hard part (d))."""
+        mesh = _mesh_seq()
+        x = _rand_complex(rng, (4, 4096))
+        got = np.asarray(fft_four_step(x, mesh, overlap_chunks=chunks))
+        want = np.fft.fft(x, axis=-1)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
+
+    def test_overlap_chunks_requires_batch(self, rng):
+        mesh = _mesh_seq()
+        with pytest.raises(ValueError, match="batch"):
+            fft_four_step(_rand_complex(rng, (1024,)), mesh, overlap_chunks=2)
+
     def test_output_sharding_contiguous(self, rng):
         mesh = _mesh_seq()
         x = _rand_complex(rng, (1024,))
