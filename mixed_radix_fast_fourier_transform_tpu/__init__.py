@@ -30,7 +30,7 @@ from .ops.fft import (
     fftshift,
     ifftshift,
 )
-from .ops.rfft import rfft, irfft, rfftn, irfftn
+from .ops.rfft import rfft, irfft, rfftn, irfftn, rfft2, irfft2, hfft, ihfft
 from .ops.convolve import fft_convolve, fft_convolve2, fft_correlate, fft_oaconvolve
 from .ops.stft import stft, istft, spectrogram, get_window
 from .ops.czt import czt, zoom_fft
@@ -60,7 +60,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
-    "rfft", "irfft", "rfftn", "irfftn",
+    "rfft", "rfft2", "irfft2", "hfft", "ihfft", "irfft", "rfftn", "irfftn",
     "fft_convolve", "fft_convolve2", "fft_correlate", "fft_oaconvolve",
     "stft", "istft", "spectrogram", "get_window",
     "czt", "zoom_fft", "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn", "hilbert", "periodogram", "welch", "csd", "coherence", "spectral_diff",

@@ -196,6 +196,13 @@ def irfft(
         raise ValueError(f"irfft output length must be >= 1, got {n}")
     x = _resize_last(x, n // 2 + 1)
     xr, xi = to_planes(x, config.dtype)
+    # numpy.fft.irfft semantics: the imaginary parts of the DC (and, for even
+    # n, Nyquist) bins never enter the c2r algebra — zero them so arbitrary
+    # (non-Hermitian) inputs match numpy exactly instead of leaking Im(X[0])
+    # into the output (hfft relies on this).
+    xi = xi.at[..., 0].set(0.0)
+    if n % 2 == 0 and n >= 2:
+        xi = xi.at[..., n // 2].set(0.0)
     if n % 2 == 0 and n >= 2:
         out = _irfft_packed(xr, xi, n, config)
     else:
@@ -234,6 +241,34 @@ def irfft(
     return jnp.moveaxis(out, -1, axis)
 
 
+def hfft(x, n: Optional[int] = None, axis: int = -1, norm="backward",
+         *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """FFT of a signal with Hermitian symmetry (real spectrum): half-spectrum
+    input (length m) → real output of length n (default 2·(m−1)).  numpy.fft
+    identity: hfft(a, n) = irfft(conj(a), n) · n, with norms swapped
+    (numpy's hfft 'backward' applies no scale)."""
+    x = jnp.asarray(x)
+    axis = axis % x.ndim
+    m = x.shape[axis]
+    n = int(n) if n is not None else 2 * (m - 1)
+    norm = norm or "backward"
+    if norm not in ("backward", "ortho", "forward"):
+        raise ValueError(f"unknown norm {norm!r}")
+    inv_norm = {"backward": "forward", "forward": "backward", "ortho": "ortho"}
+    return irfft(jnp.conj(x), n=n, axis=axis, norm=inv_norm[norm], config=config)
+
+
+def ihfft(x, n: Optional[int] = None, axis: int = -1, norm="backward",
+          *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """Inverse of :func:`hfft`: real input length n → half spectrum
+    (n//2 + 1) with conjugate-inverted phase (numpy.fft.ihfft)."""
+    norm = norm or "backward"
+    if norm not in ("backward", "ortho", "forward"):
+        raise ValueError(f"unknown norm {norm!r}")
+    inv_norm = {"backward": "forward", "forward": "backward", "ortho": "ortho"}
+    return jnp.conj(rfft(x, n=n, axis=axis, norm=inv_norm[norm], config=config))
+
+
 def rfftn(x, s=None, axes=None, norm="backward", *, config=DEFAULT_CONFIG):
     """N-D real FFT: rfft over the last requested axis, complex fft over the rest."""
     from .fft import fft, _axes_shape
@@ -260,3 +295,13 @@ def irfftn(x, s=None, axes=None, norm="backward", *, config=DEFAULT_CONFIG):
     for n_i, a in zip(s[:-1], axes[:-1]):
         x = ifft(x, n=n_i, axis=a, norm=norm, config=config)
     return irfft(x, n=s[-1], axis=axes[-1], norm=norm, config=config)
+
+
+def rfft2(x, s=None, axes=(-2, -1), norm="backward", *, config=DEFAULT_CONFIG):
+    """2-D real FFT (numpy.fft.rfft2): rfftn over the given two axes."""
+    return rfftn(x, s=s, axes=axes, norm=norm, config=config)
+
+
+def irfft2(x, s=None, axes=(-2, -1), norm="backward", *, config=DEFAULT_CONFIG):
+    """Inverse 2-D real FFT (numpy.fft.irfft2)."""
+    return irfftn(x, s=s, axes=axes, norm=norm, config=config)

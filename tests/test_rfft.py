@@ -102,3 +102,39 @@ def test_rfftn_irfftn(rng):
 def test_rfft_rejects_complex(rng):
     with pytest.raises(ValueError):
         sp.rfft(np.zeros(8, np.complex64))
+
+
+@pytest.mark.parametrize("norm", ["backward", "ortho", "forward"])
+def test_hfft_ihfft_match_numpy(rng, norm):
+    a = (rng.standard_normal((3, 9)) + 1j * rng.standard_normal((3, 9))).astype(
+        np.complex64
+    )
+    got = sp.hfft(a, norm=norm)
+    want = np.fft.hfft(a.astype(np.complex128), norm=norm, axis=-1)
+    assert np.asarray(got).shape == want.shape
+    assert np.max(np.abs(np.asarray(got) - want)) / np.max(np.abs(want)) < 2e-5
+    x = rng.standard_normal((3, 20)).astype(np.float32)
+    got = sp.ihfft(x, norm=norm)
+    want = np.fft.ihfft(x.astype(np.float64), norm=norm, axis=-1)
+    assert np.max(np.abs(np.asarray(got) - want)) / np.max(np.abs(want)) < 2e-5
+
+
+@pytest.mark.parametrize("n", [15, 16])
+def test_irfft_non_hermitian_matches_numpy(rng, n):
+    """numpy.fft.irfft drops the imaginary parts of the DC/Nyquist bins; the
+    packed and odd paths must do the same for arbitrary complex input."""
+    a = (
+        rng.standard_normal((2, n // 2 + 1)) + 1j * rng.standard_normal((2, n // 2 + 1))
+    ).astype(np.complex64)
+    got = sp.irfft(a, n=n)
+    want = np.fft.irfft(a.astype(np.complex128), n=n, axis=-1)
+    assert np.max(np.abs(np.asarray(got) - want)) < 2e-5
+
+
+def test_rfft2_irfft2_roundtrip(rng):
+    img = rng.standard_normal((3, 16, 24)).astype(np.float32)
+    spec = sp.rfft2(img)
+    want = np.fft.rfft2(img.astype(np.float64))
+    assert np.max(np.abs(np.asarray(spec) - want)) / np.max(np.abs(want)) < 2e-5
+    back = sp.irfft2(np.asarray(spec), s=(16, 24))
+    assert np.max(np.abs(np.asarray(back) - img)) < 1e-4
