@@ -172,6 +172,14 @@ def bench_convolve(n_sig: int, n_ker: int, batch: int, iters: int, seed: int = 0
 
 
 def main():
+    from mixed_radix_fast_fourier_transform_tpu.utils.cache import (
+        enable_persistent_cache,
+    )
+
+    try:
+        enable_persistent_cache()  # warm reruns skip the 20-40 s TPU compiles
+    except Exception:
+        pass
     platform = jax.devices()[0].platform
     # Chain lengths sized so the measured T_long - T_short difference is
     # tens of milliseconds: round-1 chains (diff ~2-8 ms) were inside the

@@ -10,11 +10,25 @@ mesh sharding) on whatever devices are present.
 Run: python examples/demo.py
 """
 
+import os
+import sys
+
 import numpy as np
 import jax
 
-import mixed_radix_fast_fourier_transform_tpu as sp
-from mixed_radix_fast_fourier_transform_tpu import compat
+# Default to CPU: the demo fetches complex arrays host-side, which some
+# tunneled TPU backends cannot transfer (complex64 d2h is unimplemented on
+# axon — CLAUDE.md gotchas).  Set SPECTRAL_DEMO_TPU=1 to run on the default
+# accelerator anyway.
+if not os.environ.get("SPECTRAL_DEMO_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+# runnable without installation: `python examples/demo.py` puts examples/ on
+# sys.path, not the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import mixed_radix_fast_fourier_transform_tpu as sp  # noqa: E402
+from mixed_radix_fast_fourier_transform_tpu import compat  # noqa: E402
 
 
 def demo_complex(sizes=(4, 8, 15, 20, 64, 13, 257, 360, 1024, 5040)):
