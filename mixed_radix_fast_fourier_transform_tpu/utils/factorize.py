@@ -108,6 +108,12 @@ def next_fast_len(n: int, primes: Sequence[int] = (2, 3, 5, 7)) -> int:
     """
     if n <= 1:
         return 1
+    if primes == (2, 3, 5, 7) and _use_native():
+        from . import native
+
+        got = native.next_fast_len(n)
+        if got is not None:
+            return got
     best = next_pow2(n)
 
     def smooth(m: int) -> bool:

@@ -59,6 +59,18 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.spectral_real_split_twiddles.argtypes = [c_i64, c_i64, c_i32, pd, pd]
         lib.spectral_oracle_fft.restype = c_i32
         lib.spectral_oracle_fft.argtypes = [pd, pd, c_i64, c_i64, c_i32]
+        # padded-length helpers (added with next_splittable_len; tolerate an
+        # older .so without them)
+        for name, restype, argtypes in (
+            ("spectral_next_fast_len", c_i64, [c_i64]),
+            ("spectral_next_splittable_len", c_i64, [c_i64, c_i64, c_i64]),
+        ):
+            try:
+                fn = getattr(lib, name)
+                fn.restype = restype
+                fn.argtypes = argtypes
+            except AttributeError:
+                pass
         _lib = lib
         break
     return _lib
@@ -139,6 +151,29 @@ def real_split_twiddles(n: int, sign: int) -> Optional[Tuple[np.ndarray, np.ndar
     im = np.empty(count, dtype=np.float64)
     lib.spectral_real_split_twiddles(n, count, sign, _dp(re), _dp(im))
     return re, im
+
+
+def next_fast_len(n: int) -> Optional[int]:
+    lib = _load()
+    if lib is None or not hasattr(lib, "spectral_next_fast_len"):
+        return None
+    m = lib.spectral_next_fast_len(n)
+    if m < 0:
+        raise ValueError(f"native next_fast_len failed for n={n}")
+    return int(m)
+
+
+def next_splittable_len(n: int, parts: int, max_stage: int) -> Optional[int]:
+    lib = _load()
+    if lib is None or not hasattr(lib, "spectral_next_splittable_len"):
+        return None
+    m = lib.spectral_next_splittable_len(n, parts, max_stage)
+    if m < 0:
+        raise ValueError(
+            f"native next_splittable_len: parts={parts} invalid for "
+            f"max_stage={max_stage}"
+        )
+    return int(m)
 
 
 def oracle_fft(x: np.ndarray, sign: int = -1) -> Optional[np.ndarray]:

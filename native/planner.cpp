@@ -114,6 +114,39 @@ int64_t spectral_plan_stages(int64_t n, int64_t max_stage, int64_t* out,
   return n_stages;
 }
 
+// Smallest m >= n whose prime factors are all in {2, 3, 5, 7} ("fast"
+// padded length; mirrors utils/factorize.next_fast_len: scan up to the next
+// power of two, which bounds the search).  Returns -1 on bad n.
+int64_t spectral_next_fast_len(int64_t n) {
+  if (n < 0) return -1;
+  if (n <= 1) return 1;
+  int64_t pow2 = 1;
+  while (pow2 < n) pow2 <<= 1;
+  for (int64_t m = n; m < pow2; ++m) {
+    int64_t v = m;
+    for (int64_t p : {2LL, 3LL, 5LL, 7LL}) {
+      while (v % p == 0) v /= p;
+    }
+    if (v == 1) return m;
+  }
+  return pow2;
+}
+
+// Smallest convenient m >= n with m = parts^2 * s, s 7-smooth — the padded
+// length contract of the distributed four-step (closed form of
+// utils/factorize.next_splittable_len; tested for parity).  Returns -1 when
+// parts < 1 or parts has a prime factor > max_stage.
+int64_t spectral_next_splittable_len(int64_t n, int64_t parts,
+                                     int64_t max_stage) {
+  if (parts < 1) return -1;
+  if (spectral_is_smooth(parts, max_stage) != 1) return -1;
+  int64_t pp = parts * parts;
+  int64_t target = (n + pp - 1) / pp;
+  if (target < 1) target = 1;
+  int64_t s = spectral_next_fast_len(target);
+  return pp * s;
+}
+
 // Dense DFT matrix W[j,k] = e^(sign*2*pi*i*j*k/f), row-major (re, im planes).
 void spectral_dft_matrix(int64_t f, int32_t sign, double* re, double* im) {
   for (int64_t j = 0; j < f; ++j) {

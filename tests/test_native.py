@@ -103,3 +103,41 @@ class TestOracle:
     def test_bad_args(self):
         with pytest.raises(ValueError):
             native.oracle_fft(np.zeros(0, np.complex128).reshape(1, 0), -1)
+
+
+class TestPaddedLengths:
+    def test_next_fast_len_parity(self):
+        from mixed_radix_fast_fourier_transform_tpu.utils.factorize import (
+            next_pow2,
+        )
+
+        def py_next_fast(n, primes=(2, 3, 5, 7)):
+            if n <= 1:
+                return 1
+            best = next_pow2(n)
+            m = n
+            while m < best:
+                v = m
+                for p in primes:
+                    while v % p == 0:
+                        v //= p
+                if v == 1:
+                    return m
+                m += 1
+            return best
+
+        for n in list(range(1, 200)) + [1009, 4127, 65537, 100003]:
+            assert native.next_fast_len(n) == py_next_fast(n), n
+
+    def test_next_splittable_parity(self):
+        from mixed_radix_fast_fourier_transform_tpu.utils.factorize import (
+            next_splittable_len,
+        )
+
+        for n in [7, 100, 4128, 65535, 100003]:
+            for p in (1, 2, 4, 8):
+                assert native.next_splittable_len(n, p, 256) == next_splittable_len(
+                    n, p, 256
+                ), (n, p)
+        with pytest.raises(ValueError):
+            native.next_splittable_len(100, 257, 256)
