@@ -193,3 +193,112 @@ def train_step2d(params, x, target, lr: float = 1e-3, *, config=DEFAULT_CONFIG):
     loss, grads = jax.value_and_grad(loss_fn2d)(params, x, target, config=config)
     params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
     return params, loss
+
+
+# ---------------------------------------------------------------------------
+# 3-D FNO: the volumetric/PDE operator block (rfft over W, complex fft over
+# H and D).  Four learned tensors — one per signed-frequency corner of the
+# (D, H) plane (the W axis is the non-negative rfft half), the standard
+# FNO-3D layout (Li et al. 2021).
+# ---------------------------------------------------------------------------
+
+def init_layer3d(key, channels: int, modes_d: int, modes_h: int, modes_w: int,
+                 dtype=jnp.float32) -> Params:
+    keys = jax.random.split(key, 10)
+    scale = 1.0 / channels
+    shape = (channels, channels, modes_d, modes_h, modes_w)
+    out: Params = {
+        "w": scale * jax.random.normal(keys[8], (channels, channels), dtype),
+        "b": jnp.zeros((channels,), dtype),
+    }
+    for i in range(4):
+        out[f"r{i}_re"] = scale * jax.random.normal(keys[2 * i], shape, dtype)
+        out[f"r{i}_im"] = scale * jax.random.normal(keys[2 * i + 1], shape, dtype)
+    return out
+
+
+def init_fno3d(
+    key, in_channels: int, hidden: int, out_channels: int,
+    n_layers: int = 2, modes: int = 4, dtype=jnp.float32,
+) -> Dict[str, object]:
+    keys = jax.random.split(key, n_layers + 2)
+    return {
+        "lift": {
+            "w": jax.random.normal(keys[0], (in_channels, hidden), dtype)
+            / max(in_channels, 1),
+            "b": jnp.zeros((hidden,), dtype),
+        },
+        "layers": [
+            init_layer3d(keys[i + 1], hidden, modes, modes, modes, dtype)
+            for i in range(n_layers)
+        ],
+        "proj": {
+            "w": jax.random.normal(keys[-1], (hidden, out_channels), dtype) / hidden,
+            "b": jnp.zeros((out_channels,), dtype),
+        },
+    }
+
+
+def spectral_mix3d(layer: Params, x: Array, *, config: SpectralConfig) -> Array:
+    """(b, c, D, H, W) -> (b, c, D, H, W): low-mode channel mixing in 3-D
+    frequency space over all four signed-frequency corners of the (D, H)
+    plane."""
+    from ..ops.fft import fft, ifft
+
+    bd, bh, bw = x.shape[-3], x.shape[-2], x.shape[-1]
+    md, mh, mw = layer["r0_re"].shape[-3:]
+    if 2 * md > bd or 2 * mh > bh:
+        raise ValueError(
+            f"modes ({md}, {mh}) need D >= 2*modes_d and H >= 2*modes_h, "
+            f"got ({bd}, {bh})"
+        )
+    spec = rfft(x, config=config)                      # (b,c,D,H,W//2+1)
+    spec = fft(spec, axis=-2, config=config)           # over H
+    spec = fft(spec, axis=-3, config=config)           # over D
+    mixed = jnp.zeros(
+        spec.shape[:1] + layer["r0_re"].shape[1:2] + spec.shape[2:],
+        dtype=spec.dtype,
+    )
+    corners = [
+        (slice(None, md), slice(None, mh), 0),
+        (slice(bd - md, None), slice(None, mh), 1),
+        (slice(None, md), slice(bh - mh, None), 2),
+        (slice(bd - md, None), slice(bh - mh, None), 3),
+    ]
+    for sd, sh, i in corners:
+        r = jax.lax.complex(layer[f"r{i}_re"], layer[f"r{i}_im"])
+        mixed = mixed.at[..., sd, sh, :mw].set(
+            jnp.einsum("bidhw,iodhw->bodhw", spec[..., sd, sh, :mw], r)
+        )
+    out = ifft(mixed, axis=-3, config=config)
+    out = ifft(out, axis=-2, config=config)
+    return irfft(out, n=bw, config=config)
+
+
+def fno3d_layer(layer: Params, x: Array, *, config: SpectralConfig) -> Array:
+    local = jnp.einsum("bidhw,io->bodhw", x, layer["w"]) + layer["b"][
+        None, :, None, None, None
+    ]
+    return jax.nn.gelu(local + spectral_mix3d(layer, x, config=config))
+
+
+def apply3d(params, x: Array, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """(batch, in_channels, D, H, W) -> (batch, out_channels, D, H, W)."""
+    h = jnp.einsum("bidhw,io->bodhw", x, params["lift"]["w"]) + params["lift"]["b"][
+        None, :, None, None, None
+    ]
+    for layer in params["layers"]:
+        h = fno3d_layer(layer, h, config=config)
+    return jnp.einsum("bidhw,io->bodhw", h, params["proj"]["w"]) + params["proj"]["b"][
+        None, :, None, None, None
+    ]
+
+
+def loss_fn3d(params, x, target, *, config=DEFAULT_CONFIG) -> Array:
+    return jnp.mean((apply3d(params, x, config=config) - target) ** 2)
+
+
+def train_step3d(params, x, target, lr: float = 1e-3, *, config=DEFAULT_CONFIG):
+    loss, grads = jax.value_and_grad(loss_fn3d)(params, x, target, config=config)
+    params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
+    return params, loss

@@ -98,3 +98,40 @@ class TestFNO2D:
         for _ in range(150):
             params, opt_state, loss = step(params, opt_state, xj, t)
         assert float(loss) < 0.05 * float(loss0)
+
+
+class TestFNO3D:
+    def test_forward_shape(self):
+        params = fno.init_fno3d(jax.random.PRNGKey(0), 2, 4, 3, n_layers=1, modes=3)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 2, 8, 8, 8))
+        y = fno.apply3d(params, x)
+        assert y.shape == (2, 3, 8, 8, 8)
+        assert np.all(np.isfinite(np.asarray(y)))
+
+    def test_all_corners_learn(self):
+        # every corner tensor receives gradient and all leaves are finite
+        params = fno.init_fno3d(jax.random.PRNGKey(0), 1, 3, 1, n_layers=1, modes=2)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 8, 8, 8))
+        t = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 8, 8, 8))
+        grads = jax.grad(fno.loss_fn3d)(params, x, t)
+        for i in range(4):
+            g = np.asarray(grads["layers"][0][f"r{i}_re"])
+            assert np.max(np.abs(g)) > 0, i
+        for leaf in jax.tree_util.tree_leaves(grads):
+            assert np.all(np.isfinite(np.asarray(leaf)))
+
+    def test_train_step_reduces_loss(self):
+        params = fno.init_fno3d(jax.random.PRNGKey(0), 1, 3, 1, n_layers=1, modes=2)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 1, 8, 8, 8))
+        step = jax.jit(fno.train_step3d)
+        _, loss0 = step(params, x, x)
+        p = params
+        for _ in range(10):
+            p, loss = step(p, x, x, 1e-2)
+        assert float(loss) < float(loss0)
+
+    def test_modes_too_large_raises(self):
+        params = fno.init_fno3d(jax.random.PRNGKey(0), 1, 3, 1, n_layers=1, modes=5)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 8, 8, 8))
+        with pytest.raises(ValueError):
+            fno.apply3d(params, x)
