@@ -127,5 +127,47 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "stages"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     b = int(sys.argv[3]) if len(sys.argv) > 3 else 256
-    {"stages": tune_stages, "pad": tune_pad,
-     "pallas": tune_pallas, "precision": tune_precision}[which](n, b)
+    {"stages": tune_stages, "pad": tune_pad, "builtin": tune_builtin,
+     "pallas": tune_pallas, "precision": tune_precision,
+     "matmul_form": tune_matmul_form}[which](n, b)
+
+
+def tune_builtin(n: int, b: int):
+    """Interleaved A/B vs XLA's builtin jnp.fft.fft at (n, b)."""
+    import jax.numpy as jnp
+
+    (xr, xi), x = _planes(n, b)
+    plan = build_complex_plan(n, -1, DEFAULT_CONFIG)
+
+    def builtin(a, c):
+        z = jnp.fft.fft(jax.lax.complex(a, c))
+        return jnp.real(z), jnp.imag(z)
+
+    ours = lambda a, c: exec_complex(plan, a, c)
+    res = ab_compare(builtin, ours, (xr, xi), short=500, long=2500, rounds=5)
+    print(f"factors={plan.factors}")
+    _report("builtin", "ours", res)
+
+
+def tune_matmul_form(n: int, b: int):
+    """Stacked vs Karatsuba stage-matmul forms at (n, b) by flipping the
+    crossover threshold (ops/stockham.KARATSUBA_MIN_STAGE)."""
+    from mixed_radix_fast_fourier_transform_tpu.ops import stockham as st
+
+    (xr, xi), x = _planes(n, b)
+    plan = build_complex_plan(n, -1, DEFAULT_CONFIG)
+    print(f"factors={plan.factors}  crossover={st.KARATSUBA_MIN_STAGE}")
+
+    def with_threshold(t):
+        def fn(a, c):
+            old = st.KARATSUBA_MIN_STAGE
+            st.KARATSUBA_MIN_STAGE = t
+            try:
+                return exec_complex(plan, a, c)
+            finally:
+                st.KARATSUBA_MIN_STAGE = old
+        return fn
+
+    res = ab_compare(with_threshold(10**9), with_threshold(1), (xr, xi),
+                     short=500, long=2500, rounds=5)
+    _report("stacked", "karatsuba", res)
