@@ -15,7 +15,6 @@ per (n, m, w, a).
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional, Tuple
 
 import jax
@@ -133,8 +132,9 @@ def zoom_fft(
     config: SpectralConfig = DEFAULT_CONFIG,
 ) -> Array:
     """Zoomed DFT over the band fn = [f1, f2] (scipy.signal.zoom_fft): m
-    equally spaced frequency samples of the DTFT between f1 and f2 at sample
-    rate ``fs``, without computing the full padded FFT."""
+    frequency samples of the DTFT at f1 + k·(f2−f1)/m for k = 0..m−1 —
+    scipy's endpoint-EXCLUSIVE grid (so the full band [0, fs] with m = n
+    reproduces the FFT bins exactly) — without computing a padded FFT."""
     x = jnp.asarray(x)
     n = x.shape[axis % x.ndim]
     if np.isscalar(fn):
@@ -144,7 +144,7 @@ def zoom_fft(
     m = int(m) if m is not None else n
     if m < 1:
         raise ValueError(f"number of output points must be >= 1, got {m}")
-    step = (f2 - f1) / (m - 1) if m > 1 else 0.0
+    step = (f2 - f1) / m
     w = np.exp(-2j * np.pi * step / fs)
     a = np.exp(2j * np.pi * f1 / fs)
     return czt(x, m=m, w=w, a=a, axis=axis, config=config)

@@ -184,37 +184,26 @@ def idct(
     return y
 
 
-def dctn(
-    x,
-    type: int = 2,
-    axes=None,
-    norm: Optional[str] = None,
-    *,
-    config: SpectralConfig = DEFAULT_CONFIG,
-) -> Array:
+def _separable_nd(fn, x, type, axes, norm, config) -> Array:
+    """Apply a 1-D transform over every axis in ``axes`` (default: all)."""
+    x = jnp.asarray(x)
+    if axes is None:
+        axes = tuple(range(x.ndim))
+    for a in axes:
+        x = fn(x, type=type, axis=a, norm=norm, config=config)
+    return x
+
+
+def dctn(x, type: int = 2, axes=None, norm: Optional[str] = None, *,
+         config: SpectralConfig = DEFAULT_CONFIG) -> Array:
     """N-D DCT: separable 1-D DCTs over ``axes`` (scipy.fft.dctn)."""
-    x = jnp.asarray(x)
-    if axes is None:
-        axes = tuple(range(x.ndim))
-    for a in axes:
-        x = dct(x, type=type, axis=a, norm=norm, config=config)
-    return x
+    return _separable_nd(dct, x, type, axes, norm, config)
 
 
-def idctn(
-    x,
-    type: int = 2,
-    axes=None,
-    norm: Optional[str] = None,
-    *,
-    config: SpectralConfig = DEFAULT_CONFIG,
-) -> Array:
-    x = jnp.asarray(x)
-    if axes is None:
-        axes = tuple(range(x.ndim))
-    for a in axes:
-        x = idct(x, type=type, axis=a, norm=norm, config=config)
-    return x
+def idctn(x, type: int = 2, axes=None, norm: Optional[str] = None, *,
+          config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """Inverse N-D DCT (scipy.fft.idctn)."""
+    return _separable_nd(idct, x, type, axes, norm, config)
 
 
 def _alt_sign(n: int, dtype) -> Array:
@@ -298,34 +287,13 @@ def idst(
     return y
 
 
-def dstn(
-    x,
-    type: int = 2,
-    axes=None,
-    norm: Optional[str] = None,
-    *,
-    config: SpectralConfig = DEFAULT_CONFIG,
-) -> Array:
+def dstn(x, type: int = 2, axes=None, norm: Optional[str] = None, *,
+         config: SpectralConfig = DEFAULT_CONFIG) -> Array:
     """N-D DST: separable 1-D DSTs over ``axes`` (scipy.fft.dstn)."""
-    x = jnp.asarray(x)
-    if axes is None:
-        axes = tuple(range(x.ndim))
-    for a in axes:
-        x = dst(x, type=type, axis=a, norm=norm, config=config)
-    return x
+    return _separable_nd(dst, x, type, axes, norm, config)
 
 
-def idstn(
-    x,
-    type: int = 2,
-    axes=None,
-    norm: Optional[str] = None,
-    *,
-    config: SpectralConfig = DEFAULT_CONFIG,
-) -> Array:
-    x = jnp.asarray(x)
-    if axes is None:
-        axes = tuple(range(x.ndim))
-    for a in axes:
-        x = idst(x, type=type, axis=a, norm=norm, config=config)
-    return x
+def idstn(x, type: int = 2, axes=None, norm: Optional[str] = None, *,
+          config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """Inverse N-D DST (scipy.fft.idstn)."""
+    return _separable_nd(idst, x, type, axes, norm, config)

@@ -114,6 +114,22 @@ def periodogram(
     return freqs, jnp.moveaxis(p, -1, axis)
 
 
+def _cap_nperseg(t: int, nperseg: int, noverlap: Optional[int]):
+    """scipy.signal semantics: nperseg longer than the signal is capped to
+    the signal length (scipy warns; here the metrics logger notes it), and
+    the default noverlap tracks the capped value."""
+    if nperseg > t:
+        from ..utils.metrics import logger
+
+        logger.info("nperseg=%d > signal length %d; capping", nperseg, t)
+        nperseg = t
+        if noverlap is not None and noverlap >= nperseg:
+            noverlap = nperseg // 2
+    if noverlap is None:
+        noverlap = nperseg // 2
+    return nperseg, noverlap
+
+
 def _welch_spectra(x, nperseg, noverlap, window, config):
     """Windowed segment spectra with scipy's Welch conventions: a partial
     tail frame is DROPPED (never zero-padded — padding biases the averaged
@@ -162,8 +178,7 @@ def csd(
     (scipy.signal.csd semantics: conj(X)·Y, mean over segments)."""
     x = jnp.asarray(x)
     y = jnp.asarray(y)
-    if noverlap is None:
-        noverlap = nperseg // 2
+    nperseg, noverlap = _cap_nperseg(min(x.shape[-1], y.shape[-1]), nperseg, noverlap)
     sx = _welch_spectra(x.astype(config.dtype), nperseg, noverlap, window, config)
     sy = _welch_spectra(y.astype(config.dtype), nperseg, noverlap, window, config)
     pxy = jnp.mean(jnp.conj(sx) * sy, axis=-2)
@@ -207,8 +222,7 @@ def welch(
     x = jnp.asarray(x)
     axis = axis % x.ndim
     xm = jnp.moveaxis(x, axis, -1).astype(config.dtype)
-    if noverlap is None:
-        noverlap = nperseg // 2
+    nperseg, noverlap = _cap_nperseg(xm.shape[-1], nperseg, noverlap)
     spec = _welch_spectra(xm, nperseg, noverlap, window, config)  # (..., frames, bins)
     p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     w = np.asarray(get_window(window, nperseg, np.float64))

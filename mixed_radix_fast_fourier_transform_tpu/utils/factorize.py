@@ -240,6 +240,12 @@ def next_splittable_len(n: int, parts: int, max_stage: int = 256) -> int:
         raise ValueError(
             f"mesh size {parts} has a prime factor > max_stage={max_stage}"
         )
+    if _use_native():
+        from . import native
+
+        got = native.next_splittable_len(n, parts, max_stage)
+        if got is not None:
+            return got
     pp = parts * parts
     s = next_fast_len(-(-n // pp))
     return pp * s

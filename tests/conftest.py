@@ -42,11 +42,18 @@ if not os.path.exists(_so):
     import subprocess
     import sys
 
-    subprocess.run(
+    _build = subprocess.run(
         [sys.executable, os.path.join(_repo, "native", "build.py")],
         capture_output=True,
         check=False,
     )
+    if _build.returncode != 0:
+        # Don't hide a broken toolchain: native-parity tests would silently
+        # skip and read as covered.
+        sys.stderr.write(
+            "WARNING: native/build.py failed (native-parity tests will "
+            f"skip):\n{_build.stderr.decode(errors='replace')[-2000:]}\n"
+        )
 
 
 @pytest.fixture(scope="session")

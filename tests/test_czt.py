@@ -61,26 +61,23 @@ def test_large_n_phase_accuracy(rng):
     assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
 
 
-def test_zoom_fft_band(rng):
+def test_zoom_fft_band_matches_scipy(rng):
+    """scipy.signal.zoom_fft semantics: endpoint-EXCLUSIVE frequency grid
+    f1 + k·(f2−f1)/m."""
+    scipy_signal = pytest.importorskip("scipy.signal")
     n, fs = 128, 1.0
     x = rng.standard_normal(n).astype(np.float32)
     f1, f2, m = 10 / n, 30 / n, 21
     got = np.asarray(sp.zoom_fft(x, [f1, f2], m=m, fs=fs))
-    freqs = np.linspace(f1, f2, m)
-    want = np.array(
-        [
-            np.sum(x.astype(np.float64) * np.exp(-2j * np.pi * f * np.arange(n) / fs))
-            for f in freqs
-        ]
-    )
+    want = scipy_signal.zoom_fft(x.astype(np.float64), [f1, f2], m=m, fs=fs)
     assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
 
 
 def test_zoom_fft_matches_fft_bins(rng):
-    """zoom_fft over the full band at the FFT grid reproduces FFT bins."""
+    """zoom_fft over the full band [0, fs) with m = n reproduces FFT bins."""
     n = 64
     x = rng.standard_normal(n).astype(np.float32)
-    got = np.asarray(sp.zoom_fft(x, [0.0, 2.0 * (n - 1) / n], m=n, fs=2.0))
+    got = np.asarray(sp.zoom_fft(x, [0.0, 2.0], m=n, fs=2.0))
     want = np.fft.fft(x.astype(np.float64))
     assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
 

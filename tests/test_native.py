@@ -130,14 +130,31 @@ class TestPaddedLengths:
             assert native.next_fast_len(n) == py_next_fast(n), n
 
     def test_next_splittable_parity(self):
+        # compare against the closed form computed in pure Python (the
+        # factorize entry point itself routes through the native path, so it
+        # cannot serve as an independent oracle here)
         from mixed_radix_fast_fourier_transform_tpu.utils.factorize import (
-            next_splittable_len,
+            next_pow2,
         )
+
+        def py_next_fast(n):
+            if n <= 1:
+                return 1
+            best = next_pow2(n)
+            m = n
+            while m < best:
+                v = m
+                for q in (2, 3, 5, 7):
+                    while v % q == 0:
+                        v //= q
+                if v == 1:
+                    return m
+                m += 1
+            return best
 
         for n in [7, 100, 4128, 65535, 100003]:
             for p in (1, 2, 4, 8):
-                assert native.next_splittable_len(n, p, 256) == next_splittable_len(
-                    n, p, 256
-                ), (n, p)
+                want = p * p * py_next_fast(-(-n // (p * p)))
+                assert native.next_splittable_len(n, p, 256) == want, (n, p)
         with pytest.raises(ValueError):
             native.next_splittable_len(100, 257, 256)

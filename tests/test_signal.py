@@ -201,6 +201,15 @@ class TestPSD:
         f, got = sp.welch(x, fs=fs, nperseg=nperseg)
         np.testing.assert_allclose(np.asarray(got), p, rtol=1e-4, atol=1e-7)
 
+    def test_short_signal_caps_nperseg(self, rng):
+        # scipy semantics: nperseg longer than the signal is capped to the
+        # signal length (one full segment) instead of raising
+        x = rng.standard_normal(100).astype(np.float32)
+        f, p = sp.welch(x)  # default nperseg=256 > 100
+        assert np.asarray(p).shape == (51,)
+        f2, pxy = sp.csd(x, x)
+        assert np.asarray(pxy).shape == (51,)
+
     def test_bad_scaling(self):
         with pytest.raises(ValueError):
             sp.periodogram(np.zeros(64, np.float32), scaling="nope")

@@ -123,13 +123,7 @@ def tune_precision(n: int, b: int):
         _report("highest", prec, res)
 
 
-if __name__ == "__main__":
-    which = sys.argv[1] if len(sys.argv) > 1 else "stages"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
-    b = int(sys.argv[3]) if len(sys.argv) > 3 else 256
-    {"stages": tune_stages, "pad": tune_pad, "builtin": tune_builtin,
-     "pallas": tune_pallas, "precision": tune_precision,
-     "matmul_form": tune_matmul_form}[which](n, b)
+
 
 
 def tune_builtin(n: int, b: int):
@@ -171,3 +165,12 @@ def tune_matmul_form(n: int, b: int):
     res = ab_compare(with_threshold(10**9), with_threshold(1), (xr, xi),
                      short=500, long=2500, rounds=5)
     _report("stacked", "karatsuba", res)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "stages"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    b = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    {"stages": tune_stages, "pad": tune_pad, "builtin": tune_builtin,
+     "pallas": tune_pallas, "precision": tune_precision,
+     "matmul_form": tune_matmul_form}[which](n, b)
