@@ -1,0 +1,164 @@
+"""Direct parity against scipy for every API that claims scipy semantics.
+
+These are convention tests, not accuracy tests: the numerical cores are
+already oracle-tested against fp64 numpy; what scipy pins down is the exact
+frequency grids, scalings, slicing, and window conventions — the class of
+silent mismatch a hand-written oracle can replicate without noticing (the
+round-2 zoom_fft endpoint bug was exactly that).
+"""
+
+import numpy as np
+import pytest
+
+import mixed_radix_fast_fourier_transform_tpu as sp
+
+scipy_fft = pytest.importorskip("scipy.fft")
+scipy_signal = pytest.importorskip("scipy.signal")
+
+
+def _rel(got, want):
+    got = np.asarray(got, np.float64) if np.asarray(got).dtype.kind == "f" else np.asarray(got)
+    want = np.asarray(want)
+    return np.max(np.abs(got - want)) / max(np.max(np.abs(want)), 1e-30)
+
+
+class TestDctDstParity:
+    @pytest.mark.parametrize("type", [1, 2, 3, 4])
+    @pytest.mark.parametrize("norm", [None, "ortho"])
+    def test_dct(self, rng, type, norm):
+        x = rng.standard_normal((3, 32))
+        got = sp.dct(x.astype(np.float32), type, norm=norm)
+        want = scipy_fft.dct(x, type=type, norm=norm, axis=-1)
+        assert _rel(got, want) < 3e-5
+
+    @pytest.mark.parametrize("type", [1, 2, 3, 4])
+    @pytest.mark.parametrize("norm", [None, "ortho"])
+    def test_dst(self, rng, type, norm):
+        x = rng.standard_normal((3, 32))
+        got = sp.dst(x.astype(np.float32), type, norm=norm)
+        want = scipy_fft.dst(x, type=type, norm=norm, axis=-1)
+        assert _rel(got, want) < 3e-5
+
+    @pytest.mark.parametrize("type", [1, 2, 3, 4])
+    def test_idct_idst(self, rng, type):
+        x = rng.standard_normal((2, 24))
+        got = sp.idct(x.astype(np.float32), type)
+        want = scipy_fft.idct(x, type=type, axis=-1)
+        assert _rel(got, want) < 3e-5
+        got = sp.idst(x.astype(np.float32), type)
+        want = scipy_fft.idst(x, type=type, axis=-1)
+        assert _rel(got, want) < 3e-5
+
+    def test_dctn_dstn(self, rng):
+        x = rng.standard_normal((8, 12))
+        assert _rel(sp.dctn(x.astype(np.float32), 2, norm="ortho"),
+                    scipy_fft.dctn(x, type=2, norm="ortho")) < 3e-5
+        assert _rel(sp.dstn(x.astype(np.float32), 2, norm="ortho"),
+                    scipy_fft.dstn(x, type=2, norm="ortho")) < 3e-5
+
+
+class TestSpectralParity:
+    @pytest.mark.parametrize("nlen", [1000, 1024])
+    @pytest.mark.parametrize("window", ["hann", "hamming", "boxcar"])
+    def test_welch(self, rng, nlen, window):
+        x = rng.standard_normal(nlen)
+        f, p = sp.welch(x.astype(np.float32), fs=5.0, window=window, nperseg=256)
+        fw, pw = scipy_signal.welch(x, fs=5.0, window=window, nperseg=256)
+        np.testing.assert_allclose(np.asarray(f), fw)
+        assert _rel(p, pw) < 1e-4
+
+    def test_welch_scaling_spectrum(self, rng):
+        x = rng.standard_normal(2048)
+        f, p = sp.welch(x.astype(np.float32), nperseg=256, scaling="spectrum")
+        _, pw = scipy_signal.welch(x, nperseg=256, scaling="spectrum")
+        assert _rel(p, pw) < 1e-4
+
+    def test_csd_and_coherence(self, rng):
+        x = rng.standard_normal(3000)
+        y = 0.5 * x + rng.standard_normal(3000)
+        _, pxy = sp.csd(x.astype(np.float32), y.astype(np.float32), nperseg=256)
+        _, pxyw = scipy_signal.csd(x, y, nperseg=256)
+        assert _rel(np.asarray(pxy), pxyw) < 1e-4
+        _, c = sp.coherence(x.astype(np.float32), y.astype(np.float32), nperseg=256)
+        _, cw = scipy_signal.coherence(x, y, nperseg=256)
+        assert np.max(np.abs(np.asarray(c) - cw)) < 1e-3
+
+    def test_periodogram(self, rng):
+        x = rng.standard_normal(1024)
+        f, p = sp.periodogram(x.astype(np.float32), fs=2.0, window="hann")
+        fw, pw = scipy_signal.periodogram(x, fs=2.0, window="hann")
+        np.testing.assert_allclose(np.asarray(f), fw)
+        assert _rel(p, pw) < 1e-4
+
+    def test_hilbert(self, rng):
+        x = rng.standard_normal(500)
+        got = sp.hilbert(x.astype(np.float32))
+        want = scipy_signal.hilbert(x)
+        assert np.max(np.abs(np.asarray(got) - want)) / np.max(np.abs(want)) < 1e-5
+
+    @pytest.mark.parametrize(
+        "window", ["hann", "hamming", "blackman", "blackmanharris", "bartlett",
+                   "flattop", "boxcar", ("kaiser", 8.0)]
+    )
+    def test_get_window(self, window):
+        got = sp.get_window(window, 64, np.float64)
+        want = scipy_signal.get_window(window, 64, fftbins=True)
+        assert np.max(np.abs(got - want)) < 1e-7
+
+
+class TestConvolveParity:
+    @pytest.mark.parametrize("mode", ["full", "same", "valid"])
+    def test_fftconvolve(self, rng, mode):
+        a = rng.standard_normal(200)
+        b = rng.standard_normal(31)
+        got = sp.fft_convolve(a.astype(np.float32), b.astype(np.float32), mode=mode)
+        want = scipy_signal.fftconvolve(a, b, mode=mode)
+        assert np.asarray(got).shape == want.shape
+        assert _rel(got, want) < 1e-4
+
+    def test_oaconvolve(self, rng):
+        from mixed_radix_fast_fourier_transform_tpu.ops.convolve import fft_oaconvolve
+
+        a = rng.standard_normal(5000)
+        b = rng.standard_normal(63)
+        got = fft_oaconvolve(a.astype(np.float32), b.astype(np.float32), mode="full")
+        want = scipy_signal.oaconvolve(a, b, mode="full")
+        assert np.asarray(got).shape == want.shape
+        assert _rel(got, want) < 1e-4
+
+    @pytest.mark.parametrize("mode", ["full", "same", "valid"])
+    def test_fftconvolve2d(self, rng, mode):
+        from mixed_radix_fast_fourier_transform_tpu.ops.convolve import fft_convolve2
+
+        a = rng.standard_normal((24, 32))
+        b = rng.standard_normal((5, 7))
+        got = fft_convolve2(a.astype(np.float32), b.astype(np.float32), mode=mode)
+        want = scipy_signal.fftconvolve(a, b, mode=mode)
+        assert np.asarray(got).shape == want.shape
+        assert _rel(got, want) < 1e-4
+
+    def test_correlate(self, rng):
+        from mixed_radix_fast_fourier_transform_tpu.ops.convolve import fft_correlate
+
+        a = rng.standard_normal(100)
+        b = rng.standard_normal(17)
+        got = fft_correlate(a.astype(np.float32), b.astype(np.float32), mode="full")
+        want = scipy_signal.correlate(a, b, mode="full", method="fft")
+        assert np.asarray(got).shape == want.shape
+        assert _rel(got, want) < 1e-4
+
+
+class TestCztParity:
+    def test_czt_spiral(self, rng):
+        x = rng.standard_normal(50) + 1j * rng.standard_normal(50)
+        w = 0.995 * np.exp(-2j * np.pi / 61)
+        a = 1.01 * np.exp(0.2j)
+        got = sp.czt(x.astype(np.complex64), m=40, w=w, a=a)
+        want = scipy_signal.czt(x, m=40, w=w, a=a)
+        assert _rel(np.asarray(got), want) < 5e-5
+
+    def test_zoom_fft(self, rng):
+        x = rng.standard_normal(256)
+        got = sp.zoom_fft(x.astype(np.float32), [0.1, 0.3], m=33, fs=2.0)
+        want = scipy_signal.zoom_fft(x, [0.1, 0.3], m=33, fs=2.0)
+        assert _rel(np.asarray(got), want) < 2e-5
