@@ -779,3 +779,85 @@ def fft_batch_sharded(
     out = fn(x, norm=norm, config=config)
     spec = P(axis_name, *([None] * (x.ndim - 1)))
     return jax.lax.with_sharding_constraint(out, NamedSharding(mesh, spec))
+
+
+def fftn_pencil2(
+    x,
+    mesh: Mesh,
+    *,
+    data_axis: str = DATA_AXIS,
+    seq_axis: str = SEQ_AXIS,
+    inverse: bool = False,
+    norm: Optional[str] = "backward",
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """3-D FFT with a TRUE 2-D pencil decomposition: BOTH mesh axes shard the
+    volume (axis 0 over ``data_axis``, axis 1 over ``seq_axis``; axis 2 is the
+    local pencil) — the P3DFFT layout for volumes too large for one chip in
+    two dimensions.
+
+    Four all-to-alls total: each axis FFT is a fully local transform after a
+    resharding transpose, and two more collectives restore the input layout,
+    so output sharding equals input sharding (natural order).  This is the
+    2-D-mesh generalization of :func:`fftn_pencil` (which shards one array
+    dim over one mesh axis).
+
+    Constraints: n0 % P0 == 0, n1 % P1 == 0, n2 % (P0·P1) == 0 with
+    P0 = mesh[data_axis], P1 = mesh[seq_axis].
+    """
+    x = jnp.asarray(x)
+    if x.ndim != 3:
+        raise ValueError(f"fftn_pencil2 expects a 3-D volume, got ndim={x.ndim}")
+    n0, n1, n2 = x.shape
+    p0 = mesh.shape[data_axis]
+    p1 = mesh.shape[seq_axis]
+    if n0 % p0 or n1 % p1 or n2 % (p0 * p1):
+        raise ValueError(
+            f"shape {x.shape} must satisfy n0 % {p0} == 0, n1 % {p1} == 0, "
+            f"n2 % {p0 * p1} == 0 for the ({p0}, {p1}) pencil decomposition"
+        )
+    sign = 1 if inverse else -1
+    plans = [get_plan(n, sign, "complex", config) for n in (n0, n1, n2)]
+    spec = P(data_axis, seq_axis, None)
+
+    def body(xr, xi):
+        a2a_seq = partial(jax.lax.all_to_all, axis_name=seq_axis, tiled=True)
+        a2a_dat = partial(jax.lax.all_to_all, axis_name=data_axis, tiled=True)
+        # local (n0/P0, n1/P1, n2): FFT the full local axis 2
+        xr, xi = _local_fft_last(plans[2], xr, xi)
+        # gather axis 1 (scatter axis 2 over seq): FFT axis 1
+        xr = a2a_seq(xr, split_axis=2, concat_axis=1)
+        xi = a2a_seq(xi, split_axis=2, concat_axis=1)
+        xr, xi = _local_fft_axis2(plans[1], xr, xi)
+        # gather axis 0 (scatter axis 2 further over data): FFT axis 0
+        xr = a2a_dat(xr, split_axis=2, concat_axis=0)
+        xi = a2a_dat(xi, split_axis=2, concat_axis=0)
+        xr = jnp.moveaxis(xr, 0, -1)
+        xi = jnp.moveaxis(xi, 0, -1)
+        xr, xi = _local_fft_last(plans[0], xr, xi)
+        xr = jnp.moveaxis(xr, -1, 0)
+        xi = jnp.moveaxis(xi, -1, 0)
+        # restore the input layout: reverse the two resharding transposes
+        xr = a2a_dat(xr, split_axis=0, concat_axis=2)
+        xi = a2a_dat(xi, split_axis=0, concat_axis=2)
+        xr = a2a_seq(xr, split_axis=1, concat_axis=2)
+        xi = a2a_seq(xi, split_axis=1, concat_axis=2)
+        return xr, xi
+
+    sharded = jax.shard_map(body, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec))
+    xr, xi = _prep_planes(x, config)
+    zr, zi = sharded(xr, xi)
+
+    from ..ops.fft import _norm_scale
+
+    scale = 1.0
+    for n in (n0, n1, n2):
+        scale *= _norm_scale(n, sign, norm)
+    if scale != 1.0:
+        s = jnp.asarray(scale, dtype=zr.dtype)
+        zr, zi = zr * s, zi * s
+    return jax.lax.complex(zr, zi)
+
+
+def ifftn_pencil2(x, mesh: Mesh, **kw) -> Array:
+    return fftn_pencil2(x, mesh, inverse=True, **kw)

@@ -375,6 +375,42 @@ class TestPencilND:
         assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 3e-5
 
 
+class TestPencil2D2DMesh:
+    """True 2-D pencil decomposition: BOTH mesh axes shard the 3-D volume."""
+
+    def test_matches_numpy(self, rng):
+        from mixed_radix_fast_fourier_transform_tpu.parallel import fftn_pencil2
+
+        mesh = _mesh_2d()  # (2, 4)
+        x = _rand_complex(rng, (8, 16, 24))
+        got = np.asarray(fftn_pencil2(x, mesh))
+        want = np.fft.fftn(x)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 3e-5
+
+    def test_roundtrip_and_norm(self, rng):
+        from mixed_radix_fast_fourier_transform_tpu.parallel import (
+            fftn_pencil2,
+            ifftn_pencil2,
+        )
+
+        mesh = _mesh_2d()
+        x = _rand_complex(rng, (4, 8, 16))
+        back = np.asarray(ifftn_pencil2(fftn_pencil2(x, mesh), mesh))
+        assert np.max(np.abs(back - x)) < 1e-4
+        got = np.asarray(fftn_pencil2(x, mesh, norm="ortho"))
+        want = np.fft.fftn(x, norm="ortho")
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 3e-5
+
+    def test_indivisible_raises(self, rng):
+        from mixed_radix_fast_fourier_transform_tpu.parallel import fftn_pencil2
+
+        mesh = _mesh_2d()
+        with pytest.raises(ValueError):
+            fftn_pencil2(_rand_complex(rng, (8, 16, 23)), mesh)
+        with pytest.raises(ValueError):
+            fftn_pencil2(_rand_complex(rng, (8, 16)), mesh)
+
+
 class TestConvolve2Sharded:
     def test_circular_matches_numpy(self, rng):
         from mixed_radix_fast_fourier_transform_tpu.parallel import (
