@@ -14,9 +14,11 @@ from .distributed import (
     fft2_pencil,
     fftn_pencil,
     fftn_pencil2,
+    rfftn_pencil2,
     ifft2_pencil,
     ifftn_pencil,
     ifftn_pencil2,
+    irfftn_pencil2,
     fft_batch_sharded,
     fft_convolve_sharded,
     fft_convolve2_sharded,
@@ -36,7 +38,7 @@ __all__ = [
     "fft_four_step_scrambled", "ifft_four_step_scrambled",
     "fft_convolve_sharded", "fft_convolve2_sharded",
     "fft2_pencil", "ifft2_pencil", "fftn_pencil", "ifftn_pencil",
-    "fftn_pencil2", "ifftn_pencil2",
+    "fftn_pencil2", "ifftn_pencil2", "rfftn_pencil2", "irfftn_pencil2",
     "rfft_four_step", "irfft_four_step",
     "fft_batch_sharded", "shard_batch",
 ]

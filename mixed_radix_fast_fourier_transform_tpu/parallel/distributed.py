@@ -861,3 +861,134 @@ def fftn_pencil2(
 
 def ifftn_pencil2(x, mesh: Mesh, **kw) -> Array:
     return fftn_pencil2(x, mesh, inverse=True, **kw)
+
+
+def rfftn_pencil2(
+    x,
+    mesh: Mesh,
+    *,
+    data_axis: str = DATA_AXIS,
+    seq_axis: str = SEQ_AXIS,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Real-input 3-D FFT on the 2-D pencil decomposition: (n0, n1, n2) real,
+    axis 0 sharded over ``data_axis``, axis 1 over ``seq_axis`` →
+    (n0, n1, n2//2+1) complex, same sharding.
+
+    The rfft runs on the local pencil axis; the half-spectrum bin count
+    (n2//2+1) rarely divides the mesh, so bins are zero-padded to the next
+    multiple of P0·P1 for the resharding transposes and sliced back at the
+    end.  Four all-to-alls, like :func:`fftn_pencil2`.
+    """
+    x = jnp.asarray(x)
+    if x.ndim != 3:
+        raise ValueError(f"rfftn_pencil2 expects a 3-D volume, got ndim={x.ndim}")
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("rfftn_pencil2 requires real input")
+    n0, n1, n2 = x.shape
+    p0 = mesh.shape[data_axis]
+    p1 = mesh.shape[seq_axis]
+    if n0 % p0 or n1 % p1 or n2 % 2:
+        raise ValueError(
+            f"shape {x.shape} needs n0 % {p0} == 0, n1 % {p1} == 0, even n2"
+        )
+    h = n2 // 2 + 1
+    pp = p0 * p1
+    hp = -(-h // pp) * pp
+    plan0 = get_plan(n0, -1, "complex", config)
+    plan1 = get_plan(n1, -1, "complex", config)
+    spec = P(data_axis, seq_axis, None)
+
+    from ..ops.rfft import rfft as _rfft
+
+    def body(xs):
+        a2a_seq = partial(jax.lax.all_to_all, axis_name=seq_axis, tiled=True)
+        a2a_dat = partial(jax.lax.all_to_all, axis_name=data_axis, tiled=True)
+        z = _rfft(xs, config=config)  # local pencil: (n0/P0, n1/P1, h) complex
+        xr = jnp.real(z).astype(config.dtype)
+        xi = jnp.imag(z).astype(config.dtype)
+        pad = [(0, 0), (0, 0), (0, hp - h)]
+        xr, xi = jnp.pad(xr, pad), jnp.pad(xi, pad)
+        # gather axes 1 then 0 (scatter the padded bins over both mesh axes)
+        xr = a2a_seq(xr, split_axis=2, concat_axis=1)
+        xi = a2a_seq(xi, split_axis=2, concat_axis=1)
+        xr = a2a_dat(xr, split_axis=2, concat_axis=0)
+        xi = a2a_dat(xi, split_axis=2, concat_axis=0)
+        # both leading axes full locally: transform them
+        xr, xi = _local_fft_axis2(plan1, xr, xi)
+        xr = jnp.moveaxis(xr, 0, -1)
+        xi = jnp.moveaxis(xi, 0, -1)
+        xr, xi = _local_fft_last(plan0, xr, xi)
+        xr = jnp.moveaxis(xr, -1, 0)
+        xi = jnp.moveaxis(xi, -1, 0)
+        # restore the input layout
+        xr = a2a_dat(xr, split_axis=0, concat_axis=2)
+        xi = a2a_dat(xi, split_axis=0, concat_axis=2)
+        xr = a2a_seq(xr, split_axis=1, concat_axis=2)
+        xi = a2a_seq(xi, split_axis=1, concat_axis=2)
+        return xr[..., :h], xi[..., :h]
+
+    sharded = jax.shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=(spec, spec))
+    zr, zi = sharded(x.astype(config.dtype))
+    return jax.lax.complex(zr, zi)
+
+
+def irfftn_pencil2(
+    y,
+    mesh: Mesh,
+    n2: Optional[int] = None,
+    *,
+    data_axis: str = DATA_AXIS,
+    seq_axis: str = SEQ_AXIS,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Inverse of :func:`rfftn_pencil2`: (n0, n1, n2//2+1) complex →
+    (n0, n1, n2) real, same pencil sharding, 1/(n0·n1·n2) normalization."""
+    y = jnp.asarray(y)
+    if y.ndim != 3:
+        raise ValueError(f"irfftn_pencil2 expects a 3-D spectrum, got ndim={y.ndim}")
+    n0, n1, h = y.shape
+    n2 = int(n2) if n2 is not None else 2 * (h - 1)
+    if n2 // 2 + 1 != h:
+        raise ValueError(f"n2={n2} inconsistent with {h} bins")
+    p0 = mesh.shape[data_axis]
+    p1 = mesh.shape[seq_axis]
+    if n0 % p0 or n1 % p1:
+        raise ValueError(f"shape {y.shape} needs n0 % {p0} == 0, n1 % {p1} == 0")
+    pp = p0 * p1
+    hp = -(-h // pp) * pp
+    plan0 = get_plan(n0, 1, "complex", config)
+    plan1 = get_plan(n1, 1, "complex", config)
+    spec = P(data_axis, seq_axis, None)
+
+    from ..ops.rfft import irfft as _irfft
+
+    def body(yr, yi):
+        a2a_seq = partial(jax.lax.all_to_all, axis_name=seq_axis, tiled=True)
+        a2a_dat = partial(jax.lax.all_to_all, axis_name=data_axis, tiled=True)
+        pad = [(0, 0), (0, 0), (0, hp - h)]
+        yr, yi = jnp.pad(yr, pad), jnp.pad(yi, pad)
+        yr = a2a_seq(yr, split_axis=2, concat_axis=1)
+        yi = a2a_seq(yi, split_axis=2, concat_axis=1)
+        yr = a2a_dat(yr, split_axis=2, concat_axis=0)
+        yi = a2a_dat(yi, split_axis=2, concat_axis=0)
+        # inverse transforms over the gathered leading axes (unnormalized
+        # inverse plans; fold 1/(n0*n1) afterwards)
+        yr, yi = _local_fft_axis2(plan1, yr, yi)
+        yr = jnp.moveaxis(yr, 0, -1)
+        yi = jnp.moveaxis(yi, 0, -1)
+        yr, yi = _local_fft_last(plan0, yr, yi)
+        yr = jnp.moveaxis(yr, -1, 0)
+        yi = jnp.moveaxis(yi, -1, 0)
+        yr = a2a_dat(yr, split_axis=0, concat_axis=2)
+        yi = a2a_dat(yi, split_axis=0, concat_axis=2)
+        yr = a2a_seq(yr, split_axis=1, concat_axis=2)
+        yi = a2a_seq(yi, split_axis=1, concat_axis=2)
+        s = jnp.asarray(1.0 / (n0 * n1), dtype=yr.dtype)
+        z = jax.lax.complex(yr[..., :h] * s, yi[..., :h] * s)
+        return (_irfft(z, n=n2, config=config),)
+
+    sharded = jax.shard_map(body, mesh=mesh, in_specs=(spec, spec), out_specs=(spec,))
+    yr = jnp.real(y).astype(config.dtype)
+    yi = jnp.imag(y).astype(config.dtype)
+    return sharded(yr, yi)[0]

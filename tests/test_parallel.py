@@ -410,6 +410,21 @@ class TestPencil2D2DMesh:
         with pytest.raises(ValueError):
             fftn_pencil2(_rand_complex(rng, (8, 16)), mesh)
 
+    def test_real_3d_matches_numpy(self, rng):
+        from mixed_radix_fast_fourier_transform_tpu.parallel import (
+            irfftn_pencil2,
+            rfftn_pencil2,
+        )
+
+        mesh = _mesh_2d()
+        # h = 13 bins does NOT divide the 8-device mesh: exercises the pad
+        x = rng.standard_normal((4, 8, 24)).astype(np.float32)
+        got = np.asarray(rfftn_pencil2(x, mesh))
+        want = np.fft.rfftn(x.astype(np.float64))
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 3e-5
+        back = np.asarray(irfftn_pencil2(rfftn_pencil2(x, mesh), mesh, n2=24))
+        assert np.max(np.abs(back - x)) < 1e-4
+
 
 class TestConvolve2Sharded:
     def test_circular_matches_numpy(self, rng):
