@@ -239,3 +239,52 @@ def welch(
     p = jnp.mean(p, axis=-2) * jnp.asarray(mult, dtype=p.dtype)
     freqs = rfftfreq(nperseg, 1.0 / fs)
     return freqs, jnp.moveaxis(p, -1, axis)
+
+
+def poisson_solve(
+    f,
+    period=2.0 * np.pi,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Solve the periodic Poisson equation ∇²u = f spectrally: û = −f̂/|k|²
+    over every axis (exponentially accurate for smooth periodic f — the
+    PDE-toolbox workhorse built on the engine's rfftn).
+
+    ``period`` is the domain length per axis (scalar or one per axis).  The
+    k = 0 mode is indeterminate; it is pinned to zero, i.e. the returned
+    solution has zero mean (solvability requires mean(f) ≈ 0, as in any
+    periodic Poisson problem).
+    """
+    from .fft import fft, ifft
+    from .rfft import irfft, rfft
+
+    f = jnp.asarray(f)
+    if jnp.issubdtype(f.dtype, jnp.complexfloating):
+        raise ValueError("poisson_solve expects a real field")
+    ndim = f.ndim
+    periods = np.broadcast_to(np.asarray(period, np.float64), (ndim,))
+    shape = f.shape
+
+    spec = rfft(f.astype(config.dtype), config=config)
+    for a in range(ndim - 1):
+        spec = fft(spec, axis=a, config=config)
+
+    # |k|^2 over the mixed full/half frequency grid
+    k2 = np.zeros(spec.shape, np.float64)
+    for a in range(ndim):
+        n = shape[a]
+        if a == ndim - 1:
+            ka = 2.0 * np.pi * np.arange(n // 2 + 1, dtype=np.float64) / periods[a]
+        else:
+            ka = 2.0 * np.pi * np.fft.fftfreq(n, 1.0 / n) / periods[a]
+        sl = [None] * ndim
+        sl[a] = slice(None)
+        k2 = k2 + (ka ** 2)[tuple(sl)]
+    inv = np.where(k2 > 0, -1.0 / np.where(k2 > 0, k2, 1.0), 0.0)  # zero the DC mode
+    spec = spec * jnp.asarray(inv, dtype=spec.dtype)
+
+    out = spec
+    for a in range(ndim - 1):
+        out = ifft(out, axis=a, config=config)
+    return irfft(out, n=shape[-1], config=config)

@@ -333,3 +333,38 @@ class TestDCTN:
         got = np.asarray(sp.dctn(x, axes=(-1,), norm="ortho"))
         want = np.asarray(sp.dct(x, 2, axis=-1, norm="ortho"))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+class TestPoisson:
+    def test_manufactured_solution_2d(self):
+        n = 64
+        x = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        X, Y = np.meshgrid(x, x, indexing="ij")
+        u_true = np.sin(2 * X) * np.cos(3 * Y)
+        f = -(4 + 9) * u_true
+        u = np.asarray(sp.poisson_solve(f.astype(np.float32)))
+        assert np.max(np.abs(u - u_true)) < 1e-5
+
+    def test_1d_and_periods(self):
+        n, L = 48, 3.0
+        x = np.linspace(0, L, n, endpoint=False)
+        k = 2 * np.pi * 2 / L
+        u_true = np.sin(k * x)
+        f = -(k ** 2) * u_true
+        u = np.asarray(sp.poisson_solve(f.astype(np.float32), period=L))
+        assert np.max(np.abs(u - u_true)) < 1e-5
+
+    def test_laplacian_inverse_property_3d(self, rng):
+        # laplacian(poisson_solve(f)) == f for mean-zero f
+        f = rng.standard_normal((16, 16, 16)).astype(np.float32)
+        f -= f.mean()
+        u = np.asarray(sp.poisson_solve(f)).astype(np.float64)
+        spec = np.fft.fftn(u)
+        k = 2 * np.pi * np.fft.fftfreq(16, 1 / 16) / (2 * np.pi)
+        k2 = (k**2)[:, None, None] + (k**2)[None, :, None] + (k**2)[None, None, :]
+        lap = np.fft.ifftn(-k2 * spec).real
+        assert np.max(np.abs(lap - f)) < 1e-4
+
+    def test_rejects_complex(self):
+        with pytest.raises(ValueError):
+            sp.poisson_solve(np.zeros(8, np.complex64))
