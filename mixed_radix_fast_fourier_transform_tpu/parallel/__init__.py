@@ -15,6 +15,7 @@ from .distributed import (
     fftn_pencil,
     fftn_pencil2,
     rfftn_pencil2,
+    poisson_solve_pencil2,
     ifft2_pencil,
     ifftn_pencil,
     ifftn_pencil2,
@@ -38,7 +39,7 @@ __all__ = [
     "fft_four_step_scrambled", "ifft_four_step_scrambled",
     "fft_convolve_sharded", "fft_convolve2_sharded",
     "fft2_pencil", "ifft2_pencil", "fftn_pencil", "ifftn_pencil",
-    "fftn_pencil2", "ifftn_pencil2", "rfftn_pencil2", "irfftn_pencil2",
+    "fftn_pencil2", "ifftn_pencil2", "rfftn_pencil2", "irfftn_pencil2", "poisson_solve_pencil2",
     "rfft_four_step", "irfft_four_step",
     "fft_batch_sharded", "shard_batch",
 ]

@@ -992,3 +992,39 @@ def irfftn_pencil2(
     yr = jnp.real(y).astype(config.dtype)
     yi = jnp.imag(y).astype(config.dtype)
     return sharded(yr, yi)[0]
+
+
+def poisson_solve_pencil2(
+    f,
+    mesh: Mesh,
+    period=2.0 * np.pi,
+    *,
+    data_axis: str = DATA_AXIS,
+    seq_axis: str = SEQ_AXIS,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Distributed periodic Poisson solve ∇²u = f on the 2-D pencil: the
+    spectral multiplier −1/|k|² applies to the naturally-ordered sharded
+    spectrum of :func:`rfftn_pencil2` as a partitioned elementwise op, so the
+    whole solve costs exactly the 8 all-to-alls of the two transforms.
+    Mirrors :func:`ops.signal.poisson_solve` (zero-mean solution)."""
+    f = jnp.asarray(f)
+    if f.ndim != 3:
+        raise ValueError(f"poisson_solve_pencil2 expects a 3-D field, got {f.ndim}-D")
+    n0, n1, n2 = f.shape
+    periods = np.broadcast_to(np.asarray(period, np.float64), (3,))
+    k0 = 2.0 * np.pi * np.fft.fftfreq(n0, 1.0 / n0) / periods[0]
+    k1 = 2.0 * np.pi * np.fft.fftfreq(n1, 1.0 / n1) / periods[1]
+    k2 = 2.0 * np.pi * np.arange(n2 // 2 + 1, dtype=np.float64) / periods[2]
+    ksq = (
+        (k0 ** 2)[:, None, None]
+        + (k1 ** 2)[None, :, None]
+        + (k2 ** 2)[None, None, :]
+    )
+    inv = np.where(ksq > 0, -1.0 / np.where(ksq > 0, ksq, 1.0), 0.0)
+
+    spec = rfftn_pencil2(f, mesh, data_axis=data_axis, seq_axis=seq_axis,
+                         config=config)
+    spec = spec * jnp.asarray(inv, dtype=spec.dtype)
+    return irfftn_pencil2(spec, mesh, n2=n2, data_axis=data_axis,
+                          seq_axis=seq_axis, config=config)

@@ -410,6 +410,20 @@ class TestPencil2D2DMesh:
         with pytest.raises(ValueError):
             fftn_pencil2(_rand_complex(rng, (8, 16)), mesh)
 
+    def test_distributed_poisson(self):
+        from mixed_radix_fast_fourier_transform_tpu.parallel import (
+            poisson_solve_pencil2,
+        )
+
+        mesh = _mesh_2d()
+        n = 32
+        x = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+        u_true = np.sin(2 * X) * np.cos(3 * Y) * np.sin(Z)
+        f = -(4 + 9 + 1) * u_true
+        u = np.asarray(poisson_solve_pencil2(f.astype(np.float32), mesh))
+        assert np.max(np.abs(u - u_true)) < 2e-5
+
     def test_real_3d_matches_numpy(self, rng):
         from mixed_radix_fast_fourier_transform_tpu.parallel import (
             irfftn_pencil2,
