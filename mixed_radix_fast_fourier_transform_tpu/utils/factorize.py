@@ -164,6 +164,25 @@ def plan_stages(
         return _plan_stages_greedy(n, max_stage)
     if strategy != "balanced":
         raise ValueError(f"unknown stage strategy {strategy!r}")
+    # Measured exception to LPT balancing (v5e, 2026-08-16, interleaved A/B —
+    # see CLAUDE.md): for power-of-two lengths >= 4096 the engine's Karatsuba
+    # form makes stages of exactly 128 the throughput sweet spot, so prefer
+    # 128s plus one stacked remainder over equal-size stages:
+    # 4096 (128,32) 1.10x over (64,64); 65536 (128,128,4) 1.15x over
+    # (256,256).  A remainder of 2 is better merged into one 256 stage
+    # (32768 (256,128) beats (128,128,2) by 1.27x).
+    if n >= 4096 and n & (n - 1) == 0 and max_stage >= 256:
+        v = n.bit_length() - 1
+        stages = []
+        while v >= 7:
+            stages.append(128)
+            v -= 7
+        if v == 1 and stages:
+            stages[0] = 256
+            v = 0
+        if v:
+            stages.append(1 << v)
+        return tuple(sorted(stages, reverse=True))
     primes = sorted(prime_factors(n), reverse=True)
     if primes[0] > max_stage:
         raise ValueError(
