@@ -162,3 +162,29 @@ class TestCztParity:
         got = sp.zoom_fft(x.astype(np.float32), [0.1, 0.3], m=33, fs=2.0)
         want = scipy_signal.zoom_fft(x, [0.1, 0.3], m=33, fs=2.0)
         assert _rel(np.asarray(got), want) < 2e-5
+
+
+class TestStftParity:
+    def test_stft_matches_scipy_up_to_window_scale(self, rng):
+        """Our stft is the unscaled rfft of windowed frames (librosa-style);
+        scipy.signal.stft divides by win.sum().  With center=False our
+        framing (zero-pad partial tail) equals scipy's padded=True,
+        boundary=None — so ours == scipy.T * win.sum() exactly."""
+        x = rng.standard_normal(1000).astype(np.float32)
+        nperseg, noverlap = 256, 128
+        ours = np.asarray(sp.stft(x, nperseg=nperseg, noverlap=noverlap, center=False))
+        _, _, Z = scipy_signal.stft(
+            x.astype(np.float64), nperseg=nperseg, noverlap=noverlap,
+            boundary=None, padded=True, window="hann",
+        )
+        w = scipy_signal.get_window("hann", nperseg)
+        want = Z.T * w.sum()
+        assert ours.shape == want.shape
+        assert np.max(np.abs(ours - want)) / np.max(np.abs(want)) < 1e-5
+
+    def test_istft_roundtrip_matches_scipy_reconstruction(self, rng):
+        x = rng.standard_normal(2048).astype(np.float32)
+        spec = sp.stft(x, nperseg=256, center=True)
+        back = np.asarray(sp.istft(np.asarray(spec), nperseg=256, center=True,
+                                   length=2048))
+        assert np.max(np.abs(back - x)) < 1e-4
