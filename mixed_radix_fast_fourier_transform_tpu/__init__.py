@@ -35,7 +35,7 @@ from .ops.convolve import fft_convolve, fft_convolve2, fft_correlate, fft_oaconv
 from .ops.stft import stft, istft, spectrogram, get_window
 from .ops.czt import czt, zoom_fft
 from .ops.dct import dct, idct, dst, idst, dctn, idctn, dstn, idstn
-from .ops.signal import hilbert, periodogram, welch, csd, coherence, spectral_diff, poisson_solve
+from .ops.signal import hilbert, periodogram, welch, csd, coherence, spectral_diff, poisson_solve, resample
 from .plan import (
     BluesteinPlan,
     MixedRadixPlan,
@@ -63,7 +63,7 @@ __all__ = [
     "rfft", "rfft2", "irfft2", "hfft", "ihfft", "irfft", "rfftn", "irfftn",
     "fft_convolve", "fft_convolve2", "fft_correlate", "fft_oaconvolve",
     "stft", "istft", "spectrogram", "get_window",
-    "czt", "zoom_fft", "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn", "hilbert", "periodogram", "welch", "csd", "coherence", "spectral_diff", "poisson_solve",
+    "czt", "zoom_fft", "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn", "hilbert", "periodogram", "welch", "csd", "coherence", "spectral_diff", "poisson_solve", "resample",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",
     "MixedRadixPlan", "BluesteinPlan", "RealPlan",
     "build_mixed_radix_plan", "build_bluestein_plan",

@@ -46,7 +46,13 @@ def spectral_diff(
     mult = (1j * k) ** order
     if order % 2 == 1 and n % 2 == 0:
         mult[-1] = 0.0  # odd derivative of the Nyquist mode is ill-defined
-    out = irfft(spec * jnp.asarray(mult, dtype=spec.dtype), n=n, config=config)
+    # complex constants ride as two real planes: complex host->device
+    # transfers are unreliable through the axon tunnel
+    rdtype = jnp.real(spec).dtype
+    multd = jax.lax.complex(
+        jnp.asarray(mult.real, dtype=rdtype), jnp.asarray(mult.imag, dtype=rdtype)
+    )
+    out = irfft(spec * multd, n=n, config=config)
     return jnp.moveaxis(out, -1, axis)
 
 
@@ -69,7 +75,7 @@ def hilbert(x, n: Optional[int] = None, axis: int = -1,
     else:
         h[0] = 1.0
         h[1 : (n + 1) // 2] = 2.0
-    out = ifft(spec * jnp.asarray(h, dtype=spec.dtype), config=config)
+    out = ifft(spec * jnp.asarray(h, dtype=jnp.real(spec).dtype), config=config)
     return jnp.moveaxis(out, -1, axis)
 
 
@@ -241,6 +247,107 @@ def welch(
     return freqs, jnp.moveaxis(p, -1, axis)
 
 
+def _resample_window(window, n_x: int) -> np.ndarray:
+    """Spectral window for resample, in fftfreq bin order (host numpy —
+    static at trace time)."""
+    if callable(window):
+        return np.asarray(window(np.fft.fftfreq(n_x)), dtype=np.float64)
+    if hasattr(window, "shape") or isinstance(window, (list, tuple)) and all(
+        isinstance(v, (int, float)) for v in window
+    ):
+        w = np.asarray(window, dtype=np.float64)
+        if w.shape != (n_x,):
+            raise ValueError(
+                f"window length {w.shape} != number of frequency bins ({n_x},)"
+            )
+        return w
+    return np.fft.fftshift(np.asarray(get_window(window, n_x, np.float64)))
+
+
+def resample(
+    x,
+    num: int,
+    axis: int = -1,
+    window=None,
+    domain: str = "time",
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Fourier-method resampling to ``num`` samples along ``axis``
+    (scipy.signal.resample semantics: ideal low-pass via spectrum
+    truncation / zero-padding, with the unpaired Nyquist bin united on
+    down-sampling and split on up-sampling).
+
+    ``window`` is an optional spectral window: a string/tuple for
+    :func:`get_window`, an array of length ``x.shape[axis]`` in fftfreq bin
+    order, or a callable of the fftfreq grid.  ``domain='freq'`` treats ``x``
+    as an already-computed two-sided spectrum.  All bin bookkeeping is static
+    (host numpy), so the op is jittable; capability extension — the reference
+    has no resampler (its only signal op is convolution, src/convolve.c).
+    """
+    if domain not in ("time", "freq"):
+        raise ValueError(f"domain must be 'time' or 'freq', got {domain!r}")
+    x = jnp.asarray(x)
+    num = int(num)
+    if num < 1:
+        raise ValueError(f"num must be >= 1, got {num}")
+    axis = axis % x.ndim
+    xm = jnp.moveaxis(x, axis, -1)
+    n_x = xm.shape[-1]
+    s_fac = n_x / num
+    m = min(num, n_x)
+    m2 = m // 2 + 1
+    w = None if window is None else _resample_window(window, n_x)
+
+    real_input = domain == "time" and not jnp.issubdtype(
+        x.dtype, jnp.complexfloating
+    )
+    if real_input:
+        spec = rfft(xm.astype(config.dtype), config=config)
+        n_bins = n_x // 2 + 1
+        # static one-sided multiplier: folded window, Nyquist pairing, 1/s_fac
+        mult = np.ones(m2, np.float64)
+        if w is not None:
+            folded = w[:n_bins].copy()
+            folded[1:] = (folded[1:] + w[:-n_bins:-1]) / 2.0
+            mult *= folded[:m2]
+        if m % 2 == 0 and num != n_x:
+            mult[m // 2] *= 2.0 if num < n_x else 0.5
+        # real multiplier, uploaded as fp32: complex constant host->device
+        # transfers are unreliable through the axon tunnel (like the
+        # documented device->host direction)
+        rdtype = jnp.real(spec).dtype
+        spec = spec[..., :m2] * jnp.asarray(mult / s_fac, dtype=rdtype)
+        out = irfft(spec, n=num, config=config)
+    else:
+        cdtype = jnp.result_type(config.dtype, jnp.complex64)
+        if domain == "freq":
+            spec = xm.astype(cdtype)
+        else:
+            spec = fft(xm.astype(cdtype), config=config)
+        rdtype = jnp.real(spec).dtype
+        if w is not None:
+            spec = spec * jnp.asarray(w, dtype=rdtype)
+        spec = spec / float(s_fac)
+        pos = spec[..., :m2]
+        n_neg = m - m2  # negative-frequency bins to keep
+        neg = spec[..., n_x - n_neg :] if n_neg else spec[..., :0]
+        zshape = pos.shape[:-1]
+        if m % 2 == 0 and num < n_x:
+            # down-sampling: unite the Nyquist pair into one unpaired bin
+            pos = pos.at[..., -1].add(spec[..., n_x - m // 2])
+        if m % 2 == 0 and n_x < num:
+            # up-sampling: split the unpaired bin into a conjugate pair
+            half = pos[..., -1:] / 2.0
+            zeros = jnp.zeros((*zshape, num - m - 1), dtype=spec.dtype)
+            y = jnp.concatenate([pos[..., :-1], half, zeros, half, neg], axis=-1)
+        else:
+            zeros = jnp.zeros((*zshape, num - m), dtype=spec.dtype)
+            y = jnp.concatenate([pos, zeros, neg], axis=-1)
+        out = ifft(y, config=config)
+    return jnp.moveaxis(out, -1, axis)
+
+
 def poisson_solve(
     f,
     period=2.0 * np.pi,
@@ -282,7 +389,7 @@ def poisson_solve(
         sl[a] = slice(None)
         k2 = k2 + (ka ** 2)[tuple(sl)]
     inv = np.where(k2 > 0, -1.0 / np.where(k2 > 0, k2, 1.0), 0.0)  # zero the DC mode
-    spec = spec * jnp.asarray(inv, dtype=spec.dtype)
+    spec = spec * jnp.asarray(inv, dtype=jnp.real(spec).dtype)
 
     out = spec
     for a in range(ndim - 1):

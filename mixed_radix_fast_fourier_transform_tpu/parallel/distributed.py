@@ -1025,6 +1025,6 @@ def poisson_solve_pencil2(
 
     spec = rfftn_pencil2(f, mesh, data_axis=data_axis, seq_axis=seq_axis,
                          config=config)
-    spec = spec * jnp.asarray(inv, dtype=spec.dtype)
+    spec = spec * jnp.asarray(inv, dtype=jnp.real(spec).dtype)
     return irfftn_pencil2(spec, mesh, n2=n2, data_axis=data_axis,
                           seq_axis=seq_axis, config=config)

@@ -368,3 +368,67 @@ class TestPoisson:
     def test_rejects_complex(self):
         with pytest.raises(ValueError):
             sp.poisson_solve(np.zeros(8, np.complex64))
+
+
+class TestResample:
+    """Fourier resampling vs scipy.signal.resample (exact algorithm parity:
+    spectrum truncation/padding with unpaired-Nyquist unite/split)."""
+
+    scipy = pytest.importorskip("scipy.signal")
+
+    @pytest.mark.parametrize(
+        "n_x,num",
+        [(100, 63), (100, 171), (128, 64), (128, 256), (63, 128), (63, 31),
+         (100, 100), (96, 4)],
+    )
+    @pytest.mark.parametrize("window", [None, "hann", ("kaiser", 4.0)])
+    def test_real_vs_scipy(self, rng, n_x, num, window):
+        x = rng.standard_normal((3, n_x)).astype(np.float32)
+        got = np.asarray(sp.resample(x, num, window=window))
+        want = self.scipy.resample(x.astype(np.float64), num, axis=-1,
+                                   window=window)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
+
+    @pytest.mark.parametrize("n_x,num", [(100, 64), (64, 100), (50, 50)])
+    def test_complex_vs_scipy(self, rng, n_x, num):
+        x = (rng.standard_normal((2, n_x))
+             + 1j * rng.standard_normal((2, n_x))).astype(np.complex64)
+        got = np.asarray(sp.resample(x, num))
+        want = self.scipy.resample(x.astype(np.complex128), num, axis=-1)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
+
+    def test_freq_domain_and_axis(self, rng):
+        X = np.fft.fft(rng.standard_normal((4, 50)))
+        got = np.asarray(sp.resample(X.astype(np.complex64), 80, domain="freq"))
+        want = self.scipy.resample(X, 80, axis=-1, domain="freq")
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
+        x2 = rng.standard_normal((40, 5)).astype(np.float32)
+        wfun = lambda f: (np.abs(f) < 0.25).astype(float)
+        got = np.asarray(sp.resample(x2, 25, axis=0, window=wfun))
+        want = self.scipy.resample(x2.astype(np.float64), 25, axis=0, window=wfun)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
+
+    def test_sine_exact(self):
+        # a band-limited sine resamples exactly onto the finer grid
+        t1 = np.arange(64) / 64.0
+        t2 = np.arange(160) / 160.0
+        x = np.sin(2 * np.pi * 5 * t1).astype(np.float32)
+        got = np.asarray(sp.resample(x, 160))
+        want = np.sin(2 * np.pi * 5 * t2)
+        assert np.max(np.abs(got - want)) < 1e-5
+
+    def test_jittable(self, rng):
+        import jax
+        x = rng.standard_normal((2, 48)).astype(np.float32)
+        f = jax.jit(lambda a: sp.resample(a, 32))
+        got = np.asarray(f(x))
+        want = self.scipy.resample(x.astype(np.float64), 32, axis=-1)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
+
+    def test_errors(self):
+        with pytest.raises(ValueError):
+            sp.resample(np.zeros(8, np.float32), 4, domain="nope")
+        with pytest.raises(ValueError):
+            sp.resample(np.zeros(8, np.float32), 0)
+        with pytest.raises(ValueError):
+            sp.resample(np.zeros(8, np.float32), 4, window=np.ones(7))
