@@ -34,6 +34,7 @@ from .ops.rfft import rfft, irfft, rfftn, irfftn, rfft2, irfft2, hfft, ihfft
 from .ops.convolve import fft_convolve, fft_convolve2, fft_correlate, fft_oaconvolve
 from .ops.stft import stft, istft, spectrogram, get_window
 from .ops.czt import czt, zoom_fft
+from .ops.fht import fht, ifht, fhtoffset
 from .ops.dct import dct, idct, dst, idst, dctn, idctn, dstn, idstn
 from .ops.signal import hilbert, periodogram, welch, csd, coherence, spectral_diff, poisson_solve, resample
 from .plan import (
@@ -63,7 +64,7 @@ __all__ = [
     "rfft", "rfft2", "irfft2", "hfft", "ihfft", "irfft", "rfftn", "irfftn",
     "fft_convolve", "fft_convolve2", "fft_correlate", "fft_oaconvolve",
     "stft", "istft", "spectrogram", "get_window",
-    "czt", "zoom_fft", "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn", "hilbert", "periodogram", "welch", "csd", "coherence", "spectral_diff", "poisson_solve", "resample",
+    "czt", "zoom_fft", "fht", "ifht", "fhtoffset", "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn", "hilbert", "periodogram", "welch", "csd", "coherence", "spectral_diff", "poisson_solve", "resample",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",
     "MixedRadixPlan", "BluesteinPlan", "RealPlan",
     "build_mixed_radix_plan", "build_bluestein_plan",
