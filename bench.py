@@ -127,6 +127,20 @@ def bench_vs_xla_builtin(n: int, batch: int, iters: int, seed: int = 0) -> float
     return res["ratio_median"]
 
 
+def bench_rfft_vs_builtin(n: int, batch: int, iters: int, seed: int = 0) -> float:
+    """Interleaved A/B ratio of the builtin rfft→irfft round trip over this
+    library's (>1 means this library is faster)."""
+    from mixed_radix_fast_fourier_transform_tpu.ops.rfft import irfft, rfft
+    from mixed_radix_fast_fourier_transform_tpu.utils.profiling import ab_compare
+
+    rng = np.random.default_rng(seed)
+    x = jax.device_put(rng.standard_normal((batch, n)).astype(np.float32))
+    ours = lambda a: (irfft(rfft(a), n=n),)
+    builtin = lambda a: (jnp.fft.irfft(jnp.fft.rfft(a), n=n),)
+    res = ab_compare(builtin, ours, (x,), short=iters, long=5 * iters, rounds=5)
+    return res["ratio_median"]
+
+
 def bench_rfft_roundtrip(n: int, batch: int, iters: int, seed: int = 0):
     """(gflops, max_abs_roundtrip_err) for rfft→irfft of real fp32 signals
     (BASELINE config 3).  Flop model: two half-transforms = 5·N·log2 N."""
@@ -216,6 +230,11 @@ def main():
         extras["speedup_vs_xla_builtin_n65536"] = round(ratio, 3)
     except Exception as e:  # pragma: no cover
         extras["speedup_vs_xla_builtin_n65536"] = {"error": str(e)[:200]}
+    try:
+        ratio = bench_rfft_vs_builtin(4096, 64, 300)
+        extras["speedup_vs_xla_builtin_rfft4096"] = round(ratio, 3)
+    except Exception as e:  # pragma: no cover
+        extras["speedup_vs_xla_builtin_rfft4096"] = {"error": str(e)[:200]}
     try:
         gf, err = bench_rfft_roundtrip(4096, 64, 300)
         extras["rfft4096_roundtrip_b64"] = {

@@ -27,12 +27,30 @@ def get_window(window, nperseg: int, dtype=np.float32) -> np.ndarray:
     Periodic (DFT-even) convention, matching scipy's spectral defaults."""
     if isinstance(window, tuple):
         name, *params = window
-        if name != "kaiser" or len(params) != 1:
+        if len(params) != 1 or name not in ("kaiser", "tukey", "gaussian"):
             raise ValueError(f"unknown parameterized window {window!r}")
-        beta = float(params[0])
         n = np.arange(nperseg, dtype=np.float64)
-        ratio = 2.0 * n / nperseg - 1.0
-        w = np.i0(beta * np.sqrt(np.maximum(1.0 - ratio ** 2, 0.0))) / np.i0(beta)
+        if name == "kaiser":
+            beta = float(params[0])
+            ratio = 2.0 * n / nperseg - 1.0
+            w = np.i0(beta * np.sqrt(np.maximum(1.0 - ratio ** 2, 0.0))) / np.i0(beta)
+        elif name == "tukey":
+            # periodic = symmetric length nperseg+1 with the last point dropped
+            alpha = float(params[0])
+            if alpha <= 0:
+                w = np.ones(nperseg)
+            elif alpha >= 1:
+                w = 0.5 - 0.5 * np.cos(2 * np.pi * n / nperseg)
+            else:
+                edge = alpha * nperseg / 2.0
+                w = np.ones(nperseg)
+                lo = n < edge
+                w[lo] = 0.5 * (1 + np.cos(np.pi * (n[lo] / edge - 1.0)))
+                hi = n > nperseg - edge
+                w[hi] = 0.5 * (1 + np.cos(np.pi * ((nperseg - n[hi]) / edge - 1.0)))
+        else:  # gaussian
+            std = float(params[0])
+            w = np.exp(-0.5 * ((n - nperseg / 2.0) / std) ** 2)
         return w.astype(dtype)
     if isinstance(window, str):
         n = np.arange(nperseg, dtype=np.float64)

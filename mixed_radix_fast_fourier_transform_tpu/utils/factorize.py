@@ -165,13 +165,14 @@ def plan_stages(
     if strategy != "balanced":
         raise ValueError(f"unknown stage strategy {strategy!r}")
     # Measured exception to LPT balancing (v5e, 2026-08-16, interleaved A/B —
-    # see CLAUDE.md): for power-of-two lengths >= 4096 the engine's Karatsuba
+    # see CLAUDE.md): for power-of-two lengths >= 2048 the engine's Karatsuba
     # form makes stages of exactly 128 the throughput sweet spot, so prefer
     # 128s plus one stacked remainder over equal-size stages:
-    # 4096 (128,32) 1.10x over (64,64); 65536 (128,128,4) 1.15x over
-    # (256,256).  A remainder of 2 is better merged into one 256 stage
-    # (32768 (256,128) beats (128,128,2) by 1.27x).
-    if n >= 4096 and n & (n - 1) == 0 and max_stage >= 256:
+    # 2048 (128,16) 1.75x over (64,32); 4096 (128,32) 1.10x over (64,64);
+    # 65536 (128,128,4) 1.15x over (256,256).  A remainder of 2 is better
+    # merged into one 256 stage ((256,128) beats (128,128,2) by 1.27x at
+    # 32768).  N=1024 stays LPT: (32,32) beat (128,8) by 1.10x.
+    if n >= 2048 and n & (n - 1) == 0 and max_stage >= 256:
         v = n.bit_length() - 1
         stages = []
         while v >= 7:

@@ -286,6 +286,18 @@ class TestWindows:
         with pytest.raises(ValueError):
             sp.get_window(("gauss", 1.0), 64)
 
+    @pytest.mark.parametrize(
+        "window",
+        [("tukey", 0.25), ("tukey", 0.5), ("tukey", 0.0), ("tukey", 1.0),
+         ("gaussian", 7.0), ("gaussian", 32.0), ("kaiser", 8.0)],
+    )
+    @pytest.mark.parametrize("n", [64, 255, 256])
+    def test_parameterized_vs_scipy(self, window, n):
+        ss = pytest.importorskip("scipy.signal")
+        got = sp.get_window(window, n)
+        want = ss.get_window(window, n, fftbins=True)
+        assert np.max(np.abs(got - want)) < 1e-6
+
 
 class TestSpectralDiff:
     def test_sine_derivative(self):
