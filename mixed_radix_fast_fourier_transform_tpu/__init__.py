@@ -31,7 +31,7 @@ from .ops.fft import (
     ifftshift,
 )
 from .ops.rfft import rfft, irfft, rfftn, irfftn, rfft2, irfft2, hfft, ihfft
-from .ops.convolve import fft_convolve, fft_convolve2, fft_correlate, fft_oaconvolve
+from .ops.convolve import fft_convolve, fft_convolve2, fft_convolven, fft_correlate, fft_oaconvolve
 from .ops.stft import stft, istft, spectrogram, get_window
 from .ops.czt import czt, zoom_fft
 from .ops.fht import fht, ifht, fhtoffset
@@ -62,7 +62,7 @@ __version__ = "0.1.0"
 __all__ = [
     "fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
     "rfft", "rfft2", "irfft2", "hfft", "ihfft", "irfft", "rfftn", "irfftn",
-    "fft_convolve", "fft_convolve2", "fft_correlate", "fft_oaconvolve",
+    "fft_convolve", "fft_convolve2", "fft_convolven", "fft_correlate", "fft_oaconvolve",
     "stft", "istft", "spectrogram", "get_window",
     "czt", "zoom_fft", "fht", "ifht", "fhtoffset", "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn", "hilbert", "periodogram", "welch", "csd", "coherence", "spectral_diff", "poisson_solve", "resample",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",

@@ -231,6 +231,93 @@ def fft_convolve2(
     return out
 
 
+def fft_convolven(
+    in1,
+    in2,
+    mode: str = "full",
+    *,
+    axes=None,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """N-D FFT convolution over ``axes`` (scipy.signal.fftconvolve semantics).
+
+    Unlike :func:`fft_convolve` (whose mode slicing pins the reference's 1-D
+    behavior, convolve.c:162-201), this follows scipy exactly: ``same``
+    returns the shape of ``in1`` per transform axis; ``valid`` requires one
+    input to be at least as large as the other on every transform axis.
+    Non-transform axes broadcast.  Real inputs use one rfft axis plus complex
+    transforms on the rest; capability extension (the reference is 1-D only).
+    """
+    in1 = jnp.asarray(in1)
+    in2 = jnp.asarray(in2)
+    ndim = max(in1.ndim, in2.ndim)
+    if in1.ndim < ndim:
+        in1 = in1.reshape((1,) * (ndim - in1.ndim) + in1.shape)
+    if in2.ndim < ndim:
+        in2 = in2.reshape((1,) * (ndim - in2.ndim) + in2.shape)
+    if axes is None:
+        axes = tuple(range(ndim))
+    else:
+        axes = tuple(sorted({a % ndim for a in (
+            axes if isinstance(axes, (tuple, list)) else (axes,))}))
+    if not axes:
+        raise ValueError("axes must be non-empty")
+    for a in axes:
+        if in1.shape[a] < 1 or in2.shape[a] < 1:
+            raise ValueError("inputs must be non-empty along every transform axis")
+    if mode == "valid":
+        ge1 = all(in1.shape[a] >= in2.shape[a] for a in axes)
+        ge2 = all(in2.shape[a] >= in1.shape[a] for a in axes)
+        if not (ge1 or ge2):
+            raise ValueError(
+                "valid mode needs one input at least as large as the other "
+                "on every transform axis"
+            )
+    elif mode not in ("full", "same"):
+        raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
+
+    complex_input = jnp.issubdtype(in1.dtype, jnp.complexfloating) or jnp.issubdtype(
+        in2.dtype, jnp.complexfloating
+    )
+    ms = {a: _padded_len(in1.shape[a] + in2.shape[a] - 1, config) for a in axes}
+    last = axes[-1]
+
+    def fwd(x):
+        if complex_input:
+            for a in axes:
+                x = fft(x, n=ms[a], axis=a, config=config)
+        else:
+            x = rfft(x, n=ms[last], axis=last, config=config)
+            for a in axes[:-1]:
+                x = fft(x, n=ms[a], axis=a, config=config)
+        return x
+
+    s1 = in1.shape
+    s2 = in2.shape
+    prod = fwd(in1) * fwd(in2)
+    if complex_input:
+        for a in axes:
+            prod = ifft(prod, axis=a, config=config)
+        out = prod
+    else:
+        for a in axes[:-1]:
+            prod = ifft(prod, axis=a, config=config)
+        out = irfft(prod, n=ms[last], axis=last, config=config)
+
+    idx = [slice(None)] * ndim
+    for a in axes:
+        full = s1[a] + s2[a] - 1
+        if mode == "full":
+            start, length = 0, full
+        elif mode == "same":
+            start, length = (full - s1[a]) // 2, s1[a]  # scipy: shape of in1
+        else:  # valid
+            smaller = min(s1[a], s2[a])
+            start, length = smaller - 1, abs(s1[a] - s2[a]) + 1
+        idx[a] = slice(start, start + length)
+    return out[tuple(idx)]
+
+
 def fft_correlate(
     in1,
     in2,
