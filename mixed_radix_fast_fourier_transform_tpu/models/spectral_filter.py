@@ -53,6 +53,7 @@ def apply(params: Params, x: Array, *, config: SpectralConfig = DEFAULT_CONFIG) 
 
 
 def loss_fn(params: Params, x: Array, target: Array, *, config=DEFAULT_CONFIG) -> Array:
+    """MSE between the filtered signal and the target."""
     y = apply(params, x, config=config)
     return jnp.mean((y - target) ** 2)
 
@@ -73,6 +74,7 @@ def train_step(
 # ---------------------------------------------------------------------------
 
 def init_params_complex(key: jax.Array, n: int, dtype=jnp.float32) -> Params:
+    """Full-spectrum (length n) gain params for the distributed complex filter."""
     k1, k2 = jax.random.split(key)
     return {
         "gain_re": 1.0 + 0.01 * jax.random.normal(k1, (n,), dtype),

@@ -154,6 +154,7 @@ def ifftn(
     *,
     config: SpectralConfig = DEFAULT_CONFIG,
 ) -> Array:
+    """Inverse N-D FFT (numpy.fft.ifftn semantics)."""
     x = jnp.asarray(x)
     s, axes = _axes_shape(x, s, axes)
     for n_i, a in zip(s, axes):
@@ -162,10 +163,12 @@ def ifftn(
 
 
 def fft2(x, s=None, axes=(-2, -1), norm="backward", *, config=DEFAULT_CONFIG):
+    """2-D FFT over ``axes`` (numpy.fft.fft2 semantics)."""
     return fftn(x, s=s, axes=axes, norm=norm, config=config)
 
 
 def ifft2(x, s=None, axes=(-2, -1), norm="backward", *, config=DEFAULT_CONFIG):
+    """Inverse 2-D FFT over ``axes`` (numpy.fft.ifft2 semantics)."""
     return ifftn(x, s=s, axes=axes, norm=norm, config=config)
 
 
@@ -175,16 +178,19 @@ def ifft2(x, s=None, axes=(-2, -1), norm="backward", *, config=DEFAULT_CONFIG):
 # ---------------------------------------------------------------------------
 
 def fftfreq(n: int, d: float = 1.0, *, dtype=jnp.float32) -> Array:
+    """DFT sample frequencies for length ``n``, spacing ``d`` (numpy.fft.fftfreq)."""
     k = jnp.arange(n)
     k = jnp.where(k < (n + 1) // 2, k, k - n)
     return (k / (n * d)).astype(dtype)
 
 
 def rfftfreq(n: int, d: float = 1.0, *, dtype=jnp.float32) -> Array:
+    """Non-negative DFT frequencies for a length-``n`` real transform (numpy.fft.rfftfreq)."""
     return (jnp.arange(n // 2 + 1) / (n * d)).astype(dtype)
 
 
 def fftshift(x, axes=None) -> Array:
+    """Roll the zero-frequency bin to the center (numpy.fft.fftshift)."""
     x = jnp.asarray(x)
     if axes is None:
         axes = tuple(range(x.ndim))
@@ -195,6 +201,7 @@ def fftshift(x, axes=None) -> Array:
 
 
 def ifftshift(x, axes=None) -> Array:
+    """Undo :func:`fftshift` (numpy.fft.ifftshift)."""
     x = jnp.asarray(x)
     if axes is None:
         axes = tuple(range(x.ndim))

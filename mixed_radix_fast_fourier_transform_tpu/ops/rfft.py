@@ -282,6 +282,8 @@ def rfftn(x, s=None, axes=None, norm="backward", *, config=DEFAULT_CONFIG):
 
 
 def irfftn(x, s=None, axes=None, norm="backward", *, config=DEFAULT_CONFIG):
+    """Inverse N-D real FFT (numpy.fft.irfftn): complex ifft over the leading
+    requested axes, irfft over the last."""
     from .fft import ifft, _axes_shape
 
     x = jnp.asarray(x)

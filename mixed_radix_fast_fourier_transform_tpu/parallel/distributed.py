@@ -210,6 +210,7 @@ def fft_four_step(
 
 
 def ifft_four_step(x, mesh: Mesh, **kw) -> Array:
+    """Inverse of :func:`fft_four_step` (same sharding contract)."""
     return fft_four_step(x, mesh, inverse=True, **kw)
 
 
@@ -599,6 +600,7 @@ def fft2_pencil(
 
 
 def ifft2_pencil(x, mesh: Mesh, **kw) -> Array:
+    """Inverse of :func:`fft2_pencil`."""
     return fft2_pencil(x, mesh, inverse=True, **kw)
 
 
@@ -744,6 +746,7 @@ def fftn_pencil(
 
 
 def ifftn_pencil(x, mesh: Mesh, axes=None, **kw) -> Array:
+    """Inverse of :func:`fftn_pencil`."""
     return fftn_pencil(x, mesh, axes, inverse=True, **kw)
 
 
@@ -860,6 +863,7 @@ def fftn_pencil2(
 
 
 def ifftn_pencil2(x, mesh: Mesh, **kw) -> Array:
+    """Inverse of :func:`fftn_pencil2`."""
     return fftn_pencil2(x, mesh, inverse=True, **kw)
 
 

@@ -54,6 +54,7 @@ def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS, ndim: int = 2) -> Nam
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding on ``mesh`` (for params/constants)."""
     return NamedSharding(mesh, P())
 
 

@@ -142,6 +142,9 @@ def _as_jnp(pair, dtype) -> Tuple[np.ndarray, np.ndarray]:
 def build_mixed_radix_plan(
     n: int, sign: int, config: SpectralConfig = DEFAULT_CONFIG
 ) -> MixedRadixPlan:
+    """Stage-matmul plan for a smooth length ``n``: measured stage split,
+    per-stage DFT matrices + split twiddles as fp64-generated host constants
+    (reference: fft_init's lt=0 branch, src/highSpeedFFT.c:206-233)."""
     if sign not in (-1, 1):
         raise ValueError(f"sign must be -1 (forward) or +1 (inverse), got {sign}")
     if n < 1:
@@ -192,6 +195,10 @@ def _padded_length(n: int, config: SpectralConfig) -> int:
 def build_bluestein_plan(
     n: int, sign: int, config: SpectralConfig = DEFAULT_CONFIG
 ) -> BluesteinPlan:
+    """Chirp-z plan for arbitrary length ``n``: padded inner plan (shared
+    across equal padded lengths via the cache) + plan-time chirp spectrum
+    (reference: fft_init's lt=1 branch, src/highSpeedFFT.c:236-265, which
+    recomputes the chirp per exec and over/under-pads — both fixed here)."""
     if sign not in (-1, 1):
         raise ValueError(f"sign must be -1 or +1, got {sign}")
     m = _padded_length(n, config)
@@ -237,6 +244,9 @@ def build_complex_plan(n: int, sign: int, config: SpectralConfig = DEFAULT_CONFI
 def build_real_plan(
     n: int, sign: int, config: SpectralConfig = DEFAULT_CONFIG
 ) -> RealPlan:
+    """Packed real-FFT plan: half-length complex plan + split twiddles
+    (reference: fft_real_init, src/real.c:26-76); even ``n`` only, like the
+    reference — odd lengths route through the complex engine at the API layer."""
     if n % 2 != 0:
         raise ValueError(f"packed real FFT requires even length, got {n}")
     inner = build_complex_plan(n // 2, sign, config)
@@ -276,6 +286,8 @@ def _cfg_key(config: SpectralConfig):
 
 def get_plan(n: int, sign: int, kind: str = "complex",
              config: SpectralConfig = DEFAULT_CONFIG):
+    """Cached plan lookup keyed on (n, sign, kind, config) — the library's
+    `fft_init` equivalent, but immutable and shared (thread-safe LRU)."""
     from .utils.metrics import incr, logger
 
     key = (kind, n, sign, _cfg_key(config))
@@ -301,5 +313,6 @@ def get_plan(n: int, sign: int, kind: str = "complex",
 
 
 def clear_plan_cache() -> None:
+    """Drop every cached plan (reference `free_fft`, for the whole cache)."""
     with _CACHE_LOCK:
         _CACHE.clear()

@@ -1,0 +1,55 @@
+"""Regenerate API.md from the live package surface (run after adding ops)."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+jax.config.update("jax_platforms", "cpu")
+import inspect
+import mixed_radix_fast_fourier_transform_tpu as sp
+from mixed_radix_fast_fourier_transform_tpu import compat, models, parallel
+
+def doc1(obj):
+    d = inspect.getdoc(obj) or ""
+    line = d.split("\n")[0].strip()
+    return line if len(line) < 110 else line[:107] + "..."
+
+groups = {
+    "Transforms (numpy.fft-style)": ["fft","ifft","fft2","ifft2","fftn","ifftn","rfft","irfft","rfft2","irfft2","rfftn","irfftn","hfft","ihfft"],
+    "Helpers": ["fftfreq","rfftfreq","fftshift","ifftshift","next_fast_len","next_pow2","prime_factors","plan_stages","dividebyN"],
+    "Cosine/sine transforms": ["dct","idct","dst","idst","dctn","idctn","dstn","idstn"],
+    "Chirp-z / zoom / Hankel": ["czt","zoom_fft","fht","ifht","fhtoffset"],
+    "Convolution / correlation": ["fft_convolve","fft_convolve2","fft_convolven","fft_oaconvolve","fft_correlate"],
+    "Time-frequency": ["stft","istft","spectrogram","get_window"],
+    "Signal analysis": ["hilbert","periodogram","welch","csd","coherence","resample"],
+    "PDE toolbox": ["spectral_diff","poisson_solve"],
+    "Plans / config": ["SpectralConfig","get_plan","build_complex_plan","build_real_plan","build_bluestein_plan","build_mixed_radix_plan","clear_plan_cache"],
+}
+lines = ["# API reference", "",
+         "Every public symbol, grouped by family. All transform functions are",
+         "jittable, batched over leading axes, and differentiate end-to-end;",
+         "`config: SpectralConfig` keyword selects dtype/precision/padding/stage",
+         "strategy per call.  Regenerate with `python tools/gen_api_md.py`.", ""]
+for title, names in groups.items():
+    lines += [f"## {title}", "", "| symbol | summary |", "|---|---|"]
+    for n in names:
+        lines.append(f"| `{n}` | {doc1(getattr(sp, n))} |")
+    lines.append("")
+lines += ["## Distributed (`.parallel`)", "", "| symbol | summary |", "|---|---|"]
+for n in sorted(n for n in dir(parallel) if not n.startswith("_")):
+    obj = getattr(parallel, n)
+    if callable(obj):
+        lines.append(f"| `{n}` | {doc1(obj)} |")
+lines.append("")
+lines += ["## Models (`.models`)", "", "| symbol | summary |", "|---|---|"]
+for n in models.__all__:
+    lines.append(f"| `{n}` | {doc1(getattr(models, n))} |")
+lines.append("")
+lines += ["## Reference-compatible layer (`.compat`)", "", "| symbol | summary |", "|---|---|"]
+for n in sorted(dir(compat)):
+    if n.startswith("_"):
+        continue
+    obj = getattr(compat, n)
+    if callable(obj) and getattr(obj, "__module__", "").endswith("compat"):
+        lines.append(f"| `{n}` | {doc1(obj)} |")
+lines.append("")
+open("API.md", "w").write("\n".join(lines) + "\n")
+print("API.md written")
