@@ -11,6 +11,7 @@ Usage (on the TPU host):
     python tools/tune.py pad 10007 16        # Bluestein padding variants
     python tools/tune.py pallas 1024 256     # fused kernel vs XLA pipeline
     python tools/tune.py precision 1024 256  # matmul precision ladder
+    python tools/tune.py split 3600 64 120x30 144x25   # explicit stage splits
 """
 
 from __future__ import annotations
@@ -126,6 +127,45 @@ def tune_precision(n: int, b: int):
 
 
 
+def tune_split(n: int, b: int, cands):
+    """Interleaved A/B of explicit stage splits vs the default plan at (n, b).
+
+    ``cands`` are strings like "120x30" or "128x96x2" (product must equal n).
+    Forces the split by monkeypatching plan_stages for the one build call.
+    """
+    import mixed_radix_fast_fourier_transform_tpu.plan as P
+
+    orig = P.plan_stages
+
+    def plan_with(stages):
+        P.plan_stages = (
+            lambda nn, ms, strategy="balanced": tuple(stages)
+            if (stages and nn == n)
+            else orig(nn, ms, strategy)
+        )
+        try:
+            P.clear_plan_cache()
+            return P.build_complex_plan(n, -1, DEFAULT_CONFIG)
+        finally:
+            P.plan_stages = orig
+
+    (xr, xi), _ = _planes(n, b)
+    base = plan_with(None)
+    print(f"N={n} b={b} base factors: {base.factors}")
+    for cand in cands:
+        stages = tuple(int(s) for s in cand.lower().split("x"))
+        assert np.prod(stages) == n, f"{stages} does not multiply to {n}"
+        plan = plan_with(stages)
+        short = min(500, max(50, 700_000 // n))
+        res = ab_compare(
+            lambda a, c: exec_complex(base, a, c),
+            lambda a, c, p=plan: exec_complex(p, a, c),
+            (xr, xi), short=short, long=5 * short, rounds=5,
+        )
+        print(f"vs {stages}:")
+        _report("base", str(stages), res)
+
+
 def tune_builtin(n: int, b: int):
     """Interleaved A/B vs XLA's builtin jnp.fft.fft at (n, b)."""
     import jax.numpy as jnp
@@ -171,6 +211,9 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "stages"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     b = int(sys.argv[3]) if len(sys.argv) > 3 else 256
-    {"stages": tune_stages, "pad": tune_pad, "builtin": tune_builtin,
-     "pallas": tune_pallas, "precision": tune_precision,
-     "matmul_form": tune_matmul_form}[which](n, b)
+    if which == "split":
+        tune_split(n, b, sys.argv[4:])
+    else:
+        {"stages": tune_stages, "pad": tune_pad, "builtin": tune_builtin,
+         "pallas": tune_pallas, "precision": tune_precision,
+         "matmul_form": tune_matmul_form}[which](n, b)
