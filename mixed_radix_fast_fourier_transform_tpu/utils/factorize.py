@@ -189,6 +189,20 @@ def plan_stages(
         raise ValueError(
             f"prime factor {primes[0]} of {n} exceeds max_stage={max_stage}"
         )
+    # Measured window rule for two-stage non-pow2 lengths (v5e, 2026-08-16,
+    # interleaved A/B — see CLAUDE.md): the largest divisor <= 128 as the
+    # leading stage beats LPT balancing, mirroring the pow2 128-stage rule:
+    # 3072 (128,24) 1.19x over (64,48); 3600 (120,30) 1.65x over (60,60);
+    # 5040 (126,40) 1.70x and (112,45) 1.50x over (84,60); 6144 (128,48)
+    # 1.40x over (96,64); 10000 (125,80) parity with (100,100).  Above 128
+    # the win vanishes ((140,36) 1.08x, (144,25) 0.91x, (150,24) 1.06x), so
+    # the window is (96..128]; descending order matters ((30,120) only
+    # 1.39x).  Below n=3072 LPT stands: 2520 (126,20) measured 0.83x vs
+    # (56,45), 1800 (120,15) parity, 1260 (126,10) 0.72-0.91x.
+    if n >= 3072 and max_stage >= 256:
+        for a in range(128, 96, -1):
+            if n % a == 0 and n // a <= max_stage:
+                return tuple(sorted((a, n // a), reverse=True))
     s = max(1, math.ceil(math.log(n) / math.log(max_stage)))
     while True:
         stages = _lpt_pack(primes, s, max_stage)

@@ -204,6 +204,32 @@ def test_random_length_sweep(rng):
         assert rel < 2e-5, (n, rel)
 
 
+def test_stage_window_rule(rng):
+    """Measured two-stage window rule (CLAUDE.md): for non-pow2 n >= 3072 the
+    largest divisor in (96..128] leads the plan; below 3072 LPT balancing
+    stands (2520 forced (126,20) 0.83x, 1260 forced (126,10) 0.72-0.91x)."""
+    cases = {
+        3600: (120, 30),
+        5040: (126, 40),
+        6144: (128, 48),
+        3072: (128, 24),
+        10000: (125, 80),
+        24576: (192, 128),  # window a=128 -> cofactor 192, same multiset as LPT
+        2520: (60, 42),     # below threshold: LPT ((126,20) measured 0.83x)
+        1260: (42, 30),     # below threshold: LPT
+        1024: (32, 32),     # below threshold: LPT
+        2048: (128, 16),    # pow2 rule, unchanged
+    }
+    for n, want in cases.items():
+        assert sp.plan_stages(n, 256) == want, n
+    # correctness at freshly re-planned sizes
+    for n in (3600, 2520, 10000):
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+        got = _c128(sp.fft(x))
+        want_fft = np.fft.fft(x.astype(np.complex128))
+        assert np.max(np.abs(got - want_fft)) / np.max(np.abs(want_fft)) < 2e-5, n
+
+
 @pytest.mark.parametrize("norm", ["backward", "ortho", "forward"])
 def test_rfft_norm_roundtrips(rng, norm):
     x = rng.standard_normal(256).astype(np.float32)
