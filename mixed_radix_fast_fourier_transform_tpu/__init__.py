@@ -37,6 +37,8 @@ from .ops.czt import czt, zoom_fft
 from .ops.fht import fht, ifht, fhtoffset
 from .ops.dct import dct, idct, dst, idst, dctn, idctn, dstn, idstn
 from .ops.signal import hilbert, periodogram, welch, csd, coherence, spectral_diff, poisson_solve, resample
+from .ops.mdct import mdct, imdct, mdct_window
+from .ops.cwt import cwt, ricker, morlet2
 from .plan import (
     BluesteinPlan,
     MixedRadixPlan,
@@ -65,6 +67,7 @@ __all__ = [
     "fft_convolve", "fft_convolve2", "fft_convolven", "fft_correlate", "fft_oaconvolve",
     "stft", "istft", "spectrogram", "get_window",
     "czt", "zoom_fft", "fht", "ifht", "fhtoffset", "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn", "hilbert", "periodogram", "welch", "csd", "coherence", "spectral_diff", "poisson_solve", "resample",
+    "mdct", "imdct", "mdct_window", "cwt", "ricker", "morlet2",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",
     "MixedRadixPlan", "BluesteinPlan", "RealPlan",
     "build_mixed_radix_plan", "build_bluestein_plan",

@@ -18,7 +18,7 @@ groups = {
     "Cosine/sine transforms": ["dct","idct","dst","idst","dctn","idctn","dstn","idstn"],
     "Chirp-z / zoom / Hankel": ["czt","zoom_fft","fht","ifht","fhtoffset"],
     "Convolution / correlation": ["fft_convolve","fft_convolve2","fft_convolven","fft_oaconvolve","fft_correlate"],
-    "Time-frequency": ["stft","istft","spectrogram","get_window"],
+    "Time-frequency": ["stft","istft","spectrogram","get_window","mdct","imdct","mdct_window","cwt","ricker","morlet2"],
     "Signal analysis": ["hilbert","periodogram","welch","csd","coherence","resample"],
     "PDE toolbox": ["spectral_diff","poisson_solve"],
     "Plans / config": ["SpectralConfig","get_plan","build_complex_plan","build_real_plan","build_bluestein_plan","build_mixed_radix_plan","clear_plan_cache"],
