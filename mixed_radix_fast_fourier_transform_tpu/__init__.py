@@ -39,6 +39,7 @@ from .ops.dct import dct, idct, dst, idst, dctn, idctn, dstn, idstn
 from .ops.signal import hilbert, periodogram, welch, csd, coherence, spectral_diff, poisson_solve, resample
 from .ops.mdct import mdct, imdct, mdct_window
 from .ops.cwt import cwt, ricker, morlet2
+from .ops.nufft import nudft1, nudft2, nufft1, nufft2, nufft3
 from .plan import (
     BluesteinPlan,
     MixedRadixPlan,
@@ -68,6 +69,7 @@ __all__ = [
     "stft", "istft", "spectrogram", "get_window",
     "czt", "zoom_fft", "fht", "ifht", "fhtoffset", "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn", "hilbert", "periodogram", "welch", "csd", "coherence", "spectral_diff", "poisson_solve", "resample",
     "mdct", "imdct", "mdct_window", "cwt", "ricker", "morlet2",
+    "nufft1", "nufft2", "nufft3", "nudft1", "nudft2",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",
     "MixedRadixPlan", "BluesteinPlan", "RealPlan",
     "build_mixed_radix_plan", "build_bluestein_plan",

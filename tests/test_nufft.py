@@ -1,0 +1,149 @@
+"""NUFFT types 1/2/3: fp64 NUDFT oracle, dense/grid agreement, uniform-grid
+reduction to the FFT, adjoint identity, autodiff, error paths."""
+
+import numpy as np
+import pytest
+
+import mixed_radix_fast_fourier_transform_tpu as sp
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(5)
+
+
+def _oracle1(x, c, n, isign=-1):
+    k = np.arange(-(n // 2), (n + 1) // 2)
+    return np.exp(isign * 1j * np.outer(k, x.astype(np.float64))) @ c.astype(
+        np.complex128
+    )
+
+
+def _oracle2(x, f, isign=+1):
+    n = f.shape[-1]
+    k = np.arange(-(n // 2), (n + 1) // 2)
+    return np.exp(isign * 1j * np.outer(x.astype(np.float64), k)) @ f.astype(
+        np.complex128
+    )
+
+
+def _pts(rng, m):
+    return rng.uniform(0.0, 2 * np.pi, m).astype(np.float32)
+
+
+def _strengths(rng, *shape):
+    return (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(
+        np.complex64
+    )
+
+
+@pytest.mark.parametrize("method", ["dense", "grid"])
+@pytest.mark.parametrize("n,isign", [(64, -1), (63, -1), (64, +1)])
+def test_nufft1_matches_oracle(rng, method, n, isign):
+    x = _pts(rng, 150)
+    c = _strengths(rng, 150)
+    got = np.asarray(sp.nufft1(x, c, n, isign=isign, method=method))
+    want = _oracle1(x, c, n, isign)
+    rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert rel < 1e-5, (method, n, isign, rel)
+
+
+@pytest.mark.parametrize("method", ["dense", "grid"])
+@pytest.mark.parametrize("n,isign", [(64, +1), (63, +1), (64, -1)])
+def test_nufft2_matches_oracle(rng, method, n, isign):
+    x = _pts(rng, 150)
+    f = _strengths(rng, n)
+    got = np.asarray(sp.nufft2(x, f, isign=isign, method=method))
+    want = _oracle2(x, f, isign)
+    rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert rel < 1e-5, (method, n, isign, rel)
+
+
+def test_nufft1_large_n_phase_accuracy(rng):
+    """The int-split phase reduction keeps the dense path accurate at mode
+    numbers where naive fp32 k*x phases lose ~1e-2."""
+    n, m = 8192, 32
+    x = _pts(rng, m)
+    c = _strengths(rng, m)
+    got = np.asarray(sp.nufft1(x, c, n, method="dense"))
+    want = _oracle1(x, c, n)
+    rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert rel < 2e-5, rel
+
+
+def test_uniform_points_reduce_to_fft(rng):
+    n = 128
+    x = (2 * np.pi * np.arange(n) / n).astype(np.float32)
+    c = _strengths(rng, n)
+    got = np.asarray(sp.nufft1(x, c, n, isign=-1))
+    want = np.fft.fftshift(np.fft.fft(c.astype(np.complex128)))
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-5
+
+
+def test_grid_and_dense_agree_batched(rng):
+    x = _pts(rng, 80)
+    c = _strengths(rng, 3, 80)
+    d = np.asarray(sp.nufft1(x, c, 48, method="dense"))
+    g = np.asarray(sp.nufft1(x, c, 48, method="grid"))
+    assert d.shape == g.shape == (3, 48)
+    assert np.max(np.abs(d - g)) / np.max(np.abs(d)) < 1e-5
+    f = _strengths(rng, 3, 48)
+    d2 = np.asarray(sp.nufft2(x, f, method="dense"))
+    g2 = np.asarray(sp.nufft2(x, f, method="grid"))
+    assert d2.shape == g2.shape == (3, 80)
+    assert np.max(np.abs(d2 - g2)) / np.max(np.abs(d2)) < 1e-5
+
+
+def test_type2_is_adjoint_of_type1(rng):
+    """<nufft1(c), f> == <c, conj-transpose pairing> with matched isign."""
+    x = _pts(rng, 70)
+    c = _strengths(rng, 70)
+    f = _strengths(rng, 40)
+    lhs = np.vdot(np.asarray(sp.nufft1(x, c, 40, isign=-1)), f)
+    rhs = np.vdot(c, np.asarray(sp.nufft2(x, f, isign=+1)))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-5
+
+
+def test_nufft3_matches_oracle(rng):
+    x = rng.uniform(-3.0, 3.0, 60).astype(np.float32)
+    s = rng.uniform(-20.0, 20.0, 45).astype(np.float32)
+    c = _strengths(rng, 60)
+    got = np.asarray(sp.nufft3(x, c, s))
+    k = s.astype(np.float64)
+    want = np.exp(-1j * np.outer(k, x.astype(np.float64))) @ c.astype(np.complex128)
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-4
+
+
+def test_nufft_jit_and_grad(rng):
+    import jax
+    import jax.numpy as jnp
+
+    x = _pts(rng, 50)
+    c = _strengths(rng, 50)
+
+    def loss(cr):
+        f = sp.nufft1(x, jax.lax.complex(cr, jnp.zeros_like(cr)), 32)
+        return jnp.sum(jnp.abs(f) ** 2)
+
+    g = jax.jit(jax.grad(loss))(c.real)
+    assert g.shape == (50,) and bool(np.isfinite(np.asarray(g)).all())
+    # numerical check on one coordinate
+    e = np.zeros(50, np.float32)
+    e[7] = 1e-2
+    fd = (loss(c.real + e) - loss(c.real - e)) / 2e-2
+    assert abs(float(fd) - float(g[7])) / max(abs(float(fd)), 1e-6) < 1e-2
+
+
+def test_nufft_errors(rng):
+    x = _pts(rng, 10)
+    c = _strengths(rng, 10)
+    with pytest.raises(ValueError):
+        sp.nufft1(x, c, 0)
+    with pytest.raises(ValueError):
+        sp.nufft1(x, c[:5], 16)
+    with pytest.raises(ValueError):
+        sp.nufft1(x, c, 16, method="fancy")
+    with pytest.raises(ValueError):
+        sp.nufft2(x, np.zeros(0, np.complex64))
+    with pytest.raises(ValueError):
+        sp.nufft3(x, c, np.zeros((2, 2), np.float32))
