@@ -39,7 +39,17 @@ from .ops.dct import dct, idct, dst, idst, dctn, idctn, dstn, idstn
 from .ops.signal import hilbert, periodogram, welch, csd, coherence, spectral_diff, poisson_solve, resample
 from .ops.mdct import mdct, imdct, mdct_window
 from .ops.cwt import cwt, ricker, morlet2
-from .ops.nufft import nudft1, nudft2, nufft1, nufft2, nufft3
+from .ops.nufft import (
+    nudft1,
+    nudft1_2d,
+    nudft2,
+    nudft2_2d,
+    nufft1,
+    nufft1_2d,
+    nufft2,
+    nufft2_2d,
+    nufft3,
+)
 from .plan import (
     BluesteinPlan,
     MixedRadixPlan,
@@ -70,6 +80,7 @@ __all__ = [
     "czt", "zoom_fft", "fht", "ifht", "fhtoffset", "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn", "hilbert", "periodogram", "welch", "csd", "coherence", "spectral_diff", "poisson_solve", "resample",
     "mdct", "imdct", "mdct_window", "cwt", "ricker", "morlet2",
     "nufft1", "nufft2", "nufft3", "nudft1", "nudft2",
+    "nufft1_2d", "nufft2_2d", "nudft1_2d", "nudft2_2d",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",
     "MixedRadixPlan", "BluesteinPlan", "RealPlan",
     "build_mixed_radix_plan", "build_bluestein_plan",

@@ -49,7 +49,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.config import DEFAULT_CONFIG, SpectralConfig
-from .fft import fft, ifft
+from .fft import fft, fft2, ifft, ifft2
 
 Array = jax.Array
 
@@ -366,3 +366,208 @@ def nufft3(
         "km,...m->...k", cos, ci, precision=p
     )
     return jax.lax.complex(fr, fi)
+
+
+# ---------------------------------------------------------------------------
+# 2-D NUFFT (types 1 and 2) — the MRI / imaging shape.  Same two strategies:
+# dense runs as a pair of chained MXU contractions (never materializing the
+# (n1·n2, M) matrix), grid spreads separable Gaussian taps into a pow2
+# oversampled 2-D grid and runs the engine's fft2.
+# ---------------------------------------------------------------------------
+
+
+def _check_points_2d(x, y, c):
+    if x.ndim != 1 or y.ndim != 1 or x.shape[0] < 1 or x.shape != y.shape:
+        raise ValueError("x and y must be equal-length non-empty 1-D arrays")
+    if c is not None and c.shape[-1] != x.shape[0]:
+        raise ValueError(
+            f"strengths last axis {c.shape[-1]} != number of points {x.shape[0]}"
+        )
+
+
+def nudft1_2d(
+    x,
+    y,
+    c,
+    n_modes,
+    *,
+    isign: int = -1,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Exact 2-D type-1 NUDFT: f[k1,k2] = sum_j c[j] e^{isign·i(k1·x_j+k2·y_j)}.
+
+    (…, M) strengths -> (…, n1, n2) centered modes.  Evaluated as two chained
+    contractions (phase factors per axis from the error-free reduction), so
+    peak memory is O((n1+n2)·M), not O(n1·n2·M)."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    c = jnp.asarray(c)
+    _check_points_2d(x, y, c)
+    n1, n2 = int(n_modes[0]), int(n_modes[1])
+    if n1 < 1 or n2 < 1:
+        raise ValueError(f"n_modes must be positive, got {n_modes}")
+    cos1, sin1 = _phase_trig(_centered_modes(n1), x, isign)  # (n1, M)
+    cos2, sin2 = _phase_trig(_centered_modes(n2), y, isign)  # (n2, M)
+    cr = jnp.real(c).astype(cos1.dtype)
+    ci = jnp.imag(c).astype(cos1.dtype)
+    # t = e^{isign·i·k2·y} * c, per mode row: (…, n2, M) planes
+    tr = cos2 * cr[..., None, :] - sin2 * ci[..., None, :]
+    ti = sin2 * cr[..., None, :] + cos2 * ci[..., None, :]
+    p = config.precision
+    fr = jnp.einsum("am,...bm->...ab", cos1, tr, precision=p) - jnp.einsum(
+        "am,...bm->...ab", sin1, ti, precision=p
+    )
+    fi = jnp.einsum("am,...bm->...ab", sin1, tr, precision=p) + jnp.einsum(
+        "am,...bm->...ab", cos1, ti, precision=p
+    )
+    return jax.lax.complex(fr, fi)
+
+
+def nudft2_2d(
+    x,
+    y,
+    f,
+    *,
+    isign: int = +1,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Exact 2-D type-2 NUDFT: (…, n1, n2) centered modes -> (…, M) values."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    f = jnp.asarray(f)
+    _check_points_2d(x, y, None)
+    if f.ndim < 2 or f.shape[-1] < 1 or f.shape[-2] < 1:
+        raise ValueError("f must be (…, n1, n2) with non-empty mode axes")
+    n1, n2 = f.shape[-2], f.shape[-1]
+    cos1, sin1 = _phase_trig(_centered_modes(n1), x, isign)  # (n1, M)
+    cos2, sin2 = _phase_trig(_centered_modes(n2), y, isign)  # (n2, M)
+    fr = jnp.real(f).astype(cos1.dtype)
+    fi = jnp.imag(f).astype(cos1.dtype)
+    p = config.precision
+    # contract k1 first: t[…, k2, m] = sum_k1 f[…, k1, k2] e^{isign·i·k1·x_m}
+    tr = jnp.einsum("am,...ab->...bm", cos1, fr, precision=p) - jnp.einsum(
+        "am,...ab->...bm", sin1, fi, precision=p
+    )
+    ti = jnp.einsum("am,...ab->...bm", sin1, fr, precision=p) + jnp.einsum(
+        "am,...ab->...bm", cos1, fi, precision=p
+    )
+    # then k2 with per-point phases: c[…, m] = sum_k2 t[…, k2, m] e^{isign·i·k2·y_m}
+    cr = jnp.einsum("bm,...bm->...m", cos2, tr, precision=p) - jnp.einsum(
+        "bm,...bm->...m", sin2, ti, precision=p
+    )
+    ci = jnp.einsum("bm,...bm->...m", sin2, tr, precision=p) + jnp.einsum(
+        "bm,...bm->...m", cos2, ti, precision=p
+    )
+    return jax.lax.complex(cr, ci)
+
+
+def nufft1_2d(
+    x,
+    y,
+    c,
+    n_modes,
+    *,
+    isign: int = -1,
+    eps: float = 1e-6,
+    method: str = "auto",
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """2-D type-1 NUFFT: strengths at points -> (…, n1, n2) centered modes."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    c = jnp.asarray(c)
+    if method not in ("auto", "dense", "grid"):
+        raise ValueError(f"method must be auto|dense|grid, got {method!r}")
+    _check_points_2d(x, y, c)
+    n1, n2 = int(n_modes[0]), int(n_modes[1])
+    if n1 < 1 or n2 < 1:
+        raise ValueError(f"n_modes must be positive, got {n_modes}")
+    if method == "dense" or (
+        method == "auto"
+        and n1 * n2 * x.shape[0] <= _DENSE_MAX_ENTRIES * 8
+        and max(n1, n2) * x.shape[0] <= _DENSE_MAX_ENTRIES
+    ):
+        return nudft1_2d(x, y, c, (n1, n2), isign=isign, config=config)
+    if isign > 0:
+        x, y = -x, -y
+    mr1, tau1, msp = _grid_params(n1, eps)
+    mr2, tau2, _ = _grid_params(n2, eps)
+    idx1, w1 = _spread_geometry(x, mr1, tau1, msp)
+    idx2, w2 = _spread_geometry(y, mr2, tau2, msp)
+    vals = (
+        (w1[:, :, None] * w2[:, None, :]).astype(c.real.dtype)
+        * c[..., :, None, None]
+    )
+    flat = (idx1[:, :, None] * mr2 + idx2[:, None, :]).reshape(-1)
+    grid = jnp.zeros(c.shape[:-1] + (mr1 * mr2,), dtype=vals.dtype)
+    grid = grid.at[..., flat].add(vals.reshape(vals.shape[:-3] + (-1,)))
+    grid = grid.reshape(c.shape[:-1] + (mr1, mr2))
+    spec = fft2(grid, config=config)
+    h1, h2 = n1 // 2, n2 // 2
+    centered = jnp.concatenate(
+        [spec[..., mr1 - h1 :, :], spec[..., : n1 - h1, :]], axis=-2
+    )
+    centered = jnp.concatenate(
+        [centered[..., :, mr2 - h2 :], centered[..., :, : n2 - h2]], axis=-1
+    )
+    k1 = _centered_modes(n1).astype(np.float64)
+    k2 = _centered_modes(n2).astype(np.float64)
+    d1 = (_TWO_PI / mr1 / (2.0 * math.sqrt(math.pi * tau1))) * np.exp(k1 * k1 * tau1)
+    d2 = (_TWO_PI / mr2 / (2.0 * math.sqrt(math.pi * tau2))) * np.exp(k2 * k2 * tau2)
+    deconv = np.outer(d1, d2)
+    return centered * jnp.asarray(deconv, dtype=centered.real.dtype)
+
+
+def nufft2_2d(
+    x,
+    y,
+    f,
+    *,
+    isign: int = +1,
+    eps: float = 1e-6,
+    method: str = "auto",
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """2-D type-2 NUFFT: (…, n1, n2) centered modes -> values at points."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    f = jnp.asarray(f)
+    if method not in ("auto", "dense", "grid"):
+        raise ValueError(f"method must be auto|dense|grid, got {method!r}")
+    _check_points_2d(x, y, None)
+    if f.ndim < 2 or f.shape[-1] < 1 or f.shape[-2] < 1:
+        raise ValueError("f must be (…, n1, n2) with non-empty mode axes")
+    n1, n2 = f.shape[-2], f.shape[-1]
+    if method == "dense" or (
+        method == "auto"
+        and n1 * n2 * x.shape[0] <= _DENSE_MAX_ENTRIES * 8
+        and max(n1, n2) * x.shape[0] <= _DENSE_MAX_ENTRIES
+    ):
+        return nudft2_2d(x, y, f, isign=isign, config=config)
+    if isign < 0:
+        x, y = -x, -y
+    mr1, tau1, msp = _grid_params(n1, eps)
+    mr2, tau2, _ = _grid_params(n2, eps)
+    k1 = _centered_modes(n1).astype(np.float64)
+    k2 = _centered_modes(n2).astype(np.float64)
+    d1 = (_TWO_PI / mr1 / (2.0 * math.sqrt(math.pi * tau1))) * np.exp(k1 * k1 * tau1)
+    d2 = (_TWO_PI / mr2 / (2.0 * math.sqrt(math.pi * tau2))) * np.exp(k2 * k2 * tau2)
+    fd = f * jnp.asarray(np.outer(d1, d2), dtype=f.real.dtype)
+    h1, h2 = n1 // 2, n2 // 2
+    # wrap modes onto the oversampled grid along each axis
+    z_rows = jnp.zeros(f.shape[:-2] + (mr1 - n1, n2), fd.dtype)
+    wrapped = jnp.concatenate([fd[..., h1:, :], z_rows, fd[..., :h1, :]], axis=-2)
+    z_cols = jnp.zeros(wrapped.shape[:-1] + (mr2 - n2,), fd.dtype)
+    wrapped = jnp.concatenate(
+        [wrapped[..., :, h2:], z_cols, wrapped[..., :, :h2]], axis=-1
+    )
+    u = ifft2(wrapped, config=config) * (mr1 * mr2)
+    idx1, w1 = _spread_geometry(x, mr1, tau1, msp)
+    idx2, w2 = _spread_geometry(y, mr2, tau2, msp)
+    flat = (idx1[:, :, None] * mr2 + idx2[:, None, :]).reshape(-1)
+    uf = u.reshape(u.shape[:-2] + (mr1 * mr2,))
+    taps = uf[..., flat].reshape(
+        u.shape[:-2] + (x.shape[0], 2 * msp, 2 * msp)
+    )
+    w = (w1[:, :, None] * w2[:, None, :]).astype(u.real.dtype)
+    return jnp.sum(taps * w, axis=(-2, -1))

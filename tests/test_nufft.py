@@ -147,3 +147,83 @@ def test_nufft_errors(rng):
         sp.nufft2(x, np.zeros(0, np.complex64))
     with pytest.raises(ValueError):
         sp.nufft3(x, c, np.zeros((2, 2), np.float32))
+
+
+# --------------------------- 2-D NUFFT ------------------------------------
+
+
+def _oracle1_2d(x, y, c, n1, n2, isign=-1):
+    k1 = np.arange(-(n1 // 2), (n1 + 1) // 2)
+    k2 = np.arange(-(n2 // 2), (n2 + 1) // 2)
+    ph = k1[:, None, None] * x.astype(np.float64)[None, None, :] + k2[
+        None, :, None
+    ] * y.astype(np.float64)[None, None, :]
+    return np.einsum("abm,m->ab", np.exp(isign * 1j * ph), c.astype(np.complex128))
+
+
+@pytest.mark.parametrize("method", ["dense", "grid"])
+@pytest.mark.parametrize("n1,n2,isign", [(16, 24, -1), (17, 12, +1)])
+def test_nufft1_2d_matches_oracle(rng, method, n1, n2, isign):
+    m = 90
+    x, y = _pts(rng, m), _pts(rng, m)
+    c = _strengths(rng, m)
+    got = np.asarray(
+        sp.nufft1_2d(x, y, c, (n1, n2), isign=isign, method=method)
+    )
+    want = _oracle1_2d(x, y, c, n1, n2, isign)
+    rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert got.shape == (n1, n2) and rel < 2e-5, (method, rel)
+
+
+@pytest.mark.parametrize("method", ["dense", "grid"])
+def test_nufft2_2d_matches_oracle(rng, method):
+    n1, n2, m = 20, 15, 70
+    x, y = _pts(rng, m), _pts(rng, m)
+    f = _strengths(rng, n1, n2)
+    got = np.asarray(sp.nufft2_2d(x, y, f, method=method))
+    k1 = np.arange(-(n1 // 2), (n1 + 1) // 2)
+    k2 = np.arange(-(n2 // 2), (n2 + 1) // 2)
+    ph = np.exp(
+        1j
+        * (
+            x.astype(np.float64)[:, None, None] * k1[None, :, None]
+            + y.astype(np.float64)[:, None, None] * k2[None, None, :]
+        )
+    )
+    want = np.einsum("mab,ab->m", ph, f.astype(np.complex128))
+    rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert got.shape == (m,) and rel < 2e-5, (method, rel)
+
+
+def test_nufft_2d_batched_and_adjoint(rng):
+    m, n1, n2 = 50, 12, 10
+    x, y = _pts(rng, m), _pts(rng, m)
+    c = _strengths(rng, 3, m)
+    got = np.asarray(sp.nufft1_2d(x, y, c, (n1, n2)))
+    assert got.shape == (3, n1, n2)
+    row = np.asarray(sp.nufft1_2d(x, y, c[1], (n1, n2)))
+    np.testing.assert_allclose(got[1], row, atol=1e-5)
+    f = _strengths(rng, n1, n2)
+    lhs = np.vdot(np.asarray(sp.nufft1_2d(x, y, c[0], (n1, n2), isign=-1)), f)
+    rhs = np.vdot(c[0], np.asarray(sp.nufft2_2d(x, y, f, isign=+1)))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-5
+
+
+def test_nufft_2d_grid_dense_agree_large(rng):
+    m = 200
+    x, y = _pts(rng, m), _pts(rng, m)
+    c = _strengths(rng, m)
+    d = np.asarray(sp.nufft1_2d(x, y, c, (64, 48), method="dense"))
+    g = np.asarray(sp.nufft1_2d(x, y, c, (64, 48), method="grid"))
+    assert np.max(np.abs(d - g)) / np.max(np.abs(d)) < 1e-5
+
+
+def test_nufft_2d_errors(rng):
+    x = _pts(rng, 10)
+    c = _strengths(rng, 10)
+    with pytest.raises(ValueError):
+        sp.nufft1_2d(x, x[:5], c, (8, 8))
+    with pytest.raises(ValueError):
+        sp.nufft1_2d(x, x, c, (0, 8))
+    with pytest.raises(ValueError):
+        sp.nufft2_2d(x, x, np.zeros((4,), np.complex64))
