@@ -1032,3 +1032,159 @@ def poisson_solve_pencil2(
     spec = spec * jnp.asarray(inv, dtype=jnp.real(spec).dtype)
     return irfftn_pencil2(spec, mesh, n2=n2, data_axis=data_axis,
                           seq_axis=seq_axis, config=config)
+
+
+# ---------------------------------------------------------------------------
+# Distributed NUFFT: points sharded over the mesh.  The natural parallel
+# decomposition for non-uniform data is by POINTS (each chip grids / reads
+# its own subset); the uniform-grid work is a single small engine FFT.
+# Type 1: local Gaussian spread -> one psum of the oversampled grid over ICI
+# -> replicated FFT + deconvolution.  Type 2: replicated deconvolve + FFT ->
+# each chip interpolates only its local points (zero collectives after the
+# broadcast).  Point counts that do not divide the mesh are zero-padded
+# (zero-strength points spread nothing; padded outputs are trimmed).
+# ---------------------------------------------------------------------------
+
+
+def nufft1_sharded(
+    x,
+    c,
+    n_modes: int,
+    mesh: Mesh,
+    axis_name: str = SEQ_AXIS,
+    *,
+    isign: int = -1,
+    eps: float = 1e-6,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Type-1 NUFFT with the point set sharded over ``axis_name``.
+
+    (…, M) strengths + (M,) points -> replicated (…, n_modes) centered modes.
+    One collective: a psum of the (…, sigma·N) oversampled grid after local
+    spreading — the non-uniform analogue of the four-step's all-to-all.
+    """
+    from ..ops.fft import fft as _fft
+    from ..ops.nufft import (
+        _centered_modes,
+        _grid_params,
+        _spread_geometry,
+        _TWO_PI,
+    )
+
+    x = jnp.asarray(x)
+    c = jnp.asarray(c)
+    if x.ndim != 1 or x.shape[0] < 1:
+        raise ValueError("x must be a non-empty 1-D point array")
+    if c.shape[-1] != x.shape[0]:
+        raise ValueError(
+            f"strengths last axis {c.shape[-1]} != number of points {x.shape[0]}"
+        )
+    if n_modes < 1:
+        raise ValueError(f"n_modes must be >= 1, got {n_modes}")
+    parts = mesh.shape[axis_name]
+    pad = (-x.shape[0]) % parts
+    if pad:  # zero-strength points contribute nothing to the spread
+        x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+        widths = [(0, 0)] * (c.ndim - 1) + [(0, pad)]
+        c = jnp.pad(c, widths)
+    if isign > 0:
+        x = -x
+    mr, tau, msp = _grid_params(n_modes, eps)
+    k = _centered_modes(n_modes).astype(np.float64)
+    deconv = (_TWO_PI / mr / (2.0 * math.sqrt(math.pi * tau))) * np.exp(
+        k * k * tau
+    )
+    half = n_modes // 2
+
+    def body(xl, cl):
+        idx, w = _spread_geometry(xl, mr, tau, msp)
+        vals = w.astype(cl.real.dtype) * cl[..., :, None]
+        grid = jnp.zeros(cl.shape[:-1] + (mr,), dtype=vals.dtype)
+        grid = grid.at[..., idx.reshape(-1)].add(
+            vals.reshape(vals.shape[:-2] + (-1,))
+        )
+        grid = jax.lax.psum(grid, axis_name)
+        spec = _fft(grid, config=config)
+        centered = jnp.concatenate(
+            [spec[..., mr - half :], spec[..., : n_modes - half]], axis=-1
+        )
+        return centered * jnp.asarray(deconv, dtype=centered.real.dtype)
+
+    pt_spec = P(axis_name)
+    c_spec = P(*([None] * (c.ndim - 1) + [axis_name]))
+    out_spec = P(*([None] * c.ndim))
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(pt_spec, c_spec),
+        out_specs=out_spec,
+    )(x, c)
+
+
+def nufft2_sharded(
+    x,
+    f,
+    mesh: Mesh,
+    axis_name: str = SEQ_AXIS,
+    *,
+    isign: int = +1,
+    eps: float = 1e-6,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Type-2 NUFFT with the evaluation points sharded over ``axis_name``.
+
+    Replicated (…, n_modes) modes -> (…, M) values, point axis sharded in
+    compute and concatenated (then trimmed) on output.  Zero collectives:
+    every chip runs the same small deconvolve+FFT and interpolates only its
+    own points.
+    """
+    from ..ops.fft import ifft as _ifft
+    from ..ops.nufft import (
+        _centered_modes,
+        _grid_params,
+        _spread_geometry,
+        _TWO_PI,
+    )
+
+    x = jnp.asarray(x)
+    f = jnp.asarray(f)
+    if x.ndim != 1 or x.shape[0] < 1:
+        raise ValueError("x must be a non-empty 1-D point array")
+    n_modes = f.shape[-1]
+    if n_modes < 1:
+        raise ValueError("f must be non-empty along the mode axis")
+    m_out = x.shape[0]
+    parts = mesh.shape[axis_name]
+    pad = (-m_out) % parts
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+    if isign < 0:
+        x = -x
+    mr, tau, msp = _grid_params(n_modes, eps)
+    k = _centered_modes(n_modes).astype(np.float64)
+    deconv = (_TWO_PI / mr / (2.0 * math.sqrt(math.pi * tau))) * np.exp(
+        k * k * tau
+    )
+    half = n_modes // 2
+
+    def body(xl):
+        fd = f * jnp.asarray(deconv, dtype=f.real.dtype)
+        wrapped = jnp.concatenate(
+            [
+                fd[..., half:],
+                jnp.zeros(f.shape[:-1] + (mr - n_modes,), fd.dtype),
+                fd[..., :half],
+            ],
+            axis=-1,
+        )
+        u = _ifft(wrapped, config=config) * mr
+        idx, w = _spread_geometry(xl, mr, tau, msp)
+        return jnp.sum(u[..., idx] * w.astype(u.real.dtype), axis=-1)
+
+    out = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis_name),),
+        out_specs=P(*([None] * (f.ndim - 1) + [axis_name])),
+    )(x)
+    return out[..., :m_out] if pad else out

@@ -485,3 +485,37 @@ class TestConvolve2Sharded:
             fft_convolve2_sharded(img, k, mesh, mode="circular", data_axis="data")
         )
         assert got.shape == (2, 16, 32)
+
+
+class TestNufftSharded:
+    def test_nufft1_sharded_matches_single_chip(self):
+        mesh8 = _mesh_seq()
+        rng = np.random.default_rng(0)
+        m, n = 100, 48  # 100 does not divide 8: exercises zero-padding
+        x = rng.uniform(0, 2 * np.pi, m).astype(np.float32)
+        c = (rng.standard_normal((2, m)) + 1j * rng.standard_normal((2, m))).astype(
+            np.complex64
+        )
+        from mixed_radix_fast_fourier_transform_tpu.parallel import nufft1_sharded
+        import mixed_radix_fast_fourier_transform_tpu as sp
+
+        got = np.asarray(nufft1_sharded(x, c, n, mesh8, "seq"))
+        want = np.asarray(sp.nufft1(x, c, n, method="grid"))
+        assert got.shape == (2, n)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-6
+
+    def test_nufft2_sharded_matches_single_chip(self):
+        mesh8 = _mesh_seq()
+        rng = np.random.default_rng(1)
+        m, n = 90, 32
+        x = rng.uniform(0, 2 * np.pi, m).astype(np.float32)
+        f = (rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))).astype(
+            np.complex64
+        )
+        from mixed_radix_fast_fourier_transform_tpu.parallel import nufft2_sharded
+        import mixed_radix_fast_fourier_transform_tpu as sp
+
+        got = np.asarray(nufft2_sharded(x, f, mesh8, "seq"))
+        want = np.asarray(sp.nufft2(x, f, method="grid"))
+        assert got.shape == (3, m)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-6
