@@ -39,6 +39,14 @@ from .ops.dct import dct, idct, dst, idst, dctn, idctn, dstn, idstn
 from .ops.signal import hilbert, periodogram, welch, csd, coherence, spectral_diff, poisson_solve, resample
 from .ops.mdct import mdct, imdct, mdct_window
 from .ops.cwt import cwt, ricker, morlet2
+from .ops.chebyshev import (
+    cheb_diff,
+    cheb_diff_coef,
+    cheb_eval,
+    cheb_points,
+    cheb_transform,
+    icheb_transform,
+)
 from .ops.nufft import (
     nudft1,
     nudft1_2d,
@@ -81,6 +89,8 @@ __all__ = [
     "mdct", "imdct", "mdct_window", "cwt", "ricker", "morlet2",
     "nufft1", "nufft2", "nufft3", "nudft1", "nudft2",
     "nufft1_2d", "nufft2_2d", "nudft1_2d", "nudft2_2d",
+    "cheb_points", "cheb_transform", "icheb_transform", "cheb_diff",
+    "cheb_diff_coef", "cheb_eval",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",
     "MixedRadixPlan", "BluesteinPlan", "RealPlan",
     "build_mixed_radix_plan", "build_bluestein_plan",
