@@ -91,9 +91,47 @@ def demo_sharded():
     print(f"== sharded four-step over {len(devs)} devices: rel err {err:.3e} ==")
 
 
+def demo_lapped_and_wavelets():
+    print("== MDCT (TDAC) and CWT ==")
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(1000).astype(np.float32)
+    back = np.asarray(sp.imdct(sp.mdct(x, 128), length=1000))
+    print(f"  mdct/imdct perfect reconstruction: max err {np.max(np.abs(back - x)):.3e}")
+    w = np.asarray(sp.cwt(x[:256], sp.ricker, [2, 8, 32]))
+    print(f"  cwt scalogram: {w.shape} (3 scales, one batched FFT convolution)")
+
+
+def demo_nufft():
+    print("== non-uniform FFT ==")
+    rng = np.random.default_rng(4)
+    m, n = 200, 64
+    x = rng.uniform(0, 2 * np.pi, m).astype(np.float32)
+    c = (rng.standard_normal(m) + 1j * rng.standard_normal(m)).astype(np.complex64)
+    f = np.asarray(sp.nufft1(x, c, n))
+    k = np.arange(-(n // 2), (n + 1) // 2)
+    want = np.exp(-1j * np.outer(k, x.astype(np.float64))) @ c.astype(np.complex128)
+    rel = np.max(np.abs(f - want)) / np.max(np.abs(want))
+    print(f"  type 1, {m} points -> {n} modes: rel err {rel:.3e}")
+    back = np.asarray(sp.nufft2(x, f.astype(np.complex64)))
+    print(f"  type 2 back to points: shape {back.shape}")
+
+
+def demo_chebyshev():
+    print("== Chebyshev spectral derivative (non-periodic) ==")
+    n = 64
+    pts = sp.cheb_points(n, dtype=np.float64)
+    v = np.exp(pts).astype(np.float32)
+    d = np.asarray(sp.cheb_diff(v))
+    rel = np.max(np.abs(d - np.exp(pts))) / np.e
+    print(f"  d/dx exp(x) on {n} Gauss-Lobatto points: rel err {rel:.3e}")
+
+
 if __name__ == "__main__":
     demo_complex()
     demo_real()
     demo_convolution()
     demo_batched_and_grad()
+    demo_lapped_and_wavelets()
+    demo_nufft()
+    demo_chebyshev()
     demo_sharded()
