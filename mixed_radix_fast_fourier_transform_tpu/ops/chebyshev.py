@@ -117,11 +117,11 @@ def cheb_eval(c, x) -> Array:
     n = c.shape[-1]
     if n < 1:
         raise ValueError("need at least one coefficient")
+    xpand = (...,) if x.ndim == 0 else (..., *([None] * x.ndim))
     if n == 1:
-        return jnp.broadcast_to(c[..., 0, None], c.shape[:-1] + x.shape)
+        return jnp.broadcast_to(c[..., 0][xpand], c.shape[:-1] + x.shape)
     xb = x.reshape((1,) * (c.ndim - 1) + x.shape)
     two_x = 2.0 * xb
-    xpand = (...,) if x.ndim == 0 else (..., *([None] * x.ndim))
 
     def step(carry, ck):
         b1, b2 = carry

@@ -52,6 +52,10 @@ def mdct_window(window, frame_length: int, dtype=np.float32) -> np.ndarray:
     length ``frame_length``.  All built-ins satisfy the Princen-Bradley
     condition w[n]^2 + w[n+N]^2 = 1 required for perfect reconstruction.
     """
+    if frame_length % 4 != 0 or frame_length < 4:
+        raise ValueError(
+            f"frame_length must be a positive multiple of 4, got {frame_length}"
+        )
     if window is None:
         return np.full(frame_length, 1.0 / math.sqrt(2.0), dtype=dtype)
     if isinstance(window, str):
@@ -132,6 +136,8 @@ def mdct(
     x = jnp.asarray(signal)
     if x.shape[-1] < 1:
         raise ValueError("signal must be non-empty")
+    if not jnp.issubdtype(x.dtype, jnp.inexact):
+        x = x.astype(jnp.float32)  # int PCM would truncate the window to 0
     if norm not in (None, "ortho"):
         raise ValueError(f"norm must be None or 'ortho', got {norm!r}")
     half = frame_length // 2
@@ -175,6 +181,12 @@ def imdct(
     if norm not in (None, "ortho"):
         raise ValueError(f"norm must be None or 'ortho', got {norm!r}")
     half = X.shape[-1]
+    if half % 2 != 0 or half < 2:
+        raise ValueError(
+            "mdcts last axis must be frame_length//2 with frame_length a "
+            f"multiple of 4 (got {half} coefficients — the TDAC quarter "
+            "split needs an even count)"
+        )
     frame_length = 2 * half
     w = mdct_window(window, frame_length, dtype=np.float64)
     scale = math.sqrt(2.0 / half) if norm == "ortho" else 2.0 / half

@@ -120,7 +120,8 @@ def _phase_trig(k: np.ndarray, x: Array, isign: int):
     split at 1/4096 so k·round(u·4096) reduces exactly in int32 and only the
     small residual k·lo is floating — the runtime-point analogue of the
     library's exact twiddle phase reduction.  |k| must stay below 2^16
-    (n_modes <= 131072).  Returns arrays of shape (len(k),) + x.shape."""
+    (n_modes <= 131071; the auto dispatchers route larger sizes to the grid
+    path).  Returns arrays of shape (len(k),) + x.shape."""
     if np.abs(k).max(initial=0) >= 1 << 16:
         raise ValueError("dense NUFFT phase reduction supports |k| < 65536")
     u_hi, u_lo = _unit_frac(x)
@@ -236,6 +237,83 @@ def _spread_geometry(x: Array, mr: int, tau: float, msp: int):
     return jnp.mod(idx, mr), w
 
 
+def _use_dense(method: str, n_entries: int, max_modes: int) -> bool:
+    """Dense-vs-grid dispatch: dense needs the matrix to fit the MXU budget
+    AND the phase reduction's |k| < 2^16 bound (n_modes <= 131071).
+    Explicit method='dense' is always honored (``_phase_trig`` raises a
+    clear error past the |k| bound)."""
+    if method == "dense":
+        return True
+    return (
+        method == "auto"
+        and n_entries <= _DENSE_MAX_ENTRIES
+        and max_modes // 2 < (1 << 16)
+    )
+
+
+def _use_dense_2d(method: str, n1: int, n2: int, m: int) -> bool:
+    """2-D variant: the chained-contraction dense path touches
+    O(max(n1,n2)·M) intermediates and O(n1·n2·M) flops."""
+    if method == "dense":
+        return True
+    return (
+        method == "auto"
+        and n1 * n2 * m <= _DENSE_MAX_ENTRIES * 8
+        and max(n1, n2) * m <= _DENSE_MAX_ENTRIES
+        and max(n1, n2) // 2 < (1 << 16)
+    )
+
+
+def _deconv(n_modes: int, mr: int, tau: float) -> np.ndarray:
+    """Gaussian-kernel deconvolution diagonal: h/(2·sqrt(pi·tau))·e^{k²tau}
+    for the centered modes (host fp64 — the single source of truth shared by
+    the local and sharded grid paths)."""
+    k = _centered_modes(n_modes).astype(np.float64)
+    return (_TWO_PI / mr / (2.0 * math.sqrt(math.pi * tau))) * np.exp(
+        k * k * tau
+    )
+
+
+def _spread(x: Array, c: Array, mr: int, tau: float, msp: int) -> Array:
+    """Scatter-add Gaussian taps of strengths ``c`` (…, M) onto the length-mr
+    oversampled grid."""
+    idx, w = _spread_geometry(x, mr, tau, msp)
+    vals = w.astype(c.real.dtype) * c[..., :, None]
+    grid = jnp.zeros(c.shape[:-1] + (mr,), dtype=vals.dtype)
+    return grid.at[..., idx.reshape(-1)].add(
+        vals.reshape(vals.shape[:-2] + (-1,))
+    )
+
+
+def _interp(u: Array, x: Array, mr: int, tau: float, msp: int) -> Array:
+    """Gather-weighted Gaussian interpolation of grid values ``u`` (…, mr) at
+    the points — the linear adjoint of :func:`_spread`."""
+    idx, w = _spread_geometry(x, mr, tau, msp)
+    return jnp.sum(u[..., idx] * w.astype(u.real.dtype), axis=-1)
+
+
+def _center(spec: Array, mr: int, n: int, axis: int = -1) -> Array:
+    """Extract the centered modes k = -n//2 … (n-1)//2 from a length-mr DFT
+    along ``axis`` (wrap-around slice)."""
+    spec = jnp.moveaxis(spec, axis, -1)
+    half = n // 2
+    out = jnp.concatenate(
+        [spec[..., mr - half :], spec[..., : n - half]], axis=-1
+    )
+    return jnp.moveaxis(out, -1, axis)
+
+
+def _wrap(fd: Array, mr: int, axis: int = -1) -> Array:
+    """Inverse of :func:`_center`: place centered modes onto a length-mr
+    grid along ``axis``, zero-filling the unused band."""
+    fd = jnp.moveaxis(fd, axis, -1)
+    n = fd.shape[-1]
+    half = n // 2
+    z = jnp.zeros(fd.shape[:-1] + (mr - n,), fd.dtype)
+    out = jnp.concatenate([fd[..., half:], z, fd[..., :half]], axis=-1)
+    return jnp.moveaxis(out, -1, axis)
+
+
 def nufft1(
     x,
     c,
@@ -263,28 +341,17 @@ def nufft1(
         )
     if n_modes < 1:
         raise ValueError(f"n_modes must be >= 1, got {n_modes}")
-    if method == "dense" or (
-        method == "auto" and n_modes * x.shape[0] <= _DENSE_MAX_ENTRIES
-    ):
+    if _use_dense(method, n_modes * x.shape[0], n_modes):
         return nudft1(x, c, n_modes, isign=isign, config=config)
     if isign > 0:  # e^{+ikx} = e^{-ik(-x)}
         x = -x
     mr, tau, msp = _grid_params(n_modes, eps)
-    idx, w = _spread_geometry(x, mr, tau, msp)
-    vals = w.astype(c.real.dtype) * c[..., :, None]
-    grid = jnp.zeros(c.shape[:-1] + (mr,), dtype=vals.dtype)
-    grid = grid.at[..., idx.reshape(-1)].add(
-        vals.reshape(vals.shape[:-2] + (-1,))
-    )
+    grid = _spread(x, c, mr, tau, msp)
     spec = fft(grid, config=config)  # sum_m g[m] e^{-i k m h}
-    half = n_modes // 2
-    centered = jnp.concatenate(
-        [spec[..., mr - half :], spec[..., : n_modes - half]], axis=-1
+    centered = _center(spec, mr, n_modes)
+    return centered * jnp.asarray(
+        _deconv(n_modes, mr, tau), dtype=centered.real.dtype
     )
-    k = _centered_modes(n_modes).astype(np.float64)
-    h = _TWO_PI / mr
-    deconv = (h / (2.0 * math.sqrt(math.pi * tau))) * np.exp(k * k * tau)
-    return centered * jnp.asarray(deconv, dtype=centered.real.dtype)
 
 
 def nufft2(
@@ -306,29 +373,14 @@ def nufft2(
     n_modes = f.shape[-1]
     if n_modes < 1:
         raise ValueError("f must be non-empty along the mode axis")
-    if method == "dense" or (
-        method == "auto" and n_modes * x.shape[0] <= _DENSE_MAX_ENTRIES
-    ):
+    if _use_dense(method, n_modes * x.shape[0], n_modes):
         return nudft2(x, f, isign=isign, config=config)
     if isign < 0:
         x = -x
     mr, tau, msp = _grid_params(n_modes, eps)
-    k = _centered_modes(n_modes).astype(np.float64)
-    h = _TWO_PI / mr
-    deconv = (h / (2.0 * math.sqrt(math.pi * tau))) * np.exp(k * k * tau)
-    fd = f * jnp.asarray(deconv, dtype=f.real.dtype)
-    half = n_modes // 2
-    wrapped = jnp.concatenate(
-        [
-            fd[..., half:],
-            jnp.zeros(f.shape[:-1] + (mr - n_modes,), fd.dtype),
-            fd[..., :half],
-        ],
-        axis=-1,
-    )
-    u = ifft(wrapped, config=config) * mr  # sum_k fd[k] e^{+i k m h}
-    idx, w = _spread_geometry(x, mr, tau, msp)
-    return jnp.sum(u[..., idx] * w.astype(u.real.dtype), axis=-1)
+    fd = f * jnp.asarray(_deconv(n_modes, mr, tau), dtype=f.real.dtype)
+    u = ifft(_wrap(fd, mr), config=config) * mr  # sum_k fd[k] e^{+i k m h}
+    return _interp(u, x, mr, tau, msp)
 
 
 def nufft3(
@@ -482,11 +534,7 @@ def nufft1_2d(
     n1, n2 = int(n_modes[0]), int(n_modes[1])
     if n1 < 1 or n2 < 1:
         raise ValueError(f"n_modes must be positive, got {n_modes}")
-    if method == "dense" or (
-        method == "auto"
-        and n1 * n2 * x.shape[0] <= _DENSE_MAX_ENTRIES * 8
-        and max(n1, n2) * x.shape[0] <= _DENSE_MAX_ENTRIES
-    ):
+    if _use_dense_2d(method, n1, n2, x.shape[0]):
         return nudft1_2d(x, y, c, (n1, n2), isign=isign, config=config)
     if isign > 0:
         x, y = -x, -y
@@ -503,18 +551,8 @@ def nufft1_2d(
     grid = grid.at[..., flat].add(vals.reshape(vals.shape[:-3] + (-1,)))
     grid = grid.reshape(c.shape[:-1] + (mr1, mr2))
     spec = fft2(grid, config=config)
-    h1, h2 = n1 // 2, n2 // 2
-    centered = jnp.concatenate(
-        [spec[..., mr1 - h1 :, :], spec[..., : n1 - h1, :]], axis=-2
-    )
-    centered = jnp.concatenate(
-        [centered[..., :, mr2 - h2 :], centered[..., :, : n2 - h2]], axis=-1
-    )
-    k1 = _centered_modes(n1).astype(np.float64)
-    k2 = _centered_modes(n2).astype(np.float64)
-    d1 = (_TWO_PI / mr1 / (2.0 * math.sqrt(math.pi * tau1))) * np.exp(k1 * k1 * tau1)
-    d2 = (_TWO_PI / mr2 / (2.0 * math.sqrt(math.pi * tau2))) * np.exp(k2 * k2 * tau2)
-    deconv = np.outer(d1, d2)
+    centered = _center(_center(spec, mr1, n1, axis=-2), mr2, n2)
+    deconv = np.outer(_deconv(n1, mr1, tau1), _deconv(n2, mr2, tau2))
     return centered * jnp.asarray(deconv, dtype=centered.real.dtype)
 
 
@@ -538,29 +576,15 @@ def nufft2_2d(
     if f.ndim < 2 or f.shape[-1] < 1 or f.shape[-2] < 1:
         raise ValueError("f must be (…, n1, n2) with non-empty mode axes")
     n1, n2 = f.shape[-2], f.shape[-1]
-    if method == "dense" or (
-        method == "auto"
-        and n1 * n2 * x.shape[0] <= _DENSE_MAX_ENTRIES * 8
-        and max(n1, n2) * x.shape[0] <= _DENSE_MAX_ENTRIES
-    ):
+    if _use_dense_2d(method, n1, n2, x.shape[0]):
         return nudft2_2d(x, y, f, isign=isign, config=config)
     if isign < 0:
         x, y = -x, -y
     mr1, tau1, msp = _grid_params(n1, eps)
     mr2, tau2, _ = _grid_params(n2, eps)
-    k1 = _centered_modes(n1).astype(np.float64)
-    k2 = _centered_modes(n2).astype(np.float64)
-    d1 = (_TWO_PI / mr1 / (2.0 * math.sqrt(math.pi * tau1))) * np.exp(k1 * k1 * tau1)
-    d2 = (_TWO_PI / mr2 / (2.0 * math.sqrt(math.pi * tau2))) * np.exp(k2 * k2 * tau2)
-    fd = f * jnp.asarray(np.outer(d1, d2), dtype=f.real.dtype)
-    h1, h2 = n1 // 2, n2 // 2
-    # wrap modes onto the oversampled grid along each axis
-    z_rows = jnp.zeros(f.shape[:-2] + (mr1 - n1, n2), fd.dtype)
-    wrapped = jnp.concatenate([fd[..., h1:, :], z_rows, fd[..., :h1, :]], axis=-2)
-    z_cols = jnp.zeros(wrapped.shape[:-1] + (mr2 - n2,), fd.dtype)
-    wrapped = jnp.concatenate(
-        [wrapped[..., :, h2:], z_cols, wrapped[..., :, :h2]], axis=-1
-    )
+    deconv = np.outer(_deconv(n1, mr1, tau1), _deconv(n2, mr2, tau2))
+    fd = f * jnp.asarray(deconv, dtype=f.real.dtype)
+    wrapped = _wrap(_wrap(fd, mr1, axis=-2), mr2)
     u = ifft2(wrapped, config=config) * (mr1 * mr2)
     idx1, w1 = _spread_geometry(x, mr1, tau1, msp)
     idx2, w2 = _spread_geometry(y, mr2, tau2, msp)

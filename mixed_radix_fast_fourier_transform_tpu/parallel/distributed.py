@@ -1064,12 +1064,7 @@ def nufft1_sharded(
     spreading — the non-uniform analogue of the four-step's all-to-all.
     """
     from ..ops.fft import fft as _fft
-    from ..ops.nufft import (
-        _centered_modes,
-        _grid_params,
-        _spread_geometry,
-        _TWO_PI,
-    )
+    from ..ops.nufft import _center, _deconv, _grid_params, _spread
 
     x = jnp.asarray(x)
     c = jnp.asarray(c)
@@ -1090,24 +1085,11 @@ def nufft1_sharded(
     if isign > 0:
         x = -x
     mr, tau, msp = _grid_params(n_modes, eps)
-    k = _centered_modes(n_modes).astype(np.float64)
-    deconv = (_TWO_PI / mr / (2.0 * math.sqrt(math.pi * tau))) * np.exp(
-        k * k * tau
-    )
-    half = n_modes // 2
+    deconv = _deconv(n_modes, mr, tau)
 
     def body(xl, cl):
-        idx, w = _spread_geometry(xl, mr, tau, msp)
-        vals = w.astype(cl.real.dtype) * cl[..., :, None]
-        grid = jnp.zeros(cl.shape[:-1] + (mr,), dtype=vals.dtype)
-        grid = grid.at[..., idx.reshape(-1)].add(
-            vals.reshape(vals.shape[:-2] + (-1,))
-        )
-        grid = jax.lax.psum(grid, axis_name)
-        spec = _fft(grid, config=config)
-        centered = jnp.concatenate(
-            [spec[..., mr - half :], spec[..., : n_modes - half]], axis=-1
-        )
+        grid = jax.lax.psum(_spread(xl, cl, mr, tau, msp), axis_name)
+        centered = _center(_fft(grid, config=config), mr, n_modes)
         return centered * jnp.asarray(deconv, dtype=centered.real.dtype)
 
     pt_spec = P(axis_name)
@@ -1139,12 +1121,7 @@ def nufft2_sharded(
     own points.
     """
     from ..ops.fft import ifft as _ifft
-    from ..ops.nufft import (
-        _centered_modes,
-        _grid_params,
-        _spread_geometry,
-        _TWO_PI,
-    )
+    from ..ops.nufft import _deconv, _grid_params, _interp, _wrap
 
     x = jnp.asarray(x)
     f = jnp.asarray(f)
@@ -1161,25 +1138,12 @@ def nufft2_sharded(
     if isign < 0:
         x = -x
     mr, tau, msp = _grid_params(n_modes, eps)
-    k = _centered_modes(n_modes).astype(np.float64)
-    deconv = (_TWO_PI / mr / (2.0 * math.sqrt(math.pi * tau))) * np.exp(
-        k * k * tau
-    )
-    half = n_modes // 2
+    deconv = _deconv(n_modes, mr, tau)
 
     def body(xl):
         fd = f * jnp.asarray(deconv, dtype=f.real.dtype)
-        wrapped = jnp.concatenate(
-            [
-                fd[..., half:],
-                jnp.zeros(f.shape[:-1] + (mr - n_modes,), fd.dtype),
-                fd[..., :half],
-            ],
-            axis=-1,
-        )
-        u = _ifft(wrapped, config=config) * mr
-        idx, w = _spread_geometry(xl, mr, tau, msp)
-        return jnp.sum(u[..., idx] * w.astype(u.real.dtype), axis=-1)
+        u = _ifft(_wrap(fd, mr), config=config) * mr
+        return _interp(u, xl, mr, tau, msp)
 
     out = jax.shard_map(
         body,

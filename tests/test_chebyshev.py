@@ -94,3 +94,10 @@ def test_cheb_errors():
         sp.cheb_diff(np.ones(8, np.float32), m=-1)
     with pytest.raises(ValueError):
         sp.cheb_eval(np.zeros(0, np.float32), np.float32(0.0))
+
+
+def test_cheb_eval_single_coefficient():
+    v = np.asarray(sp.cheb_eval(np.array([2.5], np.float32), np.float32(0.3)))
+    assert v.shape == () and abs(float(v) - 2.5) < 1e-6
+    vb = np.asarray(sp.cheb_eval(np.array([2.5], np.float32), np.ones((2, 3), np.float32)))
+    assert vb.shape == (2, 3) and np.allclose(vb, 2.5)

@@ -95,3 +95,24 @@ def test_mdct_errors(rng):
         sp.mdct_window(np.ones(63), 64)
     with pytest.raises(ValueError):
         sp.imdct(np.zeros(32, np.float32))  # needs a frames axis
+
+
+def test_mdct_integer_input_promoted(rng):
+    """Int PCM input must not silently zero out via window truncation."""
+    x = (rng.standard_normal(512) * 1000).astype(np.int32)
+    c = np.asarray(sp.mdct(x, 64))
+    assert np.abs(c).max() > 0
+    back = np.asarray(sp.imdct(sp.mdct(x.astype(np.float32), 64), length=512))
+    np.testing.assert_allclose(back, x.astype(np.float32), atol=1e-2)
+
+
+def test_imdct_rejects_odd_half(rng):
+    with pytest.raises(ValueError):
+        sp.imdct(rng.standard_normal((5, 33)).astype(np.float32))
+
+
+def test_mdct_window_rejects_bad_frame_length():
+    with pytest.raises(ValueError):
+        sp.mdct_window(("kbd", 4.0), 63)
+    with pytest.raises(ValueError):
+        sp.mdct_window("sine", 6)

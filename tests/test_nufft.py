@@ -227,3 +227,18 @@ def test_nufft_2d_errors(rng):
         sp.nufft1_2d(x, x, c, (0, 8))
     with pytest.raises(ValueError):
         sp.nufft2_2d(x, x, np.zeros((4,), np.complex64))
+
+
+def test_auto_dispatch_respects_phase_reduction_bound():
+    """auto must route mode counts past the |k| < 2^16 bound to the grid
+    path instead of crashing in the dense phase reduction."""
+    from mixed_radix_fast_fourier_transform_tpu.ops.nufft import (
+        _use_dense,
+        _use_dense_2d,
+    )
+
+    assert not _use_dense("auto", 16 * 131072, 131072)
+    assert _use_dense("auto", 1000, 4096)
+    assert _use_dense("dense", 10**12, 10**6)  # explicit dense always honored
+    assert not _use_dense_2d("auto", 131072, 2, 8)
+    assert _use_dense_2d("dense", 131072, 131072, 10**6)
