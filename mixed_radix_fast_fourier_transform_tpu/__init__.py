@@ -57,6 +57,7 @@ from .ops.nufft import (
     nufft2,
     nufft2_2d,
     nufft3,
+    nufft_lsq,
 )
 from .plan import (
     BluesteinPlan,
@@ -87,7 +88,7 @@ __all__ = [
     "stft", "istft", "spectrogram", "get_window",
     "czt", "zoom_fft", "fht", "ifht", "fhtoffset", "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn", "hilbert", "periodogram", "welch", "csd", "coherence", "spectral_diff", "poisson_solve", "resample",
     "mdct", "imdct", "mdct_window", "cwt", "ricker", "morlet2",
-    "nufft1", "nufft2", "nufft3", "nudft1", "nudft2",
+    "nufft1", "nufft2", "nufft3", "nudft1", "nudft2", "nufft_lsq",
     "nufft1_2d", "nufft2_2d", "nudft1_2d", "nudft2_2d",
     "cheb_points", "cheb_transform", "icheb_transform", "cheb_diff",
     "cheb_diff_coef", "cheb_eval",

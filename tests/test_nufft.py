@@ -242,3 +242,42 @@ def test_auto_dispatch_respects_phase_reduction_bound():
     assert _use_dense("dense", 10**12, 10**6)  # explicit dense always honored
     assert not _use_dense_2d("auto", 131072, 2, 8)
     assert _use_dense_2d("dense", 131072, 131072, 10**6)
+
+
+def test_nufft_lsq_recovers_modes(rng):
+    """Exact mode recovery from >= 2x oversampled scattered samples."""
+    n, m = 32, 100
+    x = _pts(rng, m)
+    f_true = _strengths(rng, n)
+    b = np.asarray(sp.nufft2(x, f_true, isign=+1))
+    got = np.asarray(sp.nufft_lsq(x, b.astype(np.complex64), n, iters=50))
+    rel = np.max(np.abs(got - f_true)) / np.max(np.abs(f_true))
+    assert rel < 1e-4, rel
+
+
+def test_nufft_lsq_batched_weighted_damped(rng):
+    n, m = 16, 64
+    x = _pts(rng, m)
+    f_true = _strengths(rng, 3, n)
+    b = np.asarray(sp.nufft2(x, f_true, isign=+1)).astype(np.complex64)
+    w = np.ones(m, np.float32)
+    got = np.asarray(sp.nufft_lsq(x, b, n, weights=w, iters=40))
+    assert got.shape == (3, n)
+    rel = np.max(np.abs(got - f_true)) / np.max(np.abs(f_true))
+    assert rel < 1e-4, rel
+    # damping biases toward zero but must stay finite and close-ish
+    damped = np.asarray(sp.nufft_lsq(x, b, n, damp=1e-3, iters=40))
+    assert np.all(np.isfinite(damped))
+
+
+def test_nufft_lsq_errors(rng):
+    x = _pts(rng, 10)
+    b = _strengths(rng, 10)
+    with pytest.raises(ValueError):
+        sp.nufft_lsq(x, b[:4], 8)
+    with pytest.raises(ValueError):
+        sp.nufft_lsq(x, b, 0)
+    with pytest.raises(ValueError):
+        sp.nufft_lsq(x, b, 8, iters=0)
+    with pytest.raises(ValueError):
+        sp.nufft_lsq(x, b, 8, weights=np.ones(3, np.float32))
