@@ -58,6 +58,7 @@ from .ops.nufft import (
     nufft2_2d,
     nufft3,
     nufft_lsq,
+    nufft_lsq_2d,
 )
 from .plan import (
     BluesteinPlan,
@@ -76,6 +77,7 @@ from .utils.factorize import (
     next_fast_len,
     next_pow2,
     plan_stages,
+    prev_fast_len,
     prime_factors,
 )
 
@@ -88,11 +90,11 @@ __all__ = [
     "stft", "istft", "spectrogram", "get_window",
     "czt", "zoom_fft", "fht", "ifht", "fhtoffset", "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn", "hilbert", "periodogram", "welch", "csd", "coherence", "spectral_diff", "poisson_solve", "resample",
     "mdct", "imdct", "mdct_window", "cwt", "ricker", "morlet2",
-    "nufft1", "nufft2", "nufft3", "nudft1", "nudft2", "nufft_lsq",
+    "nufft1", "nufft2", "nufft3", "nudft1", "nudft2", "nufft_lsq", "nufft_lsq_2d",
     "nufft1_2d", "nufft2_2d", "nudft1_2d", "nudft2_2d",
     "cheb_points", "cheb_transform", "icheb_transform", "cheb_diff",
     "cheb_diff_coef", "cheb_eval",
-    "fftfreq", "rfftfreq", "fftshift", "ifftshift",
+    "fftfreq", "rfftfreq", "fftshift", "ifftshift", "prev_fast_len",
     "MixedRadixPlan", "BluesteinPlan", "RealPlan",
     "build_mixed_radix_plan", "build_bluestein_plan",
     "build_complex_plan", "build_real_plan", "get_plan", "clear_plan_cache",

@@ -597,6 +597,35 @@ def nufft2_2d(
     return jnp.sum(taps * w, axis=(-2, -1))
 
 
+def _cg(apply_normal, rhs: Array, iters: int, mode_axes: int) -> Array:
+    """Fixed-iteration conjugate gradient under ``lax.scan`` for the
+    (Hermitian positive-semidefinite) NUFFT normal equations.  Inner
+    products reduce over the trailing ``mode_axes`` axes so the solve is
+    batched over any leading axes of ``rhs``."""
+    axes = tuple(range(-mode_axes, 0))
+
+    def vdot(a, b):
+        return jnp.sum(
+            jnp.real(jnp.conj(a) * b), axis=axes, keepdims=True
+        )
+
+    def step(carry, _):
+        f, r, p, rs = carry
+        ap = apply_normal(p)
+        denom = vdot(p, ap)
+        alpha = rs / jnp.where(denom == 0, 1.0, denom)
+        f = f + alpha * p
+        r = r - alpha * ap
+        rs_new = vdot(r, r)
+        beta = rs_new / jnp.where(rs == 0, 1.0, rs)
+        p = r + beta * p
+        return (f, r, p, rs_new), None
+
+    init = (jnp.zeros_like(rhs), rhs, rhs, vdot(rhs, rhs))
+    (f, _, _, _), _ = jax.lax.scan(step, init, None, length=iters)
+    return f
+
+
 def nufft_lsq(
     x,
     b,
@@ -674,25 +703,73 @@ def nufft_lsq(
             out = out + jnp.asarray(damp, v.real.dtype) * v
         return out
 
-    def vdot(a, bb):  # batched real inner product over the mode axis
-        return jnp.sum(jnp.real(jnp.conj(a) * bb), axis=-1, keepdims=True)
+    return _cg(apply_normal, rhs, iters, mode_axes=1)
 
-    f0 = jnp.zeros_like(rhs)
-    r0 = rhs
-    p0 = rhs
-    rs0 = vdot(r0, r0)
 
-    def step(carry, _):
-        f, r, p, rs = carry
-        ap = apply_normal(p)
-        denom = vdot(p, ap)
-        alpha = rs / jnp.where(denom == 0, 1.0, denom)
-        f = f + alpha * p
-        r = r - alpha * ap
-        rs_new = vdot(r, r)
-        beta = rs_new / jnp.where(rs == 0, 1.0, rs)
-        p = r + beta * p
-        return (f, r, p, rs_new), None
+def nufft_lsq_2d(
+    x,
+    y,
+    b,
+    n_modes,
+    *,
+    weights=None,
+    damp: float = 0.0,
+    iters: int = 30,
+    isign: int = +1,
+    eps: float = 1e-6,
+    method: str = "auto",
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """2-D least-squares inverse NUFFT — the MRI-reconstruction core.
 
-    (f, _, _, _), _ = jax.lax.scan(step, (f0, r0, p0, rs0), None, length=iters)
-    return f
+    Recovers (…, n1, n2) Fourier modes from samples ``b`` (…, M) taken at
+    scattered k-space points (x, y), minimizing the weighted residual of the
+    2-D type-2 model (+ optional Tikhonov ``damp``).  The normal operator is
+    block-Toeplitz-Toeplitz-block, so it embeds in a (2·n1, 2·n2) circulant:
+    each CG iteration is one padded forward+inverse engine fft2; setup is
+    two 2-D type-1 NUFFTs (A^H W b and the (2n1-1)x(2n2-1) Toeplitz map).
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    b = jnp.asarray(b)
+    _check_points_2d(x, y, b)
+    n1, n2 = int(n_modes[0]), int(n_modes[1])
+    if n1 < 1 or n2 < 1:
+        raise ValueError(f"n_modes must be positive, got {n_modes}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if weights is not None:
+        w = jnp.asarray(weights)
+        if w.shape != (x.shape[0],):
+            raise ValueError("weights must have shape (len(x),)")
+        wb = b * w
+        wl = w.astype(b.real.dtype)
+    else:
+        wb = b
+        wl = jnp.ones((x.shape[0],), b.real.dtype)
+    rhs = nufft1_2d(x, y, wb, (n1, n2), isign=-isign, eps=eps, method=method,
+                    config=config)
+    t = nufft1_2d(x, y, wl.astype(rhs.dtype), (2 * n1 - 1, 2 * n2 - 1),
+                  isign=-isign, eps=eps, method=method, config=config)
+
+    def embed(tt, n, axis):
+        tt = jnp.moveaxis(tt, axis, -1)
+        out = jnp.concatenate(
+            [tt[..., n - 1 :], jnp.zeros(tt.shape[:-1] + (1,), tt.dtype),
+             tt[..., : n - 1]],
+            axis=-1,
+        )
+        return jnp.moveaxis(out, -1, axis)
+
+    C = fft2(embed(embed(t, n1, -2), n2, -1), config=config)
+    L1, L2 = 2 * n1, 2 * n2
+
+    def apply_normal(v):
+        widths = [(0, 0)] * (v.ndim - 2) + [(0, L1 - n1), (0, L2 - n2)]
+        vp = jnp.pad(v, widths)
+        out = ifft2(C * fft2(vp, config=config), config=config)[..., :n1, :n2]
+        if damp:
+            out = out + jnp.asarray(damp, v.real.dtype) * v
+        return out
+
+    return _cg(apply_normal, rhs, iters, mode_axes=2)

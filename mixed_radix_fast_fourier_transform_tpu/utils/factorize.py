@@ -130,6 +130,25 @@ def next_fast_len(n: int, primes: Sequence[int] = (2, 3, 5, 7)) -> int:
     return best
 
 
+def prev_fast_len(n: int, primes: Sequence[int] = (2, 3, 5, 7)) -> int:
+    """Largest ``m <= n`` whose prime factors are all in ``primes``
+    (scipy.fft.prev_fast_len parity) — the truncation-side counterpart of
+    :func:`next_fast_len` for workloads that shorten instead of pad."""
+    if n < 1:
+        raise ValueError(f"length must be >= 1, got {n}")
+
+    def smooth(m: int) -> bool:
+        for p in primes:
+            while m % p == 0:
+                m //= p
+        return m == 1
+
+    m = n
+    while not smooth(m):
+        m -= 1
+    return m
+
+
 def plan_stages(
     n: int, max_stage: int = 64, strategy: str = "balanced"
 ) -> Tuple[int, ...]:

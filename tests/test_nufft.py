@@ -281,3 +281,24 @@ def test_nufft_lsq_errors(rng):
         sp.nufft_lsq(x, b, 8, iters=0)
     with pytest.raises(ValueError):
         sp.nufft_lsq(x, b, 8, weights=np.ones(3, np.float32))
+
+
+def test_nufft_lsq_2d_recovers_modes(rng):
+    n1, n2, m = 12, 10, 400
+    x, y = _pts(rng, m), _pts(rng, m)
+    f_true = _strengths(rng, n1, n2)
+    b = np.asarray(sp.nufft2_2d(x, y, f_true, isign=+1)).astype(np.complex64)
+    got = np.asarray(sp.nufft_lsq_2d(x, y, b, (n1, n2), iters=60))
+    rel = np.max(np.abs(got - f_true)) / np.max(np.abs(f_true))
+    assert got.shape == (n1, n2) and rel < 1e-3, rel
+
+
+def test_nufft_lsq_2d_errors(rng):
+    x = _pts(rng, 10)
+    b = _strengths(rng, 10)
+    with pytest.raises(ValueError):
+        sp.nufft_lsq_2d(x, x[:4], b, (4, 4))
+    with pytest.raises(ValueError):
+        sp.nufft_lsq_2d(x, x, b, (0, 4))
+    with pytest.raises(ValueError):
+        sp.nufft_lsq_2d(x, x, b, (4, 4), weights=np.ones(2, np.float32))

@@ -238,3 +238,14 @@ def test_rfft_norm_roundtrips(rng, norm):
     assert np.max(np.abs(back - x)) < 1e-4
     want = np.fft.rfft(x.astype(np.float64), norm=norm)
     assert np.max(np.abs(np.asarray(spec) - want)) / np.max(np.abs(want)) < 2e-5
+
+
+def test_prev_fast_len():
+    # largest {2,3,5,7}-smooth m <= n (scipy.fft.prev_fast_len analogue over
+    # this engine's fast-prime set — scipy/pocketfft also counts 11 as fast)
+    cases = {1: 1, 7: 7, 11: 10, 13: 12, 100: 100, 1009: 1008,
+             5041: 5040, 65537: 65536}
+    for n, want in cases.items():
+        assert sp.prev_fast_len(n) == want, n
+    with pytest.raises(ValueError):
+        sp.prev_fast_len(0)
