@@ -410,6 +410,7 @@ class TestPencil2D2DMesh:
         with pytest.raises(ValueError):
             fftn_pencil2(_rand_complex(rng, (8, 16)), mesh)
 
+    @pytest.mark.slow
     def test_distributed_poisson(self):
         from mixed_radix_fast_fourier_transform_tpu.parallel import (
             poisson_solve_pencil2,
@@ -424,6 +425,7 @@ class TestPencil2D2DMesh:
         u = np.asarray(poisson_solve_pencil2(f.astype(np.float32), mesh))
         assert np.max(np.abs(u - u_true)) < 2e-5
 
+    @pytest.mark.slow
     def test_real_3d_matches_numpy(self, rng):
         from mixed_radix_fast_fourier_transform_tpu.parallel import (
             irfftn_pencil2,
