@@ -50,12 +50,16 @@ from .ops.chebyshev import (
 from .ops.nufft import (
     nudft1,
     nudft1_2d,
+    nudft1_3d,
     nudft2,
     nudft2_2d,
+    nudft2_3d,
     nufft1,
     nufft1_2d,
+    nufft1_3d,
     nufft2,
     nufft2_2d,
+    nufft2_3d,
     nufft3,
     nufft_lsq,
     nufft_lsq_2d,
@@ -92,6 +96,7 @@ __all__ = [
     "mdct", "imdct", "mdct_window", "cwt", "ricker", "morlet2",
     "nufft1", "nufft2", "nufft3", "nudft1", "nudft2", "nufft_lsq", "nufft_lsq_2d",
     "nufft1_2d", "nufft2_2d", "nudft1_2d", "nudft2_2d",
+    "nufft1_3d", "nufft2_3d", "nudft1_3d", "nudft2_3d",
     "cheb_points", "cheb_transform", "icheb_transform", "cheb_diff",
     "cheb_diff_coef", "cheb_eval",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift", "prev_fast_len",

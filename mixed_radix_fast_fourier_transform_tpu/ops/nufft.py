@@ -773,3 +773,166 @@ def nufft_lsq_2d(
         return out
 
     return _cg(apply_normal, rhs, iters, mode_axes=2)
+
+
+# ---------------------------------------------------------------------------
+# 3-D NUFFT (types 1 and 2) — volumetric MRI / particle-mesh shape.  Grid
+# path only beyond tiny sizes: separable Gaussian taps into a pow2^3
+# oversampled volume + the engine's fftn.  Dense path (tiny problems /
+# test oracle) materializes the (n1, n2, n3, M) complex phase tensor.
+# ---------------------------------------------------------------------------
+
+
+def _check_points_3d(x, y, z, c):
+    if (
+        x.ndim != 1
+        or x.shape[0] < 1
+        or x.shape != y.shape
+        or x.shape != z.shape
+    ):
+        raise ValueError("x, y, z must be equal-length non-empty 1-D arrays")
+    if c is not None and c.shape[-1] != x.shape[0]:
+        raise ValueError(
+            f"strengths last axis {c.shape[-1]} != number of points {x.shape[0]}"
+        )
+
+
+def _phase_matrix(n: int, x: Array, isign: int) -> Array:
+    cos, sin = _phase_trig(_centered_modes(n), x, isign)
+    return jax.lax.complex(cos, sin)
+
+
+def nudft1_3d(
+    x, y, z, c, n_modes, *, isign: int = -1,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Exact 3-D type-1 NUDFT (tiny sizes / oracle): (…, M) -> (…, n1, n2, n3)."""
+    x, y, z, c = map(jnp.asarray, (x, y, z, c))
+    _check_points_3d(x, y, z, c)
+    n1, n2, n3 = (int(v) for v in n_modes)
+    if min(n1, n2, n3) < 1:
+        raise ValueError(f"n_modes must be positive, got {n_modes}")
+    E = (
+        _phase_matrix(n1, x, isign)[:, None, None, :]
+        * _phase_matrix(n2, y, isign)[None, :, None, :]
+        * _phase_matrix(n3, z, isign)[None, None, :, :]
+    )
+    return jnp.einsum("abcj,...j->...abc", E, c.astype(E.dtype))
+
+
+def nudft2_3d(
+    x, y, z, f, *, isign: int = +1,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Exact 3-D type-2 NUDFT (tiny sizes / oracle): (…, n1, n2, n3) -> (…, M)."""
+    x, y, z, f = map(jnp.asarray, (x, y, z, f))
+    _check_points_3d(x, y, z, None)
+    if f.ndim < 3 or min(f.shape[-3:]) < 1:
+        raise ValueError("f must be (…, n1, n2, n3) with non-empty mode axes")
+    n1, n2, n3 = f.shape[-3:]
+    E = (
+        _phase_matrix(n1, x, isign)[:, None, None, :]
+        * _phase_matrix(n2, y, isign)[None, :, None, :]
+        * _phase_matrix(n3, z, isign)[None, None, :, :]
+    )
+    return jnp.einsum("abcj,...abc->...j", E, f.astype(E.dtype))
+
+
+def nufft1_3d(
+    x, y, z, c, n_modes, *, isign: int = -1, eps: float = 1e-6,
+    method: str = "auto", config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """3-D type-1 NUFFT: strengths at points -> (…, n1, n2, n3) modes."""
+    x, y, z, c = map(jnp.asarray, (x, y, z, c))
+    if method not in ("auto", "dense", "grid"):
+        raise ValueError(f"method must be auto|dense|grid, got {method!r}")
+    _check_points_3d(x, y, z, c)
+    n1, n2, n3 = (int(v) for v in n_modes)
+    if min(n1, n2, n3) < 1:
+        raise ValueError(f"n_modes must be positive, got {n_modes}")
+    if method == "dense" or (
+        method == "auto"
+        and n1 * n2 * n3 * x.shape[0] <= _DENSE_MAX_ENTRIES
+        and max(n1, n2, n3) // 2 < (1 << 16)
+    ):
+        return nudft1_3d(x, y, z, c, (n1, n2, n3), isign=isign, config=config)
+    if isign > 0:
+        x, y, z = -x, -y, -z
+    from .fft import fftn as _fftn
+
+    mr1, tau1, msp = _grid_params(n1, eps)
+    mr2, tau2, _ = _grid_params(n2, eps)
+    mr3, tau3, _ = _grid_params(n3, eps)
+    idx1, w1 = _spread_geometry(x, mr1, tau1, msp)
+    idx2, w2 = _spread_geometry(y, mr2, tau2, msp)
+    idx3, w3 = _spread_geometry(z, mr3, tau3, msp)
+    taps = (
+        w1[:, :, None, None] * w2[:, None, :, None] * w3[:, None, None, :]
+    ).astype(c.real.dtype)
+    vals = taps * c[..., :, None, None, None]
+    flat = (
+        (idx1[:, :, None, None] * mr2 + idx2[:, None, :, None]) * mr3
+        + idx3[:, None, None, :]
+    ).reshape(-1)
+    grid = jnp.zeros(c.shape[:-1] + (mr1 * mr2 * mr3,), dtype=vals.dtype)
+    grid = grid.at[..., flat].add(vals.reshape(vals.shape[:-4] + (-1,)))
+    grid = grid.reshape(c.shape[:-1] + (mr1, mr2, mr3))
+    spec = _fftn(grid, config=config)
+    centered = _center(
+        _center(_center(spec, mr1, n1, axis=-3), mr2, n2, axis=-2), mr3, n3
+    )
+    deconv = (
+        _deconv(n1, mr1, tau1)[:, None, None]
+        * _deconv(n2, mr2, tau2)[None, :, None]
+        * _deconv(n3, mr3, tau3)[None, None, :]
+    )
+    return centered * jnp.asarray(deconv, dtype=centered.real.dtype)
+
+
+def nufft2_3d(
+    x, y, z, f, *, isign: int = +1, eps: float = 1e-6,
+    method: str = "auto", config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """3-D type-2 NUFFT: (…, n1, n2, n3) modes -> values at points."""
+    x, y, z, f = map(jnp.asarray, (x, y, z, f))
+    if method not in ("auto", "dense", "grid"):
+        raise ValueError(f"method must be auto|dense|grid, got {method!r}")
+    _check_points_3d(x, y, z, None)
+    if f.ndim < 3 or min(f.shape[-3:]) < 1:
+        raise ValueError("f must be (…, n1, n2, n3) with non-empty mode axes")
+    n1, n2, n3 = f.shape[-3:]
+    if method == "dense" or (
+        method == "auto"
+        and n1 * n2 * n3 * x.shape[0] <= _DENSE_MAX_ENTRIES
+        and max(n1, n2, n3) // 2 < (1 << 16)
+    ):
+        return nudft2_3d(x, y, z, f, isign=isign, config=config)
+    if isign < 0:
+        x, y, z = -x, -y, -z
+    from .fft import ifftn as _ifftn
+
+    mr1, tau1, msp = _grid_params(n1, eps)
+    mr2, tau2, _ = _grid_params(n2, eps)
+    mr3, tau3, _ = _grid_params(n3, eps)
+    deconv = (
+        _deconv(n1, mr1, tau1)[:, None, None]
+        * _deconv(n2, mr2, tau2)[None, :, None]
+        * _deconv(n3, mr3, tau3)[None, None, :]
+    )
+    fd = f * jnp.asarray(deconv, dtype=f.real.dtype)
+    wrapped = _wrap(_wrap(_wrap(fd, mr1, axis=-3), mr2, axis=-2), mr3)
+    u = _ifftn(wrapped, config=config) * (mr1 * mr2 * mr3)
+    idx1, w1 = _spread_geometry(x, mr1, tau1, msp)
+    idx2, w2 = _spread_geometry(y, mr2, tau2, msp)
+    idx3, w3 = _spread_geometry(z, mr3, tau3, msp)
+    flat = (
+        (idx1[:, :, None, None] * mr2 + idx2[:, None, :, None]) * mr3
+        + idx3[:, None, None, :]
+    ).reshape(-1)
+    uf = u.reshape(u.shape[:-3] + (mr1 * mr2 * mr3,))
+    m = x.shape[0]
+    taps = uf[..., flat].reshape(u.shape[:-3] + (m, 2 * msp, 2 * msp, 2 * msp))
+    w = (
+        w1[:, :, None, None] * w2[:, None, :, None] * w3[:, None, None, :]
+    ).astype(u.real.dtype)
+    return jnp.sum(taps * w, axis=(-3, -2, -1))

@@ -302,3 +302,68 @@ def test_nufft_lsq_2d_errors(rng):
         sp.nufft_lsq_2d(x, x, b, (0, 4))
     with pytest.raises(ValueError):
         sp.nufft_lsq_2d(x, x, b, (4, 4), weights=np.ones(2, np.float32))
+
+
+# --------------------------- 3-D NUFFT ------------------------------------
+
+
+def _oracle1_3d(x, y, z, c, n1, n2, n3, isign=-1):
+    k1 = np.arange(-(n1 // 2), (n1 + 1) // 2)
+    k2 = np.arange(-(n2 // 2), (n2 + 1) // 2)
+    k3 = np.arange(-(n3 // 2), (n3 + 1) // 2)
+    ph = (
+        k1[:, None, None, None] * x.astype(np.float64)
+        + k2[None, :, None, None] * y.astype(np.float64)
+        + k3[None, None, :, None] * z.astype(np.float64)
+    )
+    return np.einsum(
+        "abcm,m->abc", np.exp(isign * 1j * ph), c.astype(np.complex128)
+    )
+
+
+@pytest.mark.parametrize("method", ["dense", "grid"])
+def test_nufft1_3d_matches_oracle(rng, method):
+    n1, n2, n3, m = 8, 10, 6, 60
+    x, y, z = _pts(rng, m), _pts(rng, m), _pts(rng, m)
+    c = _strengths(rng, m)
+    got = np.asarray(
+        sp.nufft1_3d(x, y, z, c, (n1, n2, n3), method=method)
+    )
+    want = _oracle1_3d(x, y, z, c, n1, n2, n3)
+    rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert got.shape == (n1, n2, n3) and rel < 2e-5, (method, rel)
+
+
+@pytest.mark.parametrize("method", ["dense", "grid"])
+def test_nufft2_3d_matches_oracle(rng, method):
+    n1, n2, n3, m = 6, 8, 5, 40
+    x, y, z = _pts(rng, m), _pts(rng, m), _pts(rng, m)
+    f = _strengths(rng, n1, n2, n3)
+    got = np.asarray(sp.nufft2_3d(x, y, z, f, method=method))
+    k1 = np.arange(-(n1 // 2), (n1 + 1) // 2)
+    k2 = np.arange(-(n2 // 2), (n2 + 1) // 2)
+    k3 = np.arange(-(n3 // 2), (n3 + 1) // 2)
+    ph = (
+        k1[:, None, None, None] * x.astype(np.float64)
+        + k2[None, :, None, None] * y.astype(np.float64)
+        + k3[None, None, :, None] * z.astype(np.float64)
+    )
+    want = np.einsum(
+        "abcm,abc->m", np.exp(1j * ph), f.astype(np.complex128)
+    )
+    rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert got.shape == (m,) and rel < 2e-5, (method, rel)
+
+
+def test_nufft_3d_adjoint_and_errors(rng):
+    m, n = 30, (6, 6, 6)
+    x, y, z = _pts(rng, m), _pts(rng, m), _pts(rng, m)
+    c = _strengths(rng, m)
+    f = _strengths(rng, *n)
+    lhs = np.vdot(np.asarray(sp.nufft1_3d(x, y, z, c, n, isign=-1)), f)
+    rhs = np.vdot(c, np.asarray(sp.nufft2_3d(x, y, z, f, isign=+1)))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-5
+    with pytest.raises(ValueError):
+        sp.nufft1_3d(x, y, z[:5], c, n)
+    with pytest.raises(ValueError):
+        sp.nufft1_3d(x, y, z, c, (0, 6, 6))
