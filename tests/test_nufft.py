@@ -367,3 +367,20 @@ def test_nufft_3d_adjoint_and_errors(rng):
         sp.nufft1_3d(x, y, z[:5], c, n)
     with pytest.raises(ValueError):
         sp.nufft1_3d(x, y, z, c, (0, 6, 6))
+
+
+@pytest.mark.parametrize("method", ["dense", "grid"])
+def test_points_outside_principal_range(rng, method):
+    """x outside [0, 2pi) (negative, many periods) must fold exactly."""
+    m, n = 60, 48
+    x0 = _pts(rng, m)
+    shifts = (2 * np.pi * rng.integers(-5, 6, m)).astype(np.float32)
+    c = _strengths(rng, m)
+    a = np.asarray(sp.nufft1(x0, c, n, method=method))
+    b = np.asarray(sp.nufft1(x0 + shifts, c, n, method=method))
+    # fp32 addition of the shift perturbs x by ~|x|*eps; compare to the
+    # oracle at the PERTURBED points, not to the unshifted result
+    want = _oracle1((x0 + shifts), c, n)
+    rel = np.max(np.abs(b - want)) / np.max(np.abs(want))
+    assert rel < 2e-5, (method, rel)
+    del a
