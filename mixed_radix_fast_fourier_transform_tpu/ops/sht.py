@@ -1,0 +1,144 @@
+"""Spherical harmonic transform — Legendre matmuls on the MXU + engine FFT.
+
+Capability extension beyond the reference C library (1-D line transforms
+only): the analysis/synthesis pair between values on a Gauss-Legendre x
+equiangular sphere grid and spherical-harmonic coefficients — the spectral
+basis of global weather/climate dynamical cores and geodesy.
+
+TPU-native shape: the longitude direction is the engine's batched FFT; the
+latitude direction contracts against precomputed normalized associated
+Legendre tables P̄_{lm}(mu_i) — one dense (2L-1, L, L) host fp64 tensor
+(stable three-term recurrence, Condon-Shortley phase, matching
+scipy.special.sph_harm_y) applied as a single einsum on the MXU.  With
+nlat = L Gauss-Legendre nodes and nlon = 2L longitudes the transform pair
+is EXACT for band-limited fields (Gauss quadrature integrates the degree
+<= 2L-2 Legendre products exactly; round-trip error ~6e-15 in the fp64
+prototype, engine fp32 floor otherwise).
+
+Conventions: orthonormal complex spherical harmonics Y_lm with
+Condon-Shortley phase; a = sht(f) has a[m_idx, l] = ∫ f Y*_lm dΩ with the
+m axis packed [0, 1, …, L-1, -(L-1), …, -1] (FFT-bin order restricted to
+the band limit) and zeros for l < |m|.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.config import DEFAULT_CONFIG, SpectralConfig
+from .fft import fft, ifft
+
+Array = jax.Array
+
+
+@functools.lru_cache(maxsize=8)
+def _legendre_tables(L: int):
+    """Host fp64 plan constants for band limit lmax = L-1.
+
+    Returns (mu, w, theta, P, PW): Gauss-Legendre nodes/weights, colatitudes,
+    and the packed Legendre tensors P[q, l, i] (synthesis) and
+    PW[q, l, i] = P·w·dphi (analysis), q over the packed m axis."""
+    mu, w = np.polynomial.legendre.leggauss(L)
+    theta = np.arccos(mu)
+    P = np.zeros((L, L, L))
+    pmm = np.full(L, 1.0 / math.sqrt(4.0 * math.pi))
+    s = np.sqrt(1.0 - mu * mu)
+    for m in range(L):
+        P[m, m] = pmm
+        if m + 1 < L:
+            P[m, m + 1] = mu * math.sqrt(2.0 * m + 3.0) * pmm
+        for l in range(m + 2, L):
+            a = math.sqrt((4.0 * l * l - 1.0) / (l * l - m * m))
+            b = math.sqrt(
+                ((2.0 * l + 1.0) * ((l - 1.0) ** 2 - m * m))
+                / ((2.0 * l - 3.0) * (l * l - m * m))
+            )
+            P[m, l] = a * mu * P[m, l - 1] - b * P[m, l - 2]
+        if m + 1 < L:
+            pmm = -math.sqrt((2.0 * m + 3.0) / (2.0 * m + 2.0)) * s * pmm
+    # packed m axis: [0..L-1, -(L-1)..-1]; Y_{l,-m} = (-1)^m conj-relation
+    # gives P̄_{l,-m} = (-1)^m P̄_{lm}
+    sign = np.array([(-1.0) ** m for m in range(1, L)])
+    Pfull = np.concatenate([P, sign[::-1, None, None] * P[:0:-1]], axis=0)
+    dphi = 2.0 * math.pi / (2 * L)
+    PW = Pfull * (w * dphi)
+    return mu, w, theta, Pfull, PW
+
+
+def sht_grid(lmax: int, dtype=np.float64):
+    """(theta, phi, weights) of the (L, 2L) analysis grid for band limit
+    ``lmax`` (L = lmax+1): Gauss-Legendre colatitudes x equiangular
+    longitudes.  Quadrature: sum(f * weights[:, None]) * (2*pi/nlon)
+    integrates over the sphere."""
+    if lmax < 0:
+        raise ValueError(f"lmax must be >= 0, got {lmax}")
+    L = lmax + 1
+    mu, w, theta, _, _ = _legendre_tables(L)
+    phi = 2.0 * np.pi * np.arange(2 * L) / (2 * L)
+    return theta.astype(dtype), phi.astype(dtype), w.astype(dtype)
+
+
+def sht(f, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """Spherical harmonic analysis: (…, L, 2L) grid values -> (…, 2L-1, L)
+    coefficients a[m_idx, l] (packed m axis, zeros below the |m| diagonal)."""
+    f = jnp.asarray(f)
+    if f.ndim < 2 or f.shape[-2] < 1 or f.shape[-1] != 2 * f.shape[-2]:
+        raise ValueError(
+            "f must be (…, L, 2L) on the sht_grid — got "
+            f"{f.shape[-2:] if f.ndim >= 2 else f.shape}"
+        )
+    L = f.shape[-2]
+    _, _, _, _, PW = _legendre_tables(L)
+    F = fft(f, config=config)  # over longitude: (…, i, m_bins)
+    Fsel = jnp.concatenate(
+        [F[..., :L], F[..., 2 * L - (L - 1) :]], axis=-1
+    )  # (…, i, 2L-1) in packed m order
+    return jnp.einsum(
+        "qli,...iq->...ql",
+        jnp.asarray(PW, dtype=F.real.dtype),
+        Fsel,
+        precision=config.precision,
+    )
+
+
+def isht(alm, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """Spherical harmonic synthesis: (…, 2L-1, L) coefficients ->
+    (…, L, 2L) grid values (complex; take .real for real fields)."""
+    alm = jnp.asarray(alm)
+    if alm.ndim < 2 or alm.shape[-1] < 1 or alm.shape[-2] != 2 * alm.shape[-1] - 1:
+        raise ValueError(
+            "alm must be (…, 2L-1, L) packed coefficients — got "
+            f"{alm.shape[-2:] if alm.ndim >= 2 else alm.shape}"
+        )
+    L = alm.shape[-1]
+    _, _, _, Pfull, _ = _legendre_tables(L)
+    G = jnp.einsum(
+        "qli,...ql->...iq",
+        jnp.asarray(Pfull, dtype=alm.real.dtype),
+        alm,
+        precision=config.precision,
+    )  # (…, i, 2L-1)
+    nlon = 2 * L
+    zeros = jnp.zeros(G.shape[:-1] + (nlon - (2 * L - 1),), G.dtype)
+    bins = jnp.concatenate([G[..., :L], zeros, G[..., L:]], axis=-1)
+    return ifft(bins, config=config) * nlon
+
+
+def sphere_laplacian(f, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """Laplace-Beltrami operator on the unit sphere via the spectral
+    eigenrelation Δ Y_lm = -l(l+1) Y_lm: sht -> scale -> isht.  The spectral
+    building block of spherical PDE solvers (shallow-water cores etc.)."""
+    f = jnp.asarray(f)
+    a = sht(f, config=config)
+    L = a.shape[-1]
+    l = np.arange(L, dtype=np.float64)
+    scale = jnp.asarray(-(l * (l + 1.0)), dtype=a.real.dtype)
+    out = isht(a * scale, config=config)
+    if not jnp.issubdtype(f.dtype, jnp.complexfloating):
+        out = jnp.real(out)
+    return out

@@ -1,0 +1,86 @@
+"""Spherical harmonic transform: scipy sph_harm_y oracle, exact round trip,
+Parseval, Laplacian eigenrelation."""
+
+import numpy as np
+import pytest
+from scipy.special import sph_harm_y
+
+import mixed_radix_fast_fourier_transform_tpu as sp
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(33)
+
+
+def _rand_alm(rng, L):
+    alm = np.zeros((2 * L - 1, L), np.complex64)
+    for m in range(L):
+        for l in range(m, L):
+            alm[m, l] = rng.standard_normal() + 1j * rng.standard_normal()
+    for m in range(1, L):
+        for l in range(m, L):
+            alm[2 * L - 1 - m, l] = rng.standard_normal() + 1j * rng.standard_normal()
+    return alm
+
+
+@pytest.mark.parametrize("L", [1, 2, 8, 16, 32])
+def test_roundtrip_exact(rng, L):
+    alm = _rand_alm(rng, L)
+    f = np.asarray(sp.isht(alm))
+    assert f.shape == (L, 2 * L)
+    back = np.asarray(sp.sht(f))
+    scale = max(np.abs(alm).max(), 1.0)
+    assert np.max(np.abs(back - alm)) / scale < 1e-5, L
+
+
+def test_single_harmonic_matches_scipy(rng):
+    """isht of a unit coefficient reproduces scipy's Y_lm on the grid."""
+    L = 12
+    theta, phi, _ = sp.sht_grid(L - 1)
+    for (l, m) in [(0, 0), (3, 2), (7, -4), (11, 11), (5, 0)]:
+        alm = np.zeros((2 * L - 1, L), np.complex64)
+        q = m if m >= 0 else 2 * L - 1 + m
+        alm[q, l] = 1.0
+        f = np.asarray(sp.isht(alm))
+        want = sph_harm_y(l, m, theta[:, None], phi[None, :])
+        assert np.max(np.abs(f - want)) < 1e-5, (l, m)
+
+
+def test_parseval(rng):
+    L = 16
+    alm = _rand_alm(rng, L)
+    f = np.asarray(sp.isht(alm))
+    _, _, w = sp.sht_grid(L - 1)
+    quad = float((np.abs(f) ** 2 * w[:, None]).sum() * (2 * np.pi / (2 * L)))
+    coef = float((np.abs(alm) ** 2).sum())
+    assert abs(quad - coef) / coef < 1e-4
+
+
+def test_sphere_laplacian_eigenrelation(rng):
+    L = 10
+    alm = np.zeros((2 * L - 1, L), np.complex64)
+    alm[3, 5] = 1.0  # Y_{5,3}
+    f = np.asarray(sp.isht(alm))
+    lap = np.asarray(sp.sphere_laplacian(f))
+    assert np.max(np.abs(lap - (-30.0) * f)) < 1e-3  # -l(l+1) = -30
+
+
+def test_sht_batched_and_jit(rng):
+    import jax
+
+    L = 8
+    alm = np.stack([_rand_alm(rng, L) for _ in range(3)])
+    f = np.asarray(jax.jit(sp.isht)(alm))
+    assert f.shape == (3, L, 2 * L)
+    back = np.asarray(jax.jit(sp.sht)(f))
+    assert np.max(np.abs(back - alm)) / np.abs(alm).max() < 1e-5
+
+
+def test_sht_errors(rng):
+    with pytest.raises(ValueError):
+        sp.sht(np.zeros((4, 9), np.float32))  # nlon != 2*nlat
+    with pytest.raises(ValueError):
+        sp.isht(np.zeros((6, 4), np.complex64))  # 2L-1 mismatch
+    with pytest.raises(ValueError):
+        sp.sht_grid(-1)
