@@ -142,3 +142,23 @@ def sphere_laplacian(f, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
     if not jnp.issubdtype(f.dtype, jnp.complexfloating):
         out = jnp.real(out)
     return out
+
+
+def poisson_solve_sphere(
+    f, *, config: SpectralConfig = DEFAULT_CONFIG
+) -> Array:
+    """Solve Δu = f on the unit sphere (zero-mean gauge): divide each
+    spherical-harmonic coefficient by -l(l+1); the l = 0 mode (sphere mean)
+    is projected out — solvability requires ∫ f dΩ = 0, and the returned u
+    has zero mean.  Grid in, grid out (the spherical counterpart of
+    :func:`..signal.poisson_solve`)."""
+    f = jnp.asarray(f)
+    a = sht(f, config=config)
+    L = a.shape[-1]
+    l = np.arange(L, dtype=np.float64)
+    inv = np.zeros(L)
+    inv[1:] = -1.0 / (l[1:] * (l[1:] + 1.0))
+    u = isht(a * jnp.asarray(inv, dtype=a.real.dtype), config=config)
+    if not jnp.issubdtype(f.dtype, jnp.complexfloating):
+        u = jnp.real(u)
+    return u

@@ -84,3 +84,14 @@ def test_sht_errors(rng):
         sp.isht(np.zeros((6, 4), np.complex64))  # 2L-1 mismatch
     with pytest.raises(ValueError):
         sp.sht_grid(-1)
+
+
+def test_poisson_solve_sphere(rng):
+    """laplacian(poisson_solve(f)) == f for zero-mean band-limited f."""
+    L = 12
+    alm = _rand_alm(rng, L)
+    alm[0, 0] = 0.0  # zero sphere mean
+    f = np.real(np.asarray(sp.isht(alm))).astype(np.float32)
+    u = np.asarray(sp.poisson_solve_sphere(f))
+    back = np.asarray(sp.sphere_laplacian(u))
+    assert np.max(np.abs(back - f)) / np.max(np.abs(f)) < 1e-4
