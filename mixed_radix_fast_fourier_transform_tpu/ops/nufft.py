@@ -61,7 +61,10 @@ _SPLIT = 4096
 # 4096) (520us vs 4.6ms) and 2.2x at (16384, 4096) — XLA's TPU scatter makes
 # the spreading expensive (~4.6ms for 65k tap updates, M-bound), so the
 # matmul path wins far beyond MXU-size intuition.  2^24 entries = 128 MB of
-# cos+sin matrices, a safe HBM footprint.
+# cos+sin matrices, a safe HBM footprint.  The 2-D region inherits the 8x
+# flop allowance with its own measurement: at (n1, n2, M) = (256, 256,
+# 2048) — the n1·n2·M = 2^27 ceiling — dense measured 169 us vs 36.8 ms
+# grid (2-D spreading scatters 4·msp² = 256 taps per point).
 _DENSE_MAX_ENTRIES = 1 << 24
 
 
@@ -825,7 +828,10 @@ def nudft1_3d(
         * _phase_matrix(n2, y, isign)[None, :, None, :]
         * _phase_matrix(n3, z, isign)[None, None, :, :]
     )
-    return jnp.einsum("abcj,...j->...abc", E, c.astype(E.dtype))
+    return jnp.einsum(
+        "abcj,...j->...abc", E, c.astype(E.dtype),
+        precision=config.precision,
+    )
 
 
 def nudft2_3d(
@@ -843,7 +849,10 @@ def nudft2_3d(
         * _phase_matrix(n2, y, isign)[None, :, None, :]
         * _phase_matrix(n3, z, isign)[None, None, :, :]
     )
-    return jnp.einsum("abcj,...abc->...j", E, f.astype(E.dtype))
+    return jnp.einsum(
+        "abcj,...abc->...j", E, f.astype(E.dtype),
+        precision=config.precision,
+    )
 
 
 def nufft1_3d(
@@ -858,11 +867,7 @@ def nufft1_3d(
     n1, n2, n3 = (int(v) for v in n_modes)
     if min(n1, n2, n3) < 1:
         raise ValueError(f"n_modes must be positive, got {n_modes}")
-    if method == "dense" or (
-        method == "auto"
-        and n1 * n2 * n3 * x.shape[0] <= _DENSE_MAX_ENTRIES
-        and max(n1, n2, n3) // 2 < (1 << 16)
-    ):
+    if _use_dense(method, n1 * n2 * n3 * x.shape[0], max(n1, n2, n3)):
         return nudft1_3d(x, y, z, c, (n1, n2, n3), isign=isign, config=config)
     if isign > 0:
         x, y, z = -x, -y, -z
@@ -911,11 +916,7 @@ def nufft2_3d(
     if f.ndim < 3 or min(f.shape[-3:]) < 1:
         raise ValueError("f must be (…, n1, n2, n3) with non-empty mode axes")
     n1, n2, n3 = f.shape[-3:]
-    if method == "dense" or (
-        method == "auto"
-        and n1 * n2 * n3 * x.shape[0] <= _DENSE_MAX_ENTRIES
-        and max(n1, n2, n3) // 2 < (1 << 16)
-    ):
+    if _use_dense(method, n1 * n2 * n3 * x.shape[0], max(n1, n2, n3)):
         return nudft2_3d(x, y, z, f, isign=isign, config=config)
     if isign < 0:
         x, y, z = -x, -y, -z

@@ -376,11 +376,9 @@ def test_points_outside_principal_range(rng, method):
     x0 = _pts(rng, m)
     shifts = (2 * np.pi * rng.integers(-5, 6, m)).astype(np.float32)
     c = _strengths(rng, m)
-    a = np.asarray(sp.nufft1(x0, c, n, method=method))
     b = np.asarray(sp.nufft1(x0 + shifts, c, n, method=method))
     # fp32 addition of the shift perturbs x by ~|x|*eps; compare to the
     # oracle at the PERTURBED points, not to the unshifted result
     want = _oracle1((x0 + shifts), c, n)
     rel = np.max(np.abs(b - want)) / np.max(np.abs(want))
     assert rel < 2e-5, (method, rel)
-    del a
