@@ -162,3 +162,25 @@ def poisson_solve_sphere(
     if not jnp.issubdtype(f.dtype, jnp.complexfloating):
         u = jnp.real(u)
     return u
+
+
+def sphere_convolve(f, bl, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """Convolve a sphere field with an isotropic (zonal) kernel: by the
+    Funk-Hecke theorem this is diagonal in the harmonic basis — multiply
+    a_lm by the kernel's Legendre coefficients ``bl`` (length L, one per
+    degree).  Smoothing, spherical heat flow (bl = exp(-l(l+1)t)), Gaussian
+    beams etc. in two transforms."""
+    f = jnp.asarray(f)
+    a = sht(f, config=config)
+    L = a.shape[-1]
+    b = jnp.asarray(bl)
+    if b.shape != (L,):
+        raise ValueError(
+            f"bl must have one coefficient per degree: shape ({L},), got {b.shape}"
+        )
+    out = isht(a * b.astype(a.real.dtype), config=config)
+    if not jnp.issubdtype(f.dtype, jnp.complexfloating) and not jnp.issubdtype(
+        b.dtype, jnp.complexfloating
+    ):
+        out = jnp.real(out)
+    return out

@@ -95,3 +95,18 @@ def test_poisson_solve_sphere(rng):
     u = np.asarray(sp.poisson_solve_sphere(f))
     back = np.asarray(sp.sphere_laplacian(u))
     assert np.max(np.abs(back - f)) / np.max(np.abs(f)) < 1e-4
+
+
+def test_sphere_convolve_heat_flow(rng):
+    """Heat kernel bl = exp(-l(l+1) t) damps each degree by its eigenvalue."""
+    L = 10
+    alm = _rand_alm(rng, L)
+    f = np.asarray(sp.isht(alm))
+    t = 0.05
+    l = np.arange(L)
+    bl = np.exp(-l * (l + 1) * t).astype(np.float32)
+    g = np.asarray(sp.sphere_convolve(f, bl))
+    want = np.asarray(sp.isht(alm * bl[None, :]))
+    assert np.max(np.abs(g - want)) < 1e-4 * np.abs(want).max()
+    with pytest.raises(ValueError):
+        sp.sphere_convolve(f, bl[:-1])
