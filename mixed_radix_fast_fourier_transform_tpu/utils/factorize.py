@@ -136,6 +136,12 @@ def prev_fast_len(n: int, primes: Sequence[int] = (2, 3, 5, 7)) -> int:
     :func:`next_fast_len` for workloads that shorten instead of pad."""
     if n < 1:
         raise ValueError(f"length must be >= 1, got {n}")
+    if primes == (2, 3, 5, 7) and _use_native():
+        from . import native
+
+        got = native.prev_fast_len(n)
+        if got is not None:
+            return got
 
     def smooth(m: int) -> bool:
         for p in primes:

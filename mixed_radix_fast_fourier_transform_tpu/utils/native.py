@@ -63,6 +63,7 @@ def _load() -> Optional[ctypes.CDLL]:
         # older .so without them)
         for name, restype, argtypes in (
             ("spectral_next_fast_len", c_i64, [c_i64]),
+            ("spectral_prev_fast_len", c_i64, [c_i64]),
             ("spectral_next_splittable_len", c_i64, [c_i64, c_i64, c_i64]),
         ):
             try:
@@ -151,6 +152,17 @@ def real_split_twiddles(n: int, sign: int) -> Optional[Tuple[np.ndarray, np.ndar
     im = np.empty(count, dtype=np.float64)
     lib.spectral_real_split_twiddles(n, count, sign, _dp(re), _dp(im))
     return re, im
+
+
+def prev_fast_len(n: int) -> Optional[int]:
+    """Native largest 7-smooth length <= n; None if the library is absent."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "spectral_prev_fast_len"):
+        return None
+    m = lib.spectral_prev_fast_len(n)
+    if m < 0:
+        raise ValueError(f"native prev_fast_len failed for n={n}")
+    return int(m)
 
 
 def next_fast_len(n: int) -> Optional[int]:

@@ -132,6 +132,19 @@ int64_t spectral_next_fast_len(int64_t n) {
   return pow2;
 }
 
+// Largest m <= n whose prime factors are all in {2, 3, 5, 7} (mirrors
+// utils/factorize.prev_fast_len).  Returns -1 on n < 1.
+int64_t spectral_prev_fast_len(int64_t n) {
+  if (n < 1) return -1;
+  for (int64_t m = n;; --m) {
+    int64_t v = m;
+    for (int64_t p : {2LL, 3LL, 5LL, 7LL}) {
+      while (v % p == 0) v /= p;
+    }
+    if (v == 1) return m;
+  }
+}
+
 // Smallest convenient m >= n with m = parts^2 * s, s 7-smooth — the padded
 // length contract of the distributed four-step (closed form of
 // utils/factorize.next_splittable_len; tested for parity).  Returns -1 when

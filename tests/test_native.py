@@ -158,3 +158,29 @@ class TestPaddedLengths:
                 assert native.next_splittable_len(n, p, 256) == want, (n, p)
         with pytest.raises(ValueError):
             native.next_splittable_len(100, 257, 256)
+
+
+def test_native_prev_fast_len_parity():
+    from mixed_radix_fast_fourier_transform_tpu.utils import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library not built")
+    for n in [1, 7, 11, 13, 100, 1009, 5041, 65537]:
+        import os
+
+        os.environ["SPECTRAL_NO_NATIVE"] = "1"
+        try:
+            from mixed_radix_fast_fourier_transform_tpu.utils.factorize import (
+                _use_native,
+            )
+
+            _use_native.cache_clear()
+            import mixed_radix_fast_fourier_transform_tpu as sp
+
+            want = sp.prev_fast_len(n)
+        finally:
+            del os.environ["SPECTRAL_NO_NATIVE"]
+            _use_native.cache_clear()
+        assert native.prev_fast_len(n) == want, n
