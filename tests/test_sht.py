@@ -110,3 +110,30 @@ def test_sphere_convolve_heat_flow(rng):
     assert np.max(np.abs(g - want)) < 1e-4 * np.abs(want).max()
     with pytest.raises(ValueError):
         sp.sphere_convolve(f, bl[:-1])
+
+
+def test_sphere_grad_analytic(rng):
+    """Gradient of analytic fields: f = cos(theta) and f = sin(theta)sin(phi)."""
+    L = 16
+    theta, phi, _ = sp.sht_grid(L - 1)
+    TH, PH = theta[:, None], phi[None, :]
+    f1 = np.broadcast_to(np.cos(TH), (L, 2 * L)).astype(np.float32)
+    ut, up = (np.asarray(v) for v in sp.sphere_grad(f1))
+    np.testing.assert_allclose(ut, -np.sin(TH) * np.ones_like(PH), atol=1e-4)
+    np.testing.assert_allclose(up, 0.0, atol=1e-4)
+    f2 = (np.sin(TH) * np.sin(PH)).astype(np.float32)
+    ut, up = (np.asarray(v) for v in sp.sphere_grad(f2))
+    np.testing.assert_allclose(ut, np.cos(TH) * np.sin(PH), atol=1e-3)
+    np.testing.assert_allclose(up, np.cos(PH) * np.ones_like(TH), atol=1e-3)
+
+
+def test_sphere_grad_batched_jit(rng):
+    import jax
+
+    L = 8
+    alm = np.stack([_rand_alm(rng, L) for _ in range(2)])
+    f = np.real(np.asarray(sp.isht(alm))).astype(np.float32)
+    ut, up = jax.jit(sp.sphere_grad)(f)
+    assert np.asarray(ut).shape == (2, L, 2 * L) == np.asarray(up).shape
+    assert bool(np.isfinite(np.asarray(ut)).all())
+    assert bool(np.isfinite(np.asarray(up)).all())
