@@ -1152,3 +1152,96 @@ def nufft2_sharded(
         out_specs=P(*([None] * (f.ndim - 1) + [axis_name])),
     )(x)
     return out[..., :m_out] if pad else out
+
+
+# ---------------------------------------------------------------------------
+# Distributed spherical harmonic transform: latitude bands sharded over the
+# mesh.  The longitude FFT is per-latitude (local to each band); analysis
+# contracts the Legendre tables over latitude, so each chip reduces its own
+# band and one psum over ICI completes the quadrature.  Synthesis needs no
+# collectives at all: each chip evaluates its latitude band from the
+# replicated coefficients.
+# ---------------------------------------------------------------------------
+
+
+def sht_sharded(
+    f,
+    mesh: Mesh,
+    axis_name: str = SEQ_AXIS,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Spherical harmonic analysis with latitude sharded over ``axis_name``:
+    (…, L, 2L) grid -> replicated (…, 2L-1, L) coefficients, one psum."""
+    from ..ops.fft import fft as _fft
+    from ..ops.sht import _legendre_tables
+
+    f = jnp.asarray(f)
+    if f.ndim < 2 or f.shape[-2] < 1 or f.shape[-1] != 2 * f.shape[-2]:
+        raise ValueError("f must be (…, L, 2L) on the sht_grid")
+    L = f.shape[-2]
+    parts = mesh.shape[axis_name]
+    if L % parts != 0:
+        raise ValueError(
+            f"latitude count L={L} must divide the mesh axis ({parts})"
+        )
+    _, _, _, _, PW = _legendre_tables(L)
+
+    def body(fl, pwl):
+        F = _fft(fl, config=config)
+        Fsel = jnp.concatenate([F[..., :L], F[..., L + 1 :]], axis=-1)
+        part = jnp.einsum(
+            "qli,...iq->...ql", pwl, Fsel, precision=config.precision
+        )
+        return jax.lax.psum(part, axis_name)
+
+    lat_spec = P(*([None] * (f.ndim - 2) + [axis_name, None]))
+    out_spec = P(*([None] * f.ndim))
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(lat_spec, P(None, None, axis_name)),
+        out_specs=out_spec,
+    )(f, jnp.asarray(PW, dtype=jnp.asarray(f).real.dtype))
+
+
+def isht_sharded(
+    alm,
+    mesh: Mesh,
+    axis_name: str = SEQ_AXIS,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Spherical harmonic synthesis with latitude bands sharded over
+    ``axis_name``: replicated (…, 2L-1, L) coefficients -> (…, L, 2L) grid
+    sharded on latitude.  Zero collectives (each chip evaluates its band)."""
+    from ..ops.fft import ifft as _ifft
+    from ..ops.sht import _legendre_tables
+
+    alm = jnp.asarray(alm)
+    if alm.ndim < 2 or alm.shape[-1] < 1 or alm.shape[-2] != 2 * alm.shape[-1] - 1:
+        raise ValueError("alm must be (…, 2L-1, L) packed coefficients")
+    L = alm.shape[-1]
+    parts = mesh.shape[axis_name]
+    if L % parts != 0:
+        raise ValueError(
+            f"latitude count L={L} must divide the mesh axis ({parts})"
+        )
+    _, _, _, Pfull, _ = _legendre_tables(L)
+    nlon = 2 * L
+
+    def body(pl):
+        G = jnp.einsum(
+            "qli,...ql->...iq", pl, alm, precision=config.precision
+        )
+        zeros = jnp.zeros(G.shape[:-1] + (1,), G.dtype)
+        bins = jnp.concatenate([G[..., :L], zeros, G[..., L:]], axis=-1)
+        return _ifft(bins, config=config) * nlon
+
+    out_spec = P(*([None] * (alm.ndim - 2) + [axis_name, None]))
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, None, axis_name),),
+        out_specs=out_spec,
+    )(jnp.asarray(Pfull, dtype=alm.real.dtype))

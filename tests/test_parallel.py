@@ -521,3 +521,30 @@ class TestNufftSharded:
         want = np.asarray(sp.nufft2(x, f, method="grid"))
         assert got.shape == (3, m)
         assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-6
+
+
+class TestShtSharded:
+    def test_sht_sharded_matches_single_chip(self):
+        mesh = _mesh_seq()
+        import mixed_radix_fast_fourier_transform_tpu as sp
+        from mixed_radix_fast_fourier_transform_tpu.parallel import (
+            isht_sharded,
+            sht_sharded,
+        )
+
+        rng = np.random.default_rng(2)
+        L = 16  # divides 8
+        f = rng.standard_normal((3, L, 2 * L)).astype(np.float32)
+        got = np.asarray(sht_sharded(f, mesh, "seq"))
+        want = np.asarray(sp.sht(f))
+        assert np.max(np.abs(got - want)) < 1e-5 * max(1.0, np.abs(want).max())
+        back = np.asarray(isht_sharded(got.astype(np.complex64), mesh, "seq"))
+        ref = np.asarray(sp.isht(got.astype(np.complex64)))
+        assert np.max(np.abs(back - ref)) < 1e-5 * max(1.0, np.abs(ref).max())
+
+    def test_sht_sharded_bad_division(self):
+        mesh = _mesh_seq()
+        from mixed_radix_fast_fourier_transform_tpu.parallel import sht_sharded
+
+        with pytest.raises(ValueError):
+            sht_sharded(np.zeros((12, 24), np.float32), mesh, "seq")
