@@ -239,3 +239,60 @@ def sphere_grad(f, *, config: SpectralConfig = DEFAULT_CONFIG):
     if not jnp.issubdtype(f.dtype, jnp.complexfloating):
         u_theta, u_phi = jnp.real(u_theta), jnp.real(u_phi)
     return u_theta, u_phi
+
+
+def _vector_analysis(u_theta: Array, u_phi: Array, config: SpectralConfig):
+    """Packed-m FFT pickup shared by the vector analysis ops."""
+    L = u_theta.shape[-2]
+    Ft = fft(u_theta, config=config)
+    Fp = fft(u_phi, config=config)
+    sel = lambda A: jnp.concatenate([A[..., :L], A[..., L + 1 :]], axis=-1)
+    return L, sel(Ft), sel(Fp)
+
+
+def sphere_div(u_theta, u_phi, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """Surface divergence of a tangent vector field:
+    div u = (1/sin)·[∂_theta(sin·u_theta) + ∂_phi u_phi], grid in / grid out.
+
+    Computed weakly as the negative adjoint of :func:`sphere_grad`
+    (div_lm = -∫ u·∇Y*_lm dΩ — integration by parts has no boundary on the
+    sphere), reusing the d/dtheta Legendre tables and Gauss quadrature;
+    verified via div(grad f) == sphere_laplacian(f)."""
+    u_theta = jnp.asarray(u_theta)
+    u_phi = jnp.asarray(u_phi)
+    if u_theta.shape != u_phi.shape or u_theta.ndim < 2 or (
+        u_theta.shape[-1] != 2 * u_theta.shape[-2]
+    ):
+        raise ValueError("u_theta and u_phi must share a (…, L, 2L) grid shape")
+    real_in = not (
+        jnp.issubdtype(u_theta.dtype, jnp.complexfloating)
+        or jnp.issubdtype(u_phi.dtype, jnp.complexfloating)
+    )
+    L, Ut, Up = _vector_analysis(u_theta, u_phi, config)
+    mu, w, theta, Pfull, _ = _legendre_tables(L)
+    dP = _legendre_deriv_tables(L)
+    dphi = 2.0 * math.pi / (2 * L)
+    s = np.sin(theta)
+    msigned = np.concatenate([np.arange(L), -np.arange(L - 1, 0, -1)])
+    t1 = jnp.einsum(
+        "qli,...iq->...ql",
+        jnp.asarray(dP * (w * dphi), dtype=Ut.real.dtype),
+        Ut,
+        precision=config.precision,
+    )
+    t2 = jnp.einsum(
+        "qli,...iq->...ql",
+        jnp.asarray(Pfull * ((w / s) * dphi), dtype=Up.real.dtype),
+        Up,
+        precision=config.precision,
+    ) * jnp.asarray(-1j * msigned, t1.dtype if jnp.issubdtype(
+        t1.dtype, jnp.complexfloating) else jnp.complex64)[:, None]
+    out = isht(-(t1 + t2), config=config)
+    return jnp.real(out) if real_in else out
+
+
+def sphere_vort(u_theta, u_phi, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """Radial vorticity of a tangent vector field:
+    zeta = (1/sin)·[∂_theta(sin·u_phi) - ∂_phi u_theta] — the divergence of
+    the quarter-turned field (u_phi, -u_theta)."""
+    return sphere_div(u_phi, -jnp.asarray(u_theta), config=config)

@@ -137,3 +137,26 @@ def test_sphere_grad_batched_jit(rng):
     assert np.asarray(ut).shape == (2, L, 2 * L) == np.asarray(up).shape
     assert bool(np.isfinite(np.asarray(ut)).all())
     assert bool(np.isfinite(np.asarray(up)).all())
+
+
+def test_sphere_div_of_grad_is_laplacian(rng):
+    L = 12
+    alm = _rand_alm(rng, L)
+    alm[0, 0] = 0.0
+    f = np.real(np.asarray(sp.isht(alm))).astype(np.float32)
+    ut, up = sp.sphere_grad(f)
+    got = np.asarray(sp.sphere_div(ut, up))
+    want = np.asarray(sp.sphere_laplacian(f))
+    assert np.max(np.abs(got - want)) < 1e-3 * max(1.0, np.abs(want).max())
+
+
+def test_sphere_vort_of_grad_is_zero(rng):
+    """Gradient fields are irrotational: vort(grad f) == 0."""
+    L = 12
+    alm = _rand_alm(rng, L)
+    f = np.real(np.asarray(sp.isht(alm))).astype(np.float32)
+    ut, up = sp.sphere_grad(f)
+    z = np.asarray(sp.sphere_vort(ut, up))
+    assert np.max(np.abs(z)) < 1e-2 * max(1.0, np.abs(np.asarray(up)).max())
+    with pytest.raises(ValueError):
+        sp.sphere_div(np.asarray(ut), np.asarray(up)[..., :-2])
