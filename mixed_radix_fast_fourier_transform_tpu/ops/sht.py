@@ -83,6 +83,13 @@ def sht_grid(lmax: int, dtype=np.float64):
     return theta.astype(dtype), phi.astype(dtype), w.astype(dtype)
 
 
+def _select_packed_m(F: Array, L: int) -> Array:
+    """Restrict full FFT longitude bins to the band limit in packed m order
+    [0..L-1, -(L-1)..-1] (the Nyquist bin L of the 2L-point FFT is dropped —
+    the single convention shared by every analysis op)."""
+    return jnp.concatenate([F[..., :L], F[..., L + 1 :]], axis=-1)
+
+
 def sht(f, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
     """Spherical harmonic analysis: (…, L, 2L) grid values -> (…, 2L-1, L)
     coefficients a[m_idx, l] (packed m axis, zeros below the |m| diagonal)."""
@@ -95,9 +102,7 @@ def sht(f, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
     L = f.shape[-2]
     _, _, _, _, PW = _legendre_tables(L)
     F = fft(f, config=config)  # over longitude: (…, i, m_bins)
-    Fsel = jnp.concatenate(
-        [F[..., :L], F[..., 2 * L - (L - 1) :]], axis=-1
-    )  # (…, i, 2L-1) in packed m order
+    Fsel = _select_packed_m(F, L)  # (…, i, 2L-1)
     return jnp.einsum(
         "qli,...iq->...ql",
         jnp.asarray(PW, dtype=F.real.dtype),
@@ -169,7 +174,7 @@ def sphere_convolve(f, bl, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
         raise ValueError(
             f"bl must have one coefficient per degree: shape ({L},), got {b.shape}"
         )
-    out = isht(a * b.astype(a.real.dtype), config=config)
+    out = isht(a * b.astype(a.dtype), config=config)
     if not jnp.issubdtype(f.dtype, jnp.complexfloating) and not jnp.issubdtype(
         b.dtype, jnp.complexfloating
     ):
@@ -246,8 +251,7 @@ def _vector_analysis(u_theta: Array, u_phi: Array, config: SpectralConfig):
     L = u_theta.shape[-2]
     Ft = fft(u_theta, config=config)
     Fp = fft(u_phi, config=config)
-    sel = lambda A: jnp.concatenate([A[..., :L], A[..., L + 1 :]], axis=-1)
-    return L, sel(Ft), sel(Fp)
+    return L, _select_packed_m(Ft, L), _select_packed_m(Fp, L)
 
 
 def sphere_div(u_theta, u_phi, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:

@@ -1174,7 +1174,7 @@ def sht_sharded(
     """Spherical harmonic analysis with latitude sharded over ``axis_name``:
     (…, L, 2L) grid -> replicated (…, 2L-1, L) coefficients, one psum."""
     from ..ops.fft import fft as _fft
-    from ..ops.sht import _legendre_tables
+    from ..ops.sht import _legendre_tables, _select_packed_m
 
     f = jnp.asarray(f)
     if f.ndim < 2 or f.shape[-2] < 1 or f.shape[-1] != 2 * f.shape[-2]:
@@ -1188,8 +1188,7 @@ def sht_sharded(
     _, _, _, _, PW = _legendre_tables(L)
 
     def body(fl, pwl):
-        F = _fft(fl, config=config)
-        Fsel = jnp.concatenate([F[..., :L], F[..., L + 1 :]], axis=-1)
+        Fsel = _select_packed_m(_fft(fl, config=config), L)
         part = jnp.einsum(
             "qli,...iq->...ql", pwl, Fsel, precision=config.precision
         )
@@ -1215,8 +1214,7 @@ def isht_sharded(
     """Spherical harmonic synthesis with latitude bands sharded over
     ``axis_name``: replicated (…, 2L-1, L) coefficients -> (…, L, 2L) grid
     sharded on latitude.  Zero collectives (each chip evaluates its band)."""
-    from ..ops.fft import ifft as _ifft
-    from ..ops.sht import _legendre_tables
+    from ..ops.sht import _legendre_tables, _synthesize
 
     alm = jnp.asarray(alm)
     if alm.ndim < 2 or alm.shape[-1] < 1 or alm.shape[-2] != 2 * alm.shape[-1] - 1:
@@ -1228,15 +1226,9 @@ def isht_sharded(
             f"latitude count L={L} must divide the mesh axis ({parts})"
         )
     _, _, _, Pfull, _ = _legendre_tables(L)
-    nlon = 2 * L
 
     def body(pl):
-        G = jnp.einsum(
-            "qli,...ql->...iq", pl, alm, precision=config.precision
-        )
-        zeros = jnp.zeros(G.shape[:-1] + (1,), G.dtype)
-        bins = jnp.concatenate([G[..., :L], zeros, G[..., L:]], axis=-1)
-        return _ifft(bins, config=config) * nlon
+        return _synthesize(pl, alm, config)
 
     out_spec = P(*([None] * (alm.ndim - 2) + [axis_name, None]))
     return jax.shard_map(

@@ -160,3 +160,15 @@ def test_sphere_vort_of_grad_is_zero(rng):
     assert np.max(np.abs(z)) < 1e-2 * max(1.0, np.abs(np.asarray(up)).max())
     with pytest.raises(ValueError):
         sp.sphere_div(np.asarray(ut), np.asarray(up)[..., :-2])
+
+
+def test_sphere_convolve_complex_kernel(rng):
+    """Complex per-degree kernels (e.g. dispersive propagators) must keep
+    their imaginary part."""
+    L = 8
+    alm = _rand_alm(rng, L)
+    f = np.asarray(sp.isht(alm))
+    bl = (rng.standard_normal(L) + 1j * rng.standard_normal(L)).astype(np.complex64)
+    g = np.asarray(sp.sphere_convolve(f, bl))
+    want = np.asarray(sp.isht(alm * bl[None, :]))
+    assert np.max(np.abs(g - want)) < 1e-4 * np.abs(want).max()
