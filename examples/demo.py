@@ -116,6 +116,23 @@ def demo_nufft():
     print(f"  type 2 back to points: shape {back.shape}")
 
 
+def demo_sphere():
+    print("== spherical harmonics ==")
+    rng = np.random.default_rng(5)
+    L = 16
+    f = rng.standard_normal((L, 2 * L)).astype(np.float32)
+    a = sp.sht(f)
+    back = np.real(np.asarray(sp.isht(np.asarray(a))))
+    # analysis->synthesis projects onto the band-limited subspace; verify the
+    # projection is idempotent (the fixed point of the transform pair)
+    twice = np.real(np.asarray(sp.isht(np.asarray(sp.sht(back)))))
+    print(f"  sht/isht projection idempotent: max err {np.max(np.abs(twice - back)):.3e}")
+    ut, up = sp.sphere_grad(back)
+    div = np.asarray(sp.sphere_div(ut, up))
+    lap = np.asarray(sp.sphere_laplacian(back))
+    print(f"  div(grad f) == laplacian f: max err {np.max(np.abs(div - lap)):.3e}")
+
+
 def demo_chebyshev():
     print("== Chebyshev spectral derivative (non-periodic) ==")
     n = 64
@@ -133,5 +150,6 @@ if __name__ == "__main__":
     demo_batched_and_grad()
     demo_lapped_and_wavelets()
     demo_nufft()
+    demo_sphere()
     demo_chebyshev()
     demo_sharded()
