@@ -29,6 +29,8 @@ from .ops.fft import (
     rfftfreq,
     fftshift,
     ifftshift,
+    dht,
+    idht,
 )
 from .ops.rfft import rfft, irfft, rfftn, irfftn, rfft2, irfft2, hfft, ihfft
 from .ops.convolve import fft_convolve, fft_convolve2, fft_convolven, fft_correlate, fft_oaconvolve
@@ -101,7 +103,7 @@ __all__ = [
     "sht", "isht", "sht_grid", "sphere_laplacian", "poisson_solve_sphere", "sphere_convolve", "sphere_grad", "sphere_div", "sphere_vort",
     "cheb_points", "cheb_transform", "icheb_transform", "cheb_diff",
     "cheb_diff_coef", "cheb_eval",
-    "fftfreq", "rfftfreq", "fftshift", "ifftshift", "prev_fast_len",
+    "fftfreq", "rfftfreq", "fftshift", "ifftshift", "prev_fast_len", "dht", "idht",
     "MixedRadixPlan", "BluesteinPlan", "RealPlan",
     "build_mixed_radix_plan", "build_bluestein_plan",
     "build_complex_plan", "build_real_plan", "get_plan", "clear_plan_cache",

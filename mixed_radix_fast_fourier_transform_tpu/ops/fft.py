@@ -209,3 +209,27 @@ def ifftshift(x, axes=None) -> Array:
         axes = (axes,)
     shifts = [-(x.shape[a] // 2) for a in axes]
     return jnp.roll(x, shifts, axes)
+
+
+def dht(x, n: Optional[int] = None, axis: int = -1, *, config=DEFAULT_CONFIG) -> Array:
+    """Discrete Hartley transform H[k] = sum_n x[n]·cas(2*pi*n*k/N),
+    cas = cos + sin — the real-to-real self-inverse cousin of the DFT
+    (FFTW's DHT; capability extension, the reference has no real-to-real
+    transforms).  Computed as Re(F) - Im(F) of the engine's forward FFT;
+    ``dht(dht(x)) == N*x`` (see :func:`idht`).  Complex input transforms
+    each plane independently (cas kernel applied to re and im)."""
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        return jax.lax.complex(
+            dht(jnp.real(x), n, axis, config=config),
+            dht(jnp.imag(x), n, axis, config=config),
+        )
+    spec = fft(x, n=n, axis=axis, config=config)
+    return jnp.real(spec) - jnp.imag(spec)
+
+
+def idht(x, n: Optional[int] = None, axis: int = -1, *, config=DEFAULT_CONFIG) -> Array:
+    """Inverse DHT: the DHT is self-inverse up to 1/N (idht = dht(x)/N)."""
+    x = jnp.asarray(x)
+    y = dht(x, n=n, axis=axis, config=config)
+    return y / y.shape[axis]

@@ -243,3 +243,25 @@ def test_precision_ladder(rng):
     # TPU backends; assert it when the backend actually degrades precision.
     if errs["default"] > 2 * errs["highest"]:
         assert errs["highest"] <= errs["high"] <= errs["default"]
+
+
+class TestHartley:
+    def test_dht_matches_cas_matrix(self, rng):
+        for n in (8, 15, 360):
+            x = rng.standard_normal(n).astype(np.float32)
+            got = np.asarray(sp.dht(x)).astype(np.float64)
+            k = np.arange(n)
+            arg = 2 * np.pi * np.outer(k, k) / n
+            want = (np.cos(arg) + np.sin(arg)) @ x.astype(np.float64)
+            assert np.max(np.abs(got - want)) < 1e-4 * max(1.0, np.abs(want).max()), n
+
+    def test_dht_self_inverse(self, rng):
+        x = rng.standard_normal((3, 128)).astype(np.float32)
+        back = np.asarray(sp.idht(sp.dht(x)))
+        np.testing.assert_allclose(back, x, atol=1e-4)
+
+    def test_dht_complex_planes(self, rng):
+        z = (rng.standard_normal(64) + 1j * rng.standard_normal(64)).astype(np.complex64)
+        got = np.asarray(sp.dht(z))
+        want = np.asarray(sp.dht(z.real)) + 1j * np.asarray(sp.dht(z.imag))
+        np.testing.assert_allclose(got, want, atol=1e-5)

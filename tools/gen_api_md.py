@@ -13,7 +13,7 @@ def doc1(obj):
     return line if len(line) < 110 else line[:107] + "..."
 
 groups = {
-    "Transforms (numpy.fft-style)": ["fft","ifft","fft2","ifft2","fftn","ifftn","rfft","irfft","rfft2","irfft2","rfftn","irfftn","hfft","ihfft"],
+    "Transforms (numpy.fft-style)": ["fft","ifft","fft2","ifft2","fftn","ifftn","rfft","irfft","rfft2","irfft2","rfftn","irfftn","hfft","ihfft","dht","idht"],
     "Helpers": ["fftfreq","rfftfreq","fftshift","ifftshift","next_fast_len","prev_fast_len","next_pow2","prime_factors","plan_stages","dividebyN"],
     "Cosine/sine transforms": ["dct","idct","dst","idst","dctn","idctn","dstn","idstn"],
     "Chirp-z / zoom / Hankel": ["czt","zoom_fft","fht","ifht","fhtoffset"],
