@@ -220,12 +220,23 @@ def dht(x, n: Optional[int] = None, axis: int = -1, *, config=DEFAULT_CONFIG) ->
     each plane independently (cas kernel applied to re and im)."""
     x = jnp.asarray(x)
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
-        return jax.lax.complex(
-            dht(jnp.real(x), n, axis, config=config),
-            dht(jnp.imag(x), n, axis, config=config),
-        )
-    spec = fft(x, n=n, axis=axis, config=config)
-    return jnp.real(spec) - jnp.imag(spec)
+        # cas = cos + sin: with F the forward DFT and F~[k] = F[(-k) mod N],
+        # sum z·cos = (F + F~)/2 and sum z·sin = i(F - F~)/2 — one FFT plus
+        # an O(N) bin reversal instead of two plane transforms
+        F = fft(x, n=n, axis=axis, config=config)
+        Fm = jnp.moveaxis(F, axis, -1)
+        Ft = jnp.concatenate([Fm[..., :1], jnp.flip(Fm[..., 1:], -1)], axis=-1)
+        Ft = jnp.moveaxis(Ft, -1, axis)
+        return (F + Ft) / 2 + 1j * (F - Ft) / 2
+    from .rfft import rfft as _rfft
+
+    # real input: half-spectrum suffices (H[k] = Re-Im, H[N-k] = Re+Im)
+    spec = jnp.moveaxis(_rfft(x, n=n, axis=axis, config=config), axis, -1)
+    nn = n if n is not None else x.shape[axis]
+    head = jnp.real(spec) - jnp.imag(spec)          # bins 0..nn//2
+    mid = spec[..., 1 : (nn - 1) // 2 + 1]
+    tail = jnp.flip(jnp.real(mid) + jnp.imag(mid), -1)  # bins nn//2+1..nn-1
+    return jnp.moveaxis(jnp.concatenate([head, tail], axis=-1), -1, axis)
 
 
 def idht(x, n: Optional[int] = None, axis: int = -1, *, config=DEFAULT_CONFIG) -> Array:
