@@ -300,3 +300,19 @@ def sphere_vort(u_theta, u_phi, *, config: SpectralConfig = DEFAULT_CONFIG) -> A
     zeta = (1/sin)·[∂_theta(sin·u_phi) - ∂_phi u_theta] — the divergence of
     the quarter-turned field (u_phi, -u_theta)."""
     return sphere_div(u_phi, -jnp.asarray(u_theta), config=config)
+
+
+def sphere_helmholtz(
+    u_theta, u_phi, *, config: SpectralConfig = DEFAULT_CONFIG
+):
+    """Helmholtz decomposition of a tangent field on the sphere:
+    u = grad(phi) + k x grad(psi) with velocity potential phi and
+    streamfunction psi (both zero-mean grids) — phi = Δ⁻¹ div u,
+    psi = Δ⁻¹ vort u.  The standard prognostic variables of spherical
+    dynamical cores; reconstruct with
+    ``grad(phi) + (-grad(psi)[1]·(-1), …)``: u ≈ g_phi + rot(g_psi)."""
+    d = sphere_div(u_theta, u_phi, config=config)
+    z = sphere_vort(u_theta, u_phi, config=config)
+    phi = poisson_solve_sphere(d, config=config)
+    psi = poisson_solve_sphere(z, config=config)
+    return phi, psi

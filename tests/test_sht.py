@@ -172,3 +172,21 @@ def test_sphere_convolve_complex_kernel(rng):
     g = np.asarray(sp.sphere_convolve(f, bl))
     want = np.asarray(sp.isht(alm * bl[None, :]))
     assert np.max(np.abs(g - want)) < 1e-4 * np.abs(want).max()
+
+
+def test_sphere_helmholtz_roundtrip(rng):
+    """u built from known potentials is recovered: u = grad(phi0) + rot(psi0)
+    with rot(psi) = (-(1/sin)dpsi/dphi·(-1)... i.e. (u_t, u_p) =
+    (g_phi_t - g_psi_p, g_phi_p + g_psi_t)."""
+    L = 14
+    a1, a2 = _rand_alm(rng, L), _rand_alm(rng, L)
+    a1[0, 0] = a2[0, 0] = 0.0
+    phi0 = np.real(np.asarray(sp.isht(a1))).astype(np.float32)
+    psi0 = np.real(np.asarray(sp.isht(a2))).astype(np.float32)
+    gpt, gpp = (np.asarray(v) for v in sp.sphere_grad(phi0))
+    gst, gsp = (np.asarray(v) for v in sp.sphere_grad(psi0))
+    ut, up = gpt - gsp, gpp + gst  # grad(phi) + k x grad(psi)
+    phi, psi = (np.asarray(v) for v in sp.sphere_helmholtz(ut, up))
+    scale = max(np.abs(phi0).max(), np.abs(psi0).max())
+    assert np.max(np.abs(phi - phi0)) < 1e-3 * scale
+    assert np.max(np.abs(psi - psi0)) < 1e-3 * scale
