@@ -382,3 +382,43 @@ def test_points_outside_principal_range(rng, method):
     want = _oracle1((x0 + shifts), c, n)
     rel = np.max(np.abs(b - want)) / np.max(np.abs(want))
     assert rel < 2e-5, (method, rel)
+
+
+def test_nufft3_fast_matches_dense(rng):
+    m, kf = 200, 150
+    x = rng.uniform(-25.0, 35.0, m).astype(np.float32)   # off-centre ranges
+    s = rng.uniform(-18.0, 10.0, kf).astype(np.float32)
+    c = _strengths(rng, m)
+    for isign in (-1, +1):
+        fast = np.asarray(sp.nufft3(x, c, s, isign=isign, method="fast"))
+        k = s.astype(np.float64)
+        want = np.exp(isign * 1j * np.outer(k, x.astype(np.float64))) @ c.astype(
+            np.complex128
+        )
+        rel = np.max(np.abs(fast - want)) / np.max(np.abs(want))
+        assert rel < 5e-4, (isign, rel)
+
+
+def test_nufft3_fast_explicit_extents_jittable(rng):
+    import jax
+    import jax.numpy as jnp
+
+    m, kf = 80, 60
+    x = rng.uniform(-5.0, 5.0, m).astype(np.float32)
+    s = rng.uniform(-8.0, 8.0, kf).astype(np.float32)
+    c = _strengths(rng, m)
+
+    @jax.jit
+    def run(xa, ca, sa):
+        return sp.nufft3(xa, ca, sa, method="fast", x_extent=5.0, s_extent=8.0)
+
+    got = np.asarray(run(jnp.asarray(x), jnp.asarray(c), jnp.asarray(s)))
+    want = np.exp(-1j * np.outer(s.astype(np.float64), x.astype(np.float64))) @ c.astype(np.complex128)
+    rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert rel < 5e-4, rel
+    with pytest.raises(ValueError):
+        jax.jit(lambda xa, ca, sa: sp.nufft3(xa, ca, sa, method="fast"))(
+            jnp.asarray(x), jnp.asarray(c), jnp.asarray(s)
+        )
+    with pytest.raises(ValueError):
+        sp.nufft3(x, c, s, method="??")
