@@ -209,6 +209,12 @@ def nudft2(
     return jax.lax.complex(cr, ci)
 
 
+def _msp(eps: float) -> int:
+    """Taps per side from the measured accuracy ladder (module docstring):
+    err ~ 10^-(0.91*msp + 0.5) — the single source for every Gaussian path."""
+    return int(min(16, max(4, math.ceil((-math.log10(eps) - 0.5) / 0.91) + 1)))
+
+
 def _grid_params(n_modes: int, eps: float):
     # Power-of-two oversampled grid (>= 2x): u_hi * mr is then EXACT in fp32
     # (pure exponent shift), so the head+tail point representation survives
@@ -218,8 +224,7 @@ def _grid_params(n_modes: int, eps: float):
     # engine's best-planned FFT length.
     mr = 1 << (2 * n_modes - 1).bit_length()
     sigma = mr / n_modes
-    # measured fp64 ladder (module docstring): err ~ 10^-(0.91*msp + 0.5)
-    msp = int(min(16, max(4, math.ceil((-math.log10(eps) - 0.5) / 0.91) + 1)))
+    msp = _msp(eps)
     tau = math.pi * msp / (n_modes * n_modes * sigma * (sigma - 0.5))
     return mr, tau, msp
 
@@ -402,6 +407,8 @@ def nufft3(
     method: str = "dense",
     x_extent=None,
     s_extent=None,
+    x_center: float = 0.0,
+    s_center: float = 0.0,
     config: SpectralConfig = DEFAULT_CONFIG,
 ) -> Array:
     """Type-3 NUFFT (arbitrary frequencies): f[i] = sum_j c[j]
@@ -424,10 +431,13 @@ def nufft3(
     s = jnp.asarray(s)
     if method not in ("dense", "fast"):
         raise ValueError(f"method must be dense|fast, got {method!r}")
+    if isign not in (-1, 1):
+        raise ValueError(f"isign must be +1 or -1, got {isign}")
     if method == "fast":
         return _nufft3_fast(
             x, c, s, isign=isign, eps=eps, x_extent=x_extent,
-            s_extent=s_extent, config=config,
+            s_extent=s_extent, x_center=x_center, s_center=s_center,
+            config=config,
         )
     if x.ndim != 1 or s.ndim != 1 or x.shape[0] < 1 or s.shape[0] < 1:
         raise ValueError("x and s must be non-empty 1-D arrays")
@@ -972,13 +982,18 @@ def nufft2_3d(
 
 
 def _nufft3_fast(
-    x, c, s, *, isign, eps, x_extent, s_extent, config
+    x, c, s, *, isign, eps, x_extent, s_extent, x_center, s_center, config
 ) -> Array:
     """Lee-Greengard type 3: centre both coordinate sets, pre-deconvolve by
     the frequency-side Gaussian, inner type-1 onto a uniform s-grid,
     Gaussian interpolation at the targets (constants validated against the
     dense oracle — module docstring)."""
-    _check_points_2d(x, x, c)  # reuse 1-D checks (x twice is harmless)
+    if x.ndim != 1 or x.shape[0] < 1:
+        raise ValueError("x must be a non-empty 1-D point array")
+    if c.shape[-1] != x.shape[0]:
+        raise ValueError(
+            f"strengths last axis {c.shape[-1]} != number of points {x.shape[0]}"
+        )
     if s.ndim != 1 or s.shape[0] < 1:
         raise ValueError("s must be a non-empty 1-D frequency array")
     if x_extent is None or s_extent is None:
@@ -988,32 +1003,30 @@ def _nufft3_fast(
         except Exception as exc:  # traced under jit
             raise ValueError(
                 "nufft3(method='fast') under jit needs static x_extent and "
-                "s_extent (coordinate half-widths after centering)"
+                "s_extent (half-widths about x_center/s_center)"
             ) from exc
         x0 = float((xh.max() + xh.min()) / 2.0)
         s0 = float((sh.max() + sh.min()) / 2.0)
         X = max(float((xh.max() - xh.min()) / 2.0), 1e-9)
         S = max(float((sh.max() - sh.min()) / 2.0), 1e-9)
     else:
-        x0 = s0 = 0.0
+        x0 = float(x_center)
+        s0 = float(s_center)
         X = float(x_extent)
         S = float(s_extent)
-    xc = x - x0
-    sc = s - s0
+    xc = x - x0 if x0 != 0.0 else x
+    sc = s - s0 if s0 != 0.0 else s
     sigma = 2.0
     h_s = math.pi / (sigma * X)
-    msp = int(min(16, max(4, math.ceil((-math.log10(eps) - 0.5) / 0.91) + 1)))
+    msp = _msp(eps)
     rho = msp * h_s * h_s / (3.0 * math.pi)
     k2 = int(math.ceil((S + msp * h_s) / h_s)) + 2
     n_grid = 2 * k2 + 1
-    sgn = jnp.asarray(float(isign), x.dtype)
     # strengths: centre-shift phase e^{isign·i·s0·xc} and Gaussian pre-deconv
-    phase0 = sgn * s0 * xc
-    beta = (
-        c
-        * jax.lax.complex(jnp.cos(phase0), jnp.sin(phase0))
-        * (jnp.exp(rho * xc * xc) / (2.0 * math.sqrt(math.pi * rho)))
-    )
+    beta = c * (jnp.exp(rho * xc * xc) / (2.0 * math.sqrt(math.pi * rho)))
+    if s0 != 0.0:  # static skip: zero-phase passes cost two trig sweeps
+        phase0 = float(isign) * s0 * xc
+        beta = beta * jax.lax.complex(jnp.cos(phase0), jnp.sin(phase0))
     # inner type-1: B[k] = sum_j beta_j e^{isign·i·k·(h_s·xc_j)}
     B = nufft1(h_s * xc, beta, n_grid, isign=isign, eps=eps, config=config)
     # Gaussian interpolation at the target frequencies
@@ -1024,6 +1037,7 @@ def _nufft3_fast(
     w = jnp.exp(-(dist * dist) / (4.0 * rho)) * h_s
     vals = jnp.take(B, jnp.clip(idx + k2, 0, n_grid - 1), axis=-1)
     f = jnp.sum(vals * w.astype(B.real.dtype), axis=-1)
-    # undo the s-centre shift: multiply by e^{isign·i·s·x0}
-    phase1 = sgn * s * x0
-    return f * jax.lax.complex(jnp.cos(phase1), jnp.sin(phase1))
+    if x0 != 0.0:  # undo the s-centre shift: multiply by e^{isign·i·s·x0}
+        phase1 = float(isign) * s * x0
+        f = f * jax.lax.complex(jnp.cos(phase1), jnp.sin(phase1))
+    return f

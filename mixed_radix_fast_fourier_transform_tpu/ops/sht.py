@@ -272,6 +272,12 @@ def sphere_div(u_theta, u_phi, *, config: SpectralConfig = DEFAULT_CONFIG) -> Ar
         jnp.issubdtype(u_theta.dtype, jnp.complexfloating)
         or jnp.issubdtype(u_phi.dtype, jnp.complexfloating)
     )
+    out = isht(_div_coef(u_theta, u_phi, config), config=config)
+    return jnp.real(out) if real_in else out
+
+
+def _div_coef(u_theta: Array, u_phi: Array, config: SpectralConfig) -> Array:
+    """Divergence in coefficient space (the weak-form adjoint quadrature)."""
     L, Ut, Up = _vector_analysis(u_theta, u_phi, config)
     mu, w, theta, Pfull, _ = _legendre_tables(L)
     dP = _legendre_deriv_tables(L)
@@ -291,8 +297,7 @@ def sphere_div(u_theta, u_phi, *, config: SpectralConfig = DEFAULT_CONFIG) -> Ar
         precision=config.precision,
     ) * jnp.asarray(-1j * msigned, t1.dtype if jnp.issubdtype(
         t1.dtype, jnp.complexfloating) else jnp.complex64)[:, None]
-    out = isht(-(t1 + t2), config=config)
-    return jnp.real(out) if real_in else out
+    return -(t1 + t2)
 
 
 def sphere_vort(u_theta, u_phi, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
@@ -308,11 +313,27 @@ def sphere_helmholtz(
     """Helmholtz decomposition of a tangent field on the sphere:
     u = grad(phi) + k x grad(psi) with velocity potential phi and
     streamfunction psi (both zero-mean grids) — phi = Δ⁻¹ div u,
-    psi = Δ⁻¹ vort u.  The standard prognostic variables of spherical
-    dynamical cores; reconstruct with
-    ``grad(phi) + (-grad(psi)[1]·(-1), …)``: u ≈ g_phi + rot(g_psi)."""
-    d = sphere_div(u_theta, u_phi, config=config)
-    z = sphere_vort(u_theta, u_phi, config=config)
-    phi = poisson_solve_sphere(d, config=config)
-    psi = poisson_solve_sphere(z, config=config)
+    psi = Δ⁻¹ vort u, the prognostic variables of spherical dynamical
+    cores.  Reconstruct with gp = sphere_grad(phi), gs = sphere_grad(psi):
+    (u_theta, u_phi) = (gp[0] - gs[1], gp[1] + gs[0]).
+
+    Works in coefficient space throughout (one analysis pair, two
+    syntheses — no cancelling isht/sht round trips)."""
+    u_theta = jnp.asarray(u_theta)
+    u_phi = jnp.asarray(u_phi)
+    real_in = not (
+        jnp.issubdtype(u_theta.dtype, jnp.complexfloating)
+        or jnp.issubdtype(u_phi.dtype, jnp.complexfloating)
+    )
+    d = _div_coef(u_theta, u_phi, config)
+    z = _div_coef(u_phi, -u_theta, config)  # vorticity = div of quarter turn
+    L = d.shape[-1]
+    l = np.arange(L, dtype=np.float64)
+    inv = np.zeros(L)
+    inv[1:] = -1.0 / (l[1:] * (l[1:] + 1.0))
+    inv_j = jnp.asarray(inv, d.real.dtype)
+    phi = isht(d * inv_j, config=config)
+    psi = isht(z * inv_j, config=config)
+    if real_in:
+        phi, psi = jnp.real(phi), jnp.real(psi)
     return phi, psi

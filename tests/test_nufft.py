@@ -422,3 +422,21 @@ def test_nufft3_fast_explicit_extents_jittable(rng):
         )
     with pytest.raises(ValueError):
         sp.nufft3(x, c, s, method="??")
+
+
+def test_nufft3_fast_explicit_centers(rng):
+    """Off-centre data with explicit extents must work when centers are
+    passed (and the isign guard rejects |isign| != 1)."""
+    m, kf = 100, 80
+    x = rng.uniform(0.0, 10.0, m).astype(np.float32)
+    s = rng.uniform(0.0, 16.0, kf).astype(np.float32)
+    c = _strengths(rng, m)
+    got = np.asarray(
+        sp.nufft3(x, c, s, method="fast", x_extent=5.0, s_extent=8.0,
+                  x_center=5.0, s_center=8.0)
+    )
+    want = np.exp(-1j * np.outer(s.astype(np.float64), x.astype(np.float64))) @ c.astype(np.complex128)
+    rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert rel < 5e-4, rel
+    with pytest.raises(ValueError):
+        sp.nufft3(x, c, s, isign=2)
