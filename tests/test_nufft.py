@@ -440,3 +440,17 @@ def test_nufft3_fast_explicit_centers(rng):
     assert rel < 5e-4, rel
     with pytest.raises(ValueError):
         sp.nufft3(x, c, s, isign=2)
+
+
+def test_nufft_lsq_jittable(rng):
+    import jax
+    import jax.numpy as jnp
+
+    n, m = 16, 48
+    x = _pts(rng, m)
+    f_true = _strengths(rng, n)
+    b = np.asarray(sp.nufft2(x, f_true, isign=+1)).astype(np.complex64)
+    got = np.asarray(
+        jax.jit(lambda bb: sp.nufft_lsq(jnp.asarray(x), bb, n, iters=40))(b)
+    )
+    assert np.max(np.abs(got - f_true)) / np.max(np.abs(f_true)) < 1e-3

@@ -190,3 +190,16 @@ def test_sphere_helmholtz_roundtrip(rng):
     scale = max(np.abs(phi0).max(), np.abs(psi0).max())
     assert np.max(np.abs(phi - phi0)) < 1e-3 * scale
     assert np.max(np.abs(psi - psi0)) < 1e-3 * scale
+
+
+def test_sphere_helmholtz_complex_input(rng):
+    """Complex vector fields keep their complex potentials."""
+    L = 10
+    a1 = _rand_alm(rng, L)
+    a1[0, 0] = 0.0
+    phi0 = np.asarray(sp.isht(a1))  # complex grid
+    gpt, gpp = (np.asarray(v) for v in sp.sphere_grad(phi0))
+    phi, psi = (np.asarray(v) for v in sp.sphere_helmholtz(gpt, gpp))
+    assert np.iscomplexobj(phi)
+    assert np.max(np.abs(phi - phi0)) < 1e-3 * np.abs(phi0).max()
+    assert np.max(np.abs(psi)) < 1e-2 * np.abs(phi0).max()
