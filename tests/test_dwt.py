@@ -1,0 +1,78 @@
+"""Discrete wavelet transform: perfect reconstruction, orthonormality,
+Haar closed form, multilevel, batching, error paths."""
+
+import numpy as np
+import pytest
+
+import mixed_radix_fast_fourier_transform_tpu as sp
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(13)
+
+
+@pytest.mark.parametrize("wavelet", ["haar", "db2", "db3", "db4"])
+def test_perfect_reconstruction(rng, wavelet):
+    x = rng.standard_normal((3, 64)).astype(np.float32)
+    a, d = sp.dwt(x, wavelet)
+    assert np.asarray(a).shape == (3, 32) == np.asarray(d).shape
+    back = np.asarray(sp.idwt(a, d, wavelet))
+    np.testing.assert_allclose(back, x, atol=1e-5)
+    # orthonormal analysis preserves energy
+    ea = float((np.asarray(a) ** 2).sum() + (np.asarray(d) ** 2).sum())
+    np.testing.assert_allclose(ea, float((x ** 2).sum()), rtol=1e-5)
+
+
+def test_haar_closed_form(rng):
+    x = rng.standard_normal(16).astype(np.float32)
+    a, d = sp.dwt(x, "haar")
+    s2 = np.sqrt(2.0)
+    np.testing.assert_allclose(np.asarray(a), (x[0::2] + x[1::2]) / s2, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d), (x[1::2] - x[0::2]) / s2, atol=1e-6)
+
+
+def test_filter_orthonormality():
+    from mixed_radix_fast_fourier_transform_tpu.ops.dwt import _banks
+
+    for w in ("haar", "db2", "db3", "db4"):
+        lo, hi = _banks(w)
+        # published coefficients are rounded to ~16 digits: 1e-10 class
+        assert abs(lo @ lo - 1.0) < 1e-10 and abs(hi @ hi - 1.0) < 1e-10
+        assert abs(lo @ hi) < 1e-12
+        assert abs(lo.sum() - np.sqrt(2.0)) < 1e-10
+        assert abs(hi.sum()) < 1e-10
+
+
+@pytest.mark.parametrize("level", [1, 2, 4])
+def test_multilevel_roundtrip(rng, level):
+    x = rng.standard_normal((2, 128)).astype(np.float32)
+    coeffs = sp.wavedec(x, "db3", level=level)
+    assert len(coeffs) == level + 1
+    assert np.asarray(coeffs[0]).shape == (2, 128 >> level)
+    back = np.asarray(sp.waverec(coeffs, "db3"))
+    np.testing.assert_allclose(back, x, atol=1e-4)
+
+
+def test_dwt_jit_grad(rng):
+    import jax
+    import jax.numpy as jnp
+
+    x = rng.standard_normal(32).astype(np.float32)
+    g = jax.jit(jax.grad(lambda v: jnp.sum(sp.dwt(v, "db2")[1] ** 2)))(jnp.asarray(x))
+    assert g.shape == (32,) and bool(np.isfinite(np.asarray(g)).all())
+
+
+def test_dwt_errors(rng):
+    with pytest.raises(ValueError):
+        sp.dwt(np.ones(7, np.float32))
+    with pytest.raises(ValueError):
+        sp.dwt(np.ones(8, np.float32), "coif99")
+    with pytest.raises(ValueError):
+        sp.wavedec(np.ones(12, np.float32), level=3)  # 12 % 8 != 0
+    with pytest.raises(ValueError):
+        sp.wavedec(np.ones(8, np.float32), level=0)
+    with pytest.raises(ValueError):
+        sp.waverec([np.ones(4, np.float32)])
+    with pytest.raises(ValueError):
+        sp.idwt(np.ones(4, np.float32), np.ones(5, np.float32))
