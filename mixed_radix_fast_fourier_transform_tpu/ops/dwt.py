@@ -22,8 +22,7 @@ highpass rec_hi[n] = (-1)^n rec_lo[F-1-n], dec = reversed rec.
 from __future__ import annotations
 
 import functools
-import math
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -141,3 +140,33 @@ def waverec(
     for dd in coeffs[1:]:
         a = idwt(a, jnp.asarray(dd), wavelet, config=config)
     return a
+
+
+def dwt2(x, wavelet: str = "db2", *, config: SpectralConfig = DEFAULT_CONFIG):
+    """Separable 2-D analysis over the last two axes:
+    (…, H, W) -> (LL, (LH, HL, HH)) with each sub-band (…, H/2, W/2)
+    (PyWavelets dwt2 ordering: LH = horizontal detail = lowpass rows /
+    highpass columns applied along H)."""
+    x = jnp.asarray(x)
+    if x.ndim < 2:
+        raise ValueError("dwt2 needs >= 2-D input")
+    # rows (last axis), then columns (second-to-last)
+    lo, hi = dwt(x, wavelet, config=config)
+    out = []
+    for band in (lo, hi):
+        b = jnp.swapaxes(band, -1, -2)
+        a, d = dwt(b, wavelet, config=config)
+        out.append((jnp.swapaxes(a, -1, -2), jnp.swapaxes(d, -1, -2)))
+    (ll, lh), (hl, hh) = out
+    return ll, (lh, hl, hh)
+
+
+def idwt2(ll, details, wavelet: str = "db2", *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """Inverse of :func:`dwt2`."""
+    lh, hl, hh = details
+    cols = []
+    for a, d in ((ll, lh), (hl, hh)):
+        aa = jnp.swapaxes(jnp.asarray(a), -1, -2)
+        dd = jnp.swapaxes(jnp.asarray(d), -1, -2)
+        cols.append(jnp.swapaxes(idwt(aa, dd, wavelet, config=config), -1, -2))
+    return idwt(cols[0], cols[1], wavelet, config=config)

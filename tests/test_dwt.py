@@ -76,3 +76,16 @@ def test_dwt_errors(rng):
         sp.waverec([np.ones(4, np.float32)])
     with pytest.raises(ValueError):
         sp.idwt(np.ones(4, np.float32), np.ones(5, np.float32))
+
+
+@pytest.mark.parametrize("wavelet", ["haar", "db2"])
+def test_dwt2_roundtrip(rng, wavelet):
+    x = rng.standard_normal((2, 32, 48)).astype(np.float32)
+    ll, (lh, hl, hh) = sp.dwt2(x, wavelet)
+    assert np.asarray(ll).shape == (2, 16, 24)
+    back = np.asarray(sp.idwt2(ll, (lh, hl, hh), wavelet))
+    np.testing.assert_allclose(back, x, atol=1e-4)
+    e = sum(float((np.asarray(v) ** 2).sum()) for v in (ll, lh, hl, hh))
+    np.testing.assert_allclose(e, float((x ** 2).sum()), rtol=1e-5)
+    with pytest.raises(ValueError):
+        sp.dwt2(np.ones(8, np.float32))
