@@ -69,6 +69,10 @@ def dwt(x, wavelet: str = "db2", *, config: SpectralConfig = DEFAULT_CONFIG):
 
     Periodized orthogonal filter bank; N must be even."""
     x = jnp.asarray(x)
+    if x.ndim < 1:
+        raise ValueError("dwt needs at least a 1-D signal")
+    if not jnp.issubdtype(x.dtype, jnp.inexact):
+        x = x.astype(jnp.float32)  # int samples would truncate the filters to 0
     n = x.shape[-1]
     if n < 2 or n % 2:
         raise ValueError(f"dwt needs an even length >= 2, got {n}")
@@ -88,24 +92,25 @@ def idwt(a, d, wavelet: str = "db2", *, config: SpectralConfig = DEFAULT_CONFIG)
     + dec_hi[2j+p]·d[(t-j) mod H] for phases p in {0, 1}."""
     a = jnp.asarray(a)
     d = jnp.asarray(d)
-    if a.shape != d.shape or a.shape[-1] < 1:
-        raise ValueError("approx/detail must share a non-empty shape")
+    if a.ndim < 1 or d.ndim < 1 or a.shape != d.shape or a.shape[-1] < 1:
+        raise ValueError("approx/detail must share a non-empty >= 1-D shape")
+    if not jnp.issubdtype(a.dtype, jnp.inexact):
+        a = a.astype(jnp.float32)
+    if not jnp.issubdtype(d.dtype, jnp.inexact):
+        d = d.astype(jnp.float32)
     dec_lo, dec_hi = _banks(wavelet)
-    f = len(dec_lo)
     h = a.shape[-1]
-    half = f // 2
+    half = len(dec_lo) // 2
     idx = (np.arange(h)[:, None] - np.arange(half)[None, :]) % h  # (H, F/2)
-    Wa = a[..., idx]
-    Wd = d[..., idx]
-    phases = []
-    for p in (0, 1):
-        lo = jnp.asarray(dec_lo[p::2], a.dtype)
-        hi = jnp.asarray(dec_hi[p::2], a.dtype)
-        phases.append(
-            jnp.einsum("...kj,j->...k", Wa, lo, precision=config.precision)
-            + jnp.einsum("...kj,j->...k", Wd, hi, precision=config.precision)
-        )
-    return jnp.stack(phases, axis=-1).reshape(a.shape[:-1] + (2 * h,))
+    # both phases of both filters as one stacked (2, F/2) contraction each
+    lo = jnp.asarray(np.stack([dec_lo[0::2], dec_lo[1::2]]), a.dtype)
+    hi = jnp.asarray(np.stack([dec_hi[0::2], dec_hi[1::2]]), a.dtype)
+    out = jnp.einsum(
+        "...kj,pj->...kp", a[..., idx], lo, precision=config.precision
+    ) + jnp.einsum(
+        "...kj,pj->...kp", d[..., idx], hi, precision=config.precision
+    )
+    return out.reshape(a.shape[:-1] + (2 * h,))
 
 
 def wavedec(

@@ -89,3 +89,19 @@ def test_dwt2_roundtrip(rng, wavelet):
     np.testing.assert_allclose(e, float((x ** 2).sum()), rtol=1e-5)
     with pytest.raises(ValueError):
         sp.dwt2(np.ones(8, np.float32))
+
+
+def test_dwt_integer_input_promoted(rng):
+    """Int samples (e.g. uint8 images) must not silently zero the filters."""
+    x = (rng.standard_normal(32) * 100).astype(np.int32)
+    a, d = sp.dwt(x, "haar")
+    assert np.abs(np.asarray(a)).max() > 0
+    back = np.asarray(sp.idwt(a, d, "haar"))
+    np.testing.assert_allclose(back, x.astype(np.float32), atol=1e-3)
+
+
+def test_dwt_scalar_raises_valueerror():
+    with pytest.raises(ValueError):
+        sp.dwt(np.float32(1.0))
+    with pytest.raises(ValueError):
+        sp.idwt(np.float32(1.0), np.float32(2.0))
