@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..plan import get_plan
 from ..utils.config import DEFAULT_CONFIG, SpectralConfig
 from ..utils.numerics import from_planes, to_planes
-from .stockham import exec_complex
+from .stockham import exec_complex, exec_len
 
 Array = jax.Array
 
@@ -73,15 +73,7 @@ def _fft_1d(
         raise ValueError(f"transform length must be >= 1, got {n}")
     x = _resize_last(x, n)
     xr, xi = to_planes(x, config.dtype)
-    out = None
-    if config.use_pallas is not False:
-        from .pallas_fft import maybe_exec_pallas
-
-        out = maybe_exec_pallas(config, n, sign, xr, xi)
-    if out is None:
-        plan = get_plan(n, sign, "complex", config)
-        out = exec_complex(plan, xr, xi)
-    zr, zi = out
+    zr, zi = exec_len(config, n, sign, xr, xi)
     scale = _norm_scale(n, sign, norm)
     if scale != 1.0:
         s = jnp.asarray(scale, dtype=zr.dtype)
@@ -243,4 +235,8 @@ def idht(x, n: Optional[int] = None, axis: int = -1, *, config=DEFAULT_CONFIG) -
     """Inverse DHT: the DHT is self-inverse up to 1/N (idht = dht(x)/N)."""
     x = jnp.asarray(x)
     y = dht(x, n=n, axis=axis, config=config)
-    return y / y.shape[axis]
+    # normalize by the TRANSFORM length (dht resizes to n first); reading
+    # y.shape[axis] would silently break under numpy-style n= cropping
+    # semantics where output length != transform length
+    nn = int(n) if n is not None else x.shape[axis]
+    return y / nn

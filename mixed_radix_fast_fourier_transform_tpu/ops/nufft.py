@@ -287,16 +287,134 @@ def _deconv(n_modes: int, mr: int, tau: float) -> np.ndarray:
     )
 
 
-def _spread(x: Array, c: Array, mr: int, tau: float, msp: int) -> Array:
-    """Scatter-add Gaussian taps of strengths ``c`` (…, M) onto the length-mr
-    oversampled grid."""
+# Grid cells per block in the matmul spreading path.  Each point's 2·msp
+# taps land in a window of Ls = block + 2·msp − 1 cells anchored at its
+# block, so spreading becomes (point → block) one-hot matmuls — MXU work
+# instead of the scatter-add that made gridding M-bound on TPU (measured
+# 4.6 ms at M=4096 in 1-D, 36.8 ms at M=2048 in 2-D; see VERDICT r2 §2).
+_SPREAD_BLOCK = 32
+
+
+def _block_local(x: Array, mr: int, tau: float, msp: int, s: int):
+    """Per-point block id and dense local tap image for matmul spreading.
+
+    Splits the length-``mr`` circular grid into ``mr // s`` blocks.  Point j
+    with anchor cell i0_j (mod mr) belongs to block b_j = i0m_j // s; its
+    2·msp Gaussian taps live at local offsets l = (i0m_j − b_j·s) + t + msp−1
+    ∈ [0, Ls) with Ls = s + 2·msp − 1.  Returns (b, A): b (M,) int32 block
+    ids and A (M, Ls) local tap images (the Gaussian weights placed by a
+    one-hot contraction — exact under precision "high" because a one-hot
+    operand has no bf16 tail, so the 3-pass product is the full fp32 value).
+
+    Tap distances use the same unwrapped head+tail geometry as
+    :func:`_spread_geometry` (exact Sterbenz subtraction against the
+    integer tap index; only the ~2^-40 tail is approximate)."""
+    u_hi, u_lo = _unit_frac(x)
+    xi_hi = u_hi * mr  # exact: mr is a power of two
+    xi_lo = u_lo * mr
+    i0 = jnp.floor(xi_hi + xi_lo).astype(jnp.int32)
+    taps = np.arange(-msp + 1, msp + 1, dtype=np.int32)
+    idx = i0[:, None] + taps[None, :]
+    h = _TWO_PI / mr
+    dist = ((xi_hi[:, None] - idx.astype(xi_hi.dtype)) + xi_lo[:, None]) * (
+        jnp.asarray(h, xi_hi.dtype)
+    )
+    w = jnp.exp(-(dist * dist) / (4.0 * tau))
+    i0m = jnp.mod(i0, mr)
+    b = i0m // s
+    off = i0m - b * s
+    ls = s + 2 * msp - 1
+    oh = (
+        off[:, None, None] + (taps[None, :, None] + (msp - 1))
+        == np.arange(ls)[None, None, :]
+    )
+    a = jnp.einsum("mt,mtl->ml", w, oh.astype(w.dtype), precision="high")
+    return b, a
+
+
+def _halo_to_grid(halo: Array, s: int, msp: int, mr: int) -> Array:
+    """Fold (…, nb, Ls) overlapping halo blocks into the circular length-mr
+    grid over the last axis pair.  Block b's local cell l is grid cell
+    b·s + l − (msp−1) (mod mr): the central s cells reshape straight into
+    the grid, the msp−1 cells on each side spill into the neighbouring
+    blocks via static pad+roll — no scatter anywhere."""
+    main = halo[..., :, msp - 1 : msp - 1 + s]
+    flat = main.shape[:-2] + (mr,)
+    grid = main.reshape(flat)
+    pad = [(0, 0)] * (halo.ndim - 1)
+    if msp > 1:  # backward spill: local l < msp−1, grid cells b·s−msp+1…b·s−1
+        back = jnp.pad(halo[..., :, : msp - 1], pad + [(s - msp + 1, 0)])
+        grid = grid + jnp.roll(back.reshape(flat), -s, axis=-1)
+    # forward spill: local l >= msp−1+s (width msp), grid cells (b+1)·s…+msp−1
+    fwd = jnp.pad(halo[..., :, msp - 1 + s :], pad + [(0, s - msp)])
+    return grid + jnp.roll(fwd.reshape(flat), s, axis=-1)
+
+
+def _spread_scatter_small(x, c, mr, tau, msp) -> Array:
+    """Scatter-add fallback for grids too small for the block-matmul path
+    (mr < msp would spill past one neighbouring block); only reachable for
+    toy n_modes where the cost is irrelevant."""
     idx, w = _spread_geometry(x, mr, tau, msp)
     vals = w.astype(c.real.dtype) * c[..., :, None]
     grid = jnp.zeros(c.shape[:-1] + (mr,), dtype=vals.dtype)
     return grid.at[..., idx.reshape(-1)].add(
-        vals.reshape(vals.shape[:-2] + (-1,)),
-        mode="promise_in_bounds",  # idx is mod-reduced; skip clamp lowering
+        vals.reshape(vals.shape[:-2] + (-1,)), mode="promise_in_bounds"
     )
+
+
+def _spread(x: Array, c: Array, mr: int, tau: float, msp: int) -> Array:
+    """Gaussian spreading of strengths ``c`` (…, M) onto the length-mr
+    oversampled grid, as block one-hot matmuls (see :func:`_block_local`)."""
+    s = min(_SPREAD_BLOCK, mr)
+    if s < msp:  # spill would cross >1 block — tiny grid, scatter is fine
+        return _spread_scatter_small(x, c, mr, tau, msp)
+    b, a = _block_local(x, mr, tau, msp, s)
+    nb = mr // s
+    ohb = (b[:, None] == np.arange(nb)[None, :]).astype(a.dtype)
+    ac = c[..., :, None] * a.astype(c.real.dtype)
+    halo = jnp.einsum("...ml,mb->...bl", ac, ohb, precision="high")
+    return _halo_to_grid(halo, s, msp, mr)
+
+
+def _spread_2d(x, y, c, mrs, taus, msp: int) -> Array:
+    """2-D Gaussian spreading as one block one-hot matmul: the separable
+    per-point local images A1 ⊗ A2 (strengths folded in) contract against a
+    combined (b1·nb2 + b2) block one-hot — O(M·nb·Ls²) MXU work replacing
+    the 4·msp²-taps-per-point scatter that measured 36.8 ms at M=2048."""
+    mr1, mr2 = mrs
+    tau1, tau2 = taus
+    s1 = min(_SPREAD_BLOCK, mr1)
+    s2 = min(_SPREAD_BLOCK, mr2)
+    if min(s1, s2) < msp:  # tiny grid: fall back to per-axis scatter
+        idx1, w1 = _spread_geometry(x, mr1, tau1, msp)
+        idx2, w2 = _spread_geometry(y, mr2, tau2, msp)
+        vals = (
+            (w1[:, :, None] * w2[:, None, :]).astype(c.real.dtype)
+            * c[..., :, None, None]
+        )
+        flat = (idx1[:, :, None] * mr2 + idx2[:, None, :]).reshape(-1)
+        grid = jnp.zeros(c.shape[:-1] + (mr1 * mr2,), dtype=vals.dtype)
+        grid = grid.at[..., flat].add(
+            vals.reshape(vals.shape[:-3] + (-1,)), mode="promise_in_bounds"
+        )
+        return grid.reshape(c.shape[:-1] + (mr1, mr2))
+    b1, a1 = _block_local(x, mr1, tau1, msp, s1)
+    b2, a2 = _block_local(y, mr2, tau2, msp, s2)
+    nb1, nb2 = mr1 // s1, mr2 // s2
+    ohb = ((b1 * nb2 + b2)[:, None] == np.arange(nb1 * nb2)[None, :]).astype(
+        a1.dtype
+    )
+    ab = c[..., :, None, None] * (a1[:, :, None] * a2[:, None, :]).astype(
+        c.real.dtype
+    )
+    halo = jnp.einsum("...mij,mb->...bij", ab, ohb, precision="high")
+    ls1, ls2 = a1.shape[-1], a2.shape[-1]
+    halo = halo.reshape(halo.shape[:-3] + (nb1, nb2, ls1, ls2))
+    # fold (nb1, Ls1) -> mr1, then (nb2, Ls2) -> mr2
+    halo = jnp.moveaxis(halo, (-4, -2), (-2, -1))  # (…, nb2, Ls2, nb1, Ls1)
+    part = _halo_to_grid(halo, s1, msp, mr1)  # (…, nb2, Ls2, mr1)
+    part = jnp.moveaxis(part, -1, -3)  # (…, mr1, nb2, Ls2)
+    return _halo_to_grid(part, s2, msp, mr2)  # (…, mr1, mr2)
 
 
 def _interp(u: Array, x: Array, mr: int, tau: float, msp: int) -> Array:
@@ -581,18 +699,7 @@ def nufft1_2d(
         x, y = -x, -y
     mr1, tau1, msp = _grid_params(n1, eps)
     mr2, tau2, _ = _grid_params(n2, eps)
-    idx1, w1 = _spread_geometry(x, mr1, tau1, msp)
-    idx2, w2 = _spread_geometry(y, mr2, tau2, msp)
-    vals = (
-        (w1[:, :, None] * w2[:, None, :]).astype(c.real.dtype)
-        * c[..., :, None, None]
-    )
-    flat = (idx1[:, :, None] * mr2 + idx2[:, None, :]).reshape(-1)
-    grid = jnp.zeros(c.shape[:-1] + (mr1 * mr2,), dtype=vals.dtype)
-    grid = grid.at[..., flat].add(
-        vals.reshape(vals.shape[:-3] + (-1,)), mode="promise_in_bounds"
-    )
-    grid = grid.reshape(c.shape[:-1] + (mr1, mr2))
+    grid = _spread_2d(x, y, c, (mr1, mr2), (tau1, tau2), msp)
     spec = fft2(grid, config=config)
     centered = _center(_center(spec, mr1, n1, axis=-2), mr2, n2)
     deconv = np.outer(_deconv(n1, mr1, tau1), _deconv(n2, mr2, tau2))

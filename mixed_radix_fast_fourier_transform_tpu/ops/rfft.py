@@ -26,7 +26,7 @@ from ..plan import get_plan
 from ..utils.config import DEFAULT_CONFIG, SpectralConfig
 from ..utils.numerics import from_planes, to_planes
 from .fft import _norm_scale, _resize_last
-from .stockham import exec_complex
+from .stockham import exec_complex, exec_len
 
 Array = jax.Array
 
@@ -56,15 +56,7 @@ def _rfft_packed(x: Array, n: int, config: SpectralConfig):
     h = n // 2
     zr = x[..., 0::2]
     zi = x[..., 1::2]
-    out = None
-    if config.use_pallas is not False:
-        from .pallas_fft import maybe_exec_pallas
-
-        out = maybe_exec_pallas(config, h, -1, zr, zi)
-    if out is None:
-        plan = get_plan(h, -1, "complex", config)
-        out = exec_complex(plan, zr, zi)
-    fr, fi = out
+    fr, fi = exec_len(config, h, -1, zr, zi)
     ar, ai = _extend_half(fr), _extend_half(fi)          # A = Z[k mod h]
     br, bi = _reflect_half(fr), -_reflect_half(fi)       # B = conj(Z[(h-k) mod h])
     # X = P⊙A + Q⊙B, P/Q precomputed plan constants — one fused pass
@@ -161,22 +153,10 @@ def _irfft_packed(xr: Array, xi: Array, n: int, config: SpectralConfig) -> Array
     qr, qi_ = rp.q_re[..., :h], rp.q_im[..., :h]
     zr = (ar * pr - ai * pi_) + (br * qr - bi * qi_)
     zi = (ar * pi_ + ai * pr) + (br * qi_ + bi * qr)
-    out = None
-    if config.use_pallas is not False:
-        from .pallas_fft import maybe_exec_pallas
-
-        out = maybe_exec_pallas(config, h, 1, zr, zi)
-    if out is not None:
-        gr, gi = out
-        inv_h = jnp.asarray(1.0 / h, dtype=gr.dtype)
-        gr, gi = gr * inv_h, gi * inv_h
-        return jnp.stack([gr, gi], axis=-1).reshape(*gr.shape[:-1], n)
-    plan = get_plan(h, 1, "complex", config)
-    gr, gi = exec_complex(plan, zr, zi)
+    gr, gi = exec_len(config, h, 1, zr, zi)
     inv_h = jnp.asarray(1.0 / h, dtype=gr.dtype)
     gr, gi = gr * inv_h, gi * inv_h
-    out = jnp.stack([gr, gi], axis=-1).reshape(*gr.shape[:-1], n)
-    return out
+    return jnp.stack([gr, gi], axis=-1).reshape(*gr.shape[:-1], n)
 
 
 def irfft(

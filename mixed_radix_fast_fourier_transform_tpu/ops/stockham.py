@@ -66,6 +66,35 @@ def _stacked_dft_matrix(wr: Array, wi: Array) -> Array:
     return jnp.concatenate([top, bot], axis=0)
 
 
+def _bf16_chunks3(v: Array) -> Tuple[Array, Array, Array]:
+    """Three-term bf16 decomposition of an fp32 array: v ≈ c1 + c2 + c3 with
+    each chunk round-to-nearest bf16 of the running residual (≥24 captured
+    mantissa bits; residual ~2^-25·|v|)."""
+    c1 = v.astype(jnp.bfloat16)
+    r1 = v - c1.astype(v.dtype)
+    c2 = r1.astype(jnp.bfloat16)
+    c3 = (r1 - c2.astype(v.dtype)).astype(jnp.bfloat16)
+    return c1, c2, c3
+
+
+def _einsum_split6(subscripts: str, axis: int, x: Array, w: Array) -> Array:
+    """fp32-accurate matmul as ONE deep bf16 MXU pass ("split6" form).
+
+    XLA's HIGHEST precision computes the same six chunk products
+    (x1w1; x1w2+x2w1; x1w3+x2w2+x3w1) as six sequential bf16 passes, each at
+    the original contraction depth K — at the engine's small stage sizes
+    (K = 2f = 64 for the N=1024 plan) every pass underfills the 128-deep MXU.
+    Stacking the six products onto the contraction axis instead yields a
+    single matmul of depth 6K that computes identical arithmetic at full
+    utilization.  bf16·bf16 products are exact in the fp32 accumulator
+    (8-bit mantissas), so accuracy is HIGHEST-class (~1e-7 measured)."""
+    x1, x2, x3 = _bf16_chunks3(x)
+    w1, w2, w3 = _bf16_chunks3(w)
+    xs = jnp.concatenate([x1, x1, x2, x1, x2, x3], axis=axis)
+    ws = jnp.concatenate([w1, w2, w1, w3, w2, w1], axis=0)
+    return jnp.einsum(subscripts, xs, ws, preferred_element_type=jnp.float32)
+
+
 def _dft_apply(
     subscripts: str,
     axis: int,
@@ -78,9 +107,13 @@ def _dft_apply(
     """Dense complex DFT stage over ``axis`` via ``subscripts`` einsum,
     dispatching on the measured stacked/Karatsuba crossover."""
     f = wr.shape[0]
-    dot = lambda a, w: jnp.einsum(
-        subscripts, a, w, precision=precision, preferred_element_type=xr.dtype
-    )
+    if precision == "split6":
+        dot = lambda a, w: _einsum_split6(subscripts, axis, a, jnp.asarray(w))
+    else:
+        dot = lambda a, w: jnp.einsum(
+            subscripts, a, w, precision=precision,
+            preferred_element_type=xr.dtype,
+        )
     if f >= KARATSUBA_MIN_STAGE:
         wr = jnp.asarray(wr)
         wi = jnp.asarray(wi)
@@ -126,6 +159,8 @@ def _exec_level(
     """
     factors = plan.factors
     prec = getattr(plan, "precision", "highest")
+    if isinstance(prec, tuple):  # per-stage mixed-precision scheme
+        prec = prec[min(level, len(prec) - 1)]
     f = factors[level]
     if level == len(factors) - 1:
         return _dft_apply_last(xr, xi, plan.dft_re[level], plan.dft_im[level], prec)
@@ -178,3 +213,22 @@ def exec_complex(plan, xr: Array, xi: Array) -> Tuple[Array, Array]:
     if isinstance(plan, BluesteinPlan):
         return exec_bluestein(plan, xr, xi)
     return exec_mixed_radix(plan, xr, xi)
+
+
+def exec_len(
+    config, n: int, sign: int, xr: Array, xi: Array
+) -> Tuple[Array, Array]:
+    """Length-``n`` unnormalized transform over the last axis via the
+    configured engine path: the opt-in experimental Pallas kernel when
+    ``config.use_pallas`` enables it (retired default — see
+    ops/pallas_fft.py status note), else the plan-based stage pipeline.
+    Single dispatch point shared by the fft/rfft API layers."""
+    if config.use_pallas is not False:
+        from .pallas_fft import maybe_exec_pallas
+
+        out = maybe_exec_pallas(config, n, sign, xr, xi)
+        if out is not None:
+            return out
+    from ..plan import get_plan
+
+    return exec_complex(get_plan(n, sign, "complex", config), xr, xi)

@@ -56,8 +56,12 @@ class MixedRadixPlan:
     sign: int = dataclasses.field(metadata=dict(static=True))
     factors: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     # matmul precision for the stage DFTs, from the building config ("highest"
-    # keeps fp32 accuracy on the MXU; see SpectralConfig.precision)
-    precision: str = dataclasses.field(default="highest", metadata=dict(static=True))
+    # keeps fp32 accuracy on the MXU; see SpectralConfig.precision).  Either a
+    # single string applied to every stage, or a tuple of per-stage strings
+    # (stage i uses precision[min(i, len-1)]) for mixed-precision schemes.
+    precision: "str | Tuple[str, ...]" = dataclasses.field(
+        default="highest", metadata=dict(static=True)
+    )
     dft_re: Tuple[Array, ...] = ()
     dft_im: Tuple[Array, ...] = ()
     tw_re: Tuple[Array, ...] = ()
@@ -118,10 +122,13 @@ for _cls in (MixedRadixPlan, BluesteinPlan, RealPlan):
 ComplexPlan = (MixedRadixPlan, BluesteinPlan)
 
 
-def _precision_str(p) -> str:
-    """Canonical string for a jax.lax.Precision (or string) config value."""
+def _precision_str(p) -> "str | Tuple[str, ...]":
+    """Canonical string (or tuple of per-stage strings) for a
+    jax.lax.Precision / string / sequence config value."""
     if isinstance(p, str):
         return p.lower()
+    if isinstance(p, (tuple, list)):
+        return tuple(_precision_str(q) for q in p)
     return {
         jax.lax.Precision.DEFAULT: "default",
         jax.lax.Precision.HIGH: "high",

@@ -34,8 +34,11 @@ class SpectralConfig:
     # just OVER the 1e-5 budget but ~1.2-2x faster where acceptable; DEFAULT
     # (1-pass bf16) err 3.2e-3.  HIGHEST is required for the default budget;
     # pass SpectralConfig(precision="high") per-workload to trade accuracy
-    # for speed.
-    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+    # for speed.  A tuple of strings gives per-stage precisions (stage i of
+    # the plan uses precision[min(i, len-1)]) for mixed schemes such as
+    # ("highest", "high") — see tools/tune.py prec for the measurement
+    # harness.
+    precision: "jax.lax.Precision | str | tuple" = jax.lax.Precision.HIGHEST
     # Padded-length selector for Bluestein / convolution: "pow23" picks the
     # smallest 2^a or 3·2^a — measured 1.35x faster than "pow2" for Bluestein
     # N=10007 on v5e (interleaved A/B, m=24576 (192,128) vs 32768 (256,128)),

@@ -224,9 +224,14 @@ def plan_stages(
     # the window is (96..128]; descending order matters ((30,120) only
     # 1.39x).  Below n=3072 LPT stands: 2520 (126,20) measured 0.83x vs
     # (56,45), 1800 (120,15) parity, 1260 (126,10) 0.72-0.91x.
+    # Gated on co-factor <= 128: the measurements only cover co-factors up to
+    # 80 (parity by 80 at n=10000), and plans whose *trailing* stage exceeds
+    # 128 (e.g. (200,128) at 25600) would land in the unmeasured
+    # leading-stage->128 regime the same tables show losing — those lengths
+    # fall through to LPT ((160,160) at 25600) instead.
     if n >= 3072 and max_stage >= 256:
         for a in range(128, 96, -1):
-            if n % a == 0 and n // a <= max_stage:
+            if n % a == 0 and n // a <= 128:
                 return tuple(sorted((a, n // a), reverse=True))
     s = max(1, math.ceil(math.log(n) / math.log(max_stage)))
     while True:

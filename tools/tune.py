@@ -127,6 +127,40 @@ def tune_precision(n: int, b: int):
 
 
 
+def tune_prec(n: int, b: int, cands):
+    """Interleaved A/B of per-stage mixed-precision schemes vs all-HIGHEST.
+
+    ``cands`` are comma-joined per-stage precision lists, e.g.
+    "highest,high" (stage 0 HIGHEST, rest HIGH) or "high,highest".
+    Prints max rel error vs fp64 numpy for each scheme alongside the speed
+    ratio — the decision needs both columns (budget is 1e-5).
+    """
+    (xr, xi), x = _planes(n, b)
+    want = np.fft.fft(x, axis=-1)
+    scale = np.max(np.abs(want))
+    base = build_complex_plan(n, -1, DEFAULT_CONFIG)
+    print(f"N={n} b={b} factors={base.factors}")
+
+    def err_of(plan):
+        zr, zi = jax.jit(lambda a, c: exec_complex(plan, a, c))(xr, xi)
+        got = np.asarray(zr) + 1j * np.asarray(zi)
+        return np.max(np.abs(got - want)) / scale
+
+    print(f"  all-highest: err {err_of(base):.2e}")
+    for cand in cands:
+        scheme = tuple(s.strip() for s in cand.split(","))
+        cfg = dataclasses.replace(DEFAULT_CONFIG, precision=scheme)
+        plan = build_complex_plan(n, -1, cfg)
+        print(f"scheme {scheme}: err {err_of(plan):.2e}")
+        res = ab_compare(
+            lambda a, c: exec_complex(base, a, c),
+            lambda a, c, p=plan: exec_complex(p, a, c),
+            (xr, xi), short=min(500, max(50, 700_000 // n)),
+            long=5 * min(500, max(50, 700_000 // n)), rounds=5,
+        )
+        _report("all-highest", cand, res)
+
+
 def tune_split(n: int, b: int, cands):
     """Interleaved A/B of explicit stage splits vs the default plan at (n, b).
 
@@ -213,6 +247,8 @@ if __name__ == "__main__":
     b = int(sys.argv[3]) if len(sys.argv) > 3 else 256
     if which == "split":
         tune_split(n, b, sys.argv[4:])
+    elif which == "prec":
+        tune_prec(n, b, sys.argv[4:])
     else:
         {"stages": tune_stages, "pad": tune_pad, "builtin": tune_builtin,
          "pallas": tune_pallas, "precision": tune_precision,
