@@ -7,9 +7,14 @@ basis of global weather/climate dynamical cores and geodesy.
 
 TPU-native shape: the longitude direction is the engine's batched FFT; the
 latitude direction contracts against precomputed normalized associated
-Legendre tables P̄_{lm}(mu_i) — one dense (2L-1, L, L) host fp64 tensor
-(stable three-term recurrence, Condon-Shortley phase, matching
-scipy.special.sph_harm_y) applied as a single einsum on the MXU.  With
+Legendre tables P̄_{lm}(mu_i) (stable three-term recurrence, Condon-Shortley
+phase, matching scipy.special.sph_harm_y) applied as MXU einsums.  The
+tables are stored **triangularly chunked over m for the m >= 0 half only**
+(P̄_{l,-m} = (-1)^m P̄_{lm} folds the negative-m bins into sign flips on the
+coefficients, and rows with l < m are identically zero) — ~L³/2 fp32 values
+total instead of the dense (2L-1, L, L) fp64 tensor a naive layout needs
+(8x: e.g. 268 MB vs 2.1 GB at L = 512), with O(L²) host memory during
+generation.  With
 nlat = L Gauss-Legendre nodes and nlon = 2L longitudes the transform pair
 is EXACT for band-limited fields (Gauss quadrature integrates the degree
 <= 2L-2 Legendre products exactly; round-trip error ~6e-15 in the fp64
@@ -38,38 +43,67 @@ from .fft import fft, ifft
 Array = jax.Array
 
 
-@functools.lru_cache(maxsize=8)
-def _legendre_tables(L: int):
-    """Host fp64 plan constants for band limit lmax = L-1.
+# m-axis tile of the triangular Legendre chunks: each chunk holds
+# _M_TILE m-rows sharing one l >= m0 slice, so stored volume ~= L**3/2.
+_M_TILE = 128
 
-    Returns (mu, w, theta, P, PW): Gauss-Legendre nodes/weights, colatitudes,
-    and the packed Legendre tensors P[q, l, i] (synthesis) and
-    PW[q, l, i] = P·w·dphi (analysis), q over the packed m axis."""
+
+@functools.lru_cache(maxsize=16)
+def _gauss_grid(L: int):
+    """Gauss-Legendre nodes, weights and colatitudes (host fp64)."""
     mu, w = np.polynomial.legendre.leggauss(L)
-    theta = np.arccos(mu)
-    P = np.zeros((L, L, L))
+    return mu, w, np.arccos(mu)
+
+
+def _legendre_row_iter(L: int):
+    """Yield (m, P_m) with P_m the (L, L) fp64 table slice P̄_{lm}(mu_i) for
+    one order m (rows l < m are zero).  Stable three-term recurrence over l,
+    sectoral seed marched over m — O(L²) live fp64 at any time."""
+    mu, _, _ = _gauss_grid(L)
+    s = np.sqrt(np.clip(1.0 - mu * mu, 0.0, None))
     pmm = np.full(L, 1.0 / math.sqrt(4.0 * math.pi))
-    s = np.sqrt(1.0 - mu * mu)
     for m in range(L):
-        P[m, m] = pmm
+        P = np.zeros((L, L))
+        P[m] = pmm
         if m + 1 < L:
-            P[m, m + 1] = mu * math.sqrt(2.0 * m + 3.0) * pmm
+            P[m + 1] = mu * math.sqrt(2.0 * m + 3.0) * pmm
         for l in range(m + 2, L):
             a = math.sqrt((4.0 * l * l - 1.0) / (l * l - m * m))
             b = math.sqrt(
                 ((2.0 * l + 1.0) * ((l - 1.0) ** 2 - m * m))
                 / ((2.0 * l - 3.0) * (l * l - m * m))
             )
-            P[m, l] = a * mu * P[m, l - 1] - b * P[m, l - 2]
+            P[l] = a * mu * P[l - 1] - b * P[l - 2]
+        yield m, P
         if m + 1 < L:
             pmm = -math.sqrt((2.0 * m + 3.0) / (2.0 * m + 2.0)) * s * pmm
-    # packed m axis: [0..L-1, -(L-1)..-1]; Y_{l,-m} = (-1)^m conj-relation
-    # gives P̄_{l,-m} = (-1)^m P̄_{lm}
-    sign = np.array([(-1.0) ** m for m in range(1, L)])
-    Pfull = np.concatenate([P, sign[::-1, None, None] * P[:0:-1]], axis=0)
-    dphi = 2.0 * math.pi / (2 * L)
-    PW = Pfull * (w * dphi)
-    return mu, w, theta, Pfull, PW
+
+
+def _chunk_rows(L: int, row_iter):
+    """Collect (m, (L, L) fp64 row) pairs into triangular fp32 chunks
+    [(m0, (t, L-m0, L)), …] tiled _M_TILE orders per chunk."""
+    chunks, buf = [], []
+    for m, row in row_iter:
+        m0 = (m // _M_TILE) * _M_TILE
+        buf.append(row[m0:].astype(np.float32))
+        if m == L - 1 or (m + 1) % _M_TILE == 0:
+            chunks.append((m0, np.stack(buf)))
+            buf = []
+    return tuple(chunks)
+
+
+@functools.lru_cache(maxsize=8)
+def _legendre_chunks(L: int):
+    """Triangular m >= 0 Legendre chunks for band limit lmax = L-1 (fp32;
+    negative orders fold in via P̄_{l,-m} = (-1)^m P̄_{lm} at the
+    coefficient level — see :func:`_analyze` / :func:`_synthesize`)."""
+    return _chunk_rows(L, _legendre_row_iter(L))
+
+
+def _neg_signs(L: int) -> np.ndarray:
+    """(-1)^m for m = 0..L-1 (the conj-relation parity of the folded
+    negative orders)."""
+    return (-1.0) ** np.arange(L, dtype=np.float64)
 
 
 def sht_grid(lmax: int, dtype=np.float64):
@@ -80,7 +114,7 @@ def sht_grid(lmax: int, dtype=np.float64):
     if lmax < 0:
         raise ValueError(f"lmax must be >= 0, got {lmax}")
     L = lmax + 1
-    mu, w, theta, _, _ = _legendre_tables(L)
+    _, w, theta = _gauss_grid(L)
     phi = 2.0 * np.pi * np.arange(2 * L) / (2 * L)
     return theta.astype(dtype), phi.astype(dtype), w.astype(dtype)
 
@@ -90,6 +124,41 @@ def _select_packed_m(F: Array, L: int) -> Array:
     [0..L-1, -(L-1)..-1] (the Nyquist bin L of the 2L-point FFT is dropped —
     the single convention shared by every analysis op)."""
     return jnp.concatenate([F[..., :L], F[..., L + 1 :]], axis=-1)
+
+
+def _fold_neg_last(Fsel: Array, L: int) -> Array:
+    """Map the packed negative-m bins (last axis) onto ascending positive
+    order m' = 0..L-1 with the (-1)^m' parity applied; row m'=0 is zero
+    (there is no negative DC)."""
+    half = jnp.flip(Fsel[..., L:], axis=-1)  # m' = 1..L-1 ascending
+    z = jnp.zeros(Fsel.shape[:-1] + (1,), Fsel.dtype)
+    sign = jnp.asarray(_neg_signs(L), Fsel.real.dtype)
+    return jnp.concatenate([z, half], axis=-1) * sign
+
+
+def _analyze(chunks, Fsel: Array, weights: np.ndarray, L: int, config) -> Array:
+    """Latitude contraction of analysis: a[…, q, l] = Σ_i P̄[m, l, i] ·
+    weights[i] · F[…, i, q] over the packed q axis, blocked over the
+    triangular m chunks (negative orders via the coefficient-side parity
+    fold)."""
+    Fw = Fsel * jnp.asarray(weights, Fsel.real.dtype)[:, None]
+    fpos = Fw[..., :L]
+    fneg = _fold_neg_last(Fw, L)
+    pos_parts, neg_parts = [], []
+    for m0, P in chunks:
+        t = P.shape[0]
+        Pj = jnp.asarray(P, dtype=Fsel.real.dtype)
+        pad = [(0, 0)] * (Fsel.ndim - 1) + [(m0, 0)]
+        for src, out in ((fpos, pos_parts), (fneg, neg_parts)):
+            part = jnp.einsum(
+                "mli,...im->...ml", Pj, src[..., m0 : m0 + t],
+                precision=config.precision,
+            )
+            out.append(jnp.pad(part, pad))
+    apos = jnp.concatenate(pos_parts, axis=-2)  # (…, L, L) m-major
+    aneg = jnp.concatenate(neg_parts, axis=-2)
+    # packed bins: [m=0..L-1, m=-(L-1)..-1] — negative rows reversed back
+    return jnp.concatenate([apos, jnp.flip(aneg[..., 1:, :], axis=-2)], axis=-2)
 
 
 def sht(f, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
@@ -102,15 +171,11 @@ def sht(f, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
             f"{f.shape[-2:] if f.ndim >= 2 else f.shape}"
         )
     L = f.shape[-2]
-    _, _, _, _, PW = _legendre_tables(L)
+    _, w, _ = _gauss_grid(L)
     F = fft(f, config=config)  # over longitude: (…, i, m_bins)
     Fsel = _select_packed_m(F, L)  # (…, i, 2L-1)
-    return jnp.einsum(
-        "qli,...iq->...ql",
-        jnp.asarray(PW, dtype=F.real.dtype),
-        Fsel,
-        precision=config.precision,
-    )
+    dphi = 2.0 * math.pi / (2 * L)
+    return _analyze(_legendre_chunks(L), Fsel, w * dphi, L, config)
 
 
 def isht(alm, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
@@ -123,8 +188,7 @@ def isht(alm, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
             f"{alm.shape[-2:] if alm.ndim >= 2 else alm.shape}"
         )
     L = alm.shape[-1]
-    _, _, _, Pfull, _ = _legendre_tables(L)
-    return _synthesize(Pfull, alm, config)
+    return _synthesize(_legendre_chunks(L), alm, config)
 
 
 def sphere_laplacian(f, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
@@ -185,42 +249,59 @@ def sphere_convolve(f, bl, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
 
 
 @functools.lru_cache(maxsize=8)
-def _legendre_deriv_tables(L: int):
-    """Packed d/dtheta tables dP[q, l, i] from the verified identity
+def _legendre_deriv_chunks(L: int):
+    """Triangular m-chunked d/dtheta tables from the verified identity
     sin(theta)·dP̄_lm/dtheta = l·mu·P̄_lm − e_lm·P̄_{l-1,m},
     e_lm = sqrt((l²−m²)(2l+1)/(2l−1)) (numerically checked vs central
-    differences to 1e-8)."""
-    mu, w, theta, Pfull, _ = _legendre_tables(L)
+    differences to 1e-8).  Same storage scheme and parity fold as
+    :func:`_legendre_chunks` (dtheta differentiation preserves the m parity)."""
+    mu, _, theta = _gauss_grid(L)
     s = np.sin(theta)
-    P = Pfull[:L]
-    dP = np.zeros_like(P)
     l = np.arange(L, dtype=np.float64)
-    for m in range(L):
-        e = np.zeros(L)
-        sel = l >= max(m, 1)
-        e[sel] = np.sqrt(
-            (l[sel] ** 2 - m * m) * (2.0 * l[sel] + 1.0) / (2.0 * l[sel] - 1.0)
-        )
-        prev = np.zeros_like(P[m])
-        prev[1:] = P[m, :-1]
-        dP[m] = (l[:, None] * mu[None, :] * P[m] - e[:, None] * prev) / s
-    sign = np.array([(-1.0) ** m for m in range(1, L)])
-    return np.concatenate([dP, sign[::-1, None, None] * dP[:0:-1]], axis=0)
+
+    def rows():
+        for m, P in _legendre_row_iter(L):
+            e = np.zeros(L)
+            sel = l >= max(m, 1)
+            e[sel] = np.sqrt(
+                (l[sel] ** 2 - m * m)
+                * (2.0 * l[sel] + 1.0)
+                / (2.0 * l[sel] - 1.0)
+            )
+            prev = np.zeros_like(P)
+            prev[1:] = P[:-1]
+            yield m, (l[:, None] * mu[None, :] * P - e[:, None] * prev) / s
+
+    return _chunk_rows(L, rows())
 
 
-def _synthesize(tables: np.ndarray, alm: Array, config: SpectralConfig) -> Array:
-    """Shared synthesis core: contract packed (q, l, i) tables against
+def _synthesize(chunks, alm: Array, config: SpectralConfig) -> Array:
+    """Shared synthesis core: contract triangular m-chunked tables against
     (…, 2L-1, L) coefficients, place the m bins, inverse-FFT longitude."""
     L = alm.shape[-1]
-    G = jnp.einsum(
-        "qli,...ql->...iq",
-        jnp.asarray(tables, dtype=alm.real.dtype),
-        alm,
-        precision=config.precision,
-    )
+    apos = alm[..., :L, :]
+    half = jnp.flip(alm[..., L:, :], axis=-2)  # m' = 1..L-1 ascending
+    z = jnp.zeros(alm.shape[:-2] + (1, L), alm.dtype)
+    sign = jnp.asarray(_neg_signs(L), alm.real.dtype)
+    aneg = jnp.concatenate([z, half], axis=-2) * sign[:, None]
+    pos_parts, neg_parts = [], []
+    for m0, P in chunks:
+        t = P.shape[0]
+        Pj = jnp.asarray(P, dtype=alm.real.dtype)
+        for src, out in ((apos, pos_parts), (aneg, neg_parts)):
+            out.append(
+                jnp.einsum(
+                    "mli,...ml->...im", Pj, src[..., m0 : m0 + t, m0:],
+                    precision=config.precision,
+                )
+            )
+    gpos = jnp.concatenate(pos_parts, axis=-1)  # (…, i, L)
+    gneg = jnp.concatenate(neg_parts, axis=-1)
     nlon = 2 * L
-    zeros = jnp.zeros(G.shape[:-1] + (nlon - (2 * L - 1),), G.dtype)
-    bins = jnp.concatenate([G[..., :L], zeros, G[..., L:]], axis=-1)
+    zeros = jnp.zeros(gpos.shape[:-1] + (1,), gpos.dtype)  # Nyquist bin
+    bins = jnp.concatenate(
+        [gpos, zeros, jnp.flip(gneg[..., 1:], axis=-1)], axis=-1
+    )
     return ifft(bins, config=config) * nlon
 
 
@@ -236,12 +317,13 @@ def sphere_grad(f, *, config: SpectralConfig = DEFAULT_CONFIG):
     f = jnp.asarray(f)
     a = sht(f, config=config)
     L = a.shape[-1]
-    _, _, theta, Pfull, _ = _legendre_tables(L)
-    dP = _legendre_deriv_tables(L)
-    u_theta = _synthesize(dP, a, config)
+    _, _, theta = _gauss_grid(L)
+    u_theta = _synthesize(_legendre_deriv_chunks(L), a, config)
     msigned = np.concatenate([np.arange(L), -np.arange(L - 1, 0, -1)])
-    u_phi = _synthesize(Pfull, a * jnp.asarray(1j * msigned, a.dtype)[:, None],
-                        config)
+    u_phi = _synthesize(
+        _legendre_chunks(L), a * jnp.asarray(1j * msigned, a.dtype)[:, None],
+        config,
+    )
     u_phi = u_phi / jnp.asarray(np.sin(theta), u_phi.real.dtype)[:, None]
     if not jnp.issubdtype(f.dtype, jnp.complexfloating):
         u_theta, u_phi = jnp.real(u_theta), jnp.real(u_phi)
@@ -281,22 +363,13 @@ def sphere_div(u_theta, u_phi, *, config: SpectralConfig = DEFAULT_CONFIG) -> Ar
 def _div_coef(u_theta: Array, u_phi: Array, config: SpectralConfig) -> Array:
     """Divergence in coefficient space (the weak-form adjoint quadrature)."""
     L, Ut, Up = _vector_analysis(u_theta, u_phi, config)
-    mu, w, theta, Pfull, _ = _legendre_tables(L)
-    dP = _legendre_deriv_tables(L)
+    _, w, theta = _gauss_grid(L)
     dphi = 2.0 * math.pi / (2 * L)
     s = np.sin(theta)
     msigned = np.concatenate([np.arange(L), -np.arange(L - 1, 0, -1)])
-    t1 = jnp.einsum(
-        "qli,...iq->...ql",
-        jnp.asarray(dP * (w * dphi), dtype=Ut.real.dtype),
-        Ut,
-        precision=config.precision,
-    )
-    t2 = jnp.einsum(
-        "qli,...iq->...ql",
-        jnp.asarray(Pfull * ((w / s) * dphi), dtype=Up.real.dtype),
-        Up,
-        precision=config.precision,
+    t1 = _analyze(_legendre_deriv_chunks(L), Ut, w * dphi, L, config)
+    t2 = _analyze(
+        _legendre_chunks(L), Up, (w / s) * dphi, L, config
     ) * jnp.asarray(-1j * msigned, t1.dtype if jnp.issubdtype(
         t1.dtype, jnp.complexfloating) else jnp.complex64)[:, None]
     return -(t1 + t2)

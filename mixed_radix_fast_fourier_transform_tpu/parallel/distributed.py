@@ -1173,8 +1173,10 @@ def sht_sharded(
 ) -> Array:
     """Spherical harmonic analysis with latitude sharded over ``axis_name``:
     (…, L, 2L) grid -> replicated (…, 2L-1, L) coefficients, one psum."""
+    import math as _math
+
     from ..ops.fft import fft as _fft
-    from ..ops.sht import _legendre_tables, _select_packed_m
+    from ..ops.sht import _analyze, _gauss_grid, _legendre_chunks, _select_packed_m
 
     f = jnp.asarray(f)
     if f.ndim < 2 or f.shape[-2] < 1 or f.shape[-1] != 2 * f.shape[-2]:
@@ -1185,23 +1187,27 @@ def sht_sharded(
         raise ValueError(
             f"latitude count L={L} must divide the mesh axis ({parts})"
         )
-    _, _, _, _, PW = _legendre_tables(L)
+    chunks = _legendre_chunks(L)
+    m0s = tuple(m0 for m0, _ in chunks)
+    _, w, _ = _gauss_grid(L)
+    wdphi = (w * (2.0 * _math.pi / (2 * L))).astype(np.float32)
 
-    def body(fl, pwl):
+    def body(fl, wl, *tabs):
+        # each chip holds its latitude band of every triangular chunk; the
+        # per-band quadrature contraction completes with one psum over ICI
         Fsel = _select_packed_m(_fft(fl, config=config), L)
-        part = jnp.einsum(
-            "qli,...iq->...ql", pwl, Fsel, precision=config.precision
-        )
+        part = _analyze(tuple(zip(m0s, tabs)), Fsel, wl, L, config)
         return jax.lax.psum(part, axis_name)
 
     lat_spec = P(*([None] * (f.ndim - 2) + [axis_name, None]))
     out_spec = P(*([None] * f.ndim))
+    tab_specs = tuple(P(None, None, axis_name) for _ in chunks)
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(lat_spec, P(None, None, axis_name)),
+        in_specs=(lat_spec, P(axis_name)) + tab_specs,
         out_specs=out_spec,
-    )(f, jnp.asarray(PW, dtype=jnp.asarray(f).real.dtype))
+    )(f, wdphi, *(t for _, t in chunks))
 
 
 def isht_sharded(
@@ -1214,7 +1220,7 @@ def isht_sharded(
     """Spherical harmonic synthesis with latitude bands sharded over
     ``axis_name``: replicated (…, 2L-1, L) coefficients -> (…, L, 2L) grid
     sharded on latitude.  Zero collectives (each chip evaluates its band)."""
-    from ..ops.sht import _legendre_tables, _synthesize
+    from ..ops.sht import _legendre_chunks, _synthesize
 
     alm = jnp.asarray(alm)
     if alm.ndim < 2 or alm.shape[-1] < 1 or alm.shape[-2] != 2 * alm.shape[-1] - 1:
@@ -1225,15 +1231,18 @@ def isht_sharded(
         raise ValueError(
             f"latitude count L={L} must divide the mesh axis ({parts})"
         )
-    _, _, _, Pfull, _ = _legendre_tables(L)
+    chunks = _legendre_chunks(L)
+    m0s = tuple(m0 for m0, _ in chunks)
 
-    def body(pl):
-        return _synthesize(pl, alm, config)
+    def body(*tabs):
+        # each chip synthesizes its own latitude band — zero collectives
+        return _synthesize(tuple(zip(m0s, tabs)), alm, config)
 
     out_spec = P(*([None] * (alm.ndim - 2) + [axis_name, None]))
+    tab_specs = tuple(P(None, None, axis_name) for _ in chunks)
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(None, None, axis_name),),
+        in_specs=tab_specs,
         out_specs=out_spec,
-    )(jnp.asarray(Pfull, dtype=alm.real.dtype))
+    )(*(t for _, t in chunks))
