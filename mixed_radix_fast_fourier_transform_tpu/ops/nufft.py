@@ -56,16 +56,19 @@ Array = jax.Array
 _TWO_PI = 2.0 * math.pi
 # dense phase split: u = x/2pi rounded to 1/_SPLIT; k*_SPLIT*u exact in int32
 _SPLIT = 4096
-# auto method threshold: dense matmul up to this many matrix entries.
-# Measured on v5e (2026-08-17): dense beats grid 8.6x at (n, M) = (4096,
-# 4096) (520us vs 4.6ms) and 2.2x at (16384, 4096) — XLA's TPU scatter makes
-# the spreading expensive (~4.6ms for 65k tap updates, M-bound), so the
-# matmul path wins far beyond MXU-size intuition.  2^24 entries = 128 MB of
-# cos+sin matrices, a safe HBM footprint.  The 2-D region inherits the 8x
-# flop allowance with its own measurement: at (n1, n2, M) = (256, 256,
-# 2048) — the n1·n2·M = 2^27 ceiling — dense measured 169 us vs 36.8 ms
-# grid (2-D spreading scatters 4·msp² = 256 taps per point).
-_DENSE_MAX_ENTRIES = 1 << 24
+# auto method thresholds: dense matmul up to this many matrix entries.
+# Re-measured on v5e (2026-08-17) after the block-matmul spreading landed
+# (scatter-free — see _block_local): 1-D grid is at parity with dense at
+# (n, M) = (1024, 1024) (10 vs 25 us) and 11.6x faster at (2048, 1024);
+# at (4096, 4096) grid wins 22x (24 us vs 533 us; the old scatter spread
+# took 4.6 ms there).  Crossover ~2^20 entries.  2-D keeps its own larger
+# window: at (n1, n2, M) = (256, 256, 2048) — the n1·n2·M = 2^27 ceiling —
+# dense still wins 1.5x (190 us vs 264 us grid; the old scatter took
+# 36.8 ms), so the 2^27 boundary stands.  3-D still spreads by scatter and
+# keeps the pre-rework 2^24 dense allowance.
+_DENSE_MAX_ENTRIES = 1 << 20
+_DENSE_MAX_ENTRIES_2D = 1 << 27
+_DENSE_MAX_ENTRIES_3D = 1 << 24
 
 
 def _centered_modes(n: int) -> np.ndarray:
@@ -250,16 +253,19 @@ def _spread_geometry(x: Array, mr: int, tau: float, msp: int):
     return jnp.mod(idx, mr), w
 
 
-def _use_dense(method: str, n_entries: int, max_modes: int) -> bool:
-    """Dense-vs-grid dispatch: dense needs the matrix to fit the MXU budget
-    AND the phase reduction's |k| < 2^16 bound (n_modes <= 131071).
-    Explicit method='dense' is always honored (``_phase_trig`` raises a
-    clear error past the |k| bound)."""
+def _use_dense(
+    method: str, n_entries: int, max_modes: int,
+    limit: int = _DENSE_MAX_ENTRIES,
+) -> bool:
+    """Dense-vs-grid dispatch: dense needs the matrix to fit the measured
+    crossover budget AND the phase reduction's |k| < 2^16 bound
+    (n_modes <= 131071).  Explicit method='dense' is always honored
+    (``_phase_trig`` raises a clear error past the |k| bound)."""
     if method == "dense":
         return True
     return (
         method == "auto"
-        and n_entries <= _DENSE_MAX_ENTRIES
+        and n_entries <= limit
         and max_modes // 2 < (1 << 16)
     )
 
@@ -271,8 +277,8 @@ def _use_dense_2d(method: str, n1: int, n2: int, m: int) -> bool:
         return True
     return (
         method == "auto"
-        and n1 * n2 * m <= _DENSE_MAX_ENTRIES * 8
-        and max(n1, n2) * m <= _DENSE_MAX_ENTRIES
+        and n1 * n2 * m <= _DENSE_MAX_ENTRIES_2D
+        and max(n1, n2) * m <= _DENSE_MAX_ENTRIES_2D // 8
         and max(n1, n2) // 2 < (1 << 16)
     )
 
@@ -1006,7 +1012,8 @@ def nufft1_3d(
     n1, n2, n3 = (int(v) for v in n_modes)
     if min(n1, n2, n3) < 1:
         raise ValueError(f"n_modes must be positive, got {n_modes}")
-    if _use_dense(method, n1 * n2 * n3 * x.shape[0], max(n1, n2, n3)):
+    if _use_dense(method, n1 * n2 * n3 * x.shape[0], max(n1, n2, n3),
+                  limit=_DENSE_MAX_ENTRIES_3D):
         return nudft1_3d(x, y, z, c, (n1, n2, n3), isign=isign, config=config)
     if isign > 0:
         x, y, z = -x, -y, -z
@@ -1055,7 +1062,8 @@ def nufft2_3d(
     if f.ndim < 3 or min(f.shape[-3:]) < 1:
         raise ValueError("f must be (…, n1, n2, n3) with non-empty mode axes")
     n1, n2, n3 = f.shape[-3:]
-    if _use_dense(method, n1 * n2 * n3 * x.shape[0], max(n1, n2, n3)):
+    if _use_dense(method, n1 * n2 * n3 * x.shape[0], max(n1, n2, n3),
+                  limit=_DENSE_MAX_ENTRIES_3D):
         return nudft2_3d(x, y, z, f, isign=isign, config=config)
     if isign < 0:
         x, y, z = -x, -y, -z
