@@ -1,27 +1,41 @@
-"""Discrete wavelet transform (orthogonal, periodized) — Mallat filter banks.
+"""Discrete wavelet transform — orthogonal and biorthogonal Mallat filter banks.
 
 Capability extension beyond the reference C library: the multiresolution
-counterpart of its Fourier transforms — Daubechies analysis/synthesis with
-perfect reconstruction, the compression/denoising workhorse.
+counterpart of its Fourier transforms — Daubechies / CDF analysis-synthesis
+with perfect reconstruction, the compression/denoising workhorse.
 
 TPU-native shape: no recursion over samples and no scatter.  Analysis is a
-host-precomputed periodic window gather (N/2, F) contracted against the
-filter pair (one einsum); synthesis uses the polyphase ADJOINT identity —
-even/odd output samples are periodic correlations of the coefficient
-vectors with the even/odd filter phases, again pure gather + einsum.
-Because the filters are orthonormal the adjoint IS the inverse, so perfect
-reconstruction holds to round-off by construction (verified 3e-12 in the
-fp64 prototype; fp32 floor on device).
+host-precomputed window gather (L, F) contracted against the filter pair
+(one einsum); synthesis uses the polyphase form — even/odd output samples
+are correlations of the coefficient vectors with the even/odd synthesis
+filter phases, again pure gather + einsum.  For orthogonal banks the
+synthesis filters are the analysis filters (the adjoint IS the inverse);
+for biorthogonal banks they are the dual filters, with the alignment
+**verified at bank-construction time** by an exact perfect-reconstruction
+probe (`_check_pr`) so a mis-shifted filter can never ship silently.
 
-Conventions: periodization boundary (every level halves the length; the
-length must be divisible by 2^levels), analysis pair
-(a, d)[k] = sum_n (dec_lo, dec_hi)[n] · x[(2k+n) mod N], quadrature-mirror
-highpass rec_hi[n] = (-1)^n rec_lo[F-1-n], dec = reversed rec.
+Boundary modes (``mode=``):
+
+* ``"periodization"`` (default): periodized filter bank, length N/2 per
+  band, N must be even — the most compact representation.
+* ``"zero"``, ``"symmetric"``, ``"reflect"``, ``"periodic"``: pywt-style
+  extension modes; coefficient length (N + F - 1)//2 (+1 boundary window
+  per side for biorthogonal banks, whose dual synthesis support reaches one
+  sample further).  ``idwt`` returns the pywt-canonical 2·La - F + 2
+  samples; :func:`waverec` trims the possible odd-length extra sample.
+
+Wavelets: Daubechies ``haar``/``db1``..``db4`` and biorthogonal
+``bior2.2`` (LeGall/CDF 5/3) / ``bior4.4`` (CDF 9/7, the JPEG2000 pair).
+The 9/7 pair is *derived*, not transcribed: the degree-3 half-band
+polynomial P(y) = 1 + 4y + 10y² + 20y³ is factored numerically, the real
+root goes to the synthesis lowpass and the complex pair to the analysis
+lowpass (spline factorization; matches the published filters to 1e-12).
 """
 
 from __future__ import annotations
 
 import functools
+import math
 from typing import List, Sequence
 
 import jax
@@ -31,6 +45,8 @@ import numpy as np
 from ..utils.config import DEFAULT_CONFIG, SpectralConfig
 
 Array = jax.Array
+
+_MODES = ("periodization", "zero", "symmetric", "reflect", "periodic")
 
 # Orthogonal scaling (rec_lo) filters — standard published Daubechies values.
 _REC_LO = {
@@ -52,59 +68,255 @@ _REC_LO = {
 _REC_LO["db1"] = _REC_LO["haar"]
 
 
-@functools.lru_cache(maxsize=16)
+def _cdf97_lowpass():
+    """CDF 9/7 lowpass pair by spline factorization (derivation, not
+    transcription): split the roots of the degree-3 half-band polynomial —
+    the single real root into the 7-tap synthesis factor, the complex pair
+    into the 9-tap analysis factor — compose with cos⁴(w/2), normalize each
+    sum to sqrt(2).  Reproduces the published JPEG2000 filters to 1e-12."""
+    roots = np.roots([20.0, 10.0, 4.0, 1.0])  # 20y³ + 10y² + 4y + 1
+    yr = next(r.real for r in roots if abs(r.imag) < 1e-9)
+    c1 = next(r for r in roots if r.imag > 1e-9)
+    q = np.array([1.0, -1.0 / yr])  # ascending coeffs of (1 - y/yr)
+    qt = -20.0 * yr * np.real(np.convolve([-c1, 1.0], [-np.conj(c1), 1.0]))
+    y = np.array([-0.25, 0.5, -0.25])  # y(z) = (2 - z - 1/z)/4, centered
+    cos4 = np.convolve([0.25, 0.5, 0.25], [0.25, 0.5, 0.25])
+
+    def compose(coeffs_asc):
+        res = np.array([coeffs_asc[0]])
+        ypow = np.array([1.0])
+        for c in coeffs_asc[1:]:
+            ypow = np.convolve(ypow, y)
+            r2 = np.zeros(len(ypow))
+            off = (len(ypow) - len(res)) // 2
+            r2[off : off + len(res)] = res
+            res = r2 + c * ypow
+        h = np.convolve(cos4, res)
+        return h * (math.sqrt(2.0) / h.sum())
+
+    return compose(qt), compose(q)  # (9-tap analysis, 7-tap synthesis)
+
+
+def _cdf53_lowpass():
+    """LeGall / CDF 5/3 lowpass pair (exact rationals x sqrt(2))."""
+    s = math.sqrt(2.0)
+    return (
+        np.array([-0.125, 0.25, 0.75, 0.25, -0.125]) * s,
+        np.array([0.25, 0.5, 0.25]) * s,
+    )
+
+
+_BIOR_LOWPASS = {"bior4.4": _cdf97_lowpass, "bior2.2": _cdf53_lowpass}
+
+WAVELETS = tuple(sorted(_REC_LO)) + tuple(sorted(_BIOR_LOWPASS))
+
+
+def _check_pr(dec_lo, dec_hi, syn_lo, syn_hi, n: int = 32) -> bool:
+    """Exact perfect-reconstruction probe of a candidate periodized bank:
+    analysis windows at even positions, synthesis out[(2k+s) mod n]."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(n)
+    h = n // 2
+    ks = np.arange(h)
+    a = np.array([sum(dec_lo[i] * x[(2 * k + i) % n] for i in range(len(dec_lo))) for k in ks])
+    d = np.array([sum(dec_hi[i] * x[(2 * k + i) % n] for i in range(len(dec_hi))) for k in ks])
+    out = np.zeros(n)
+    for k in ks:
+        for s in range(len(syn_lo)):
+            out[(2 * k + s) % n] += syn_lo[s] * a[k] + syn_hi[s] * d[k]
+    return bool(np.max(np.abs(out - x)) < 1e-8)
+
+
+@functools.lru_cache(maxsize=32)
 def _banks(wavelet: str):
-    if wavelet not in _REC_LO:
+    """(dec_lo, dec_hi, syn_lo, syn_hi, extra) for ``wavelet``.
+
+    ``extra`` is the number of additional boundary analysis windows per
+    side required for exact reconstruction under the extension modes
+    (0 for orthogonal banks, 1 for biorthogonal — their dual synthesis
+    support reaches one coefficient further past the edge; verified
+    numerically, see module tests)."""
+    if wavelet in _REC_LO:
+        rec_lo = np.array(_REC_LO[wavelet])
+        f = len(rec_lo)
+        rec_hi = np.array([(-1.0) ** n * rec_lo[f - 1 - n] for n in range(f)])
+        dec_lo, dec_hi = rec_lo[::-1].copy(), rec_hi[::-1].copy()
+        # orthonormal: synthesis = analysis (adjoint = inverse)
+        assert _check_pr(dec_lo, dec_hi, dec_lo, dec_hi)
+        return dec_lo, dec_hi, dec_lo, dec_hi, 0
+    if wavelet not in _BIOR_LOWPASS:
         raise ValueError(
-            f"unknown wavelet {wavelet!r}; available: {sorted(_REC_LO)}"
+            f"unknown wavelet {wavelet!r}; available: {list(WAVELETS)}"
         )
-    rec_lo = np.array(_REC_LO[wavelet])
-    F = len(rec_lo)
-    rec_hi = np.array([(-1.0) ** n * rec_lo[F - 1 - n] for n in range(F)])
-    return rec_lo[::-1].copy(), rec_hi[::-1].copy()  # decomposition filters
+    h_dec, h_rec = _BIOR_LOWPASS[wavelet]()
+    f = len(h_dec)
+    syn_lo = np.zeros(f)
+    syn_lo[: len(h_rec)] = h_rec  # left-aligned (the verified layout)
+    # Highpass by quadrature modulation; the circular shift of the
+    # modulated filter and the output shift (leading zeros, keeping the
+    # synthesis length even for the polyphase split) are
+    # alignment-dependent, so search the few candidates and keep the one
+    # that passes the exact PR probe.
+    zeros = 1 if f % 2 else 0
+    for s1 in (1.0, -1.0):
+        for d1 in range(-4, 5):
+            dec_hi = np.array(
+                [s1 * (-1.0) ** n * syn_lo[(n + d1) % f] for n in range(f)]
+            )
+            for s2 in (1.0, -1.0):
+                for d2 in range(-4, 5):
+                    syn_hi = np.array(
+                        [s2 * (-1.0) ** n * h_dec[(n + d2) % f] for n in range(f)]
+                    )
+                    for z in (zeros, zeros + 2):
+                        slo = np.concatenate([np.zeros(z), syn_lo])
+                        shi = np.concatenate([np.zeros(z), syn_hi])
+                        if _check_pr(h_dec, dec_hi, slo, shi):
+                            return h_dec.copy(), dec_hi, slo, shi, 1
+    raise AssertionError(f"no PR-satisfying highpass alignment for {wavelet}")
 
 
-def dwt(x, wavelet: str = "db2", *, config: SpectralConfig = DEFAULT_CONFIG):
-    """One analysis level: (…, N) -> ((…, N/2) approx, (…, N/2) detail).
+def _extend_idx(n: int, pad: int, mode: str) -> "np.ndarray | None":
+    """Host index map realizing the extension mode (None for zero mode)."""
+    if mode == "zero":
+        return None
+    npmode = {"symmetric": "symmetric", "reflect": "reflect",
+              "periodic": "wrap"}[mode]
+    return np.pad(np.arange(n), pad, mode=npmode)
 
-    Periodized orthogonal filter bank; N must be even."""
-    x = jnp.asarray(x)
-    if x.ndim < 1:
-        raise ValueError("dwt needs at least a 1-D signal")
-    if not jnp.issubdtype(x.dtype, jnp.inexact):
-        x = x.astype(jnp.float32)  # int samples would truncate the filters to 0
-    n = x.shape[-1]
-    if n < 2 or n % 2:
-        raise ValueError(f"dwt needs an even length >= 2, got {n}")
-    dec_lo, dec_hi = _banks(wavelet)
+
+def _dwt_linear(x: Array, wavelet: str, mode: str, config: SpectralConfig):
+    """Extension-mode analysis: windows at odd offsets of the padded signal
+    (pywt-convention lengths (n + F - 1)//2, plus ``extra`` boundary
+    windows per side for biorthogonal banks)."""
+    dec_lo, dec_hi, _, _, extra = _banks(wavelet)
     f = len(dec_lo)
-    idx = (2 * np.arange(n // 2)[:, None] + np.arange(f)[None, :]) % n
-    W = x[..., idx]  # (…, N/2, F) periodic windows
-    filt = jnp.asarray(np.stack([dec_lo, dec_hi]), x.dtype)  # (2, F)
-    out = jnp.einsum("...kf,cf->c...k", W, filt, precision=config.precision)
+    n = x.shape[-1]
+    pad = f - 1 + 2 * extra
+    emap = _extend_idx(n, pad, mode)
+    if emap is None:
+        widths = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
+        xe = jnp.pad(x, widths)
+    else:
+        xe = x[..., emap]
+    la = (n + f - 1) // 2 + 2 * extra
+    idx = 2 * np.arange(la)[:, None] + 1 + np.arange(f)[None, :]
+    w = xe[..., idx]
+    filt = jnp.asarray(np.stack([dec_lo, dec_hi]), x.dtype)
+    out = jnp.einsum("...kf,cf->c...k", w, filt, precision=config.precision)
     return out[0], out[1]
 
 
-def idwt(a, d, wavelet: str = "db2", *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
-    """Inverse of :func:`dwt` (exact: the orthonormal adjoint).
+def _idwt_linear(a: Array, d: Array, wavelet: str, config: SpectralConfig):
+    """Extension-mode synthesis: out[m] = sum_s syn[s]·coef[(m + F - 2 +
+    2·extra - s)/2] over parity-matching taps — the zero-extended polyphase
+    gather; returns the pywt-canonical 2·(La - 2·extra) - F + 2 samples."""
+    dec_lo, _, syn_lo, syn_hi, extra = _banks(wavelet)
+    f = len(dec_lo)
+    fs = len(syn_lo)
+    la = a.shape[-1]
+    n_out = 2 * (la - 2 * extra) - f + 2
+    if n_out < 1:
+        raise ValueError(
+            f"coefficient length {la} too short for wavelet {wavelet!r}"
+        )
+    c = f - 2 + 2 * extra
+    u = (fs + 1) // 2
+    # out[2t+p] = sum_u syn[2u + par_p]·coef[t + k0_p - u]
+    lo = np.zeros((2, u))
+    hi = np.zeros((2, u))
+    k0 = [0, 0]
+    for p in (0, 1):
+        par = (p + c) % 2
+        k0[p] = (p + c - par) // 2
+        taps = syn_lo[par::2]
+        lo[p, : len(taps)] = taps
+        taps = syn_hi[par::2]
+        hi[p, : len(taps)] = taps
+    t_hi = (n_out + 1) // 2
+    padl = u
+    padr = max(k0) + 1
+    widths = [(0, 0)] * (a.ndim - 1) + [(padl, padr)]
+    ap = jnp.pad(a, widths)
+    dp = jnp.pad(d, widths)
+    # gather index (2, T, U): t + k0_p - u + padl, clipped into the pad zeros
+    tt = np.arange(t_hi)[None, :, None]
+    uu = np.arange(u)[None, None, :]
+    kk = np.array(k0)[:, None, None]
+    gidx = np.clip(tt + kk - uu + padl, 0, la + padl + padr - 1)
+    dtype = a.dtype
+    out = jnp.einsum(
+        "...ptu,pu->...tp", ap[..., gidx], jnp.asarray(lo, dtype),
+        precision=config.precision,
+    ) + jnp.einsum(
+        "...ptu,pu->...tp", dp[..., gidx], jnp.asarray(hi, dtype),
+        precision=config.precision,
+    )
+    out = out.reshape(out.shape[:-2] + (2 * t_hi,))
+    return out[..., :n_out]
 
-    Polyphase gather form: x[2t+p] = sum_j dec_lo[2j+p]·a[(t-j) mod H]
-    + dec_hi[2j+p]·d[(t-j) mod H] for phases p in {0, 1}."""
+
+def dwt(
+    x, wavelet: str = "db2", mode: str = "periodization", *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+):
+    """One analysis level: (…, N) -> (approx, detail).
+
+    ``mode="periodization"`` (default) needs even N and halves the length;
+    the extension modes follow pywt length conventions (module docstring)."""
+    x = jnp.asarray(x)
+    if x.ndim < 1:
+        raise ValueError("dwt needs at least a 1-D signal")
+    if mode not in _MODES:
+        raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
+    if not jnp.issubdtype(x.dtype, jnp.inexact):
+        x = x.astype(jnp.float32)  # int samples would truncate the filters to 0
+    n = x.shape[-1]
+    if n < 1:
+        raise ValueError("dwt needs a non-empty signal")
+    if mode != "periodization":
+        return _dwt_linear(x, wavelet, mode, config)
+    if n < 2 or n % 2:
+        raise ValueError(
+            f"mode='periodization' needs an even length >= 2, got {n}"
+        )
+    dec_lo, dec_hi, _, _, _ = _banks(wavelet)
+    f = len(dec_lo)
+    idx = (2 * np.arange(n // 2)[:, None] + np.arange(f)[None, :]) % n
+    w = x[..., idx]  # (…, N/2, F) periodic windows
+    filt = jnp.asarray(np.stack([dec_lo, dec_hi]), x.dtype)  # (2, F)
+    out = jnp.einsum("...kf,cf->c...k", w, filt, precision=config.precision)
+    return out[0], out[1]
+
+
+def idwt(
+    a, d, wavelet: str = "db2", mode: str = "periodization", *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Inverse of :func:`dwt` (exact; synthesis filters are the orthonormal
+    adjoint or the verified biorthogonal duals).
+
+    Periodization: polyphase gather x[2t+p] = sum_j syn[2j+p]·coef[(t-j)
+    mod H]; extension modes: zero-extended polyphase (module docstring)."""
     a = jnp.asarray(a)
     d = jnp.asarray(d)
+    if mode not in _MODES:
+        raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
     if a.ndim < 1 or d.ndim < 1 or a.shape != d.shape or a.shape[-1] < 1:
         raise ValueError("approx/detail must share a non-empty >= 1-D shape")
     if not jnp.issubdtype(a.dtype, jnp.inexact):
         a = a.astype(jnp.float32)
     if not jnp.issubdtype(d.dtype, jnp.inexact):
         d = d.astype(jnp.float32)
-    dec_lo, dec_hi = _banks(wavelet)
+    if mode != "periodization":
+        return _idwt_linear(a, d, wavelet, config)
+    _, _, syn_lo, syn_hi, _ = _banks(wavelet)
     h = a.shape[-1]
-    half = len(dec_lo) // 2
-    idx = (np.arange(h)[:, None] - np.arange(half)[None, :]) % h  # (H, F/2)
-    # both phases of both filters as one stacked (2, F/2) contraction each
-    lo = jnp.asarray(np.stack([dec_lo[0::2], dec_lo[1::2]]), a.dtype)
-    hi = jnp.asarray(np.stack([dec_hi[0::2], dec_hi[1::2]]), a.dtype)
+    half = len(syn_lo) // 2
+    idx = (np.arange(h)[:, None] - np.arange(half)[None, :]) % h  # (H, FS/2)
+    # both phases of both filters as one stacked (2, FS/2) contraction each
+    lo = jnp.asarray(np.stack([syn_lo[0::2], syn_lo[1::2]]), a.dtype)
+    hi = jnp.asarray(np.stack([syn_hi[0::2], syn_hi[1::2]]), a.dtype)
     out = jnp.einsum(
         "...kj,pj->...kp", a[..., idx], lo, precision=config.precision
     ) + jnp.einsum(
@@ -114,64 +326,76 @@ def idwt(a, d, wavelet: str = "db2", *, config: SpectralConfig = DEFAULT_CONFIG)
 
 
 def wavedec(
-    x, wavelet: str = "db2", level: int = 1, *,
+    x, wavelet: str = "db2", level: int = 1, mode: str = "periodization", *,
     config: SpectralConfig = DEFAULT_CONFIG,
 ) -> List[Array]:
     """Multilevel analysis: returns [a_L, d_L, d_{L-1}, …, d_1] (PyWavelets
-    ordering).  The length must be divisible by 2^level."""
+    ordering).  With periodization the length must divide 2^level."""
     x = jnp.asarray(x)
     if level < 1:
         raise ValueError(f"level must be >= 1, got {level}")
-    if x.shape[-1] % (1 << level):
+    if mode == "periodization" and x.shape[-1] % (1 << level):
         raise ValueError(
             f"length {x.shape[-1]} not divisible by 2^level = {1 << level}"
         )
     details: List[Array] = []
     a = x
     for _ in range(level):
-        a, dd = dwt(a, wavelet, config=config)
+        a, dd = dwt(a, wavelet, mode, config=config)
         details.append(dd)
     return [a] + details[::-1]
 
 
 def waverec(
-    coeffs: Sequence[Array], wavelet: str = "db2", *,
+    coeffs: Sequence[Array], wavelet: str = "db2",
+    mode: str = "periodization", *,
     config: SpectralConfig = DEFAULT_CONFIG,
 ) -> Array:
-    """Inverse of :func:`wavedec`."""
+    """Inverse of :func:`wavedec` (trims the canonical odd extra sample of
+    the extension modes against the next level's expected length)."""
     if len(coeffs) < 2:
         raise ValueError("need [approx, detail, …] with at least one detail")
     a = jnp.asarray(coeffs[0])
-    for dd in coeffs[1:]:
-        a = idwt(a, jnp.asarray(dd), wavelet, config=config)
+    for i, dd in enumerate(coeffs[1:]):
+        dd = jnp.asarray(dd)
+        if a.shape[-1] == dd.shape[-1] + 1:
+            a = a[..., :-1]  # canonical odd-length extra sample
+        a = idwt(a, dd, wavelet, mode, config=config)
     return a
 
 
-def dwt2(x, wavelet: str = "db2", *, config: SpectralConfig = DEFAULT_CONFIG):
+def dwt2(
+    x, wavelet: str = "db2", mode: str = "periodization", *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+):
     """Separable 2-D analysis over the last two axes:
-    (…, H, W) -> (LL, (LH, HL, HH)) with each sub-band (…, H/2, W/2)
-    (PyWavelets dwt2 ordering: LH = horizontal detail = lowpass rows /
-    highpass columns applied along H)."""
+    (…, H, W) -> (LL, (LH, HL, HH)) (PyWavelets dwt2 ordering: LH =
+    horizontal detail = lowpass rows / highpass columns applied along H)."""
     x = jnp.asarray(x)
     if x.ndim < 2:
         raise ValueError("dwt2 needs >= 2-D input")
     # rows (last axis), then columns (second-to-last)
-    lo, hi = dwt(x, wavelet, config=config)
+    lo, hi = dwt(x, wavelet, mode, config=config)
     out = []
     for band in (lo, hi):
         b = jnp.swapaxes(band, -1, -2)
-        a, d = dwt(b, wavelet, config=config)
+        a, d = dwt(b, wavelet, mode, config=config)
         out.append((jnp.swapaxes(a, -1, -2), jnp.swapaxes(d, -1, -2)))
     (ll, lh), (hl, hh) = out
     return ll, (lh, hl, hh)
 
 
-def idwt2(ll, details, wavelet: str = "db2", *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+def idwt2(
+    ll, details, wavelet: str = "db2", mode: str = "periodization", *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
     """Inverse of :func:`dwt2`."""
     lh, hl, hh = details
     cols = []
     for a, d in ((ll, lh), (hl, hh)):
         aa = jnp.swapaxes(jnp.asarray(a), -1, -2)
         dd = jnp.swapaxes(jnp.asarray(d), -1, -2)
-        cols.append(jnp.swapaxes(idwt(aa, dd, wavelet, config=config), -1, -2))
-    return idwt(cols[0], cols[1], wavelet, config=config)
+        cols.append(
+            jnp.swapaxes(idwt(aa, dd, wavelet, mode, config=config), -1, -2)
+        )
+    return idwt(cols[0], cols[1], wavelet, mode, config=config)

@@ -67,14 +67,27 @@ def _stacked_dft_matrix(wr: Array, wi: Array) -> Array:
 
 
 def _bf16_chunks3(v: Array) -> Tuple[Array, Array, Array]:
-    """Three-term bf16 decomposition of an fp32 array: v ≈ c1 + c2 + c3 with
-    each chunk round-to-nearest bf16 of the running residual (≥24 captured
-    mantissa bits; residual ~2^-25·|v|)."""
-    c1 = v.astype(jnp.bfloat16)
-    r1 = v - c1.astype(v.dtype)
-    c2 = r1.astype(jnp.bfloat16)
-    c3 = (r1 - c2.astype(v.dtype)).astype(jnp.bfloat16)
-    return c1, c2, c3
+    """Three-term bf16 decomposition of an fp32 array: v ≈ c1 + c2 + c3.
+
+    Chunks are cut by BITMASK, not dtype casts: the natural
+    ``v - v.astype(bf16).astype(f32)`` residual is silently zeroed by XLA's
+    excess-precision simplifier on TPU (the f32→bf16→f32 round trip is
+    elided; measured — the split6 error collapsed to bf16-class 2.3e-3).
+    Masking the low 16 mantissa bits keeps each chunk exactly
+    bf16-representable while the subtraction stays a real f32 op."""
+    mask = np.int32(~np.int32(0xFFFF))
+    def cut(x):
+        bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+        return jax.lax.bitcast_convert_type(bits & mask, jnp.float32)
+    c1 = cut(v)
+    r1 = v - c1
+    c2 = cut(r1)
+    r2 = r1 - c2
+    return (
+        c1.astype(jnp.bfloat16),
+        c2.astype(jnp.bfloat16),
+        r2.astype(jnp.bfloat16),
+    )
 
 
 def _einsum_split6(subscripts: str, axis: int, x: Array, w: Array) -> Array:
