@@ -32,6 +32,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..plan import BluesteinPlan, MixedRadixPlan
 from ..utils.numerics import cmul

@@ -186,6 +186,36 @@ def trace(log_dir: str):
                 pass
 
 
+def estimate_four_step_hbm(
+    n: int, batch: int, parts: int, *, dtype_bytes: int = 4,
+    copies: float = 6.0,
+) -> dict:
+    """Per-chip HBM footprint estimate for the distributed four-step FFT
+    (BASELINE config 5 class: transform length ``n``, total ``batch``,
+    sharded over ``parts`` chips on the sequence axis).
+
+    Live per-chip working set = batch · (n/parts) · 2 planes · dtype_bytes;
+    ``copies`` bounds the number of simultaneously-live copies XLA keeps
+    (input, output, two all-to-all staging buffers, twiddle products,
+    gradient shadow — 6 is conservative for the forward+backward step).
+    Plan constants (stage matrices + split twiddles, O(n/parts·f)) are
+    counted separately.  The canonical config-5 number: N=65536, batch=4096
+    on v5e-8 → 0.268 GB/copy, ~1.7 GB total vs 16 GB/chip HBM — a 9x
+    margin, so the full batch fits without remat or microbatching."""
+    shard = batch * (n // parts) * 2 * dtype_bytes
+    # stage constants: sum of f_i^2 DFT matrices + (f_i, n_rem) twiddles,
+    # bounded by 2·(n/parts)·max_stage entries per plane pair
+    const = 4 * (n // parts) * 256 * dtype_bytes // 64  # ~n/parts·16 floats
+    total = copies * shard + const
+    return {
+        "per_copy_bytes": shard,
+        "plan_const_bytes": const,
+        "total_bytes": int(total),
+        "total_gb": round(total / 2**30, 3),
+        "fits_v5e_16gb": bool(total < 15 * 2**30),
+    }
+
+
 def roofline_summary(
     plan, measured_seconds: float, batch: int, *, dtype_bytes: int = 4
 ) -> dict:

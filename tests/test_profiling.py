@@ -72,3 +72,18 @@ class TestPlanPersistence:
         assert n_saved >= 8
         clear_plan_cache()
         assert load_plans(path) == n_saved
+
+
+def test_estimate_four_step_hbm_config5():
+    """BASELINE config 5 (65536-pt, batch 4096, v5e-8) fits HBM with margin."""
+    from mixed_radix_fast_fourier_transform_tpu.utils.profiling import (
+        estimate_four_step_hbm,
+    )
+
+    b = estimate_four_step_hbm(65536, 4096, 8)
+    assert b["per_copy_bytes"] == 4096 * 8192 * 2 * 4  # 256 MiB
+    assert b["fits_v5e_16gb"]
+    assert 1.0 < b["total_gb"] < 4.0
+    # and a shape that should NOT fit flags false
+    big = estimate_four_step_hbm(1 << 22, 65536, 8)
+    assert not big["fits_v5e_16gb"]
