@@ -399,3 +399,45 @@ def idwt2(
             jnp.swapaxes(idwt(aa, dd, wavelet, mode, config=config), -1, -2)
         )
     return idwt(cols[0], cols[1], wavelet, mode, config=config)
+
+
+def wavedec2(
+    x, wavelet: str = "db2", level: int = 1, mode: str = "periodization", *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> list:
+    """Multilevel 2-D analysis: [LL_L, (LH_L, HL_L, HH_L), …, (…_1)]
+    (PyWavelets wavedec2 ordering, coarsest first)."""
+    x = jnp.asarray(x)
+    if level < 1:
+        raise ValueError(f"level must be >= 1, got {level}")
+    if mode == "periodization" and (
+        x.shape[-1] % (1 << level) or x.shape[-2] % (1 << level)
+    ):
+        raise ValueError(
+            f"shape {x.shape[-2:]} not divisible by 2^level = {1 << level}"
+        )
+    details = []
+    a = x
+    for _ in range(level):
+        a, bands = dwt2(a, wavelet, mode, config=config)
+        details.append(bands)
+    return [a] + details[::-1]
+
+
+def waverec2(
+    coeffs: Sequence, wavelet: str = "db2", mode: str = "periodization", *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Inverse of :func:`wavedec2` (trims canonical odd extra rows/columns
+    of the extension modes against each level's detail shapes)."""
+    if len(coeffs) < 2:
+        raise ValueError("need [LL, (LH, HL, HH), …] with at least one level")
+    a = jnp.asarray(coeffs[0])
+    for bands in coeffs[1:]:
+        lh = jnp.asarray(bands[0])
+        if a.shape[-2] == lh.shape[-2] + 1:
+            a = a[..., :-1, :]
+        if a.shape[-1] == lh.shape[-1] + 1:
+            a = a[..., :-1]
+        a = idwt2(a, bands, wavelet, mode, config=config)
+    return a

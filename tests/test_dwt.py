@@ -190,3 +190,15 @@ def test_dwt2_bior_symmetric_roundtrip(rng):
     ll, (lh, hl, hh) = sp.dwt2(x, "bior4.4", "symmetric")
     back = np.asarray(sp.idwt2(ll, (lh, hl, hh), "bior4.4", "symmetric"))
     np.testing.assert_allclose(back[:18, :26], x, atol=5e-5)
+
+
+@pytest.mark.parametrize("mode", ["periodization", "symmetric"])
+def test_wavedec2_roundtrip(rng, mode):
+    shape = (32, 48) if mode == "periodization" else (30, 43)
+    x = rng.standard_normal(shape).astype(np.float32)
+    coeffs = sp.wavedec2(x, "bior4.4" if mode == "symmetric" else "db3",
+                         level=2, mode=mode)
+    assert len(coeffs) == 3 and len(coeffs[1]) == 3
+    w = "bior4.4" if mode == "symmetric" else "db3"
+    back = np.asarray(sp.waverec2(coeffs, w, mode=mode))
+    np.testing.assert_allclose(back[: shape[0], : shape[1]], x, atol=5e-5)
