@@ -401,6 +401,76 @@ def idwt2(
     return idwt(cols[0], cols[1], wavelet, mode, config=config)
 
 
+def swt(
+    x, wavelet: str = "db2", level: int = 1, *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> list:
+    """Stationary (undecimated / à trous) wavelet transform, periodic
+    boundary: returns [(a_L, d_L), …, (a_1, d_1)] (PyWavelets swt ordering,
+    coarsest first), every band length N.
+
+    Level j analyzes with the filters upsampled by 2^(j-1) and NO
+    decimation — a shift-invariant redundant frame (denoising workhorse).
+    N must be divisible by 2^level.  Pure gather + einsum."""
+    x = jnp.asarray(x)
+    if x.ndim < 1:
+        raise ValueError("swt needs at least a 1-D signal")
+    if not jnp.issubdtype(x.dtype, jnp.inexact):
+        x = x.astype(jnp.float32)
+    n = x.shape[-1]
+    if level < 1:
+        raise ValueError(f"level must be >= 1, got {level}")
+    if n < 2 or n % (1 << level):
+        raise ValueError(
+            f"swt needs length divisible by 2^level = {1 << level}, got {n}"
+        )
+    dec_lo, dec_hi, _, _, _ = _banks(wavelet)
+    f = len(dec_lo)
+    filt = jnp.asarray(np.stack([dec_lo, dec_hi]), x.dtype)
+    out = []
+    a = x
+    for j in range(level):
+        up = 1 << j
+        idx = (np.arange(n)[:, None] + up * np.arange(f)[None, :]) % n
+        bands = jnp.einsum(
+            "...tf,cf->c...t", a[..., idx], filt, precision=config.precision
+        )
+        a = bands[0]
+        out.append((bands[0], bands[1]))
+    return out[::-1]
+
+
+def iswt(
+    coeffs: Sequence, wavelet: str = "db2", *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Inverse of :func:`swt` (exact): per level, the undecimated dual-frame
+    identity x = (syn_lo ⋆ a + syn_hi ⋆ d)/2 with the synthesis filters
+    upsampled — verified PR for every registered wavelet incl. the
+    biorthogonal banks (alignment delta = 0 at all levels)."""
+    if len(coeffs) < 1:
+        raise ValueError("need at least one (approx, detail) level")
+    _, _, syn_lo, syn_hi, _ = _banks(wavelet)
+    fs = len(syn_lo)
+    a = jnp.asarray(coeffs[0][0])
+    n = a.shape[-1]
+    level = len(coeffs)
+    for lev, (_, d) in enumerate(coeffs):
+        j = level - 1 - lev  # upsampling exponent of this level's filters
+        up = 1 << j
+        d = jnp.asarray(d)
+        idx = (np.arange(n)[:, None] - up * np.arange(fs)[None, :]) % n
+        lo = jnp.asarray(syn_lo, a.dtype)
+        hi = jnp.asarray(syn_hi, a.dtype)
+        a = 0.5 * (
+            jnp.einsum("...ts,s->...t", a[..., idx], lo,
+                       precision=config.precision)
+            + jnp.einsum("...ts,s->...t", d[..., idx], hi,
+                         precision=config.precision)
+        )
+    return a
+
+
 def wavedec2(
     x, wavelet: str = "db2", level: int = 1, mode: str = "periodization", *,
     config: SpectralConfig = DEFAULT_CONFIG,

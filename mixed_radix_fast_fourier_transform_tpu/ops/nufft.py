@@ -49,6 +49,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.config import DEFAULT_CONFIG, SpectralConfig
+from ..utils.factorize import next_pow2
 from .fft import fft, fft2, ifft, ifft2
 
 Array = jax.Array
@@ -421,6 +422,78 @@ def _spread_2d(x, y, c, mrs, taus, msp: int) -> Array:
     part = _halo_to_grid(halo, s1, msp, mr1)  # (…, nb2, Ls2, mr1)
     part = jnp.moveaxis(part, -1, -3)  # (…, mr1, nb2, Ls2)
     return _halo_to_grid(part, s2, msp, mr2)  # (…, mr1, mr2)
+
+
+def _spread_3d(x, y, z, c, mrs, taus, msp: int):
+    """3-D Gaussian spreading as chunked block one-hot matmuls.
+
+    Same scheme as :func:`_spread_2d` with a third axis and a smaller block
+    (s = 8 per axis — the local image is Ls³ per point, so block size
+    trades one-hot width against local-image volume).  Points are processed
+    in chunks of ``_SPREAD_CHUNK_3D`` under ``lax.scan`` so the per-chunk
+    local tensor (C, Ls³) stays ~tens of MB.  Returns None when the grid is
+    too small for the block scheme (caller falls back to scatter)."""
+    mr1, mr2, mr3 = mrs
+    tau1, tau2, tau3 = taus
+    s = max(8, next_pow2(msp))
+    s1, s2, s3 = (min(s, m) for m in mrs)
+    if min(s1, s2, s3) < msp:
+        return None
+    b1, a1 = _block_local(x, mr1, tau1, msp, s1)
+    b2, a2 = _block_local(y, mr2, tau2, msp, s2)
+    b3, a3 = _block_local(z, mr3, tau3, msp, s3)
+    nb1, nb2, nb3 = mr1 // s1, mr2 // s2, mr3 // s3
+    nb = nb1 * nb2 * nb3
+    bc = (b1 * nb2 + b2) * nb3 + b3  # (M,)
+    m = x.shape[0]
+    chunk = _SPREAD_CHUNK_3D
+    pad = (-m) % chunk
+    if pad:
+        zp = [(0, pad)]
+        bc = jnp.pad(bc, zp)  # padded points: block 0, zero strengths
+        a1 = jnp.pad(a1, [(0, pad), (0, 0)])
+        a2 = jnp.pad(a2, [(0, pad), (0, 0)])
+        a3 = jnp.pad(a3, [(0, pad), (0, 0)])
+        c = jnp.pad(c, [(0, 0)] * (c.ndim - 1) + [(0, pad)])
+    nc = (m + pad) // chunk
+    ls1, ls2, ls3 = a1.shape[-1], a2.shape[-1], a3.shape[-1]
+    dt = c.real.dtype
+
+    def resh(v, extra):
+        return v.reshape((nc, chunk) + extra)
+
+    ohb = (bc[:, None] == np.arange(nb)[None, :]).astype(dt)
+    scan_in = (
+        resh(ohb, (nb,)), resh(a1.astype(dt), (ls1,)),
+        resh(a2.astype(dt), (ls2,)), resh(a3.astype(dt), (ls3,)),
+        jnp.moveaxis(c.reshape(c.shape[:-1] + (nc, chunk)), -2, 0),
+    )
+    halo0 = jnp.zeros(c.shape[:-1] + (nb, ls1, ls2, ls3), c.dtype)
+
+    def body(halo, args):
+        oh, u1, u2, u3, cc = args
+        ab = (
+            cc[..., :, None, None, None]
+            * (u1[:, :, None, None] * u2[:, None, :, None] * u3[:, None, None, :])
+        )
+        return halo + jnp.einsum(
+            "...mijk,mb->...bijk", ab, oh, precision="high"
+        ), None
+
+    halo, _ = jax.lax.scan(body, halo0, scan_in)
+    halo = halo.reshape(
+        halo.shape[:-4] + (nb1, nb2, nb3, ls1, ls2, ls3)
+    )
+    # fold (nb_i, Ls_i) -> mr_i, innermost first
+    halo = jnp.moveaxis(halo, (-6, -3), (-2, -1))  # (…, nb2, nb3, l2, l3, nb1, l1)
+    part = _halo_to_grid(halo, s1, msp, mr1)       # (…, nb2, nb3, l2, l3, mr1)
+    part = jnp.moveaxis(part, (-5, -3), (-2, -1))  # (…, nb3, l3, mr1, nb2, l2)
+    part = _halo_to_grid(part, s2, msp, mr2)       # (…, nb3, l3, mr1, mr2)
+    part = jnp.moveaxis(part, (-4, -3), (-2, -1))  # (…, mr1, mr2, nb3, l3)
+    return _halo_to_grid(part, s3, msp, mr3)       # (…, mr1, mr2, mr3)
+
+
+_SPREAD_CHUNK_3D = 512
 
 
 def _interp(u: Array, x: Array, mr: int, tau: float, msp: int) -> Array:
@@ -1022,22 +1095,26 @@ def nufft1_3d(
     mr1, tau1, msp = _grid_params(n1, eps)
     mr2, tau2, _ = _grid_params(n2, eps)
     mr3, tau3, _ = _grid_params(n3, eps)
-    idx1, w1 = _spread_geometry(x, mr1, tau1, msp)
-    idx2, w2 = _spread_geometry(y, mr2, tau2, msp)
-    idx3, w3 = _spread_geometry(z, mr3, tau3, msp)
-    taps = (
-        w1[:, :, None, None] * w2[:, None, :, None] * w3[:, None, None, :]
-    ).astype(c.real.dtype)
-    vals = taps * c[..., :, None, None, None]
-    flat = (
-        (idx1[:, :, None, None] * mr2 + idx2[:, None, :, None]) * mr3
-        + idx3[:, None, None, :]
-    ).reshape(-1)
-    grid = jnp.zeros(c.shape[:-1] + (mr1 * mr2 * mr3,), dtype=vals.dtype)
-    grid = grid.at[..., flat].add(
-        vals.reshape(vals.shape[:-4] + (-1,)), mode="promise_in_bounds"
+    grid = _spread_3d(
+        x, y, z, c, (mr1, mr2, mr3), (tau1, tau2, tau3), msp
     )
-    grid = grid.reshape(c.shape[:-1] + (mr1, mr2, mr3))
+    if grid is None:  # grid too small for the block scheme: scatter
+        idx1, w1 = _spread_geometry(x, mr1, tau1, msp)
+        idx2, w2 = _spread_geometry(y, mr2, tau2, msp)
+        idx3, w3 = _spread_geometry(z, mr3, tau3, msp)
+        taps = (
+            w1[:, :, None, None] * w2[:, None, :, None] * w3[:, None, None, :]
+        ).astype(c.real.dtype)
+        vals = taps * c[..., :, None, None, None]
+        flat = (
+            (idx1[:, :, None, None] * mr2 + idx2[:, None, :, None]) * mr3
+            + idx3[:, None, None, :]
+        ).reshape(-1)
+        grid = jnp.zeros(c.shape[:-1] + (mr1 * mr2 * mr3,), dtype=vals.dtype)
+        grid = grid.at[..., flat].add(
+            vals.reshape(vals.shape[:-4] + (-1,)), mode="promise_in_bounds"
+        )
+        grid = grid.reshape(c.shape[:-1] + (mr1, mr2, mr3))
     spec = _fftn(grid, config=config)
     centered = _center(
         _center(_center(spec, mr1, n1, axis=-3), mr2, n2, axis=-2), mr3, n3

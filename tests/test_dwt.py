@@ -202,3 +202,36 @@ def test_wavedec2_roundtrip(rng, mode):
     w = "bior4.4" if mode == "symmetric" else "db3"
     back = np.asarray(sp.waverec2(coeffs, w, mode=mode))
     np.testing.assert_allclose(back[: shape[0], : shape[1]], x, atol=5e-5)
+
+
+@pytest.mark.parametrize("wavelet", ["haar", "db3", "bior4.4"])
+@pytest.mark.parametrize("level", [1, 3])
+def test_swt_roundtrip(rng, wavelet, level):
+    x = rng.standard_normal((2, 64)).astype(np.float32)
+    coeffs = sp.swt(x, wavelet, level=level)
+    assert len(coeffs) == level
+    for a, d in coeffs:
+        assert a.shape == x.shape and d.shape == x.shape
+    back = np.asarray(sp.iswt(coeffs, wavelet))
+    np.testing.assert_allclose(back, x, atol=5e-5)
+
+
+def test_swt_shift_invariance(rng):
+    """The undecimated transform commutes with circular shifts."""
+    x = rng.standard_normal(64).astype(np.float32)
+    c0 = sp.swt(x, "db2", level=2)
+    c1 = sp.swt(np.roll(x, 5), "db2", level=2)
+    for (a0, d0), (a1, d1) in zip(c0, c1):
+        np.testing.assert_allclose(
+            np.roll(np.asarray(a0), 5), np.asarray(a1), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.roll(np.asarray(d0), 5), np.asarray(d1), atol=1e-5
+        )
+
+
+def test_swt_errors():
+    with pytest.raises(ValueError):
+        sp.swt(np.ones(12, np.float32), level=3)
+    with pytest.raises(ValueError):
+        sp.iswt([], "db2")
