@@ -28,11 +28,16 @@ Two TPU execution strategies, selected by ``method``:
   reduction (CLAUDE.md conventions).
 * ``"grid"`` — Gaussian gridding (Dutt-Rokhlin; Greengard & Lee, SIAM Rev
   2004): spread each point onto 2·msp neighbouring cells of a sigma=2
-  oversampled grid (one scatter-add of static shape), run the library's
-  uniform FFT, and deconvolve by the kernel's transform
-  sqrt(4·pi·tau)·e^{-k^2·tau}.  O(M·msp + sigma·N·log N) — the large-scale
-  path.  tau = pi·msp/(N^2·sigma·(sigma-0.5)); measured accuracy (fp64
-  prototype): msp 4 -> 7e-5, 6 -> 1.5e-6, 8 -> 1.4e-8 relative.
+  oversampled grid, run the library's uniform FFT, and deconvolve by the
+  kernel's transform sqrt(4·pi·tau)·e^{-k^2·tau}.  Spreading is
+  **scatter-free**: per-point local tap images contract against a
+  (point -> grid block) one-hot matrix on the MXU and overlapping block
+  halos fold back with static rolls (:func:`_block_local` /
+  :func:`_halo_to_grid`) — measured 11 us at M=4096 in 1-D vs 4.6 ms for
+  the scatter-add it replaced (v5e, 2026-08-17).  O(M·msp + sigma·N·log N)
+  — the large-scale path.  tau = pi·msp/(N^2·sigma·(sigma-0.5)); measured
+  accuracy (fp64 prototype): msp 4 -> 7e-5, 6 -> 1.5e-6, 8 -> 1.4e-8
+  relative.
 
 Everything is jittable, batched over leading axes of the strengths/modes,
 and differentiable (both paths are jnp compositions; the scatter/gather
