@@ -265,3 +265,50 @@ class TestHartley:
         got = np.asarray(sp.dht(z))
         want = np.asarray(sp.dht(z.real)) + 1j * np.asarray(sp.dht(z.imag))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_per_stage_precision_tuple():
+    """SpectralConfig.precision accepts per-stage tuples (mixed schemes);
+    plans cache per scheme and execute correctly."""
+    import dataclasses
+
+    import jax
+
+    from mixed_radix_fast_fourier_transform_tpu.ops.stockham import exec_complex
+    from mixed_radix_fast_fourier_transform_tpu.plan import build_complex_plan
+    from mixed_radix_fast_fourier_transform_tpu.utils.config import DEFAULT_CONFIG
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((4, 360)) + 1j * rng.standard_normal((4, 360))
+    want = np.fft.fft(x, axis=-1)
+    cfg = dataclasses.replace(DEFAULT_CONFIG, precision=("highest", "high"))
+    p = build_complex_plan(360, -1, cfg)
+    assert p.precision == ("highest", "high")
+    zr, zi = jax.jit(lambda a, c: exec_complex(p, a, c))(
+        x.real.astype(np.float32), x.imag.astype(np.float32)
+    )
+    got = np.asarray(zr) + 1j * np.asarray(zi)
+    # CPU matmuls are fp32-exact regardless of flag: correctness only
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-4
+
+
+def test_split6_precision_form():
+    """The split6 fused form (bitmask bf16 chunks) is fp32-class accurate."""
+    import dataclasses
+
+    import jax
+
+    from mixed_radix_fast_fourier_transform_tpu.ops.stockham import exec_complex
+    from mixed_radix_fast_fourier_transform_tpu.plan import build_complex_plan
+    from mixed_radix_fast_fourier_transform_tpu.utils.config import DEFAULT_CONFIG
+
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((2, 1024)) + 1j * rng.standard_normal((2, 1024))
+    want = np.fft.fft(x, axis=-1)
+    cfg = dataclasses.replace(DEFAULT_CONFIG, precision="split6")
+    p = build_complex_plan(1024, -1, cfg)
+    zr, zi = jax.jit(lambda a, c: exec_complex(p, a, c))(
+        x.real.astype(np.float32), x.imag.astype(np.float32)
+    )
+    got = np.asarray(zr) + 1j * np.asarray(zi)
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 5e-6
