@@ -501,11 +501,37 @@ def _spread_3d(x, y, z, c, mrs, taus, msp: int):
 _SPREAD_CHUNK_3D = 512
 
 
+def _grid_halo(u: Array, s: int, msp: int, mr: int) -> Array:
+    """Adjoint of :func:`_halo_to_grid`: view the circular grid ``u``
+    (…, mr) as overlapping (nb, Ls) blocks via a static host-index gather
+    (wrap-padded, so XLA lowers it to slices — no dynamic gather)."""
+    nb = mr // s
+    ls = s + 2 * msp - 1
+    ue = jnp.concatenate([u[..., -(msp - 1):] if msp > 1 else u[..., :0],
+                          u, u[..., : s + msp]], axis=-1)
+    idx = (s * np.arange(nb)[:, None] + np.arange(ls)[None, :])
+    return ue[..., idx]  # (…, nb, Ls); idx offset already includes -(msp-1)
+
+
 def _interp(u: Array, x: Array, mr: int, tau: float, msp: int) -> Array:
-    """Gather-weighted Gaussian interpolation of grid values ``u`` (…, mr) at
-    the points — the linear adjoint of :func:`_spread`."""
-    idx, w = _spread_geometry(x, mr, tau, msp)
-    return jnp.sum(u[..., idx] * w.astype(u.real.dtype), axis=-1)
+    """Gaussian interpolation of grid values ``u`` (…, mr) at the points —
+    the linear adjoint of :func:`_spread`, computed the same way: block
+    halos of the grid contract against the point->block one-hot on the MXU,
+    then the per-point local tap image reduces elementwise.  Replaces the
+    dynamic gather that made the type-2 grid path interp-bound (measured
+    ~900 us at (4096, 4096) on v5e vs ~30 us matmul-formulated)."""
+    s = min(_SPREAD_BLOCK, mr)
+    if s < msp:  # tiny grid: dynamic gather is fine
+        idx, w = _spread_geometry(x, mr, tau, msp)
+        return jnp.sum(u[..., idx] * w.astype(u.real.dtype), axis=-1)
+    b, a = _block_local(x, mr, tau, msp, s)
+    nb = mr // s
+    ohb = (b[:, None] == np.arange(nb)[None, :]).astype(a.dtype)
+    halo = _grid_halo(u, s, msp, mr)  # (…, nb, Ls)
+    vals = jnp.einsum("...bl,mb->...ml", halo, ohb, precision="high")
+    return jnp.einsum(
+        "...ml,ml->...m", vals, a.astype(u.real.dtype), precision="high"
+    )
 
 
 def _center(spec: Array, mr: int, n: int, axis: int = -1) -> Array:
@@ -820,15 +846,37 @@ def nufft2_2d(
     fd = f * jnp.asarray(deconv, dtype=f.real.dtype)
     wrapped = _wrap(_wrap(fd, mr1, axis=-2), mr2)
     u = ifft2(wrapped, config=config) * (mr1 * mr2)
-    idx1, w1 = _spread_geometry(x, mr1, tau1, msp)
-    idx2, w2 = _spread_geometry(y, mr2, tau2, msp)
-    flat = (idx1[:, :, None] * mr2 + idx2[:, None, :]).reshape(-1)
-    uf = u.reshape(u.shape[:-2] + (mr1 * mr2,))
-    taps = uf[..., flat].reshape(
-        u.shape[:-2] + (x.shape[0], 2 * msp, 2 * msp)
+    s1 = min(_SPREAD_BLOCK, mr1)
+    s2 = min(_SPREAD_BLOCK, mr2)
+    if min(s1, s2) < msp:  # tiny grid: dynamic gather
+        idx1, w1 = _spread_geometry(x, mr1, tau1, msp)
+        idx2, w2 = _spread_geometry(y, mr2, tau2, msp)
+        flat = (idx1[:, :, None] * mr2 + idx2[:, None, :]).reshape(-1)
+        uf = u.reshape(u.shape[:-2] + (mr1 * mr2,))
+        taps = uf[..., flat].reshape(
+            u.shape[:-2] + (x.shape[0], 2 * msp, 2 * msp)
+        )
+        w = (w1[:, :, None] * w2[:, None, :]).astype(u.real.dtype)
+        return jnp.sum(taps * w, axis=(-2, -1))
+    # block-matmul adjoint interpolation (see _interp)
+    b1, a1 = _block_local(x, mr1, tau1, msp, s1)
+    b2, a2 = _block_local(y, mr2, tau2, msp, s2)
+    nb1, nb2 = mr1 // s1, mr2 // s2
+    ohb = ((b1 * nb2 + b2)[:, None] == np.arange(nb1 * nb2)[None, :]).astype(
+        a1.dtype
     )
-    w = (w1[:, :, None] * w2[:, None, :]).astype(u.real.dtype)
-    return jnp.sum(taps * w, axis=(-2, -1))
+    halo = _grid_halo(u, s2, msp, mr2)              # (…, mr1, nb2, Ls2)
+    halo = jnp.moveaxis(halo, -3, -1)               # (…, nb2, Ls2, mr1)
+    halo = _grid_halo(halo, s1, msp, mr1)           # (…, nb2, Ls2, nb1, Ls1)
+    halo = jnp.moveaxis(halo, (-2, -1), (-4, -2))   # (…, nb1, nb2, Ls1, Ls2)
+    halo = halo.reshape(halo.shape[:-4] + (nb1 * nb2,) + halo.shape[-2:])
+    vals = jnp.einsum("...bij,mb->...mij", halo, ohb, precision="high")
+    t = jnp.einsum(
+        "...mij,mj->...mi", vals, a2.astype(u.real.dtype), precision="high"
+    )
+    return jnp.einsum(
+        "...mi,mi->...m", t, a1.astype(u.real.dtype), precision="high"
+    )
 
 
 def _cg(apply_normal, rhs: Array, iters: int, mode_axes: int) -> Array:
