@@ -19,8 +19,10 @@ nlat = L Gauss-Legendre nodes and nlon = 2L longitudes the transform pair
 is EXACT for band-limited fields (Gauss quadrature integrates the degree
 <= 2L-2 Legendre products exactly; round-trip error ~6e-15 in the fp64
 prototype, engine fp32 floor otherwise).  Measured on one v5e chip
-(2026-08-17): a batch-16 analysis+synthesis round trip at L = 128 runs in
-198 us (~12 us per field pair — MXU-bound on the Legendre contraction).
+(2026-08-17, chunked tables): a batch-16 analysis+synthesis round trip
+runs 81 us at L = 128 (~5.1 us per field pair — 2.3x the round-2 dense
+layout) and 1.36 ms at L = 256 (85 us per field pair), projection error
+~1.6e-7.
 
 Conventions: orthonormal complex spherical harmonics Y_lm with
 Condon-Shortley phase; a = sht(f) has a[m_idx, l] = ∫ f Y*_lm dΩ with the
