@@ -471,6 +471,94 @@ def iswt(
     return a
 
 
+def swt2(
+    x, wavelet: str = "db2", level: int = 1, *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> list:
+    """Separable 2-D stationary wavelet transform over the last two axes:
+    [(A_L, (H_L, V_L, D_L)), …, (A_1, (H_1, V_1, D_1))] (PyWavelets swt2
+    ordering, coarsest first), every band the input shape.  Both axes must
+    divide 2^level."""
+    x = jnp.asarray(x)
+    if x.ndim < 2:
+        raise ValueError("swt2 needs >= 2-D input")
+    if not jnp.issubdtype(x.dtype, jnp.inexact):
+        x = x.astype(jnp.float32)
+    h, wlen = x.shape[-2], x.shape[-1]
+    if level < 1:
+        raise ValueError(f"level must be >= 1, got {level}")
+    if h % (1 << level) or wlen % (1 << level):
+        raise ValueError(
+            f"swt2 needs both axes divisible by 2^level, got {(h, wlen)}"
+        )
+    dec_lo, dec_hi, _, _, _ = _banks(wavelet)
+    f = len(dec_lo)
+    filt = jnp.asarray(np.stack([dec_lo, dec_hi]), x.dtype)
+    out = []
+    a = x
+    for j in range(level):
+        up = 1 << j
+
+        def one_axis(v, n):
+            idx = (np.arange(n)[:, None] + up * np.arange(f)[None, :]) % n
+            return jnp.einsum(
+                "...tf,cf->c...t", v[..., idx], filt,
+                precision=config.precision,
+            )
+
+        rows = one_axis(a, wlen)  # (2, …, h, w): lowpass/highpass along w
+        bands = []
+        for r in (rows[0], rows[1]):
+            cols = one_axis(jnp.swapaxes(r, -1, -2), h)
+            bands.append(
+                (jnp.swapaxes(cols[0], -1, -2), jnp.swapaxes(cols[1], -1, -2))
+            )
+        (aa, hh_), (vv, dd) = bands  # (row-lo, col-lo/hi), (row-hi, …)
+        a = aa
+        out.append((aa, (hh_, vv, dd)))
+    return out[::-1]
+
+
+def iswt2(
+    coeffs: Sequence, wavelet: str = "db2", *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Inverse of :func:`swt2` (exact, dual-frame identity per axis)."""
+    if len(coeffs) < 1:
+        raise ValueError("need at least one (A, (H, V, D)) level")
+    _, _, syn_lo, syn_hi, _ = _banks(wavelet)
+    fs = len(syn_lo)
+    a = jnp.asarray(coeffs[0][0])
+    h, wlen = a.shape[-2], a.shape[-1]
+    level = len(coeffs)
+    for lev, (_, (hh_, vv, dd)) in enumerate(coeffs):
+        j = level - 1 - lev
+        up = 1 << j
+        lo = jnp.asarray(syn_lo, a.dtype)
+        hi = jnp.asarray(syn_hi, a.dtype)
+
+        def inv_axis(lo_band, hi_band, n):
+            idx = (np.arange(n)[:, None] - up * np.arange(fs)[None, :]) % n
+            return 0.5 * (
+                jnp.einsum("...ts,s->...t", lo_band[..., idx], lo,
+                           precision=config.precision)
+                + jnp.einsum("...ts,s->...t", hi_band[..., idx], hi,
+                             precision=config.precision)
+            )
+
+        # invert columns (axis -2) of each row band, then rows
+        rlo = jnp.swapaxes(
+            inv_axis(jnp.swapaxes(a, -1, -2),
+                     jnp.swapaxes(jnp.asarray(hh_), -1, -2), h), -1, -2
+        )
+        rhi = jnp.swapaxes(
+            inv_axis(jnp.swapaxes(jnp.asarray(vv), -1, -2),
+                     jnp.swapaxes(jnp.asarray(dd), -1, -2), h), -1, -2
+        )
+        a = inv_axis(rlo, rhi, wlen)
+    return a
+
+
 def wavedec2(
     x, wavelet: str = "db2", level: int = 1, mode: str = "periodization", *,
     config: SpectralConfig = DEFAULT_CONFIG,

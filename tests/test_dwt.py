@@ -235,3 +235,14 @@ def test_swt_errors():
         sp.swt(np.ones(12, np.float32), level=3)
     with pytest.raises(ValueError):
         sp.iswt([], "db2")
+
+
+@pytest.mark.parametrize("wavelet", ["db2", "bior4.4"])
+def test_swt2_roundtrip(rng, wavelet):
+    x = rng.standard_normal((2, 32, 64)).astype(np.float32)
+    coeffs = sp.swt2(x, wavelet, level=2)
+    assert len(coeffs) == 2
+    a, (h, v, d) = coeffs[0]
+    assert a.shape == x.shape == h.shape == v.shape == d.shape
+    back = np.asarray(sp.iswt2(coeffs, wavelet))
+    np.testing.assert_allclose(back, x, atol=5e-5)
