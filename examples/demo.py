@@ -143,6 +143,27 @@ def demo_chebyshev():
     print(f"  d/dx exp(x) on {n} Gauss-Lobatto points: rel err {rel:.3e}")
 
 
+def demo_dwt_denoise():
+    """Biorthogonal DWT + stationary-transform soft-threshold denoising."""
+    print("== wavelet denoising (bior4.4 swt, symmetric dwt) ==")
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 1, 256, endpoint=False)
+    clean = np.sin(2 * np.pi * 5 * t) + 0.5 * np.sign(np.sin(2 * np.pi * 2 * t))
+    noisy = (clean + 0.3 * rng.standard_normal(256)).astype(np.float32)
+    coeffs = sp.swt(noisy, "bior4.4", level=3)
+    thr = 3 * 0.3 / np.sqrt(2)
+    den = [(a, np.sign(d) * np.maximum(np.abs(np.asarray(d)) - thr, 0))
+           for a, d in coeffs]
+    rec = np.asarray(sp.iswt(den, "bior4.4"))
+    snr_in = 10 * np.log10(np.mean(clean**2) / np.mean((noisy - clean) ** 2))
+    snr_out = 10 * np.log10(np.mean(clean**2) / np.mean((rec - clean) ** 2))
+    print(f"  swt soft-threshold: SNR {snr_in:.1f} dB -> {snr_out:.1f} dB")
+    a, d = sp.dwt(noisy, "db4", "symmetric")
+    back = np.asarray(sp.idwt(a, d, "db4", "symmetric"))[:256]
+    print(f"  symmetric-mode dwt round trip: max err "
+          f"{np.max(np.abs(back - noisy)):.3e}")
+
+
 if __name__ == "__main__":
     demo_complex()
     demo_real()
@@ -152,4 +173,5 @@ if __name__ == "__main__":
     demo_nufft()
     demo_sphere()
     demo_chebyshev()
+    demo_dwt_denoise()
     demo_sharded()
