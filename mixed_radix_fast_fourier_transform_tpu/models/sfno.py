@@ -73,7 +73,7 @@ def spectral_mix(layer: Params, x: Array, *, config: SpectralConfig) -> Array:
     """(b, c, L, 2L) -> (b, c, L, 2L): per-degree channel mixing in SH space."""
     a = sht(x, config=config)  # (b, c, 2L-1, L) complex
     r = jax.lax.complex(layer["r_re"], layer["r_im"])  # (c_in, c_out, L)
-    mixed = jnp.einsum("biql,iol->boql", a, r, precision=config.precision)
+    mixed = jnp.einsum("biql,iol->boql", a, r, precision=config.op_precision)
     return jnp.real(isht(mixed, config=config))
 
 

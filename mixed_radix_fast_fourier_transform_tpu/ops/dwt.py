@@ -203,7 +203,7 @@ def _dwt_linear(x: Array, wavelet: str, mode: str, config: SpectralConfig):
     idx = 2 * np.arange(la)[:, None] + 1 + np.arange(f)[None, :]
     w = xe[..., idx]
     filt = jnp.asarray(np.stack([dec_lo, dec_hi]), x.dtype)
-    out = jnp.einsum("...kf,cf->c...k", w, filt, precision=config.precision)
+    out = jnp.einsum("...kf,cf->c...k", w, filt, precision=config.op_precision)
     return out[0], out[1]
 
 
@@ -247,10 +247,10 @@ def _idwt_linear(a: Array, d: Array, wavelet: str, config: SpectralConfig):
     dtype = a.dtype
     out = jnp.einsum(
         "...ptu,pu->...tp", ap[..., gidx], jnp.asarray(lo, dtype),
-        precision=config.precision,
+        precision=config.op_precision,
     ) + jnp.einsum(
         "...ptu,pu->...tp", dp[..., gidx], jnp.asarray(hi, dtype),
-        precision=config.precision,
+        precision=config.op_precision,
     )
     out = out.reshape(out.shape[:-2] + (2 * t_hi,))
     return out[..., :n_out]
@@ -285,7 +285,7 @@ def dwt(
     idx = (2 * np.arange(n // 2)[:, None] + np.arange(f)[None, :]) % n
     w = x[..., idx]  # (…, N/2, F) periodic windows
     filt = jnp.asarray(np.stack([dec_lo, dec_hi]), x.dtype)  # (2, F)
-    out = jnp.einsum("...kf,cf->c...k", w, filt, precision=config.precision)
+    out = jnp.einsum("...kf,cf->c...k", w, filt, precision=config.op_precision)
     return out[0], out[1]
 
 
@@ -318,9 +318,9 @@ def idwt(
     lo = jnp.asarray(np.stack([syn_lo[0::2], syn_lo[1::2]]), a.dtype)
     hi = jnp.asarray(np.stack([syn_hi[0::2], syn_hi[1::2]]), a.dtype)
     out = jnp.einsum(
-        "...kj,pj->...kp", a[..., idx], lo, precision=config.precision
+        "...kj,pj->...kp", a[..., idx], lo, precision=config.op_precision
     ) + jnp.einsum(
-        "...kj,pj->...kp", d[..., idx], hi, precision=config.precision
+        "...kj,pj->...kp", d[..., idx], hi, precision=config.op_precision
     )
     return out.reshape(a.shape[:-1] + (2 * h,))
 
@@ -356,7 +356,7 @@ def waverec(
     if len(coeffs) < 2:
         raise ValueError("need [approx, detail, …] with at least one detail")
     a = jnp.asarray(coeffs[0])
-    for i, dd in enumerate(coeffs[1:]):
+    for dd in coeffs[1:]:
         dd = jnp.asarray(dd)
         if a.shape[-1] == dd.shape[-1] + 1:
             a = a[..., :-1]  # canonical odd-length extra sample
@@ -433,7 +433,7 @@ def swt(
         up = 1 << j
         idx = (np.arange(n)[:, None] + up * np.arange(f)[None, :]) % n
         bands = jnp.einsum(
-            "...tf,cf->c...t", a[..., idx], filt, precision=config.precision
+            "...tf,cf->c...t", a[..., idx], filt, precision=config.op_precision
         )
         a = bands[0]
         out.append((bands[0], bands[1]))
@@ -464,9 +464,9 @@ def iswt(
         hi = jnp.asarray(syn_hi, a.dtype)
         a = 0.5 * (
             jnp.einsum("...ts,s->...t", a[..., idx], lo,
-                       precision=config.precision)
+                       precision=config.op_precision)
             + jnp.einsum("...ts,s->...t", d[..., idx], hi,
-                         precision=config.precision)
+                         precision=config.op_precision)
         )
     return a
 
@@ -503,7 +503,7 @@ def swt2(
             idx = (np.arange(n)[:, None] + up * np.arange(f)[None, :]) % n
             return jnp.einsum(
                 "...tf,cf->c...t", v[..., idx], filt,
-                precision=config.precision,
+                precision=config.op_precision,
             )
 
         rows = one_axis(a, wlen)  # (2, …, h, w): lowpass/highpass along w
@@ -541,9 +541,9 @@ def iswt2(
             idx = (np.arange(n)[:, None] - up * np.arange(fs)[None, :]) % n
             return 0.5 * (
                 jnp.einsum("...ts,s->...t", lo_band[..., idx], lo,
-                           precision=config.precision)
+                           precision=config.op_precision)
                 + jnp.einsum("...ts,s->...t", hi_band[..., idx], hi,
-                             precision=config.precision)
+                             precision=config.op_precision)
             )
 
         # invert columns (axis -2) of each row band, then rows

@@ -235,8 +235,8 @@ def idht(x, n: Optional[int] = None, axis: int = -1, *, config=DEFAULT_CONFIG) -
     """Inverse DHT: the DHT is self-inverse up to 1/N (idht = dht(x)/N)."""
     x = jnp.asarray(x)
     y = dht(x, n=n, axis=axis, config=config)
-    # normalize by the TRANSFORM length (dht resizes to n first); reading
-    # y.shape[axis] would silently break under numpy-style n= cropping
-    # semantics where output length != transform length
+    # normalize by the transform length explicitly (dht always outputs the
+    # transform length today, so this equals y.shape[axis]; stated in terms
+    # of n to keep the normalization contract independent of output shape)
     nn = int(n) if n is not None else x.shape[axis]
     return y / nn

@@ -180,7 +180,7 @@ def nudft1(
     cos, sin = _phase_trig(k, x, isign)  # (N, M)
     cr = jnp.real(c).astype(cos.dtype)
     ci = jnp.imag(c).astype(cos.dtype)
-    p = config.precision
+    p = config.op_precision
     fr = jnp.einsum("km,...m->...k", cos, cr, precision=p) - jnp.einsum(
         "km,...m->...k", sin, ci, precision=p
     )
@@ -208,7 +208,7 @@ def nudft2(
     cos, sin = _phase_trig(k, x, isign)  # (N, M)
     fr = jnp.real(f).astype(cos.dtype)
     fi = jnp.imag(f).astype(cos.dtype)
-    p = config.precision
+    p = config.op_precision
     cr = jnp.einsum("km,...k->...m", cos, fr, precision=p) - jnp.einsum(
         "km,...k->...m", sin, fi, precision=p
     )
@@ -305,6 +305,123 @@ def _deconv(n_modes: int, mr: int, tau: float) -> np.ndarray:
 # instead of the scatter-add that made gridding M-bound on TPU (measured
 # 4.6 ms at M=4096 in 1-D, 36.8 ms at M=2048 in 2-D; see VERDICT r2 §2).
 _SPREAD_BLOCK = 32
+# Point-chunk of the scanned one-hot contractions: bounds the live
+# (chunk, nb) one-hot and (chunk, ΠLs) local-image footprint at large M.
+_POINT_CHUNK = 4096
+# Per-axis block-count caps: bound the one-hot width (nb = Π mr_i/s_i) and
+# the halo overhead (Π((s_i+2msp-1)/s_i) x grid) for very large grids.
+_MAX_BLOCKS = {1: 512, 2: 128, 3: 8}
+
+
+def _block_size(mr: int, base: int, ndim: int) -> int:
+    """Power-of-two block size: at least ``base`` cells per block, at most
+    ``_MAX_BLOCKS[ndim]`` blocks per axis."""
+    return min(mr, max(base, next_pow2(-(-mr // _MAX_BLOCKS[ndim]))))
+
+
+def _chunk_outer(factors, cc):
+    """Per-point separable local image: cc[…, m] · Π_k factors[k][m, l_k],
+    flattened over the local axes -> (…, m, ΠLs)."""
+    ab = factors[0]
+    for fk in factors[1:]:
+        fk_exp = fk.reshape((fk.shape[0],) + (1,) * (ab.ndim - 1) + (fk.shape[-1],))
+        ab = ab[..., None] * fk_exp
+    ab = ab.reshape(ab.shape[0], -1)
+    return cc[..., :, None] * ab.astype(cc.real.dtype)
+
+
+def _spread_blocks(factors, c, bc, nb: int):
+    """halo[…, b, L] = Σ_m c[…, m] · Π_k factors[k][m, ·] · [bc[m] == b],
+    with the local axes flattened to L = ΠLs_k.  Chunked over points under
+    ``lax.scan`` when M > _POINT_CHUNK — the (chunk, nb) one-hot is built
+    per chunk from the int block ids ``bc``, so neither it nor the local
+    images ever materialize at full M.  All contractions run HIGHEST (see
+    :func:`_block_local`)."""
+    m = bc.shape[0]
+    dt = c.real.dtype
+    blocks = np.arange(nb)
+
+    def onehot(ids):
+        return (ids[:, None] == blocks[None, :]).astype(dt)
+
+    if m <= _POINT_CHUNK:
+        ab = _chunk_outer(factors, c)
+        return jnp.einsum(
+            "...ml,mb->...bl", ab, onehot(bc), precision="highest"
+        )
+    pad = (-m) % _POINT_CHUNK
+    if pad:
+        factors = [jnp.pad(f, [(0, pad), (0, 0)]) for f in factors]
+        bc = jnp.pad(bc, [(0, pad)])
+        c = jnp.pad(c, [(0, 0)] * (c.ndim - 1) + [(0, pad)])
+    nc = (m + pad) // _POINT_CHUNK
+
+    def resh(v):
+        return v.reshape((nc, _POINT_CHUNK) + v.shape[1:])
+
+    cs = jnp.moveaxis(
+        c.reshape(c.shape[:-1] + (nc, _POINT_CHUNK)), -2, 0
+    )
+    lflat = int(np.prod([f.shape[-1] for f in factors]))
+    acc0 = jnp.zeros(c.shape[:-1] + (nb, lflat), c.dtype)
+
+    def body(acc, args):
+        ids = args[0]
+        cc = args[1]
+        fs = args[2:]
+        ab = _chunk_outer(list(fs), cc)
+        return acc + jnp.einsum(
+            "...ml,mb->...bl", ab, onehot(ids), precision="highest"
+        ), None
+
+    halo, _ = jax.lax.scan(
+        body, acc0, (resh(bc), cs) + tuple(resh(f) for f in factors)
+    )
+    return halo
+
+
+def _interp_blocks(factors, halo_flat, bc, nb: int):
+    """out[…, m] = Σ_L halo[…, bc[m], L] · Π_k factors[k][m, ·] — the
+    adjoint of :func:`_spread_blocks`, chunked the same way (per-chunk
+    one-hots from the int block ids)."""
+    m = bc.shape[0]
+    blocks = np.arange(nb)
+    dt = halo_flat.real.dtype
+
+    def one(ids, fs):
+        ohc = (ids[:, None] == blocks[None, :]).astype(dt)
+        vals = jnp.einsum(
+            "...bl,mb->...ml", halo_flat, ohc, precision="highest"
+        )
+        vals = vals.reshape(vals.shape[:-1] + tuple(f.shape[-1] for f in fs))
+        # contract local axes innermost-first: (…, m, L1..Lk) x (m, Lk)
+        for k in range(len(fs), 0, -1):
+            f = fs[k - 1].astype(dt)
+            f_exp = f.reshape((f.shape[0],) + (1,) * (k - 1) + (f.shape[-1],))
+            vals = (vals * f_exp).sum(axis=-1)
+        return vals
+
+    if m <= _POINT_CHUNK:
+        return one(bc, factors)
+    pad = (-m) % _POINT_CHUNK
+    bcp = jnp.pad(bc, [(0, pad)]) if pad else bc
+    fps = [
+        jnp.pad(f, [(0, pad), (0, 0)]) if pad else f for f in factors
+    ]
+    nc = (m + pad) // _POINT_CHUNK
+
+    def resh(v):
+        return v.reshape((nc, _POINT_CHUNK) + v.shape[1:])
+
+    def body(carry, args):
+        return carry, one(args[0], args[1:])
+
+    _, ys = jax.lax.scan(
+        body, 0, (resh(bcp),) + tuple(resh(f) for f in fps)
+    )  # ys: (nc, …, C)
+    vals = jnp.moveaxis(ys, 0, -2)
+    vals = vals.reshape(vals.shape[:-2] + (nc * _POINT_CHUNK,))
+    return vals[..., :m]
 
 
 def _block_local(x: Array, mr: int, tau: float, msp: int, s: int):
@@ -315,8 +432,11 @@ def _block_local(x: Array, mr: int, tau: float, msp: int, s: int):
     2·msp Gaussian taps live at local offsets l = (i0m_j − b_j·s) + t + msp−1
     ∈ [0, Ls) with Ls = s + 2·msp − 1.  Returns (b, A): b (M,) int32 block
     ids and A (M, Ls) local tap images (the Gaussian weights placed by a
-    one-hot contraction — exact under precision "high" because a one-hot
-    operand has no bf16 tail, so the 3-pass product is the full fp32 value).
+    one-hot contraction — run at precision HIGHEST: a one-hot operand makes
+    the products trivially exact, but anything below HIGHEST still
+    truncates the DATA operand's bf16 chunks — XLA's HIGH drops its third
+    chunk, a measured ~1e-5-class error, so HIGHEST is required for the
+    fp32-exact contraction).
 
     Tap distances use the same unwrapped head+tail geometry as
     :func:`_spread_geometry` (exact Sterbenz subtraction against the
@@ -340,7 +460,7 @@ def _block_local(x: Array, mr: int, tau: float, msp: int, s: int):
         off[:, None, None] + (taps[None, :, None] + (msp - 1))
         == np.arange(ls)[None, None, :]
     )
-    a = jnp.einsum("mt,mtl->ml", w, oh.astype(w.dtype), precision="high")
+    a = jnp.einsum("mt,mtl->ml", w, oh.astype(w.dtype), precision="highest")
     return b, a
 
 
@@ -377,14 +497,11 @@ def _spread_scatter_small(x, c, mr, tau, msp) -> Array:
 def _spread(x: Array, c: Array, mr: int, tau: float, msp: int) -> Array:
     """Gaussian spreading of strengths ``c`` (…, M) onto the length-mr
     oversampled grid, as block one-hot matmuls (see :func:`_block_local`)."""
-    s = min(_SPREAD_BLOCK, mr)
+    s = _block_size(mr, _SPREAD_BLOCK, 1)
     if s < msp:  # spill would cross >1 block — tiny grid, scatter is fine
         return _spread_scatter_small(x, c, mr, tau, msp)
     b, a = _block_local(x, mr, tau, msp, s)
-    nb = mr // s
-    ohb = (b[:, None] == np.arange(nb)[None, :]).astype(a.dtype)
-    ac = c[..., :, None] * a.astype(c.real.dtype)
-    halo = jnp.einsum("...ml,mb->...bl", ac, ohb, precision="high")
+    halo = _spread_blocks([a], c, b, mr // s)
     return _halo_to_grid(halo, s, msp, mr)
 
 
@@ -395,8 +512,8 @@ def _spread_2d(x, y, c, mrs, taus, msp: int) -> Array:
     the 4·msp²-taps-per-point scatter that measured 36.8 ms at M=2048."""
     mr1, mr2 = mrs
     tau1, tau2 = taus
-    s1 = min(_SPREAD_BLOCK, mr1)
-    s2 = min(_SPREAD_BLOCK, mr2)
+    s1 = _block_size(mr1, _SPREAD_BLOCK, 2)
+    s2 = _block_size(mr2, _SPREAD_BLOCK, 2)
     if min(s1, s2) < msp:  # tiny grid: fall back to per-axis scatter
         idx1, w1 = _spread_geometry(x, mr1, tau1, msp)
         idx2, w2 = _spread_geometry(y, mr2, tau2, msp)
@@ -413,15 +530,9 @@ def _spread_2d(x, y, c, mrs, taus, msp: int) -> Array:
     b1, a1 = _block_local(x, mr1, tau1, msp, s1)
     b2, a2 = _block_local(y, mr2, tau2, msp, s2)
     nb1, nb2 = mr1 // s1, mr2 // s2
-    ohb = ((b1 * nb2 + b2)[:, None] == np.arange(nb1 * nb2)[None, :]).astype(
-        a1.dtype
-    )
-    ab = c[..., :, None, None] * (a1[:, :, None] * a2[:, None, :]).astype(
-        c.real.dtype
-    )
-    halo = jnp.einsum("...mij,mb->...bij", ab, ohb, precision="high")
     ls1, ls2 = a1.shape[-1], a2.shape[-1]
-    halo = halo.reshape(halo.shape[:-3] + (nb1, nb2, ls1, ls2))
+    halo = _spread_blocks([a1, a2], c, b1 * nb2 + b2, nb1 * nb2)
+    halo = halo.reshape(halo.shape[:-2] + (nb1, nb2, ls1, ls2))
     # fold (nb1, Ls1) -> mr1, then (nb2, Ls2) -> mr2
     halo = jnp.moveaxis(halo, (-4, -2), (-2, -1))  # (…, nb2, Ls2, nb1, Ls1)
     part = _halo_to_grid(halo, s1, msp, mr1)  # (…, nb2, Ls2, mr1)
@@ -433,61 +544,29 @@ def _spread_3d(x, y, z, c, mrs, taus, msp: int):
     """3-D Gaussian spreading as chunked block one-hot matmuls.
 
     Same scheme as :func:`_spread_2d` with a third axis and a smaller block
-    (s = 8 per axis — the local image is Ls³ per point, so block size
-    trades one-hot width against local-image volume).  Points are processed
-    in chunks of ``_SPREAD_CHUNK_3D`` under ``lax.scan`` so the per-chunk
-    local tensor (C, Ls³) stays ~tens of MB.  Returns None when the grid is
-    too small for the block scheme (caller falls back to scatter)."""
+    base (s >= 8 per axis — the local image is Ls³ per point, so block size
+    trades one-hot width against local-image volume; the per-axis block
+    count is capped at _MAX_BLOCKS[3] so the halo stays a small multiple of
+    the grid).  Structurally this does ~Π(1+2msp/s_i)-fold more arithmetic
+    than the dense NUDFT (measured 10-50x slower below the dense memory
+    wall), so it is the past-the-wall path; the auto dispatch keeps dense
+    to 2^24 entries.  Returns None when the grid is too small for the
+    block scheme (caller falls back to scatter)."""
     mr1, mr2, mr3 = mrs
     tau1, tau2, tau3 = taus
-    s = max(8, next_pow2(msp))
-    s1, s2, s3 = (min(s, m) for m in mrs)
+    base = max(8, next_pow2(msp))
+    s1, s2, s3 = (_block_size(m, base, 3) for m in mrs)
     if min(s1, s2, s3) < msp:
         return None
     b1, a1 = _block_local(x, mr1, tau1, msp, s1)
     b2, a2 = _block_local(y, mr2, tau2, msp, s2)
     b3, a3 = _block_local(z, mr3, tau3, msp, s3)
     nb1, nb2, nb3 = mr1 // s1, mr2 // s2, mr3 // s3
-    nb = nb1 * nb2 * nb3
     bc = (b1 * nb2 + b2) * nb3 + b3  # (M,)
-    m = x.shape[0]
-    chunk = _SPREAD_CHUNK_3D
-    pad = (-m) % chunk
-    if pad:
-        zp = [(0, pad)]
-        bc = jnp.pad(bc, zp)  # padded points: block 0, zero strengths
-        a1 = jnp.pad(a1, [(0, pad), (0, 0)])
-        a2 = jnp.pad(a2, [(0, pad), (0, 0)])
-        a3 = jnp.pad(a3, [(0, pad), (0, 0)])
-        c = jnp.pad(c, [(0, 0)] * (c.ndim - 1) + [(0, pad)])
-    nc = (m + pad) // chunk
     ls1, ls2, ls3 = a1.shape[-1], a2.shape[-1], a3.shape[-1]
-    dt = c.real.dtype
-
-    def resh(v, extra):
-        return v.reshape((nc, chunk) + extra)
-
-    ohb = (bc[:, None] == np.arange(nb)[None, :]).astype(dt)
-    scan_in = (
-        resh(ohb, (nb,)), resh(a1.astype(dt), (ls1,)),
-        resh(a2.astype(dt), (ls2,)), resh(a3.astype(dt), (ls3,)),
-        jnp.moveaxis(c.reshape(c.shape[:-1] + (nc, chunk)), -2, 0),
-    )
-    halo0 = jnp.zeros(c.shape[:-1] + (nb, ls1, ls2, ls3), c.dtype)
-
-    def body(halo, args):
-        oh, u1, u2, u3, cc = args
-        ab = (
-            cc[..., :, None, None, None]
-            * (u1[:, :, None, None] * u2[:, None, :, None] * u3[:, None, None, :])
-        )
-        return halo + jnp.einsum(
-            "...mijk,mb->...bijk", ab, oh, precision="high"
-        ), None
-
-    halo, _ = jax.lax.scan(body, halo0, scan_in)
+    halo = _spread_blocks([a1, a2, a3], c, bc, nb1 * nb2 * nb3)
     halo = halo.reshape(
-        halo.shape[:-4] + (nb1, nb2, nb3, ls1, ls2, ls3)
+        halo.shape[:-2] + (nb1, nb2, nb3, ls1, ls2, ls3)
     )
     # fold (nb_i, Ls_i) -> mr_i, innermost first
     halo = jnp.moveaxis(halo, (-6, -3), (-2, -1))  # (…, nb2, nb3, l2, l3, nb1, l1)
@@ -520,18 +599,13 @@ def _interp(u: Array, x: Array, mr: int, tau: float, msp: int) -> Array:
     then the per-point local tap image reduces elementwise.  Replaces the
     dynamic gather that made the type-2 grid path interp-bound (measured
     ~900 us at (4096, 4096) on v5e vs ~30 us matmul-formulated)."""
-    s = min(_SPREAD_BLOCK, mr)
+    s = _block_size(mr, _SPREAD_BLOCK, 1)
     if s < msp:  # tiny grid: dynamic gather is fine
         idx, w = _spread_geometry(x, mr, tau, msp)
         return jnp.sum(u[..., idx] * w.astype(u.real.dtype), axis=-1)
     b, a = _block_local(x, mr, tau, msp, s)
-    nb = mr // s
-    ohb = (b[:, None] == np.arange(nb)[None, :]).astype(a.dtype)
     halo = _grid_halo(u, s, msp, mr)  # (…, nb, Ls)
-    vals = jnp.einsum("...bl,mb->...ml", halo, ohb, precision="high")
-    return jnp.einsum(
-        "...ml,ml->...m", vals, a.astype(u.real.dtype), precision="high"
-    )
+    return _interp_blocks([a], halo, b, mr // s)
 
 
 def _center(spec: Array, mr: int, n: int, axis: int = -1) -> Array:
@@ -679,7 +753,7 @@ def nufft3(
     cos, sin = jnp.cos(theta), jnp.sin(theta)
     cr = jnp.real(c).astype(cos.dtype)
     ci = jnp.imag(c).astype(cos.dtype)
-    p = config.precision
+    p = config.op_precision
     fr = jnp.einsum("km,...m->...k", cos, cr, precision=p) - jnp.einsum(
         "km,...m->...k", sin, ci, precision=p
     )
@@ -734,7 +808,7 @@ def nudft1_2d(
     # t = e^{isign·i·k2·y} * c, per mode row: (…, n2, M) planes
     tr = cos2 * cr[..., None, :] - sin2 * ci[..., None, :]
     ti = sin2 * cr[..., None, :] + cos2 * ci[..., None, :]
-    p = config.precision
+    p = config.op_precision
     fr = jnp.einsum("am,...bm->...ab", cos1, tr, precision=p) - jnp.einsum(
         "am,...bm->...ab", sin1, ti, precision=p
     )
@@ -764,7 +838,7 @@ def nudft2_2d(
     cos2, sin2 = _phase_trig(_centered_modes(n2), y, isign)  # (n2, M)
     fr = jnp.real(f).astype(cos1.dtype)
     fi = jnp.imag(f).astype(cos1.dtype)
-    p = config.precision
+    p = config.op_precision
     # contract k1 first: t[…, k2, m] = sum_k1 f[…, k1, k2] e^{isign·i·k1·x_m}
     tr = jnp.einsum("am,...ab->...bm", cos1, fr, precision=p) - jnp.einsum(
         "am,...ab->...bm", sin1, fi, precision=p
@@ -846,8 +920,8 @@ def nufft2_2d(
     fd = f * jnp.asarray(deconv, dtype=f.real.dtype)
     wrapped = _wrap(_wrap(fd, mr1, axis=-2), mr2)
     u = ifft2(wrapped, config=config) * (mr1 * mr2)
-    s1 = min(_SPREAD_BLOCK, mr1)
-    s2 = min(_SPREAD_BLOCK, mr2)
+    s1 = _block_size(mr1, _SPREAD_BLOCK, 2)
+    s2 = _block_size(mr2, _SPREAD_BLOCK, 2)
     if min(s1, s2) < msp:  # tiny grid: dynamic gather
         idx1, w1 = _spread_geometry(x, mr1, tau1, msp)
         idx2, w2 = _spread_geometry(y, mr2, tau2, msp)
@@ -862,21 +936,14 @@ def nufft2_2d(
     b1, a1 = _block_local(x, mr1, tau1, msp, s1)
     b2, a2 = _block_local(y, mr2, tau2, msp, s2)
     nb1, nb2 = mr1 // s1, mr2 // s2
-    ohb = ((b1 * nb2 + b2)[:, None] == np.arange(nb1 * nb2)[None, :]).astype(
-        a1.dtype
-    )
     halo = _grid_halo(u, s2, msp, mr2)              # (…, mr1, nb2, Ls2)
     halo = jnp.moveaxis(halo, -3, -1)               # (…, nb2, Ls2, mr1)
     halo = _grid_halo(halo, s1, msp, mr1)           # (…, nb2, Ls2, nb1, Ls1)
     halo = jnp.moveaxis(halo, (-2, -1), (-4, -2))   # (…, nb1, nb2, Ls1, Ls2)
-    halo = halo.reshape(halo.shape[:-4] + (nb1 * nb2,) + halo.shape[-2:])
-    vals = jnp.einsum("...bij,mb->...mij", halo, ohb, precision="high")
-    t = jnp.einsum(
-        "...mij,mj->...mi", vals, a2.astype(u.real.dtype), precision="high"
+    halo = halo.reshape(
+        halo.shape[:-4] + (nb1 * nb2, halo.shape[-2] * halo.shape[-1])
     )
-    return jnp.einsum(
-        "...mi,mi->...m", t, a1.astype(u.real.dtype), precision="high"
-    )
+    return _interp_blocks([a1, a2], halo, b1 * nb2 + b2, nb1 * nb2)
 
 
 def _cg(apply_normal, rhs: Array, iters: int, mode_axes: int) -> Array:
@@ -1101,7 +1168,7 @@ def nudft1_3d(
     )
     return jnp.einsum(
         "abcj,...j->...abc", E, c.astype(E.dtype),
-        precision=config.precision,
+        precision=config.op_precision,
     )
 
 
@@ -1122,7 +1189,7 @@ def nudft2_3d(
     )
     return jnp.einsum(
         "abcj,...abc->...j", E, f.astype(E.dtype),
-        precision=config.precision,
+        precision=config.op_precision,
     )
 
 

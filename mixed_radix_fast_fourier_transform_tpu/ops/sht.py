@@ -154,7 +154,7 @@ def _analyze(chunks, Fsel: Array, weights: np.ndarray, L: int, config) -> Array:
         for src, out in ((fpos, pos_parts), (fneg, neg_parts)):
             part = jnp.einsum(
                 "mli,...im->...ml", Pj, src[..., m0 : m0 + t],
-                precision=config.precision,
+                precision=config.op_precision,
             )
             out.append(jnp.pad(part, pad))
     apos = jnp.concatenate(pos_parts, axis=-2)  # (…, L, L) m-major
@@ -294,7 +294,7 @@ def _synthesize(chunks, alm: Array, config: SpectralConfig) -> Array:
             out.append(
                 jnp.einsum(
                     "mli,...ml->...im", Pj, src[..., m0 : m0 + t, m0:],
-                    precision=config.precision,
+                    precision=config.op_precision,
                 )
             )
     gpos = jnp.concatenate(pos_parts, axis=-1)  # (…, i, L)
@@ -312,7 +312,7 @@ def sphere_grad(f, *, config: SpectralConfig = DEFAULT_CONFIG):
     (∂f/∂theta, (1/sin theta)·∂f/∂phi), both (…, L, 2L) grid fields.
 
     Spectral: the theta component synthesizes against d/dtheta Legendre
-    tables (:func:`_legendre_deriv_tables`); the phi component multiplies
+    tables (:func:`_legendre_deriv_chunks`); the phi component multiplies
     a_lm by i·m and divides by sin(theta) (Gauss-Legendre nodes exclude the
     poles, so the division is well-conditioned).  The building block for
     advection/shallow-water operators on the sphere."""

@@ -53,6 +53,23 @@ class SpectralConfig:
     use_pallas: "bool | None" = False
 
 
+    @property
+    def op_precision(self):
+        """``precision`` resolved to a value every ``jnp.einsum`` accepts.
+
+        The engine-only schemes — per-stage tuples and the "split6" fused
+        form — are meaningful only inside the stage-matmul engine
+        (ops/stockham.py, via the plan); every other op resolves them here
+        to plain HIGHEST (their accuracy-equivalent).  Without this, a
+        tuple would be silently reinterpreted by einsum as JAX per-operand
+        (lhs, rhs) precision and "split6" would raise deep inside jax."""
+        p = self.precision
+        if isinstance(p, (tuple, list)) or (
+            isinstance(p, str) and p.lower() == "split6"
+        ):
+            return "highest"
+        return p
+
     def __post_init__(self):
         if self.pad_mode not in ("pow2", "pow23", "fast"):
             raise ValueError(

@@ -454,3 +454,47 @@ def test_nufft_lsq_jittable(rng):
         jax.jit(lambda bb: sp.nufft_lsq(jnp.asarray(x), bb, n, iters=40))(b)
     )
     assert np.max(np.abs(got - f_true)) / np.max(np.abs(f_true)) < 1e-3
+
+
+def test_spread_point_chunking_matches_unchunked(rng):
+    """M > _POINT_CHUNK routes through the scanned engine; results must
+    match the unchunked path exactly (same arithmetic, different tiling)."""
+    import jax.numpy as jnp
+
+    from mixed_radix_fast_fourier_transform_tpu.ops import nufft as nf
+
+    m = nf._POINT_CHUNK + 173  # force the scan path with a ragged tail
+    x = rng.uniform(0, 2 * np.pi, m).astype(np.float32)
+    c = (rng.standard_normal(m) + 1j * rng.standard_normal(m)).astype(
+        np.complex64
+    )
+    mr, tau, msp = nf._grid_params(512, 1e-6)
+    big = np.asarray(nf._spread(jnp.asarray(x), jnp.asarray(c), mr, tau, msp))
+    # unchunked reference: same math on the first/last chunk-sized splits
+    parts = [
+        np.asarray(nf._spread(jnp.asarray(x[i]), jnp.asarray(c[i]), mr, tau, msp))
+        for i in (slice(0, 3000), slice(3000, m))
+    ]
+    np.testing.assert_allclose(big, parts[0] + parts[1], rtol=0, atol=1e-3)
+    # adjoint consistency through the chunked interp
+    u = (rng.standard_normal(mr) + 1j * rng.standard_normal(mr)).astype(
+        np.complex64
+    )
+    got = np.asarray(nf._interp(jnp.asarray(u), jnp.asarray(x), mr, tau, msp))
+    ref = np.concatenate([
+        np.asarray(nf._interp(jnp.asarray(u), jnp.asarray(x[i]), mr, tau, msp))
+        for i in (slice(0, 3000), slice(3000, m))
+    ])
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-4)
+
+
+def test_block_size_caps_block_count():
+    from mixed_radix_fast_fourier_transform_tpu.ops.nufft import (
+        _MAX_BLOCKS, _block_size,
+    )
+
+    for mr in (64, 8192, 1 << 20):
+        for d in (1, 2, 3):
+            s = _block_size(mr, 32 if d < 3 else 8, d)
+            assert mr % s == 0
+            assert mr // s <= _MAX_BLOCKS[d]
