@@ -138,27 +138,39 @@ def _fold_neg_last(Fsel: Array, L: int) -> Array:
     return jnp.concatenate([z, half], axis=-1) * sign
 
 
-def _analyze(chunks, Fsel: Array, weights: np.ndarray, L: int, config) -> Array:
+def _analyze(
+    chunks, Fsel: Array, weights: np.ndarray, L: int, config,
+    hermitian: bool = False,
+) -> Array:
     """Latitude contraction of analysis: a[…, q, l] = Σ_i P̄[m, l, i] ·
     weights[i] · F[…, i, q] over the packed q axis, blocked over the
     triangular m chunks (negative orders via the coefficient-side parity
-    fold)."""
+    fold).
+
+    ``hermitian=True`` is the REAL-field fast path: ``Fsel`` carries only
+    the m >= 0 bins (…, i, L) from an rfft, and the negative orders come
+    from the symmetry a_{l,-m} = (-1)^m conj(a_{lm}) instead of a second
+    set of einsums — half the FFT and half the Legendre work."""
     Fw = Fsel * jnp.asarray(weights, Fsel.real.dtype)[:, None]
     fpos = Fw[..., :L]
-    fneg = _fold_neg_last(Fw, L)
-    pos_parts, neg_parts = [], []
+    srcs = [fpos] if hermitian else [fpos, _fold_neg_last(Fw, L)]
+    parts = [[] for _ in srcs]
     for m0, P in chunks:
         t = P.shape[0]
         Pj = jnp.asarray(P, dtype=Fsel.real.dtype)
         pad = [(0, 0)] * (Fsel.ndim - 1) + [(m0, 0)]
-        for src, out in ((fpos, pos_parts), (fneg, neg_parts)):
+        for src, out in zip(srcs, parts):
             part = jnp.einsum(
                 "mli,...im->...ml", Pj, src[..., m0 : m0 + t],
                 precision=config.op_precision,
             )
             out.append(jnp.pad(part, pad))
-    apos = jnp.concatenate(pos_parts, axis=-2)  # (…, L, L) m-major
-    aneg = jnp.concatenate(neg_parts, axis=-2)
+    apos = jnp.concatenate(parts[0], axis=-2)  # (…, L, L) m-major
+    if hermitian:
+        sign = jnp.asarray(_neg_signs(L), apos.real.dtype)
+        aneg = jnp.conj(apos) * sign[:, None]
+    else:
+        aneg = jnp.concatenate(parts[1], axis=-2)
     # packed bins: [m=0..L-1, m=-(L-1)..-1] — negative rows reversed back
     return jnp.concatenate([apos, jnp.flip(aneg[..., 1:, :], axis=-2)], axis=-2)
 
@@ -174,9 +186,18 @@ def sht(f, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
         )
     L = f.shape[-2]
     _, w, _ = _gauss_grid(L)
+    dphi = 2.0 * math.pi / (2 * L)
+    if not jnp.issubdtype(f.dtype, jnp.complexfloating):
+        # real-field fast path: rfft bins 0..L cover all orders by the
+        # Hermitian symmetry a_{l,-m} = (-1)^m conj(a_{lm})
+        from .rfft import rfft as _rfft
+
+        Fpos = _rfft(f, config=config)[..., :L]  # (…, i, L)
+        return _analyze(
+            _legendre_chunks(L), Fpos, w * dphi, L, config, hermitian=True
+        )
     F = fft(f, config=config)  # over longitude: (…, i, m_bins)
     Fsel = _select_packed_m(F, L)  # (…, i, 2L-1)
-    dphi = 2.0 * math.pi / (2 * L)
     return _analyze(_legendre_chunks(L), Fsel, w * dphi, L, config)
 
 

@@ -231,3 +231,13 @@ def test_roundtrip_L256_scalable(rng):
     back = np.asarray(sp.sht(f))
     scale = max(np.abs(alm).max(), 1.0)
     assert np.max(np.abs(back - alm)) / scale < 5e-4
+
+
+def test_real_fast_path_matches_complex(rng):
+    """Real-input sht (rfft + Hermitian fold) == complex-path sht."""
+    L = 16
+    f = rng.standard_normal((3, L, 2 * L)).astype(np.float32)
+    a_real = np.asarray(sp.sht(f))
+    a_cplx = np.asarray(sp.sht(f.astype(np.complex64)))
+    scale = max(np.abs(a_cplx).max(), 1e-9)
+    assert np.max(np.abs(a_real - a_cplx)) / scale < 1e-6
