@@ -116,3 +116,28 @@ class TestConfigValidation:
 
         with pytest.raises(ValueError):
             dataclasses.replace(DEFAULT_CONFIG, max_stage=1)
+
+
+def test_engine_only_precision_schemes_work_everywhere():
+    """SpectralConfig(precision='split6' | per-stage tuple) must not crash
+    (or silently change semantics in) ops outside the stage-matmul engine —
+    they resolve via config.op_precision (round-3 review finding)."""
+    import dataclasses
+
+    import numpy as np
+
+    import mixed_radix_fast_fourier_transform_tpu as sp
+    from mixed_radix_fast_fourier_transform_tpu.utils.config import DEFAULT_CONFIG
+
+    rng = np.random.default_rng(0)
+    for prec in ("split6", ("highest", "high"), ("highest", "high", "high")):
+        cfg = dataclasses.replace(DEFAULT_CONFIG, precision=prec)
+        assert cfg.op_precision == "highest"
+        x = rng.standard_normal(64).astype(np.float32)
+        np.asarray(sp.fft(x, config=cfg))
+        np.asarray(sp.dwt(x, "db2", config=cfg)[0])
+        f = rng.standard_normal((8, 16)).astype(np.float32)
+        np.asarray(sp.sht(f, config=cfg))
+        pts = rng.uniform(0, 2 * np.pi, 32).astype(np.float32)
+        c = (rng.standard_normal(32) + 0j).astype(np.complex64)
+        np.asarray(sp.nufft1(pts, c, 16, config=cfg))
