@@ -329,7 +329,9 @@ def main():
     ext_ok = True
     try:
         dt, err = bench_nufft(4096, 4096, 100)
-        ok = err <= 1e-4  # eps=1e-6 kernel + fp32 deconv amplification
+        # eps=1e-6 kernel + fp32 deconv; measured 4.25e-6 on v5e after the
+        # HIGHEST one-hot fix (was 2.24e-5 with HIGH-truncated operands)
+        ok = err <= 2e-5
         extras["nufft1_grid_n4096_m4096"] = {
             "us_per_transform": round(dt * 1e6, 1),
             "rel_err_vs_dense": float(f"{err:.3g}"), "budget_ok": bool(ok),
