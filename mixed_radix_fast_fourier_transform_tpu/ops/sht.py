@@ -435,3 +435,65 @@ def sphere_helmholtz(
     if real_in:
         phi, psi = jnp.real(phi), jnp.real(psi)
     return phi, psi
+
+
+def _grad_synth(alm, L: int, config: SpectralConfig):
+    """Grid components of Σ_lm alm·∇Y_lm (the shared synthesis core of
+    :func:`sphere_grad` / :func:`ivsht`): (∂θ part, (1/sinθ)∂φ part)."""
+    _, _, theta = _gauss_grid(L)
+    msigned = np.concatenate([np.arange(L), -np.arange(L - 1, 0, -1)])
+    g_theta = _synthesize(_legendre_deriv_chunks(L), alm, config)
+    g_phi = _synthesize(
+        _legendre_chunks(L), alm * jnp.asarray(1j * msigned, alm.dtype)[:, None],
+        config,
+    ) / jnp.asarray(np.sin(theta), jnp.float32)[:, None]
+    return g_theta, g_phi
+
+
+def vsht(u_theta, u_phi, *, config: SpectralConfig = DEFAULT_CONFIG):
+    """Vector spherical harmonic analysis: tangent field (…, L, 2L) pair ->
+    (spheroidal, toroidal) coefficient arrays, each packed (…, 2L-1, L).
+
+    Expansion u = Σ_lm [ S_lm·∇Y_lm + T_lm·(r̂×∇Y_lm) ] / sqrt(l(l+1))
+    (orthonormal vector harmonics; the l = 0 row is identically zero —
+    tangent fields have no monopole).  Computed from the weak-form adjoint
+    quadratures already underlying :func:`sphere_div` / :func:`sphere_vort`:
+    S_lm = -div_lm/λ, T_lm = -vort_lm/λ with λ = sqrt(l(l+1)) — the
+    spectral front end of spherical dynamical cores (torch-harmonics'
+    RealVectorSHT equivalent)."""
+    u_theta = jnp.asarray(u_theta)
+    u_phi = jnp.asarray(u_phi)
+    if u_theta.shape != u_phi.shape or u_theta.ndim < 2 or (
+        u_theta.shape[-1] != 2 * u_theta.shape[-2]
+    ):
+        raise ValueError("u_theta and u_phi must share a (…, L, 2L) grid shape")
+    d = _div_coef(u_theta, u_phi, config)
+    z = _div_coef(u_phi, -u_theta, config)
+    L = d.shape[-1]
+    l = np.arange(L, dtype=np.float64)
+    inv = np.zeros(L)
+    inv[1:] = -1.0 / np.sqrt(l[1:] * (l[1:] + 1.0))
+    inv_j = jnp.asarray(inv, d.real.dtype)
+    return d * inv_j, z * inv_j
+
+
+def ivsht(s_lm, t_lm, *, config: SpectralConfig = DEFAULT_CONFIG):
+    """Vector spherical harmonic synthesis (inverse of :func:`vsht`):
+    (…, 2L-1, L) spheroidal/toroidal coefficients -> tangent field pair
+    (u_theta, u_phi) on the (L, 2L) grid (complex; take .real for real
+    fields)."""
+    s_lm = jnp.asarray(s_lm)
+    t_lm = jnp.asarray(t_lm)
+    if s_lm.shape != t_lm.shape or s_lm.ndim < 2 or (
+        s_lm.shape[-2] != 2 * s_lm.shape[-1] - 1
+    ):
+        raise ValueError("coefficients must share a (…, 2L-1, L) packed shape")
+    L = s_lm.shape[-1]
+    l = np.arange(L, dtype=np.float64)
+    inv = np.zeros(L)
+    inv[1:] = 1.0 / np.sqrt(l[1:] * (l[1:] + 1.0))
+    inv_j = jnp.asarray(inv, s_lm.real.dtype)
+    gt_s, gp_s = _grad_synth(s_lm * inv_j, L, config)
+    gt_t, gp_t = _grad_synth(t_lm * inv_j, L, config)
+    # r̂×∇Y = (-(1/sin)∂φY, ∂θY) in (θ, φ) components
+    return gt_s - gp_t, gp_s + gt_t

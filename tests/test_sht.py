@@ -241,3 +241,44 @@ def test_real_fast_path_matches_complex(rng):
     a_cplx = np.asarray(sp.sht(f.astype(np.complex64)))
     scale = max(np.abs(a_cplx).max(), 1e-9)
     assert np.max(np.abs(a_real - a_cplx)) / scale < 1e-6
+
+
+def test_vsht_roundtrip(rng):
+    """ivsht(vsht(u)) == u for tangent fields (no monopole component)."""
+    L = 14
+    a1, a2 = _rand_alm(rng, L), _rand_alm(rng, L)
+    a1[0, 0] = a2[0, 0] = 0.0
+    phi0 = np.real(np.asarray(sp.isht(a1))).astype(np.float32)
+    psi0 = np.real(np.asarray(sp.isht(a2))).astype(np.float32)
+    gpt, gpp = (np.asarray(v) for v in sp.sphere_grad(phi0))
+    gst, gsp = (np.asarray(v) for v in sp.sphere_grad(psi0))
+    ut, up = gpt - gsp, gpp + gst
+    S, T = sp.vsht(ut, up)
+    assert np.asarray(S).shape == (2 * L - 1, L) == np.asarray(T).shape
+    # l = 0 rows are zero (tangent fields have no monopole)
+    assert np.abs(np.asarray(S)[:, 0]).max() < 1e-6
+    bt, bp = (np.real(np.asarray(v)) for v in sp.ivsht(S, T))
+    scale = max(np.abs(ut).max(), np.abs(up).max())
+    assert np.max(np.abs(bt - ut)) < 2e-3 * scale
+    assert np.max(np.abs(bp - up)) < 2e-3 * scale
+
+
+def test_vsht_gradient_is_pure_spheroidal(rng):
+    """vsht of a gradient field has zero toroidal part and spheroidal
+    coefficients lambda*f_lm."""
+    L = 12
+    a = _rand_alm(rng, L)
+    a[0, 0] = 0.0
+    f = np.real(np.asarray(sp.isht(a))).astype(np.float32)
+    flm = np.asarray(sp.sht(f))
+    ut, up = sp.sphere_grad(f)
+    S, T = (np.asarray(v) for v in sp.vsht(np.asarray(ut), np.asarray(up)))
+    lam = np.sqrt(np.arange(L) * (np.arange(L) + 1.0))
+    want = flm * lam[None, :]
+    scale = max(np.abs(want).max(), 1.0)
+    assert np.max(np.abs(S - want)) / scale < 2e-3
+    assert np.max(np.abs(T)) / scale < 2e-3
+    with pytest.raises(ValueError):
+        sp.vsht(f, f[..., :-1])
+    with pytest.raises(ValueError):
+        sp.ivsht(flm, flm[..., :-1, :])
