@@ -201,9 +201,20 @@ def sht(f, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
     return _analyze(_legendre_chunks(L), Fsel, w * dphi, L, config)
 
 
-def isht(alm, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+def isht(
+    alm, *, real_output: bool = False,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
     """Spherical harmonic synthesis: (…, 2L-1, L) coefficients ->
-    (…, L, 2L) grid values (complex; take .real for real fields)."""
+    (…, L, 2L) grid values (complex; take .real for real fields).
+
+    ``real_output=True`` is the fast path for coefficients with the
+    real-field symmetry a_{l,-m} = (-1)^m conj(a_{lm}) (e.g. anything
+    produced by ``sht`` of a real field, scaled by real per-degree
+    factors): only the m >= 0 bins are synthesized and longitude runs
+    through irfft — half the Legendre work, real result.  The negative-m
+    coefficients are IGNORED under this flag; passing asymmetric
+    coefficients silently drops their asymmetric part."""
     alm = jnp.asarray(alm)
     if alm.ndim < 2 or alm.shape[-1] < 1 or alm.shape[-2] != 2 * alm.shape[-1] - 1:
         raise ValueError(
@@ -211,7 +222,9 @@ def isht(alm, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
             f"{alm.shape[-2:] if alm.ndim >= 2 else alm.shape}"
         )
     L = alm.shape[-1]
-    return _synthesize(_legendre_chunks(L), alm, config)
+    return _synthesize(
+        _legendre_chunks(L), alm, config, hermitian=real_output
+    )
 
 
 def sphere_laplacian(f, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
@@ -223,10 +236,10 @@ def sphere_laplacian(f, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
     L = a.shape[-1]
     l = np.arange(L, dtype=np.float64)
     scale = jnp.asarray(-(l * (l + 1.0)), dtype=a.real.dtype)
-    out = isht(a * scale, config=config)
     if not jnp.issubdtype(f.dtype, jnp.complexfloating):
-        out = jnp.real(out)
-    return out
+        # real field: symmetric coefficients -> half-work irfft synthesis
+        return isht(a * scale, real_output=True, config=config)
+    return isht(a * scale, config=config)
 
 
 def poisson_solve_sphere(
@@ -243,10 +256,10 @@ def poisson_solve_sphere(
     l = np.arange(L, dtype=np.float64)
     inv = np.zeros(L)
     inv[1:] = -1.0 / (l[1:] * (l[1:] + 1.0))
-    u = isht(a * jnp.asarray(inv, dtype=a.real.dtype), config=config)
+    ai = a * jnp.asarray(inv, dtype=a.real.dtype)
     if not jnp.issubdtype(f.dtype, jnp.complexfloating):
-        u = jnp.real(u)
-    return u
+        return isht(ai, real_output=True, config=config)
+    return isht(ai, config=config)
 
 
 def sphere_convolve(f, bl, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
@@ -263,12 +276,12 @@ def sphere_convolve(f, bl, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
         raise ValueError(
             f"bl must have one coefficient per degree: shape ({L},), got {b.shape}"
         )
-    out = isht(a * b.astype(a.dtype), config=config)
-    if not jnp.issubdtype(f.dtype, jnp.complexfloating) and not jnp.issubdtype(
-        b.dtype, jnp.complexfloating
-    ):
-        out = jnp.real(out)
-    return out
+    real_case = not jnp.issubdtype(
+        f.dtype, jnp.complexfloating
+    ) and not jnp.issubdtype(b.dtype, jnp.complexfloating)
+    if real_case:  # real field x real kernel keeps the Hermitian symmetry
+        return isht(a * b.astype(a.dtype), real_output=True, config=config)
+    return isht(a * b.astype(a.dtype), config=config)
 
 
 @functools.lru_cache(maxsize=8)
@@ -298,30 +311,46 @@ def _legendre_deriv_chunks(L: int):
     return _chunk_rows(L, rows())
 
 
-def _synthesize(chunks, alm: Array, config: SpectralConfig) -> Array:
+def _synthesize(
+    chunks, alm: Array, config: SpectralConfig, hermitian: bool = False
+) -> Array:
     """Shared synthesis core: contract triangular m-chunked tables against
-    (…, 2L-1, L) coefficients, place the m bins, inverse-FFT longitude."""
+    (…, 2L-1, L) coefficients, place the m bins, inverse-FFT longitude.
+
+    ``hermitian=True`` is the REAL-output fast path: the coefficients are
+    assumed to satisfy a_{l,-m} = (-1)^m conj(a_{lm}) (any alm produced
+    from a real field and scaled by real per-degree factors), so only the
+    m >= 0 bins are synthesized and the longitude inverse is an irfft —
+    half the Legendre work; returns a real grid."""
     L = alm.shape[-1]
     apos = alm[..., :L, :]
-    half = jnp.flip(alm[..., L:, :], axis=-2)  # m' = 1..L-1 ascending
-    z = jnp.zeros(alm.shape[:-2] + (1, L), alm.dtype)
-    sign = jnp.asarray(_neg_signs(L), alm.real.dtype)
-    aneg = jnp.concatenate([z, half], axis=-2) * sign[:, None]
-    pos_parts, neg_parts = [], []
+    if hermitian:
+        srcs = [apos]
+    else:
+        half = jnp.flip(alm[..., L:, :], axis=-2)  # m' = 1..L-1 ascending
+        z = jnp.zeros(alm.shape[:-2] + (1, L), alm.dtype)
+        sign = jnp.asarray(_neg_signs(L), alm.real.dtype)
+        srcs = [apos, jnp.concatenate([z, half], axis=-2) * sign[:, None]]
+    parts = [[] for _ in srcs]
     for m0, P in chunks:
         t = P.shape[0]
         Pj = jnp.asarray(P, dtype=alm.real.dtype)
-        for src, out in ((apos, pos_parts), (aneg, neg_parts)):
+        for src, out in zip(srcs, parts):
             out.append(
                 jnp.einsum(
                     "mli,...ml->...im", Pj, src[..., m0 : m0 + t, m0:],
                     precision=config.op_precision,
                 )
             )
-    gpos = jnp.concatenate(pos_parts, axis=-1)  # (…, i, L)
-    gneg = jnp.concatenate(neg_parts, axis=-1)
+    gpos = jnp.concatenate(parts[0], axis=-1)  # (…, i, L)
     nlon = 2 * L
     zeros = jnp.zeros(gpos.shape[:-1] + (1,), gpos.dtype)  # Nyquist bin
+    if hermitian:
+        from .rfft import irfft as _irfft
+
+        bins = jnp.concatenate([gpos, zeros], axis=-1)  # (…, i, L+1)
+        return _irfft(bins, n=nlon, config=config) * nlon
+    gneg = jnp.concatenate(parts[1], axis=-1)
     bins = jnp.concatenate(
         [gpos, zeros, jnp.flip(gneg[..., 1:], axis=-1)], axis=-1
     )
@@ -379,8 +408,10 @@ def sphere_div(u_theta, u_phi, *, config: SpectralConfig = DEFAULT_CONFIG) -> Ar
         jnp.issubdtype(u_theta.dtype, jnp.complexfloating)
         or jnp.issubdtype(u_phi.dtype, jnp.complexfloating)
     )
-    out = isht(_div_coef(u_theta, u_phi, config), config=config)
-    return jnp.real(out) if real_in else out
+    d = _div_coef(u_theta, u_phi, config)
+    if real_in:
+        return isht(d, real_output=True, config=config)
+    return isht(d, config=config)
 
 
 def _div_coef(u_theta: Array, u_phi: Array, config: SpectralConfig) -> Array:
@@ -430,10 +461,8 @@ def sphere_helmholtz(
     inv = np.zeros(L)
     inv[1:] = -1.0 / (l[1:] * (l[1:] + 1.0))
     inv_j = jnp.asarray(inv, d.real.dtype)
-    phi = isht(d * inv_j, config=config)
-    psi = isht(z * inv_j, config=config)
-    if real_in:
-        phi, psi = jnp.real(phi), jnp.real(psi)
+    phi = isht(d * inv_j, real_output=real_in, config=config)
+    psi = isht(z * inv_j, real_output=real_in, config=config)
     return phi, psi
 
 

@@ -282,3 +282,14 @@ def test_vsht_gradient_is_pure_spheroidal(rng):
         sp.vsht(f, f[..., :-1])
     with pytest.raises(ValueError):
         sp.ivsht(flm, flm[..., :-1, :])
+
+
+def test_isht_real_output_fast_path(rng):
+    """isht(real_output=True) matches real(isht(.)) for symmetric alm."""
+    L = 16
+    f = rng.standard_normal((2, L, 2 * L)).astype(np.float32)
+    a = sp.sht(f)
+    full = np.real(np.asarray(sp.isht(a)))
+    fast = np.asarray(sp.isht(a, real_output=True))
+    assert not np.iscomplexobj(fast)
+    assert np.max(np.abs(fast - full)) < 1e-6 * max(1.0, np.abs(full).max())
