@@ -307,7 +307,14 @@ def _deconv(n_modes: int, mr: int, tau: float) -> np.ndarray:
 _SPREAD_BLOCK = 32
 # Point-chunk of the scanned one-hot contractions: bounds the live
 # (chunk, nb) one-hot and (chunk, ΠLs) local-image footprint at large M.
+# The actual chunk adapts to the local-image volume (_chunk_for) so a 3-D
+# Ls^3 image gets proportionally smaller chunks than a 1-D Ls image.
 _POINT_CHUNK = 4096
+
+
+def _chunk_for(lflat: int) -> int:
+    """Points per scan chunk: targets ~4M live local-image elements."""
+    return max(256, min(_POINT_CHUNK, (1 << 22) // max(1, lflat)))
 # Per-axis block-count caps: bound the one-hot width (nb = Π mr_i/s_i) and
 # the halo overhead (Π((s_i+2msp-1)/s_i) x grid) for very large grids.
 _MAX_BLOCKS = {1: 512, 2: 128, 3: 8}
@@ -340,29 +347,28 @@ def _spread_blocks(factors, c, bc, nb: int):
     m = bc.shape[0]
     dt = c.real.dtype
     blocks = np.arange(nb)
+    lflat = int(np.prod([f.shape[-1] for f in factors]))
+    chunk = _chunk_for(lflat)
 
     def onehot(ids):
         return (ids[:, None] == blocks[None, :]).astype(dt)
 
-    if m <= _POINT_CHUNK:
+    if m <= chunk:
         ab = _chunk_outer(factors, c)
         return jnp.einsum(
             "...ml,mb->...bl", ab, onehot(bc), precision="highest"
         )
-    pad = (-m) % _POINT_CHUNK
+    pad = (-m) % chunk
     if pad:
         factors = [jnp.pad(f, [(0, pad), (0, 0)]) for f in factors]
         bc = jnp.pad(bc, [(0, pad)])
         c = jnp.pad(c, [(0, 0)] * (c.ndim - 1) + [(0, pad)])
-    nc = (m + pad) // _POINT_CHUNK
+    nc = (m + pad) // chunk
 
     def resh(v):
-        return v.reshape((nc, _POINT_CHUNK) + v.shape[1:])
+        return v.reshape((nc, chunk) + v.shape[1:])
 
-    cs = jnp.moveaxis(
-        c.reshape(c.shape[:-1] + (nc, _POINT_CHUNK)), -2, 0
-    )
-    lflat = int(np.prod([f.shape[-1] for f in factors]))
+    cs = jnp.moveaxis(c.reshape(c.shape[:-1] + (nc, chunk)), -2, 0)
     acc0 = jnp.zeros(c.shape[:-1] + (nb, lflat), c.dtype)
 
     def body(acc, args):
@@ -387,6 +393,8 @@ def _interp_blocks(factors, halo_flat, bc, nb: int):
     m = bc.shape[0]
     blocks = np.arange(nb)
     dt = halo_flat.real.dtype
+    lflat = halo_flat.shape[-1]
+    chunk = _chunk_for(lflat)
 
     def one(ids, fs):
         ohc = (ids[:, None] == blocks[None, :]).astype(dt)
@@ -401,17 +409,17 @@ def _interp_blocks(factors, halo_flat, bc, nb: int):
             vals = (vals * f_exp).sum(axis=-1)
         return vals
 
-    if m <= _POINT_CHUNK:
+    if m <= chunk:
         return one(bc, factors)
-    pad = (-m) % _POINT_CHUNK
+    pad = (-m) % chunk
     bcp = jnp.pad(bc, [(0, pad)]) if pad else bc
     fps = [
         jnp.pad(f, [(0, pad), (0, 0)]) if pad else f for f in factors
     ]
-    nc = (m + pad) // _POINT_CHUNK
+    nc = (m + pad) // chunk
 
     def resh(v):
-        return v.reshape((nc, _POINT_CHUNK) + v.shape[1:])
+        return v.reshape((nc, chunk) + v.shape[1:])
 
     def body(carry, args):
         return carry, one(args[0], args[1:])
@@ -420,7 +428,7 @@ def _interp_blocks(factors, halo_flat, bc, nb: int):
         body, 0, (resh(bcp),) + tuple(resh(f) for f in fps)
     )  # ys: (nc, …, C)
     vals = jnp.moveaxis(ys, 0, -2)
-    vals = vals.reshape(vals.shape[:-2] + (nc * _POINT_CHUNK,))
+    vals = vals.reshape(vals.shape[:-2] + (nc * chunk,))
     return vals[..., :m]
 
 
