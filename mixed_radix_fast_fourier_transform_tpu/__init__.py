@@ -51,7 +51,7 @@ from .ops.chebyshev import (
     cheb_transform,
     icheb_transform,
 )
-from .ops.sht import isht, poisson_solve_sphere, sht, sht_grid, sphere_convolve, sphere_div, sphere_grad, sphere_helmholtz, vsht, ivsht, sphere_laplacian, sphere_vort
+from .ops.sht import isht, isht_recurrence, poisson_solve_sphere, sht, sht_recurrence, sht_grid, sphere_convolve, sphere_div, sphere_grad, sphere_helmholtz, vsht, ivsht, sphere_laplacian, sphere_vort
 from .ops.nufft import (
     nudft1,
     nudft1_2d,
@@ -102,7 +102,7 @@ __all__ = [
     "nufft1", "nufft2", "nufft3", "nudft1", "nudft2", "nufft_lsq", "nufft_lsq_2d",
     "nufft1_2d", "nufft2_2d", "nudft1_2d", "nudft2_2d",
     "nufft1_3d", "nufft2_3d", "nudft1_3d", "nudft2_3d",
-    "sht", "isht", "sht_grid", "sphere_laplacian", "poisson_solve_sphere", "sphere_convolve", "sphere_grad", "sphere_div", "sphere_vort", "sphere_helmholtz", "vsht", "ivsht",
+    "sht", "isht", "sht_grid", "sphere_laplacian", "poisson_solve_sphere", "sphere_convolve", "sphere_grad", "sphere_div", "sphere_vort", "sphere_helmholtz", "vsht", "ivsht", "sht_recurrence", "isht_recurrence",
     "cheb_points", "cheb_transform", "icheb_transform", "cheb_diff",
     "cheb_diff_coef", "cheb_eval",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift", "prev_fast_len", "dht", "idht",

@@ -526,3 +526,184 @@ def ivsht(s_lm, t_lm, *, config: SpectralConfig = DEFAULT_CONFIG):
     gt_t, gp_t = _grad_synth(t_lm * inv_j, L, config)
     # r̂×∇Y = (-(1/sin)∂φY, ∂θY) in (θ, φ) components
     return gt_s - gp_t, gp_s + gt_t
+
+
+# ---------------------------------------------------------------------------
+# On-device Legendre recurrence path (opt-in): O(L²) memory instead of the
+# ~L³/2 chunked tables — the arbitrary-band-limit regime (L >= ~2048, where
+# even triangular fp32 tables reach GBs).  The l-recurrence runs as a
+# lax.scan carrying the (m, i) Legendre plane; values are EXPONENT-RESCALED
+# in exact powers of two because the sectoral seeds P̄_mm ~ sin(theta)^m
+# underflow fp32 (and even fp64) long before the recurrence grows them back
+# to O(1) past the turning point l·sin(theta) ~ m — without rescaling every
+# high-m harmonic near the poles would silently vanish.
+# ---------------------------------------------------------------------------
+
+_RESCALE = 2.0 ** 60  # exact power-of-two renormalization step
+
+
+@functools.lru_cache(maxsize=4)
+def _recurrence_coeffs(L: int):
+    """Host O(L²) constants for the on-device recurrence: three-term
+    coefficients A[l, m], B[l, m] (zero where invalid), and the sectoral
+    seeds as exact (mantissa, k) pairs with P̄_mm = mant·2^(-60·k) —
+    computed in log space so no seed ever underflows."""
+    mu, _, theta = _gauss_grid(L)
+    lf = np.arange(L, dtype=np.float64)[:, None]
+    mf = np.arange(L, dtype=np.float64)[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        A = np.sqrt((4.0 * lf * lf - 1.0) / (lf * lf - mf * mf))
+        B = np.sqrt(
+            ((2.0 * lf + 1.0) * ((lf - 1.0) ** 2 - mf * mf))
+            / ((2.0 * lf - 3.0) * (lf * lf - mf * mf))
+        )
+    A = np.where(lf > mf, A, 0.0)
+    B = np.where(lf > mf + 1, B, 0.0)
+    # log2 P̄_mm = log2(1/sqrt(4pi)) + sum_{j<=m} 0.5·log2((2j+1)/(2j))
+    #             + m·log2(sin(theta))
+    st = np.sin(theta)
+    j = np.arange(1, L, dtype=np.float64)
+    csum = np.concatenate(
+        [[0.0], np.cumsum(0.5 * np.log2((2.0 * j + 1.0) / (2.0 * j)))]
+    )
+    log2_pmm = (
+        -0.5 * np.log2(4.0 * np.pi)
+        + csum[:, None]
+        + np.arange(L, dtype=np.float64)[:, None]
+        * np.log2(np.maximum(st, 1e-300))[None, :]
+    )  # (m, i)
+    k = np.maximum(0, np.ceil(-log2_pmm / 60.0)).astype(np.int32)
+    # restore the Condon-Shortley sign (-1)^m lost in log space
+    mant = (
+        np.exp2(log2_pmm + 60.0 * k)
+        * ((-1.0) ** np.arange(L))[:, None]
+    ).astype(np.float32)
+    return (
+        A.astype(np.float32), B.astype(np.float32), mant, k,
+        mu.astype(np.float32),
+    )
+
+
+def _legendre_scan(L: int, accumulate, acc0, xs_extra):
+    """Scan l = 0..L-1 carrying the rescaled (m, i) Legendre plane; at each
+    step call ``accumulate(xs_l, p0, acc)`` with p0 the TRUE-scale plane
+    (entries whose exponent offset k > 0 are < 2^-60 and passed as 0).
+    ``xs_extra`` is a pytree of arrays scanned over their leading L axis."""
+    A, B, mant, k0, mu = _recurrence_coeffs(L)
+    muj = jnp.asarray(mu)[None, :]
+    seed_mask = jnp.asarray(np.eye(L, dtype=bool))  # row l: one-hot at m == l
+
+    def step(carry, xs):
+        p1, p2, k, acc = carry
+        al, bl, sm, mrow, krow, extra = xs
+        p = al[:, None] * muj * p1 - bl[:, None] * p2
+        # sectoral seed injection at m == l (carries its own exponent)
+        p = jnp.where(sm[:, None], mrow[None, :], p)
+        k = jnp.where(sm[:, None], krow[None, :], k)
+        # exact power-of-two renorms: up for headroom while tiny, down as
+        # the true value re-enters representable range
+        mag = jnp.maximum(jnp.abs(p), jnp.abs(p1))
+        up = (mag > 0.0) & (mag < 1.0 / _RESCALE)
+        p = jnp.where(up, p * _RESCALE, p)
+        p1 = jnp.where(up, p1 * _RESCALE, p1)
+        k = jnp.where(up, k + 1, k)
+        down = (jnp.abs(p) > 1.0) & (k > 0)
+        p = jnp.where(down, p / _RESCALE, p)
+        p1 = jnp.where(down, p1 / _RESCALE, p1)
+        k = jnp.where(down, k - 1, k)
+        p0 = jnp.where(k == 0, p, 0.0)
+        acc = accumulate(extra, p0, acc)
+        return (p, p1, k, acc), None
+
+    z = jnp.zeros((L, L), jnp.float32)
+    xs = (
+        jnp.asarray(A), jnp.asarray(B), seed_mask,
+        jnp.asarray(mant), jnp.asarray(k0), xs_extra,
+    )
+    (_, _, _, acc), _ = jax.lax.scan(
+        step, (z, z, jnp.zeros((L, L), jnp.int32), acc0), xs
+    )
+    return acc
+
+
+def sht_recurrence(f, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """Spherical harmonic analysis via the on-device Legendre recurrence —
+    O(L²) memory, arbitrary band limit (same convention and output as
+    :func:`sht`; use for L where the chunked tables no longer fit)."""
+    f = jnp.asarray(f)
+    if f.ndim < 2 or f.shape[-2] < 1 or f.shape[-1] != 2 * f.shape[-2]:
+        raise ValueError("f must be (…, L, 2L) on the sht_grid")
+    L = f.shape[-2]
+    _, w, _ = _gauss_grid(L)
+    dphi = 2.0 * math.pi / (2 * L)
+    wj = jnp.asarray((w * dphi).astype(np.float32))
+    hermitian = not jnp.issubdtype(f.dtype, jnp.complexfloating)
+    if hermitian:
+        from .rfft import rfft as _rfft
+
+        Fw = _rfft(f, config=config)[..., :L] * wj[:, None]  # (…, i, m)
+        srcs = Fw[None]
+    else:
+        Fsel = _select_packed_m(fft(f, config=config), L)
+        Fw = Fsel * wj[:, None]
+        srcs = jnp.stack([Fw[..., :L], _fold_neg_last(Fw, L)])  # (2, …, i, m)
+
+    def accumulate(l_onehot, p0, acc):
+        # y_l[s, …, m] = Σ_i p0[m, i]·srcs[s, …, i, m]; place into column l
+        y = jnp.einsum(
+            "mi,s...im->s...m", p0, srcs, precision=config.op_precision
+        )
+        return acc + y[..., None, :] * l_onehot[None, :, None]
+
+    acc0 = jnp.zeros(srcs.shape[:-2] + (L, L), srcs.dtype)  # (s, …, l, m)
+    acc = _legendre_scan(L, accumulate, acc0, jnp.asarray(np.eye(L, dtype=np.float32)))
+    a = jnp.swapaxes(acc, -1, -2)  # (s, …, m, l)
+    apos = a[0]
+    if hermitian:
+        sign = jnp.asarray(_neg_signs(L), apos.real.dtype)
+        aneg = jnp.conj(apos) * sign[:, None]
+    else:
+        aneg = a[1]
+    return jnp.concatenate([apos, jnp.flip(aneg[..., 1:, :], axis=-2)], axis=-2)
+
+
+def isht_recurrence(
+    alm, *, real_output: bool = False,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Spherical harmonic synthesis via the on-device Legendre recurrence —
+    O(L²) memory (same convention as :func:`isht`)."""
+    alm = jnp.asarray(alm)
+    if alm.ndim < 2 or alm.shape[-1] < 1 or alm.shape[-2] != 2 * alm.shape[-1] - 1:
+        raise ValueError("alm must be (…, 2L-1, L) packed coefficients")
+    L = alm.shape[-1]
+    apos = alm[..., :L, :]
+    if real_output:
+        srcs = apos[None]
+    else:
+        half = jnp.flip(alm[..., L:, :], axis=-2)
+        z = jnp.zeros(alm.shape[:-2] + (1, L), alm.dtype)
+        sign = jnp.asarray(_neg_signs(L), alm.real.dtype)
+        srcs = jnp.stack([apos, jnp.concatenate([z, half], axis=-2) * sign[:, None]])
+    # scan over l: acc[s, …, i, m] += srcs[s, …, m, l]·p0[m, i]
+    a_scan = jnp.moveaxis(srcs, -1, 0)  # (l, s, …, m)
+
+    def accumulate(a_l, p0, acc):
+        return acc + jnp.einsum(
+            "mi,s...m->s...im", p0, a_l, precision=config.op_precision
+        )
+
+    acc0 = jnp.zeros(srcs.shape[:-2] + (L, L), srcs.dtype)  # (s, …, i, m)
+    g = _legendre_scan(L, accumulate, acc0, a_scan)
+    gpos = g[0]
+    nlon = 2 * L
+    zeros = jnp.zeros(gpos.shape[:-1] + (1,), gpos.dtype)
+    if real_output:
+        from .rfft import irfft as _irfft
+
+        bins = jnp.concatenate([gpos, zeros], axis=-1)
+        return _irfft(bins, n=nlon, config=config) * nlon
+    bins = jnp.concatenate(
+        [gpos, zeros, jnp.flip(g[1][..., 1:], axis=-1)], axis=-1
+    )
+    return ifft(bins, config=config) * nlon

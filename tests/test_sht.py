@@ -293,3 +293,41 @@ def test_isht_real_output_fast_path(rng):
     fast = np.asarray(sp.isht(a, real_output=True))
     assert not np.iscomplexobj(fast)
     assert np.max(np.abs(fast - full)) < 1e-6 * max(1.0, np.abs(full).max())
+
+
+@pytest.mark.parametrize("L", [8, 32])
+def test_recurrence_path_matches_tables(rng, L):
+    """On-device Legendre recurrence == chunked-table path (both ways,
+    complex and real-output variants)."""
+    f = rng.standard_normal((2, L, 2 * L)).astype(np.float32)
+    a_tab = np.asarray(sp.sht(f))
+    a_rec = np.asarray(sp.sht_recurrence(f))
+    scale = max(np.abs(a_tab).max(), 1e-9)
+    assert np.max(np.abs(a_rec - a_tab)) / scale < 1e-5
+    fc = (f + 1j * rng.standard_normal(f.shape)).astype(np.complex64)
+    ac_tab = np.asarray(sp.sht(fc))
+    ac_rec = np.asarray(sp.sht_recurrence(fc))
+    assert np.max(np.abs(ac_rec - ac_tab)) / max(np.abs(ac_tab).max(), 1e-9) < 1e-5
+    g_tab = np.asarray(sp.isht(a_tab))
+    g_rec = np.asarray(sp.isht_recurrence(a_tab))
+    gs = max(np.abs(g_tab).max(), 1e-9)
+    assert np.max(np.abs(g_rec - g_tab)) / gs < 1e-5
+    g_r = np.asarray(sp.isht_recurrence(a_tab, real_output=True))
+    assert not np.iscomplexobj(g_r)
+    assert np.max(np.abs(g_r - np.real(g_tab))) / gs < 1e-5
+
+
+@pytest.mark.slow
+def test_recurrence_rescaling_high_m(rng):
+    """A pure high-m harmonic near the band limit round-trips through the
+    recurrence path — exercises the exponent rescaling (its sectoral seed
+    underflows fp32 by hundreds of orders of magnitude at polar
+    latitudes)."""
+    L = 128
+    alm = np.zeros((2 * L - 1, L), np.complex64)
+    alm[L - 8, L - 4] = 1.0  # m = L-8, l = L-4
+    f = np.asarray(sp.isht_recurrence(alm))
+    back = np.array(sp.sht_recurrence(f))
+    assert abs(back[L - 8, L - 4] - 1.0) < 1e-3
+    back[L - 8, L - 4] = 0.0
+    assert np.max(np.abs(back)) < 1e-3

@@ -22,7 +22,7 @@ groups = {
     "Time-frequency": ["stft","istft","spectrogram","get_window","mdct","imdct","mdct_window","cwt","ricker","morlet2","dwt","idwt","dwt2","idwt2","wavedec","waverec","wavedec2","waverec2","swt","iswt","swt2","iswt2"],
     "Signal analysis": ["hilbert","periodogram","welch","csd","coherence","resample"],
     "PDE toolbox": ["spectral_diff","poisson_solve"],
-    "Spherical harmonics": ["sht","isht","sht_grid","sphere_laplacian","poisson_solve_sphere","sphere_convolve","sphere_grad","sphere_div","sphere_vort","sphere_helmholtz","vsht","ivsht"],
+    "Spherical harmonics": ["sht","isht","sht_grid","sphere_laplacian","poisson_solve_sphere","sphere_convolve","sphere_grad","sphere_div","sphere_vort","sphere_helmholtz","vsht","ivsht","sht_recurrence","isht_recurrence"],
     "Chebyshev (non-periodic spectral)": ["cheb_points","cheb_transform","icheb_transform","cheb_diff","cheb_diff_coef","cheb_eval"],
     "Plans / config": ["SpectralConfig","get_plan","build_complex_plan","build_real_plan","build_bluestein_plan","build_mixed_radix_plan","clear_plan_cache"],
 }
