@@ -24,6 +24,13 @@ runs 81 us at L = 128 (~5.1 us per field pair — 2.3x the round-2 dense
 layout) and 1.36 ms at L = 256 (85 us per field pair), projection error
 ~1.6e-7.
 
+Three execution paths: the chunked tables (default, fastest, ~L³/2 fp32
+storage — practical to ~L=1024); the REAL-field Hermitian fast paths
+(``sht`` of real input / ``isht(real_output=True)``: rfft/irfft longitude
++ half the Legendre work via a_{l,-m} = (-1)^m conj(a_{lm})); and the
+on-device recurrence pair :func:`sht_recurrence` / :func:`isht_recurrence`
+(O(L²) memory, exponent-rescaled lax.scan — arbitrary band limit).
+
 Conventions: orthonormal complex spherical harmonics Y_lm with
 Condon-Shortley phase; a = sht(f) has a[m_idx, l] = ∫ f Y*_lm dΩ with the
 m axis packed [0, 1, …, L-1, -(L-1), …, -1] (FFT-bin order restricted to
