@@ -141,3 +141,27 @@ def test_engine_only_precision_schemes_work_everywhere():
         pts = rng.uniform(0, 2 * np.pi, 32).astype(np.float32)
         c = (rng.standard_normal(32) + 0j).astype(np.complex64)
         np.asarray(sp.nufft1(pts, c, 16, config=cfg))
+
+
+def test_bf16_working_dtype():
+    """SpectralConfig(dtype=bfloat16) runs end-to-end; error is the bf16
+    representation floor (~4e-3) — the ML-pipeline working-dtype mode."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import mixed_radix_fast_fourier_transform_tpu as sp
+    from mixed_radix_fast_fourier_transform_tpu.utils.config import DEFAULT_CONFIG
+
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((2, 256)) + 1j * rng.standard_normal((2, 256)))
+    cfg = dataclasses.replace(DEFAULT_CONFIG, dtype=jnp.bfloat16)
+    got = np.asarray(sp.fft(x.astype(np.complex64), config=cfg)).astype(complex)
+    want = np.fft.fft(x)
+    rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert rel < 2e-2, rel
+    back = np.asarray(sp.irfft(
+        sp.rfft(x.real.astype(np.float32), config=cfg), n=256, config=cfg
+    ))
+    assert np.max(np.abs(back - x.real)) / np.max(np.abs(x.real)) < 5e-2
