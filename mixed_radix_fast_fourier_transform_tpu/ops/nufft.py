@@ -928,6 +928,15 @@ def nufft2_2d(
     fd = f * jnp.asarray(deconv, dtype=f.real.dtype)
     wrapped = _wrap(_wrap(fd, mr1, axis=-2), mr2)
     u = ifft2(wrapped, config=config) * (mr1 * mr2)
+    return _interp_2d(u, x, y, (mr1, mr2), (tau1, tau2), msp)
+
+
+def _interp_2d(u: Array, x, y, mrs, taus, msp: int) -> Array:
+    """2-D Gaussian interpolation of grid values ``u`` (…, mr1, mr2) at the
+    points — the block-matmul adjoint of :func:`_spread_2d` (dynamic gather
+    only for tiny grids)."""
+    mr1, mr2 = mrs
+    tau1, tau2 = taus
     s1 = _block_size(mr1, _SPREAD_BLOCK, 2)
     s2 = _block_size(mr2, _SPREAD_BLOCK, 2)
     if min(s1, s2) < msp:  # tiny grid: dynamic gather

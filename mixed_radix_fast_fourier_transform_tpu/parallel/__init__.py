@@ -30,7 +30,9 @@ from .distributed import (
     rfft_four_step,
     ifft_four_step_scrambled,
     isht_sharded,
+    nufft1_2d_sharded,
     nufft1_sharded,
+    nufft2_2d_sharded,
     nufft2_sharded,
     sht_sharded,
     shard_batch,
@@ -46,5 +48,5 @@ __all__ = [
     "fftn_pencil2", "ifftn_pencil2", "rfftn_pencil2", "irfftn_pencil2", "poisson_solve_pencil2",
     "rfft_four_step", "irfft_four_step",
     "fft_batch_sharded", "shard_batch",
-    "nufft1_sharded", "nufft2_sharded", "sht_sharded", "isht_sharded",
+    "nufft1_sharded", "nufft2_sharded", "nufft1_2d_sharded", "nufft2_2d_sharded", "sht_sharded", "isht_sharded",
 ]

@@ -1154,6 +1154,124 @@ def nufft2_sharded(
     return out[..., :m_out] if pad else out
 
 
+
+def nufft1_2d_sharded(
+    x,
+    y,
+    c,
+    n_modes,
+    mesh: Mesh,
+    axis_name: str = SEQ_AXIS,
+    *,
+    isign: int = -1,
+    eps: float = 1e-6,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """2-D type-1 NUFFT with the point set sharded over ``axis_name``
+    (the distributed MRI-gridding shape): (…, M) strengths + (M,) x/y ->
+    replicated (…, n1, n2) centered modes.  One collective: a psum of the
+    oversampled 2-D grid after local block-matmul spreading."""
+    from ..ops.fft import fft2 as _fft2
+    from ..ops.nufft import _center, _deconv, _grid_params, _spread_2d
+
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    c = jnp.asarray(c)
+    if x.ndim != 1 or x.shape[0] < 1 or x.shape != y.shape:
+        raise ValueError("x and y must be equal-length non-empty 1-D arrays")
+    if c.shape[-1] != x.shape[0]:
+        raise ValueError(
+            f"strengths last axis {c.shape[-1]} != number of points {x.shape[0]}"
+        )
+    n1, n2 = int(n_modes[0]), int(n_modes[1])
+    if n1 < 1 or n2 < 1:
+        raise ValueError(f"n_modes must be positive, got {n_modes}")
+    parts = mesh.shape[axis_name]
+    pad = (-x.shape[0]) % parts
+    if pad:  # zero-strength points contribute nothing to the spread
+        x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+        y = jnp.concatenate([y, jnp.zeros((pad,), y.dtype)])
+        widths = [(0, 0)] * (c.ndim - 1) + [(0, pad)]
+        c = jnp.pad(c, widths)
+    if isign > 0:
+        x, y = -x, -y
+    mr1, tau1, msp = _grid_params(n1, eps)
+    mr2, tau2, _ = _grid_params(n2, eps)
+    deconv = np.outer(_deconv(n1, mr1, tau1), _deconv(n2, mr2, tau2))
+
+    def body(xl, yl, cl):
+        grid = jax.lax.psum(
+            _spread_2d(xl, yl, cl, (mr1, mr2), (tau1, tau2), msp), axis_name
+        )
+        spec = _fft2(grid, config=config)
+        centered = _center(_center(spec, mr1, n1, axis=-2), mr2, n2)
+        return centered * jnp.asarray(deconv, dtype=centered.real.dtype)
+
+    pt_spec = P(axis_name)
+    c_spec = P(*([None] * (c.ndim - 1) + [axis_name]))
+    out_spec = P(*([None] * (c.ndim + 1)))
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(pt_spec, pt_spec, c_spec),
+        out_specs=out_spec,
+    )(x, y, c)
+
+
+def nufft2_2d_sharded(
+    x,
+    y,
+    f,
+    mesh: Mesh,
+    axis_name: str = SEQ_AXIS,
+    *,
+    isign: int = +1,
+    eps: float = 1e-6,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """2-D type-2 NUFFT with the evaluation points sharded over
+    ``axis_name``: replicated (…, n1, n2) modes -> (…, M) values.  Zero
+    collectives — every chip runs the same deconvolve + fft2 and
+    interpolates only its own points."""
+    from ..ops.fft import ifft2 as _ifft2
+    from ..ops.nufft import _deconv, _grid_params, _interp_2d, _wrap
+
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    f = jnp.asarray(f)
+    if x.ndim != 1 or x.shape[0] < 1 or x.shape != y.shape:
+        raise ValueError("x and y must be equal-length non-empty 1-D arrays")
+    if f.ndim < 2 or f.shape[-1] < 1 or f.shape[-2] < 1:
+        raise ValueError("f must be (…, n1, n2) with non-empty mode axes")
+    n1, n2 = f.shape[-2], f.shape[-1]
+    m_out = x.shape[0]
+    parts = mesh.shape[axis_name]
+    pad = (-m_out) % parts
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+        y = jnp.concatenate([y, jnp.zeros((pad,), y.dtype)])
+    if isign < 0:
+        x, y = -x, -y
+    mr1, tau1, msp = _grid_params(n1, eps)
+    mr2, tau2, _ = _grid_params(n2, eps)
+    deconv = np.outer(_deconv(n1, mr1, tau1), _deconv(n2, mr2, tau2))
+
+    def body(xl, yl):
+        fd = f * jnp.asarray(deconv, dtype=f.real.dtype)
+        u = _ifft2(_wrap(_wrap(fd, mr1, axis=-2), mr2), config=config) * (
+            mr1 * mr2
+        )
+        return _interp_2d(u, xl, yl, (mr1, mr2), (tau1, tau2), msp)
+
+    out = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=P(*([None] * (f.ndim - 2) + [axis_name])),
+    )(x, y)
+    return out[..., :m_out] if pad else out
+
+
 # ---------------------------------------------------------------------------
 # Distributed spherical harmonic transform: latitude bands sharded over the
 # mesh.  The longitude FFT is per-latitude (local to each band); analysis

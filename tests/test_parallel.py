@@ -548,3 +548,35 @@ class TestShtSharded:
 
         with pytest.raises(ValueError):
             sht_sharded(np.zeros((12, 24), np.float32), mesh, "seq")
+
+
+def test_nufft_2d_sharded_matches_local():
+    """Point-sharded 2-D NUFFT == the local op (types 1 and 2)."""
+    from mixed_radix_fast_fourier_transform_tpu.ops.nufft import (
+        nufft1_2d, nufft2_2d,
+    )
+    from mixed_radix_fast_fourier_transform_tpu.parallel import (
+        nufft1_2d_sharded, nufft2_2d_sharded,
+    )
+
+    mesh8 = _mesh_seq()
+    rng = np.random.default_rng(5)
+    m = 101  # deliberately not divisible by the mesh size
+    x = rng.uniform(0, 2 * np.pi, m).astype(np.float32)
+    y = rng.uniform(0, 2 * np.pi, m).astype(np.float32)
+    c = (rng.standard_normal(m) + 1j * rng.standard_normal(m)).astype(
+        np.complex64
+    )
+    nm = (32, 16)
+    want = np.asarray(nufft1_2d(x, y, c, nm, method="grid"))
+    got = np.asarray(nufft1_2d_sharded(x, y, c, nm, mesh8, "seq"))
+    scale = max(np.abs(want).max(), 1e-9)
+    assert np.max(np.abs(got - want)) / scale < 1e-5
+    f = (rng.standard_normal(nm) + 1j * rng.standard_normal(nm)).astype(
+        np.complex64
+    )
+    want2 = np.asarray(nufft2_2d(x, y, f, method="grid"))
+    got2 = np.asarray(nufft2_2d_sharded(x, y, f, mesh8, "seq"))
+    assert got2.shape == want2.shape
+    s2 = max(np.abs(want2).max(), 1e-9)
+    assert np.max(np.abs(got2 - want2)) / s2 < 1e-5
