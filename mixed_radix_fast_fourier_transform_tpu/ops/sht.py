@@ -376,14 +376,7 @@ def sphere_grad(f, *, config: SpectralConfig = DEFAULT_CONFIG):
     f = jnp.asarray(f)
     a = sht(f, config=config)
     L = a.shape[-1]
-    _, _, theta = _gauss_grid(L)
-    u_theta = _synthesize(_legendre_deriv_chunks(L), a, config)
-    msigned = np.concatenate([np.arange(L), -np.arange(L - 1, 0, -1)])
-    u_phi = _synthesize(
-        _legendre_chunks(L), a * jnp.asarray(1j * msigned, a.dtype)[:, None],
-        config,
-    )
-    u_phi = u_phi / jnp.asarray(np.sin(theta), u_phi.real.dtype)[:, None]
+    u_theta, u_phi = _grad_synth(a, L, config)
     if not jnp.issubdtype(f.dtype, jnp.complexfloating):
         u_theta, u_phi = jnp.real(u_theta), jnp.real(u_phi)
     return u_theta, u_phi
@@ -475,7 +468,13 @@ def sphere_helmholtz(
 
 def _grad_synth(alm, L: int, config: SpectralConfig):
     """Grid components of Σ_lm alm·∇Y_lm (the shared synthesis core of
-    :func:`sphere_grad` / :func:`ivsht`): (∂θ part, (1/sinθ)∂φ part)."""
+    :func:`sphere_grad` / :func:`ivsht`): (∂θ part, (1/sinθ)∂φ part).
+
+    Real-dtype coefficients are promoted to complex first — the i·m
+    longitude-derivative factor would otherwise be silently truncated to
+    zero by the dtype cast (same guard as _div_coef)."""
+    if not jnp.issubdtype(alm.dtype, jnp.complexfloating):
+        alm = alm.astype(jnp.complex64)
     _, _, theta = _gauss_grid(L)
     msigned = np.concatenate([np.arange(L), -np.arange(L - 1, 0, -1)])
     g_theta = _synthesize(_legendre_deriv_chunks(L), alm, config)
@@ -655,15 +654,15 @@ def sht_recurrence(f, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
         Fw = Fsel * wj[:, None]
         srcs = jnp.stack([Fw[..., :L], _fold_neg_last(Fw, L)])  # (2, …, i, m)
 
-    def accumulate(l_onehot, p0, acc):
-        # y_l[s, …, m] = Σ_i p0[m, i]·srcs[s, …, i, m]; place into column l
+    def accumulate(l_idx, p0, acc):
+        # y_l[s, …, m] = Σ_i p0[m, i]·srcs[s, …, i, m]; write row l
         y = jnp.einsum(
             "mi,s...im->s...m", p0, srcs, precision=config.op_precision
         )
-        return acc + y[..., None, :] * l_onehot[None, :, None]
+        return jax.lax.dynamic_update_index_in_dim(acc, y, l_idx, -2)
 
     acc0 = jnp.zeros(srcs.shape[:-2] + (L, L), srcs.dtype)  # (s, …, l, m)
-    acc = _legendre_scan(L, accumulate, acc0, jnp.asarray(np.eye(L, dtype=np.float32)))
+    acc = _legendre_scan(L, accumulate, acc0, jnp.arange(L))
     a = jnp.swapaxes(acc, -1, -2)  # (s, …, m, l)
     apos = a[0]
     if hermitian:

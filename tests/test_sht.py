@@ -331,3 +331,17 @@ def test_recurrence_rescaling_high_m(rng):
     assert abs(back[L - 8, L - 4] - 1.0) < 1e-3
     back[L - 8, L - 4] = 0.0
     assert np.max(np.abs(back)) < 1e-3
+
+
+def test_ivsht_real_dtype_coefficients(rng):
+    """Real-dtype coefficient arrays must not silently lose the i·m
+    longitude component (round-3 review finding)."""
+    L = 10
+    S = np.zeros((2 * L - 1, L), np.float32)
+    S[1, 2] = 1.0  # m=1, l=2 — nonzero d/dphi component
+    ut, up = (np.asarray(v) for v in sp.ivsht(S, np.zeros_like(S)))
+    assert np.max(np.abs(up)) > 1e-3  # would be exactly 0 with the bug
+    utc, upc = (np.asarray(v) for v in sp.ivsht(
+        S.astype(np.complex64), np.zeros((2 * L - 1, L), np.complex64)
+    ))
+    np.testing.assert_allclose(up, upc, atol=1e-6)
