@@ -55,6 +55,10 @@ Array = jax.Array
 # m-axis tile of the triangular Legendre chunks: each chunk holds
 # _M_TILE m-rows sharing one l >= m0 slice, so stored volume ~= L**3/2.
 _M_TILE = 128
+# Band limit above which sht/isht auto-dispatch to the O(L^2)-memory
+# recurrence path: the chunked tables reach ~2.1 GB fp32 at L = 1024;
+# beyond that the (17x slower but memory-flat) scan is the only option.
+_TABLES_MAX_L = 1024
 
 
 @functools.lru_cache(maxsize=16)
@@ -192,6 +196,8 @@ def sht(f, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
             f"{f.shape[-2:] if f.ndim >= 2 else f.shape}"
         )
     L = f.shape[-2]
+    if L > _TABLES_MAX_L:
+        return sht_recurrence(f, config=config)
     _, w, _ = _gauss_grid(L)
     dphi = 2.0 * math.pi / (2 * L)
     if not jnp.issubdtype(f.dtype, jnp.complexfloating):
@@ -229,6 +235,8 @@ def isht(
             f"{alm.shape[-2:] if alm.ndim >= 2 else alm.shape}"
         )
     L = alm.shape[-1]
+    if L > _TABLES_MAX_L:
+        return isht_recurrence(alm, real_output=real_output, config=config)
     return _synthesize(
         _legendre_chunks(L), alm, config, hermitian=real_output
     )
