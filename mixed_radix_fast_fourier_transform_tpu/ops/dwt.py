@@ -258,15 +258,21 @@ def _idwt_linear(a: Array, d: Array, wavelet: str, config: SpectralConfig):
 
 def dwt(
     x, wavelet: str = "db2", mode: str = "periodization", *,
+    axis: int = -1,
     config: SpectralConfig = DEFAULT_CONFIG,
 ):
-    """One analysis level: (…, N) -> (approx, detail).
+    """One analysis level: (…, N) -> (approx, detail) along ``axis``.
 
     ``mode="periodization"`` (default) needs even N and halves the length;
     the extension modes follow pywt length conventions (module docstring)."""
     x = jnp.asarray(x)
     if x.ndim < 1:
         raise ValueError("dwt needs at least a 1-D signal")
+    if axis % max(x.ndim, 1) != x.ndim - 1:
+        a, d = dwt(
+            jnp.moveaxis(x, axis, -1), wavelet, mode, config=config
+        )
+        return jnp.moveaxis(a, -1, axis), jnp.moveaxis(d, -1, axis)
     if mode not in _MODES:
         raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
     if not jnp.issubdtype(x.dtype, jnp.inexact):
@@ -291,6 +297,7 @@ def dwt(
 
 def idwt(
     a, d, wavelet: str = "db2", mode: str = "periodization", *,
+    axis: int = -1,
     config: SpectralConfig = DEFAULT_CONFIG,
 ) -> Array:
     """Inverse of :func:`dwt` (exact; synthesis filters are the orthonormal
@@ -302,6 +309,12 @@ def idwt(
     d = jnp.asarray(d)
     if mode not in _MODES:
         raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
+    if a.ndim >= 1 and axis % max(a.ndim, 1) != a.ndim - 1:
+        out = idwt(
+            jnp.moveaxis(a, axis, -1), jnp.moveaxis(d, axis, -1),
+            wavelet, mode, config=config,
+        )
+        return jnp.moveaxis(out, -1, axis)
     if a.ndim < 1 or d.ndim < 1 or a.shape != d.shape or a.shape[-1] < 1:
         raise ValueError("approx/detail must share a non-empty >= 1-D shape")
     if not jnp.issubdtype(a.dtype, jnp.inexact):

@@ -246,3 +246,14 @@ def test_swt2_roundtrip(rng, wavelet):
     assert a.shape == x.shape == h.shape == v.shape == d.shape
     back = np.asarray(sp.iswt2(coeffs, wavelet))
     np.testing.assert_allclose(back, x, atol=5e-5)
+
+
+def test_dwt_axis_argument(rng):
+    """axis= transforms along any axis (pywt parity)."""
+    x = rng.standard_normal((6, 32, 5)).astype(np.float32)
+    a, d = sp.dwt(x, "db2", axis=1)
+    assert a.shape == (6, 16, 5) == d.shape
+    back = np.asarray(sp.idwt(a, d, "db2", axis=1))
+    np.testing.assert_allclose(back, x, atol=1e-5)
+    a2, d2 = sp.dwt(np.moveaxis(x, 1, -1), "db2")
+    np.testing.assert_allclose(np.moveaxis(np.asarray(a2), -1, 1), a, atol=1e-6)
