@@ -68,6 +68,40 @@ _REC_LO = {
 _REC_LO["db1"] = _REC_LO["haar"]
 
 
+def _daubechies_lowpass(n: int):
+    """rec_lo of dbN derived by spectral factorization (not transcribed):
+    roots of the degree-(N-1) half-band polynomial B(y) in z, minimum-phase
+    selection, composed with ((1+z)/2)^N and normalized to sum sqrt(2).
+    Accurate to ~1e-12 vs the published db2-db4 tables; np.roots
+    conditioning caps reliable orders at N <= 12 (checked by the PR probe
+    at bank build)."""
+    from math import comb
+
+    by = [comb(n - 1 + k, k) for k in range(n)]
+    y = np.array([-0.25, 0.5, -0.25])  # y(z) = (2 - z - 1/z)/4, ascending
+    b = np.array([float(by[0])])
+    ypow = np.array([1.0])
+    for c in by[1:]:
+        ypow = np.convolve(ypow, y)
+        b2 = np.zeros(len(ypow))
+        off = (len(ypow) - len(b)) // 2
+        b2[off : off + len(b)] = b
+        b = b2 + c * ypow
+    roots = np.roots(b[::-1])
+    h = np.array([1.0])
+    for _ in range(n):
+        h = np.convolve(h, [0.5, 0.5])
+    for r in roots:
+        if abs(r) < 1.0 - 1e-12:
+            h = np.convolve(h, [-r, 1.0])
+    h = np.real(h)
+    return h * (math.sqrt(2.0) / h.sum())
+
+
+for _n in range(5, 13):
+    _REC_LO[f"db{_n}"] = _daubechies_lowpass(_n).tolist()
+
+
 def _cdf97_lowpass():
     """CDF 9/7 lowpass pair by spline factorization (derivation, not
     transcription): split the roots of the degree-3 half-band polynomial —

@@ -257,3 +257,20 @@ def test_dwt_axis_argument(rng):
     np.testing.assert_allclose(back, x, atol=1e-5)
     a2, d2 = sp.dwt(np.moveaxis(x, 1, -1), "db2")
     np.testing.assert_allclose(np.moveaxis(np.asarray(a2), -1, 1), a, atol=1e-6)
+
+
+@pytest.mark.parametrize("wavelet", ["db5", "db8", "db12"])
+def test_derived_daubechies_orders(rng, wavelet):
+    """db5..db12 are derived by spectral factorization; the bank-build PR
+    probe plus round trip + orthonormality validate them."""
+    from mixed_radix_fast_fourier_transform_tpu.ops.dwt import _banks
+
+    lo, hi = _banks(wavelet)[:2]
+    assert abs(lo @ lo - 1.0) < 1e-9 and abs(lo.sum() - np.sqrt(2.0)) < 1e-9
+    x = rng.standard_normal((2, 128)).astype(np.float32)
+    a, d = sp.dwt(x, wavelet)
+    back = np.asarray(sp.idwt(a, d, wavelet))
+    np.testing.assert_allclose(back, x, atol=2e-5)
+    a, d = sp.dwt(x, wavelet, "symmetric")
+    back = np.asarray(sp.idwt(a, d, wavelet, "symmetric"))
+    np.testing.assert_allclose(back[..., :128], x, atol=2e-5)
