@@ -24,8 +24,10 @@ Boundary modes (``mode=``):
   sample further).  ``idwt`` returns the pywt-canonical 2·La - F + 2
   samples; :func:`waverec` trims the possible odd-length extra sample.
 
-Wavelets: Daubechies ``haar``/``db1``..``db12`` (orders >= 5 derived by
-spectral factorization at bank build) and biorthogonal
+Wavelets: Daubechies ``haar``/``db1``..``db12`` and symlets
+``sym2``..``sym10`` (orders >= 5 / >= 4 derived by spectral factorization
+at bank build — dbN minimum-phase, symN closest-to-linear-phase) and
+biorthogonal
 ``bior2.2`` (LeGall/CDF 5/3) / ``bior4.4`` (CDF 9/7, the JPEG2000 pair).
 The 9/7 pair is *derived*, not transcribed: the degree-3 half-band
 polynomial P(y) = 1 + 4y + 10y² + 20y³ is factored numerically, the real
