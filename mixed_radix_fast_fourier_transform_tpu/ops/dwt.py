@@ -726,3 +726,55 @@ def waverec2(
             a = a[..., :-1]
         a = idwt2(a, bands, wavelet, mode, config=config)
     return a
+
+
+def dwt_max_level(n: int, wavelet: str = "db2") -> int:
+    """Maximum useful decomposition level (pywt.dwt_max_level): floor
+    log2(n / (F - 1)) with F the decomposition filter length."""
+    f = len(_banks(wavelet)[0])
+    if n < f - 1 or f <= 1:
+        return 0
+    return int(math.floor(math.log2(n / (f - 1))))
+
+
+def wpdec(
+    x, wavelet: str = "db2", level: int = 1, *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> list:
+    """Wavelet packet decomposition (full binary tree, periodization):
+    (…, N) -> list of 2^level bands, each (…, N/2^level), natural
+    (Paley) order — band index's bits record the low/high path from the
+    root.  N must divide 2^level."""
+    x = jnp.asarray(x)
+    if level < 1:
+        raise ValueError(f"level must be >= 1, got {level}")
+    if x.ndim < 1 or x.shape[-1] % (1 << level):
+        raise ValueError(
+            f"length {x.shape[-1] if x.ndim else 0} not divisible by "
+            f"2^level = {1 << level}"
+        )
+    bands = [x]
+    for _ in range(level):
+        nxt = []
+        for b in bands:
+            a, d = dwt(b, wavelet, config=config)
+            nxt += [a, d]
+        bands = nxt
+    return bands
+
+
+def wprec(
+    bands, wavelet: str = "db2", *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Inverse of :func:`wpdec` (bands in natural order; len power of 2)."""
+    bands = [jnp.asarray(b) for b in bands]
+    n = len(bands)
+    if n < 2 or n & (n - 1):
+        raise ValueError(f"need a power-of-two number of bands, got {n}")
+    while len(bands) > 1:
+        bands = [
+            idwt(bands[i], bands[i + 1], wavelet, config=config)
+            for i in range(0, len(bands), 2)
+        ]
+    return bands[0]

@@ -298,3 +298,24 @@ def test_sym4_matches_published():
     got = np.array(_REC_LO["sym4"])
     err = min(np.max(np.abs(c - want)) for c in (got, got[::-1], -got, -got[::-1]))
     assert err < 1e-10, err
+
+
+def test_wavelet_packets_roundtrip(rng):
+    x = rng.standard_normal((2, 64)).astype(np.float32)
+    bands = sp.wpdec(x, "db3", level=3)
+    assert len(bands) == 8 and all(b.shape == (2, 8) for b in bands)
+    # orthonormal tree preserves energy
+    e = sum(float((np.asarray(b) ** 2).sum()) for b in bands)
+    np.testing.assert_allclose(e, float((x ** 2).sum()), rtol=1e-5)
+    back = np.asarray(sp.wprec(bands, "db3"))
+    np.testing.assert_allclose(back, x, atol=1e-4)
+    with pytest.raises(ValueError):
+        sp.wprec(bands[:3], "db3")
+    with pytest.raises(ValueError):
+        sp.wpdec(np.ones(12, np.float32), level=3)
+
+
+def test_dwt_max_level():
+    assert sp.dwt_max_level(64, "haar") == 6
+    assert sp.dwt_max_level(64, "db2") == 4  # F=4 -> log2(64/3)
+    assert sp.dwt_max_level(2, "db4") == 0
