@@ -71,17 +71,15 @@ _REC_LO = {
 _REC_LO["db1"] = _REC_LO["haar"]
 
 
-def _daubechies_lowpass(n: int):
-    """rec_lo of dbN derived by spectral factorization (not transcribed):
-    roots of the degree-(N-1) half-band polynomial B(y) in z, minimum-phase
-    selection, composed with ((1+z)/2)^N and normalized to sum sqrt(2).
-    Accurate to ~1e-12 vs the published db2-db4 tables; np.roots
-    conditioning caps reliable orders at N <= 12 (checked by the PR probe
-    at bank build)."""
+def _halfband_roots(n: int) -> np.ndarray:
+    """Roots (in z) of the degree-(n-1) Daubechies half-band polynomial
+    B(y), y(z) = (2 - z - 1/z)/4 — the shared factorization core of the
+    derived db/sym families.  np.roots conditioning caps reliable orders
+    at n <= ~12 (the PR probe at bank build catches degradation)."""
     from math import comb
 
     by = [comb(n - 1 + k, k) for k in range(n)]
-    y = np.array([-0.25, 0.5, -0.25])  # y(z) = (2 - z - 1/z)/4, ascending
+    y = np.array([-0.25, 0.5, -0.25])  # ascending Laurent coeffs
     b = np.array([float(by[0])])
     ypow = np.array([1.0])
     for c in by[1:]:
@@ -90,15 +88,27 @@ def _daubechies_lowpass(n: int):
         off = (len(ypow) - len(b)) // 2
         b2[off : off + len(b)] = b
         b = b2 + c * ypow
-    roots = np.roots(b[::-1])
+    return np.roots(b[::-1])
+
+
+def _spline_compose(n: int, chosen) -> np.ndarray:
+    """((1+z)/2)^n times the chosen root factors, normalized to sum
+    sqrt(2) — shared synthesis of the derived lowpass filters."""
     h = np.array([1.0])
     for _ in range(n):
         h = np.convolve(h, [0.5, 0.5])
-    for r in roots:
-        if abs(r) < 1.0 - 1e-12:
-            h = np.convolve(h, [-r, 1.0])
+    for r in chosen:
+        h = np.convolve(h, [-r, 1.0])
     h = np.real(h)
     return h * (math.sqrt(2.0) / h.sum())
+
+
+def _daubechies_lowpass(n: int):
+    """rec_lo of dbN derived by spectral factorization (not transcribed):
+    minimum-phase root selection.  Accurate to ~1e-12 vs the published
+    db2-db4 tables."""
+    roots = _halfband_roots(n)
+    return _spline_compose(n, [r for r in roots if abs(r) < 1.0 - 1e-12])
 
 
 for _n in range(5, 13):
@@ -111,28 +121,9 @@ def _symlet_lowpass(n: int):
     from linear phase (the symlet criterion) — reproduces the published
     sym4 table to ~8e-13."""
     import itertools
-    from math import comb
 
-    by = [comb(n - 1 + k, k) for k in range(n)]
-    y = np.array([-0.25, 0.5, -0.25])
-    b = np.array([float(by[0])])
-    ypow = np.array([1.0])
-    for c in by[1:]:
-        ypow = np.convolve(ypow, y)
-        b2 = np.zeros(len(ypow))
-        off = (len(ypow) - len(b)) // 2
-        b2[off : off + len(b)] = b
-        b = b2 + c * ypow
-    roots = np.roots(b[::-1])
-
-    def build(chosen):
-        h = np.array([1.0])
-        for _ in range(n):
-            h = np.convolve(h, [0.5, 0.5])
-        for r in chosen:
-            h = np.convolve(h, [-r, 1.0])
-        h = np.real(h)
-        return h * (math.sqrt(2.0) / h.sum())
+    roots = _halfband_roots(n)
+    build = lambda chosen: _spline_compose(n, chosen)
 
     def phase_dev(h):
         w = np.linspace(0.05, np.pi - 0.05, 256)
@@ -382,7 +373,9 @@ def dwt(
     x = jnp.asarray(x)
     if x.ndim < 1:
         raise ValueError("dwt needs at least a 1-D signal")
-    if axis % max(x.ndim, 1) != x.ndim - 1:
+    if not -x.ndim <= axis < x.ndim:
+        raise ValueError(f"axis {axis} out of range for {x.ndim}-D input")
+    if axis % x.ndim != x.ndim - 1:
         a, d = dwt(
             jnp.moveaxis(x, axis, -1), wavelet, mode, config=config
         )
@@ -423,7 +416,9 @@ def idwt(
     d = jnp.asarray(d)
     if mode not in _MODES:
         raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
-    if a.ndim >= 1 and axis % max(a.ndim, 1) != a.ndim - 1:
+    if a.ndim >= 1 and not -a.ndim <= axis < a.ndim:
+        raise ValueError(f"axis {axis} out of range for {a.ndim}-D input")
+    if a.ndim >= 1 and axis % a.ndim != a.ndim - 1:
         out = idwt(
             jnp.moveaxis(a, axis, -1), jnp.moveaxis(d, axis, -1),
             wavelet, mode, config=config,
@@ -730,8 +725,11 @@ def waverec2(
 
 def dwt_max_level(n: int, wavelet: str = "db2") -> int:
     """Maximum useful decomposition level (pywt.dwt_max_level): floor
-    log2(n / (F - 1)) with F the decomposition filter length."""
+    log2(n / (dec_len - 1)) with dec_len the even-padded decomposition
+    filter length (pywt pads odd biorthogonal filters to even, so e.g.
+    bior4.4 counts as 10 taps)."""
     f = len(_banks(wavelet)[0])
+    f += f % 2  # pywt dec_len is even-padded
     if n < f - 1 or f <= 1:
         return 0
     return int(math.floor(math.log2(n / (f - 1))))
@@ -744,7 +742,7 @@ def wpdec(
     """Wavelet packet decomposition (full binary tree, periodization):
     (…, N) -> list of 2^level bands, each (…, N/2^level), natural
     (Paley) order — band index's bits record the low/high path from the
-    root.  N must divide 2^level."""
+    root.  2^level must divide N."""
     x = jnp.asarray(x)
     if level < 1:
         raise ValueError(f"level must be >= 1, got {level}")

@@ -319,3 +319,18 @@ def test_dwt_max_level():
     assert sp.dwt_max_level(64, "haar") == 6
     assert sp.dwt_max_level(64, "db2") == 4  # F=4 -> log2(64/3)
     assert sp.dwt_max_level(2, "db4") == 0
+    # biorthogonal: pywt counts the even-padded dec_len (bior2.2 -> 6)
+    assert sp.dwt_max_level(64, "bior2.2") == 3
+    assert sp.dwt_max_level(64, "bior4.4") == 2
+
+
+def test_dwt_axis_out_of_range():
+    import pytest as _pytest
+
+    x = np.ones((4, 32), np.float32)
+    for bad in (2, 3, -3):
+        with _pytest.raises(ValueError):
+            sp.dwt(x, "db2", axis=bad)
+    with _pytest.raises(ValueError):
+        sp.idwt(np.ones((4, 16), np.float32), np.ones((4, 16), np.float32),
+                "db2", axis=3)
