@@ -1309,12 +1309,23 @@ def sht_sharded(
     m0s = tuple(m0 for m0, _ in chunks)
     _, w, _ = _gauss_grid(L)
     wdphi = (w * (2.0 * _math.pi / (2 * L))).astype(np.float32)
+    hermitian = not jnp.issubdtype(f.dtype, jnp.complexfloating)
 
     def body(fl, wl, *tabs):
         # each chip holds its latitude band of every triangular chunk; the
-        # per-band quadrature contraction completes with one psum over ICI
-        Fsel = _select_packed_m(_fft(fl, config=config), L)
-        part = _analyze(tuple(zip(m0s, tabs)), Fsel, wl, L, config)
+        # per-band quadrature contraction completes with one psum over ICI.
+        # Real fields ride the Hermitian fast path (rfft + conj fold, half
+        # the Legendre work — the fold is linear, so folding before the
+        # psum is exact).
+        if hermitian:
+            from ..ops.rfft import rfft as _rfft
+
+            fsel = _rfft(fl, config=config)[..., :L]
+        else:
+            fsel = _select_packed_m(_fft(fl, config=config), L)
+        part = _analyze(
+            tuple(zip(m0s, tabs)), fsel, wl, L, config, hermitian=hermitian
+        )
         return jax.lax.psum(part, axis_name)
 
     lat_spec = P(*([None] * (f.ndim - 2) + [axis_name, None]))

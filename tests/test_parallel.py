@@ -580,3 +580,18 @@ def test_nufft_2d_sharded_matches_local():
     assert got2.shape == want2.shape
     s2 = max(np.abs(want2).max(), 1e-9)
     assert np.max(np.abs(got2 - want2)) / s2 < 1e-5
+
+
+def test_sht_sharded_complex_field_matches():
+    """Complex fields take the full (non-Hermitian) sharded path."""
+    import mixed_radix_fast_fourier_transform_tpu as sp
+    from mixed_radix_fast_fourier_transform_tpu.parallel import sht_sharded
+
+    mesh = _mesh_seq()
+    rng = np.random.default_rng(9)
+    L = 16
+    f = (rng.standard_normal((2, L, 2 * L))
+         + 1j * rng.standard_normal((2, L, 2 * L))).astype(np.complex64)
+    got = np.asarray(sht_sharded(f, mesh, "seq"))
+    want = np.asarray(sp.sht(f))
+    assert np.max(np.abs(got - want)) < 1e-5 * max(1.0, np.abs(want).max())
