@@ -200,6 +200,55 @@ def tune_split(n: int, b: int, cands):
         _report("base", str(stages), res)
 
 
+def tune_nufft(n: int, m: int):
+    """Dense vs grid NUFFT A/B at (n modes, m points) + grid-vs-dense err
+    (the round-3 dispatch-threshold probe, axon-safe fp32 planes)."""
+    import jax.numpy as jnp
+
+    from mixed_radix_fast_fourier_transform_tpu.ops import nufft as nf
+
+    rng = np.random.default_rng(0)
+    x = jax.device_put(rng.uniform(0, 2 * np.pi, m).astype(np.float32))
+    cr = jax.device_put(rng.standard_normal(m).astype(np.float32))
+    ci = jax.device_put(rng.standard_normal(m).astype(np.float32))
+
+    def t1(method):
+        def g(a, c):
+            out = nf.nufft1(x, jax.lax.complex(a, c), n, method=method)
+            return jnp.real(out).reshape(-1)[:m], jnp.imag(out).reshape(-1)[:m]
+        return g
+
+    zr, zi = jax.jit(t1("grid"))(cr, ci)
+    wr, wi = jax.jit(t1("dense"))(cr, ci)
+    g = np.asarray(zr) + 1j * np.asarray(zi)
+    w = np.asarray(wr) + 1j * np.asarray(wi)
+    print(f"grid-vs-dense err: {np.max(np.abs(g - w)) / np.max(np.abs(w)):.2e}")
+    res = ab_compare(t1("dense"), t1("grid"), (cr, ci), short=50, long=250,
+                     rounds=5)
+    _report("dense", "grid", res)
+
+
+def tune_sht(L: int, b: int):
+    """Hermitian vs full-path SHT round-trip A/B at band limit L."""
+    import jax.numpy as jnp
+
+    import mixed_radix_fast_fourier_transform_tpu as spp
+
+    rng = np.random.default_rng(0)
+    f0 = jax.device_put(rng.standard_normal((b, L, 2 * L)).astype(np.float32))
+
+    def rt_fast(g):
+        return (spp.isht(spp.sht(g), real_output=True).astype(jnp.float32),)
+
+    def rt_full(g):
+        return (jnp.real(
+            spp.isht(spp.sht(g.astype(jnp.complex64)))
+        ).astype(jnp.float32),)
+
+    res = ab_compare(rt_full, rt_fast, (f0,), short=20, long=100, rounds=5)
+    _report("full", "hermitian", res)
+
+
 def tune_builtin(n: int, b: int):
     """Interleaved A/B vs XLA's builtin jnp.fft.fft at (n, b)."""
     import jax.numpy as jnp
@@ -252,4 +301,5 @@ if __name__ == "__main__":
     else:
         {"stages": tune_stages, "pad": tune_pad, "builtin": tune_builtin,
          "pallas": tune_pallas, "precision": tune_precision,
-         "matmul_form": tune_matmul_form}[which](n, b)
+         "matmul_form": tune_matmul_form, "nufft": tune_nufft,
+         "sht": tune_sht}[which](n, b)
