@@ -215,7 +215,13 @@ def tune_nufft(n: int, m: int):
     def t1(method):
         def g(a, c):
             out = nf.nufft1(x, jax.lax.complex(a, c), n, method=method)
-            return jnp.real(out).reshape(-1)[:m], jnp.imag(out).reshape(-1)[:m]
+
+            def fit(v):  # match the input shape for the timing chain
+                v = v.reshape(-1)
+                pad = max(0, m - v.shape[0])
+                return jnp.concatenate([v, jnp.zeros(pad, v.dtype)])[:m]
+
+            return fit(jnp.real(out)), fit(jnp.imag(out))
         return g
 
     zr, zi = jax.jit(t1("grid"))(cr, ci)
