@@ -12,6 +12,9 @@ Usage (on the TPU host):
     python tools/tune.py pallas 1024 256     # fused kernel vs XLA pipeline
     python tools/tune.py precision 1024 256  # matmul precision ladder
     python tools/tune.py split 3600 64 120x30 144x25   # explicit stage splits
+    python tools/tune.py prec 1024 256 highest,high    # per-stage schemes
+    python tools/tune.py nufft 4096 4096     # dense vs grid NUFFT at (n, M)
+    python tools/tune.py sht 256 16          # Hermitian vs full SHT paths
 """
 
 from __future__ import annotations
