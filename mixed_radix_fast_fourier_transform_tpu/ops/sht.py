@@ -598,12 +598,18 @@ def _recurrence_coeffs(L: int):
     )
 
 
-def _legendre_scan(L: int, accumulate, acc0, xs_extra):
+def _legendre_scan(L: int, accumulate, acc0, xs_extra, lat=None):
     """Scan l = 0..L-1 carrying the rescaled (m, i) Legendre plane; at each
     step call ``accumulate(xs_l, p0, acc)`` with p0 the TRUE-scale plane
     (entries whose exponent offset k > 0 are < 2^-60 and passed as 0).
-    ``xs_extra`` is a pytree of arrays scanned over their leading L axis."""
+    ``xs_extra`` is a pytree of arrays scanned over their leading L axis.
+    ``lat`` optionally overrides the (mu, seed mantissa, seed exponent)
+    latitude arrays with per-band slices — the latitude-sharded path (each
+    chip scans only its own band; the recurrence is independent per
+    latitude)."""
     A, B, mant, k0, mu = _recurrence_coeffs(L)
+    if lat is not None:
+        mu, mant, k0 = lat
     muj = jnp.asarray(mu)[None, :]
     seed_mask = jnp.asarray(np.eye(L, dtype=bool))  # row l: one-hot at m == l
 
@@ -629,13 +635,19 @@ def _legendre_scan(L: int, accumulate, acc0, xs_extra):
         acc = accumulate(extra, p0, acc)
         return (p, p1, k, acc), None
 
-    z = jnp.zeros((L, L), jnp.float32)
+    ni = muj.shape[-1]
+    # tie the zero-initialized carriers to the latitude operand's sharding
+    # variance (under shard_map a replicated zeros() init would mismatch
+    # the band-varying carry outputs)
+    tie = (muj * 0.0).sum()
+    z = jnp.zeros((L, ni), jnp.float32) + tie
+    acc0 = acc0 + tie.astype(acc0.real.dtype)
     xs = (
         jnp.asarray(A), jnp.asarray(B), seed_mask,
         jnp.asarray(mant), jnp.asarray(k0), xs_extra,
     )
     (_, _, _, acc), _ = jax.lax.scan(
-        step, (z, z, jnp.zeros((L, L), jnp.int32), acc0), xs
+        step, (z, z, z.astype(jnp.int32), acc0), xs
     )
     return acc
 
@@ -662,6 +674,15 @@ def sht_recurrence(f, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
         Fw = Fsel * wj[:, None]
         srcs = jnp.stack([Fw[..., :L], _fold_neg_last(Fw, L)])  # (2, …, i, m)
 
+    acc = _rec_analyze_core(srcs, L, config)
+    return _rec_pack(acc, L, hermitian)
+
+
+def _rec_analyze_core(srcs, L: int, config, lat=None):
+    """Recurrence analysis core: weighted spectra srcs (s, …, i, m) ->
+    (s, …, l, m) coefficient planes (band-partial when ``lat`` slices the
+    latitude axis — sum partials with a psum before packing)."""
+
     def accumulate(l_idx, p0, acc):
         # y_l[s, …, m] = Σ_i p0[m, i]·srcs[s, …, i, m]; write row l
         y = jnp.einsum(
@@ -670,7 +691,11 @@ def sht_recurrence(f, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
         return jax.lax.dynamic_update_index_in_dim(acc, y, l_idx, -2)
 
     acc0 = jnp.zeros(srcs.shape[:-2] + (L, L), srcs.dtype)  # (s, …, l, m)
-    acc = _legendre_scan(L, accumulate, acc0, jnp.arange(L))
+    return _legendre_scan(L, accumulate, acc0, jnp.arange(L), lat=lat)
+
+
+def _rec_pack(acc, L: int, hermitian: bool):
+    """(s, …, l, m) scan accumulator -> packed (…, 2L-1, L) coefficients."""
     a = jnp.swapaxes(acc, -1, -2)  # (s, …, m, l)
     apos = a[0]
     if hermitian:
@@ -679,6 +704,21 @@ def sht_recurrence(f, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
     else:
         aneg = a[1]
     return jnp.concatenate([apos, jnp.flip(aneg[..., 1:, :], axis=-2)], axis=-2)
+
+
+def _rec_synth_core(srcs, L: int, config, lat=None):
+    """Recurrence synthesis core: (s, …, m, l) coefficient sources ->
+    (s, …, i, m) longitude-bin planes (band-local when ``lat`` is given)."""
+    a_scan = jnp.moveaxis(srcs, -1, 0)  # (l, s, …, m)
+
+    def accumulate(a_l, p0, acc):
+        return acc + jnp.einsum(
+            "mi,s...m->s...im", p0, a_l, precision=config.op_precision
+        )
+
+    ni = L if lat is None else lat[0].shape[-1]
+    acc0 = jnp.zeros(srcs.shape[:-2] + (ni, L), srcs.dtype)  # (s, …, i, m)
+    return _legendre_scan(L, accumulate, acc0, a_scan, lat=lat)
 
 
 def isht_recurrence(
@@ -699,16 +739,7 @@ def isht_recurrence(
         z = jnp.zeros(alm.shape[:-2] + (1, L), alm.dtype)
         sign = jnp.asarray(_neg_signs(L), alm.real.dtype)
         srcs = jnp.stack([apos, jnp.concatenate([z, half], axis=-2) * sign[:, None]])
-    # scan over l: acc[s, …, i, m] += srcs[s, …, m, l]·p0[m, i]
-    a_scan = jnp.moveaxis(srcs, -1, 0)  # (l, s, …, m)
-
-    def accumulate(a_l, p0, acc):
-        return acc + jnp.einsum(
-            "mi,s...m->s...im", p0, a_l, precision=config.op_precision
-        )
-
-    acc0 = jnp.zeros(srcs.shape[:-2] + (L, L), srcs.dtype)  # (s, …, i, m)
-    g = _legendre_scan(L, accumulate, acc0, a_scan)
+    g = _rec_synth_core(srcs, L, config)
     gpos = g[0]
     nlon = 2 * L
     zeros = jnp.zeros(gpos.shape[:-1] + (1,), gpos.dtype)

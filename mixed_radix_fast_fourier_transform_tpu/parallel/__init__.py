@@ -29,11 +29,13 @@ from .distributed import (
     irfft_four_step,
     rfft_four_step,
     ifft_four_step_scrambled,
+    isht_recurrence_sharded,
     isht_sharded,
     nufft1_2d_sharded,
     nufft1_sharded,
     nufft2_2d_sharded,
     nufft2_sharded,
+    sht_recurrence_sharded,
     sht_sharded,
     shard_batch,
 )
@@ -48,5 +50,5 @@ __all__ = [
     "fftn_pencil2", "ifftn_pencil2", "rfftn_pencil2", "irfftn_pencil2", "poisson_solve_pencil2",
     "rfft_four_step", "irfft_four_step",
     "fft_batch_sharded", "shard_batch",
-    "nufft1_sharded", "nufft2_sharded", "nufft1_2d_sharded", "nufft2_2d_sharded", "sht_sharded", "isht_sharded",
+    "nufft1_sharded", "nufft2_sharded", "nufft1_2d_sharded", "nufft2_2d_sharded", "sht_recurrence_sharded", "isht_recurrence_sharded", "sht_sharded", "isht_sharded",
 ]

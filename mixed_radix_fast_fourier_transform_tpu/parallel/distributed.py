@@ -1375,3 +1375,117 @@ def isht_sharded(
         in_specs=tab_specs,
         out_specs=out_spec,
     )(*(t for _, t in chunks))
+
+
+def sht_recurrence_sharded(
+    f,
+    mesh: Mesh,
+    axis_name: str = SEQ_AXIS,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Latitude-sharded on-device-recurrence spherical analysis: O(L²/parts)
+    memory per chip at ANY band limit (each chip scans only its own
+    latitude band — the Legendre recurrence is independent per latitude);
+    one psum completes the quadrature."""
+    import math as _math
+
+    from ..ops.fft import fft as _fft
+    from ..ops.rfft import rfft as _rfft
+    from ..ops.sht import (
+        _fold_neg_last, _gauss_grid, _rec_analyze_core, _rec_pack,
+        _recurrence_coeffs, _select_packed_m,
+    )
+
+    f = jnp.asarray(f)
+    if f.ndim < 2 or f.shape[-2] < 1 or f.shape[-1] != 2 * f.shape[-2]:
+        raise ValueError("f must be (…, L, 2L) on the sht_grid")
+    L = f.shape[-2]
+    parts = mesh.shape[axis_name]
+    if L % parts != 0:
+        raise ValueError(
+            f"latitude count L={L} must divide the mesh axis ({parts})"
+        )
+    _, _, mant, k0, mu = _recurrence_coeffs(L)
+    _, w, _ = _gauss_grid(L)
+    wdphi = (w * (2.0 * _math.pi / (2 * L))).astype(np.float32)
+    hermitian = not jnp.issubdtype(f.dtype, jnp.complexfloating)
+
+    def body(fl, mul, mantl, kl, wl):
+        if hermitian:
+            fw = _rfft(fl, config=config)[..., :L] * wl[:, None]
+            srcs = fw[None]
+        else:
+            fw = _select_packed_m(_fft(fl, config=config), L) * wl[:, None]
+            srcs = jnp.stack([fw[..., :L], _fold_neg_last(fw, L)])
+        acc = _rec_analyze_core(srcs, L, config, lat=(mul, mantl, kl))
+        acc = jax.lax.psum(acc, axis_name)
+        return _rec_pack(acc, L, hermitian)
+
+    lat_spec = P(*([None] * (f.ndim - 2) + [axis_name, None]))
+    out_spec = P(*([None] * f.ndim))
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(lat_spec, P(axis_name), P(None, axis_name),
+                  P(None, axis_name), P(axis_name)),
+        out_specs=out_spec,
+    )(f, jnp.asarray(mu), jnp.asarray(mant), jnp.asarray(k0),
+      jnp.asarray(wdphi))
+
+
+def isht_recurrence_sharded(
+    alm,
+    mesh: Mesh,
+    axis_name: str = SEQ_AXIS,
+    *,
+    real_output: bool = False,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Latitude-sharded on-device-recurrence spherical synthesis: zero
+    collectives, O(L²/parts) memory per chip at any band limit."""
+    from ..ops.fft import ifft as _ifft
+    from ..ops.rfft import irfft as _irfft
+    from ..ops.sht import _neg_signs, _rec_synth_core, _recurrence_coeffs
+
+    alm = jnp.asarray(alm)
+    if alm.ndim < 2 or alm.shape[-1] < 1 or alm.shape[-2] != 2 * alm.shape[-1] - 1:
+        raise ValueError("alm must be (…, 2L-1, L) packed coefficients")
+    L = alm.shape[-1]
+    parts = mesh.shape[axis_name]
+    if L % parts != 0:
+        raise ValueError(
+            f"latitude count L={L} must divide the mesh axis ({parts})"
+        )
+    _, _, mant, k0, mu = _recurrence_coeffs(L)
+    apos = alm[..., :L, :]
+    if real_output:
+        srcs = apos[None]
+    else:
+        half = jnp.flip(alm[..., L:, :], axis=-2)
+        z = jnp.zeros(alm.shape[:-2] + (1, L), alm.dtype)
+        sign = jnp.asarray(_neg_signs(L), alm.real.dtype)
+        srcs = jnp.stack(
+            [apos, jnp.concatenate([z, half], axis=-2) * sign[:, None]]
+        )
+    nlon = 2 * L
+
+    def body(mul, mantl, kl):
+        g = _rec_synth_core(srcs, L, config, lat=(mul, mantl, kl))
+        gpos = g[0]
+        zeros = jnp.zeros(gpos.shape[:-1] + (1,), gpos.dtype)
+        if real_output:
+            bins = jnp.concatenate([gpos, zeros], axis=-1)
+            return _irfft(bins, n=nlon, config=config) * nlon
+        bins = jnp.concatenate(
+            [gpos, zeros, jnp.flip(g[1][..., 1:], axis=-1)], axis=-1
+        )
+        return _ifft(bins, config=config) * nlon
+
+    out_spec = P(*([None] * (alm.ndim - 2) + [axis_name, None]))
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(None, axis_name), P(None, axis_name)),
+        out_specs=out_spec,
+    )(jnp.asarray(mu), jnp.asarray(mant), jnp.asarray(k0))
