@@ -89,6 +89,14 @@ def demo_sharded():
     got = np.asarray(fft_four_step(x, mesh))
     err = np.max(np.abs(got - np.fft.fft(x))) / np.max(np.abs(np.fft.fft(x)))
     print(f"== sharded four-step over {len(devs)} devices: rel err {err:.3e} ==")
+    from mixed_radix_fast_fourier_transform_tpu.parallel import sht_sharded
+
+    L = 16 * ((len(devs) + 15) // 16) if len(devs) > 16 else 16
+    f = np.random.default_rng(3).standard_normal((L, 2 * L)).astype(np.float32)
+    a = np.asarray(sht_sharded(f, mesh, "seq"))
+    want = np.asarray(sp.sht(f))
+    serr = np.max(np.abs(a - want)) / max(1.0, np.abs(want).max())
+    print(f"   latitude-sharded SHT (one psum): rel err {serr:.3e}")
 
 
 def demo_lapped_and_wavelets():
