@@ -68,40 +68,59 @@ def _gauss_grid(L: int):
     return mu, w, np.arccos(mu)
 
 
-def _legendre_row_iter(L: int):
-    """Yield (m, P_m) with P_m the (L, L) fp64 table slice P̄_{lm}(mu_i) for
-    one order m (rows l < m are zero).  Stable three-term recurrence over l,
-    sectoral seed marched over m — O(L²) live fp64 at any time."""
+def _host_recurrence_tables(L: int):
+    """Host fp64 (L, L) recurrence coefficients A[l, m], B[l, m] (zero
+    where invalid) and sectoral seeds pmm[m, i] — shared by the vectorized
+    table builders (one numpy plane op per l instead of an O(L²) Python
+    loop)."""
     mu, _, _ = _gauss_grid(L)
-    s = np.sqrt(np.clip(1.0 - mu * mu, 0.0, None))
-    pmm = np.full(L, 1.0 / math.sqrt(4.0 * math.pi))
-    for m in range(L):
-        P = np.zeros((L, L))
-        P[m] = pmm
-        if m + 1 < L:
-            P[m + 1] = mu * math.sqrt(2.0 * m + 3.0) * pmm
-        for l in range(m + 2, L):
-            a = math.sqrt((4.0 * l * l - 1.0) / (l * l - m * m))
-            b = math.sqrt(
-                ((2.0 * l + 1.0) * ((l - 1.0) ** 2 - m * m))
-                / ((2.0 * l - 3.0) * (l * l - m * m))
-            )
-            P[l] = a * mu * P[l - 1] - b * P[l - 2]
-        yield m, P
-        if m + 1 < L:
-            pmm = -math.sqrt((2.0 * m + 3.0) / (2.0 * m + 2.0)) * s * pmm
+    lf = np.arange(L, dtype=np.float64)[:, None]
+    mf = np.arange(L, dtype=np.float64)[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        A = np.sqrt((4.0 * lf * lf - 1.0) / (lf * lf - mf * mf))
+        B = np.sqrt(
+            ((2.0 * lf + 1.0) * ((lf - 1.0) ** 2 - mf * mf))
+            / ((2.0 * lf - 3.0) * (lf * lf - mf * mf))
+        )
+    A = np.where(lf > mf, A, 0.0)
+    B = np.where(lf > mf + 1, B, 0.0)
+    st = np.sqrt(np.clip(1.0 - mu * mu, 0.0, None))
+    pmm = np.empty((L, L))
+    pmm[0] = 1.0 / math.sqrt(4.0 * math.pi)
+    for m in range(1, L):
+        pmm[m] = -math.sqrt((2.0 * m + 1.0) / (2.0 * m)) * st * pmm[m - 1]
+    return A, B, pmm, mu
 
 
-def _chunk_rows(L: int, row_iter):
-    """Collect (m, (L, L) fp64 row) pairs into triangular fp32 chunks
-    [(m0, (t, L-m0, L)), …] tiled _M_TILE orders per chunk."""
-    chunks, buf = [], []
-    for m, row in row_iter:
-        m0 = (m // _M_TILE) * _M_TILE
-        buf.append(row[m0:].astype(np.float32))
-        if m == L - 1 or (m + 1) % _M_TILE == 0:
-            chunks.append((m0, np.stack(buf)))
-            buf = []
+def _legendre_l_iter(L: int):
+    """Yield (l, P_l, P_{l-1}) with P_l the fp64 (m, i) Legendre plane —
+    the l-major vectorized march (rows m > l are zero)."""
+    A, B, pmm, mu = _host_recurrence_tables(L)
+    p1 = np.zeros((L, L))
+    p2 = np.zeros((L, L))
+    for l in range(L):
+        p = A[l][:, None] * mu[None, :] * p1 - B[l][:, None] * p2
+        p[l] = pmm[l]  # sectoral seed at m == l
+        yield l, p, p1
+        p2, p1 = p1, p
+
+
+def _chunk_shells(L: int):
+    """Empty triangular fp32 chunk set [(m0, (t, L-m0, L))…]."""
+    out = []
+    for m0 in range(0, L, _M_TILE):
+        t = min(_M_TILE, L - m0)
+        out.append((m0, np.zeros((t, L - m0, L), np.float32)))
+    return out
+
+
+def _fill_chunks(L: int, plane_iter):
+    """Fill triangular chunks from an l-major (l, plane) iterator."""
+    chunks = _chunk_shells(L)
+    for l, plane in plane_iter:
+        for m0, arr in chunks:
+            if l >= m0:
+                arr[:, l - m0, :] = plane[m0 : m0 + arr.shape[0]]
     return tuple(chunks)
 
 
@@ -110,7 +129,9 @@ def _legendre_chunks(L: int):
     """Triangular m >= 0 Legendre chunks for band limit lmax = L-1 (fp32;
     negative orders fold in via P̄_{l,-m} = (-1)^m P̄_{lm} at the
     coefficient level — see :func:`_analyze` / :func:`_synthesize`)."""
-    return _chunk_rows(L, _legendre_row_iter(L))
+    return _fill_chunks(
+        L, ((l, p) for l, p, _ in _legendre_l_iter(L))
+    )
 
 
 def _neg_signs(L: int) -> np.ndarray:
@@ -308,22 +329,19 @@ def _legendre_deriv_chunks(L: int):
     :func:`_legendre_chunks` (dtheta differentiation preserves the m parity)."""
     mu, _, theta = _gauss_grid(L)
     s = np.sin(theta)
-    l = np.arange(L, dtype=np.float64)
+    lf = np.arange(L, dtype=np.float64)[:, None]
+    mf = np.arange(L, dtype=np.float64)[None, :]
+    with np.errstate(invalid="ignore"):
+        e = np.sqrt(
+            (lf * lf - mf * mf) * (2.0 * lf + 1.0) / (2.0 * lf - 1.0)
+        )
+    e = np.where((lf >= np.maximum(mf, 1.0)), e, 0.0)
 
-    def rows():
-        for m, P in _legendre_row_iter(L):
-            e = np.zeros(L)
-            sel = l >= max(m, 1)
-            e[sel] = np.sqrt(
-                (l[sel] ** 2 - m * m)
-                * (2.0 * l[sel] + 1.0)
-                / (2.0 * l[sel] - 1.0)
-            )
-            prev = np.zeros_like(P)
-            prev[1:] = P[:-1]
-            yield m, (l[:, None] * mu[None, :] * P - e[:, None] * prev) / s
+    def planes():
+        for l, p, p_prev in _legendre_l_iter(L):
+            yield l, (l * mu[None, :] * p - e[l][:, None] * p_prev) / s
 
-    return _chunk_rows(L, rows())
+    return _fill_chunks(L, planes())
 
 
 def _synthesize(
