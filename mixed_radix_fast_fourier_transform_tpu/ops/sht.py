@@ -581,16 +581,7 @@ def _recurrence_coeffs(L: int):
     seeds as exact (mantissa, k) pairs with P̄_mm = mant·2^(-60·k) —
     computed in log space so no seed ever underflows."""
     mu, _, theta = _gauss_grid(L)
-    lf = np.arange(L, dtype=np.float64)[:, None]
-    mf = np.arange(L, dtype=np.float64)[None, :]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        A = np.sqrt((4.0 * lf * lf - 1.0) / (lf * lf - mf * mf))
-        B = np.sqrt(
-            ((2.0 * lf + 1.0) * ((lf - 1.0) ** 2 - mf * mf))
-            / ((2.0 * lf - 3.0) * (lf * lf - mf * mf))
-        )
-    A = np.where(lf > mf, A, 0.0)
-    B = np.where(lf > mf + 1, B, 0.0)
+    A, B, _, _ = _host_recurrence_tables(L)  # single source of the A/B forms
     # log2 P̄_mm = log2(1/sqrt(4pi)) + sum_{j<=m} 0.5·log2((2j+1)/(2j))
     #             + m·log2(sin(theta))
     st = np.sin(theta)

@@ -1303,7 +1303,7 @@ def sht_sharded(
     parts = mesh.shape[axis_name]
     if L % parts != 0:
         raise ValueError(
-            f"latitude count L={L} must divide the mesh axis ({parts})"
+            f"mesh axis size {parts} must divide the latitude count L={L}"
         )
     chunks = _legendre_chunks(L)
     m0s = tuple(m0 for m0, _ in chunks)
@@ -1358,7 +1358,7 @@ def isht_sharded(
     parts = mesh.shape[axis_name]
     if L % parts != 0:
         raise ValueError(
-            f"latitude count L={L} must divide the mesh axis ({parts})"
+            f"mesh axis size {parts} must divide the latitude count L={L}"
         )
     chunks = _legendre_chunks(L)
     m0s = tuple(m0 for m0, _ in chunks)
@@ -1384,10 +1384,13 @@ def sht_recurrence_sharded(
     *,
     config: SpectralConfig = DEFAULT_CONFIG,
 ) -> Array:
-    """Latitude-sharded on-device-recurrence spherical analysis: O(L²/parts)
-    memory per chip at ANY band limit (each chip scans only its own
-    latitude band — the Legendre recurrence is independent per latitude);
-    one psum completes the quadrature."""
+    """Latitude-sharded on-device-recurrence spherical analysis: the scan's
+    Legendre planes shrink to (L, L/parts) per chip (each chip scans only
+    its own latitude band — the recurrence is independent per latitude) and
+    one psum completes the quadrature.  NOTE the (…, 2L-1, L) coefficient
+    accumulator itself stays O(L²) per chip (it spans all degrees); the
+    memory win vs the table path is the absent ~L³/2 table, not the
+    accumulator."""
     import math as _math
 
     from ..ops.fft import fft as _fft
@@ -1404,7 +1407,7 @@ def sht_recurrence_sharded(
     parts = mesh.shape[axis_name]
     if L % parts != 0:
         raise ValueError(
-            f"latitude count L={L} must divide the mesh axis ({parts})"
+            f"mesh axis size {parts} must divide the latitude count L={L}"
         )
     _, _, mant, k0, mu = _recurrence_coeffs(L)
     _, w, _ = _gauss_grid(L)
@@ -1443,7 +1446,8 @@ def isht_recurrence_sharded(
     config: SpectralConfig = DEFAULT_CONFIG,
 ) -> Array:
     """Latitude-sharded on-device-recurrence spherical synthesis: zero
-    collectives, O(L²/parts) memory per chip at any band limit."""
+    collectives; scan planes are (L, L/parts) per chip, while the
+    replicated coefficient input is O(L²) (see the analysis note)."""
     from ..ops.fft import ifft as _ifft
     from ..ops.rfft import irfft as _irfft
     from ..ops.sht import _neg_signs, _rec_synth_core, _recurrence_coeffs
@@ -1455,7 +1459,7 @@ def isht_recurrence_sharded(
     parts = mesh.shape[axis_name]
     if L % parts != 0:
         raise ValueError(
-            f"latitude count L={L} must divide the mesh axis ({parts})"
+            f"mesh axis size {parts} must divide the latitude count L={L}"
         )
     _, _, mant, k0, mu = _recurrence_coeffs(L)
     apos = alm[..., :L, :]
