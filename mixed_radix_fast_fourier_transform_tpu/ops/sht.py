@@ -68,12 +68,40 @@ def _gauss_grid(L: int):
     return mu, w, np.arccos(mu)
 
 
-def _host_recurrence_tables(L: int):
+@functools.lru_cache(maxsize=16)
+def _eq_grid(L: int):
+    """Equiangular (Driscoll-Healy-class) latitude grid for band limit
+    lmax = L-1: nlat = 2L midpoint colatitudes theta_j = pi(2j+1)/(4L) with
+    Fejér-type quadrature weights derived by DST orthogonality — exact for
+    every Legendre moment of degree < 2L (verified to machine precision),
+    so the analysis is exact for band-limited fields like the Gauss grid,
+    at twice the latitude count."""
+    n = 2 * L
+    j = np.arange(n)
+    theta = np.pi * (2.0 * j + 1.0) / (2.0 * n)
+    m = np.arange(1, n + 1)
+    beta = np.where(m % 2 == 1, 2.0 / m, 0.0)
+    c = (2.0 / n) * (np.sin(np.outer(theta, m)) @ beta)
+    return np.cos(theta), c * np.sin(theta), theta
+
+
+_GRIDS = ("gauss", "equiangular")
+
+
+def _grid_arrays(L: int, grid: str):
+    if grid == "gauss":
+        return _gauss_grid(L)
+    if grid == "equiangular":
+        return _eq_grid(L)
+    raise ValueError(f"grid must be one of {_GRIDS}, got {grid!r}")
+
+
+def _host_recurrence_tables(L: int, grid: str = "gauss"):
     """Host fp64 (L, L) recurrence coefficients A[l, m], B[l, m] (zero
     where invalid) and sectoral seeds pmm[m, i] — shared by the vectorized
     table builders (one numpy plane op per l instead of an O(L²) Python
     loop)."""
-    mu, _, _ = _gauss_grid(L)
+    mu, _, _ = _grid_arrays(L, grid)
     lf = np.arange(L, dtype=np.float64)[:, None]
     mf = np.arange(L, dtype=np.float64)[None, :]
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -85,19 +113,19 @@ def _host_recurrence_tables(L: int):
     A = np.where(lf > mf, A, 0.0)
     B = np.where(lf > mf + 1, B, 0.0)
     st = np.sqrt(np.clip(1.0 - mu * mu, 0.0, None))
-    pmm = np.empty((L, L))
+    pmm = np.empty((L, len(mu)))
     pmm[0] = 1.0 / math.sqrt(4.0 * math.pi)
     for m in range(1, L):
         pmm[m] = -math.sqrt((2.0 * m + 1.0) / (2.0 * m)) * st * pmm[m - 1]
     return A, B, pmm, mu
 
 
-def _legendre_l_iter(L: int):
+def _legendre_l_iter(L: int, grid: str = "gauss"):
     """Yield (l, P_l, P_{l-1}) with P_l the fp64 (m, i) Legendre plane —
     the l-major vectorized march (rows m > l are zero)."""
-    A, B, pmm, mu = _host_recurrence_tables(L)
-    p1 = np.zeros((L, L))
-    p2 = np.zeros((L, L))
+    A, B, pmm, mu = _host_recurrence_tables(L, grid)
+    p1 = np.zeros((L, len(mu)))
+    p2 = np.zeros((L, len(mu)))
     for l in range(L):
         p = A[l][:, None] * mu[None, :] * p1 - B[l][:, None] * p2
         p[l] = pmm[l]  # sectoral seed at m == l
@@ -105,18 +133,18 @@ def _legendre_l_iter(L: int):
         p2, p1 = p1, p
 
 
-def _chunk_shells(L: int):
-    """Empty triangular fp32 chunk set [(m0, (t, L-m0, L))…]."""
+def _chunk_shells(L: int, nlat: int):
+    """Empty triangular fp32 chunk set [(m0, (t, L-m0, nlat))…]."""
     out = []
     for m0 in range(0, L, _M_TILE):
         t = min(_M_TILE, L - m0)
-        out.append((m0, np.zeros((t, L - m0, L), np.float32)))
+        out.append((m0, np.zeros((t, L - m0, nlat), np.float32)))
     return out
 
 
-def _fill_chunks(L: int, plane_iter):
+def _fill_chunks(L: int, plane_iter, nlat: int):
     """Fill triangular chunks from an l-major (l, plane) iterator."""
-    chunks = _chunk_shells(L)
+    chunks = _chunk_shells(L, nlat)
     for l, plane in plane_iter:
         for m0, arr in chunks:
             if l >= m0:
@@ -125,12 +153,13 @@ def _fill_chunks(L: int, plane_iter):
 
 
 @functools.lru_cache(maxsize=8)
-def _legendre_chunks(L: int):
+def _legendre_chunks(L: int, grid: str = "gauss"):
     """Triangular m >= 0 Legendre chunks for band limit lmax = L-1 (fp32;
     negative orders fold in via P̄_{l,-m} = (-1)^m P̄_{lm} at the
     coefficient level — see :func:`_analyze` / :func:`_synthesize`)."""
+    nlat = L if grid == "gauss" else 2 * L
     return _fill_chunks(
-        L, ((l, p) for l, p, _ in _legendre_l_iter(L))
+        L, ((l, p) for l, p, _ in _legendre_l_iter(L, grid)), nlat
     )
 
 
@@ -140,15 +169,17 @@ def _neg_signs(L: int) -> np.ndarray:
     return (-1.0) ** np.arange(L, dtype=np.float64)
 
 
-def sht_grid(lmax: int, dtype=np.float64):
-    """(theta, phi, weights) of the (L, 2L) analysis grid for band limit
-    ``lmax`` (L = lmax+1): Gauss-Legendre colatitudes x equiangular
-    longitudes.  Quadrature: sum(f * weights[:, None]) * (2*pi/nlon)
-    integrates over the sphere."""
+def sht_grid(lmax: int, dtype=np.float64, grid: str = "gauss"):
+    """(theta, phi, weights) of the analysis grid for band limit ``lmax``
+    (L = lmax+1): ``grid="gauss"`` is (L, 2L) Gauss-Legendre colatitudes x
+    equiangular longitudes; ``grid="equiangular"`` is (2L, 2L) midpoint
+    equiangular colatitudes with Fejér-type weights (Driscoll-Healy-class
+    — for data that arrives on lat-lon grids).  Quadrature:
+    sum(f * weights[:, None]) * (2*pi/nlon) integrates over the sphere."""
     if lmax < 0:
         raise ValueError(f"lmax must be >= 0, got {lmax}")
     L = lmax + 1
-    _, w, theta = _gauss_grid(L)
+    _, w, theta = _grid_arrays(L, grid)
     phi = 2.0 * np.pi * np.arange(2 * L) / (2 * L)
     return theta.astype(dtype), phi.astype(dtype), w.astype(dtype)
 
@@ -207,19 +238,30 @@ def _analyze(
     return jnp.concatenate([apos, jnp.flip(aneg[..., 1:, :], axis=-2)], axis=-2)
 
 
-def sht(f, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
-    """Spherical harmonic analysis: (…, L, 2L) grid values -> (…, 2L-1, L)
-    coefficients a[m_idx, l] (packed m axis, zeros below the |m| diagonal)."""
+def sht(f, *, grid: str = "gauss", config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """Spherical harmonic analysis -> (…, 2L-1, L) coefficients a[m_idx, l]
+    (packed m axis, zeros below the |m| diagonal).  Input grid per
+    ``grid``: "gauss" expects (…, L, 2L); "equiangular" expects the square
+    (…, 2L, 2L) Driscoll-Healy-class grid of :func:`sht_grid` — both exact
+    for band-limited fields."""
     f = jnp.asarray(f)
-    if f.ndim < 2 or f.shape[-2] < 1 or f.shape[-1] != 2 * f.shape[-2]:
-        raise ValueError(
-            "f must be (…, L, 2L) on the sht_grid — got "
-            f"{f.shape[-2:] if f.ndim >= 2 else f.shape}"
-        )
-    L = f.shape[-2]
-    if L > _TABLES_MAX_L:
+    if grid == "equiangular":
+        if f.ndim < 2 or f.shape[-1] < 2 or f.shape[-2] != f.shape[-1]:
+            raise ValueError(
+                "equiangular f must be square (…, 2L, 2L) — got "
+                f"{f.shape[-2:] if f.ndim >= 2 else f.shape}"
+            )
+        L = f.shape[-1] // 2
+    else:
+        if f.ndim < 2 or f.shape[-2] < 1 or f.shape[-1] != 2 * f.shape[-2]:
+            raise ValueError(
+                "f must be (…, L, 2L) on the sht_grid — got "
+                f"{f.shape[-2:] if f.ndim >= 2 else f.shape}"
+            )
+        L = f.shape[-2]
+    if L > _TABLES_MAX_L and grid == "gauss":
         return sht_recurrence(f, config=config)
-    _, w, _ = _gauss_grid(L)
+    _, w, _ = _grid_arrays(L, grid)
     dphi = 2.0 * math.pi / (2 * L)
     if not jnp.issubdtype(f.dtype, jnp.complexfloating):
         # real-field fast path: rfft bins 0..L cover all orders by the
@@ -228,19 +270,21 @@ def sht(f, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
 
         Fpos = _rfft(f, config=config)[..., :L]  # (…, i, L)
         return _analyze(
-            _legendre_chunks(L), Fpos, w * dphi, L, config, hermitian=True
+            _legendre_chunks(L, grid), Fpos, w * dphi, L, config,
+            hermitian=True,
         )
     F = fft(f, config=config)  # over longitude: (…, i, m_bins)
     Fsel = _select_packed_m(F, L)  # (…, i, 2L-1)
-    return _analyze(_legendre_chunks(L), Fsel, w * dphi, L, config)
+    return _analyze(_legendre_chunks(L, grid), Fsel, w * dphi, L, config)
 
 
 def isht(
-    alm, *, real_output: bool = False,
+    alm, *, real_output: bool = False, grid: str = "gauss",
     config: SpectralConfig = DEFAULT_CONFIG,
 ) -> Array:
-    """Spherical harmonic synthesis: (…, 2L-1, L) coefficients ->
-    (…, L, 2L) grid values (complex; take .real for real fields).
+    """Spherical harmonic synthesis: (…, 2L-1, L) coefficients -> grid
+    values (complex; take .real for real fields) — (…, L, 2L) for
+    ``grid="gauss"``, (…, 2L, 2L) for ``grid="equiangular"``.
 
     ``real_output=True`` is the fast path for coefficients with the
     real-field symmetry a_{l,-m} = (-1)^m conj(a_{lm}) (e.g. anything
@@ -256,10 +300,10 @@ def isht(
             f"{alm.shape[-2:] if alm.ndim >= 2 else alm.shape}"
         )
     L = alm.shape[-1]
-    if L > _TABLES_MAX_L:
+    if L > _TABLES_MAX_L and grid == "gauss":
         return isht_recurrence(alm, real_output=real_output, config=config)
     return _synthesize(
-        _legendre_chunks(L), alm, config, hermitian=real_output
+        _legendre_chunks(L, grid), alm, config, hermitian=real_output
     )
 
 
@@ -341,7 +385,7 @@ def _legendre_deriv_chunks(L: int):
         for l, p, p_prev in _legendre_l_iter(L):
             yield l, (l * mu[None, :] * p - e[l][:, None] * p_prev) / s
 
-    return _fill_chunks(L, planes())
+    return _fill_chunks(L, planes(), L)
 
 
 def _synthesize(

@@ -345,3 +345,45 @@ def test_ivsht_real_dtype_coefficients(rng):
         S.astype(np.complex64), np.zeros((2 * L - 1, L), np.complex64)
     ))
     np.testing.assert_allclose(up, upc, atol=1e-6)
+
+
+def test_equiangular_grid_roundtrip(rng):
+    """Driscoll-Healy-class equiangular grid: exact band-limited round trip
+    (both directions) and parity with the Gauss-grid coefficients."""
+    L = 16
+    alm = _rand_alm(rng, L)
+    f_eq = np.asarray(sp.isht(alm, grid="equiangular"))
+    assert f_eq.shape == (2 * L, 2 * L)
+    back = np.asarray(sp.sht(f_eq, grid="equiangular"))
+    scale = max(np.abs(alm).max(), 1.0)
+    assert np.max(np.abs(back - alm)) / scale < 1e-5
+    # same coefficients as the Gauss path for the same underlying function
+    f_g = np.asarray(sp.isht(alm))
+    a_g = np.asarray(sp.sht(f_g))
+    assert np.max(np.abs(back - a_g)) / scale < 2e-5
+    # real-field fast paths on the equiangular grid
+    fr = np.real(f_eq).astype(np.float32)
+    ar = np.asarray(sp.sht(fr, grid="equiangular"))
+    fr2 = np.asarray(sp.isht(ar, real_output=True, grid="equiangular"))
+    ar2 = np.asarray(sp.sht(fr2, grid="equiangular"))
+    assert np.max(np.abs(ar2 - ar)) / max(np.abs(ar).max(), 1e-9) < 1e-5
+
+
+def test_equiangular_single_harmonic_matches_scipy(rng):
+    L = 10
+    theta, phi, _ = sp.sht_grid(L - 1, grid="equiangular")
+    assert theta.shape == (2 * L,)
+    for (l, m) in [(0, 0), (4, 3), (7, -5)]:
+        alm = np.zeros((2 * L - 1, L), np.complex64)
+        q = m if m >= 0 else 2 * L - 1 + m
+        alm[q, l] = 1.0
+        f = np.asarray(sp.isht(alm, grid="equiangular"))
+        want = sph_harm_y(l, m, theta[:, None], phi[None, :])
+        assert np.max(np.abs(f - want)) < 1e-5, (l, m)
+
+
+def test_sht_bad_grid(rng):
+    with pytest.raises(ValueError):
+        sp.sht(np.zeros((8, 16), np.float32), grid="bogus")
+    with pytest.raises(ValueError):
+        sp.sht(np.zeros((8, 16), np.float32), grid="equiangular")  # not square
