@@ -1287,27 +1287,35 @@ def sht_sharded(
     mesh: Mesh,
     axis_name: str = SEQ_AXIS,
     *,
+    grid: str = "gauss",
     config: SpectralConfig = DEFAULT_CONFIG,
 ) -> Array:
     """Spherical harmonic analysis with latitude sharded over ``axis_name``:
-    (…, L, 2L) grid -> replicated (…, 2L-1, L) coefficients, one psum."""
+    grid values -> replicated (…, 2L-1, L) coefficients, one psum
+    ((…, L, 2L) for grid="gauss", square (…, 2L, 2L) equiangular)."""
     import math as _math
 
     from ..ops.fft import fft as _fft
-    from ..ops.sht import _analyze, _gauss_grid, _legendre_chunks, _select_packed_m
+    from ..ops.sht import _analyze, _grid_arrays, _legendre_chunks, _select_packed_m
 
     f = jnp.asarray(f)
-    if f.ndim < 2 or f.shape[-2] < 1 or f.shape[-1] != 2 * f.shape[-2]:
-        raise ValueError("f must be (…, L, 2L) on the sht_grid")
-    L = f.shape[-2]
+    if grid == "equiangular":
+        if f.ndim < 2 or f.shape[-1] < 2 or f.shape[-2] != f.shape[-1]:
+            raise ValueError("equiangular f must be square (…, 2L, 2L)")
+        L = f.shape[-1] // 2
+    else:
+        if f.ndim < 2 or f.shape[-2] < 1 or f.shape[-1] != 2 * f.shape[-2]:
+            raise ValueError("f must be (…, L, 2L) on the sht_grid")
+        L = f.shape[-2]
     parts = mesh.shape[axis_name]
-    if L % parts != 0:
+    if f.shape[-2] % parts != 0:
         raise ValueError(
-            f"mesh axis size {parts} must divide the latitude count L={L}"
+            f"mesh axis size {parts} must divide the latitude count "
+            f"{f.shape[-2]}"
         )
-    chunks = _legendre_chunks(L)
+    chunks = _legendre_chunks(L, grid)
     m0s = tuple(m0 for m0, _ in chunks)
-    _, w, _ = _gauss_grid(L)
+    _, w, _ = _grid_arrays(L, grid)
     wdphi = (w * (2.0 * _math.pi / (2 * L))).astype(np.float32)
     hermitian = not jnp.issubdtype(f.dtype, jnp.complexfloating)
 
@@ -1344,23 +1352,25 @@ def isht_sharded(
     mesh: Mesh,
     axis_name: str = SEQ_AXIS,
     *,
+    grid: str = "gauss",
     config: SpectralConfig = DEFAULT_CONFIG,
 ) -> Array:
     """Spherical harmonic synthesis with latitude bands sharded over
     ``axis_name``: replicated (…, 2L-1, L) coefficients -> (…, L, 2L) grid
     sharded on latitude.  Zero collectives (each chip evaluates its band)."""
-    from ..ops.sht import _legendre_chunks, _synthesize
+    from ..ops.sht import _legendre_chunks, _synthesize  # noqa: F401
 
     alm = jnp.asarray(alm)
     if alm.ndim < 2 or alm.shape[-1] < 1 or alm.shape[-2] != 2 * alm.shape[-1] - 1:
         raise ValueError("alm must be (…, 2L-1, L) packed coefficients")
     L = alm.shape[-1]
     parts = mesh.shape[axis_name]
-    if L % parts != 0:
+    nlat = L if grid == "gauss" else 2 * L
+    if nlat % parts != 0:
         raise ValueError(
-            f"mesh axis size {parts} must divide the latitude count L={L}"
+            f"mesh axis size {parts} must divide the latitude count {nlat}"
         )
-    chunks = _legendre_chunks(L)
+    chunks = _legendre_chunks(L, grid)
     m0s = tuple(m0 for m0, _ in chunks)
 
     def body(*tabs):

@@ -623,3 +623,23 @@ def test_sht_recurrence_sharded_matches_local():
     gotc = np.asarray(sht_recurrence_sharded(fc, mesh, "seq"))
     wantc = np.asarray(sp.sht(fc))
     assert np.max(np.abs(gotc - wantc)) < 1e-5 * max(1.0, np.abs(wantc).max())
+
+
+def test_sht_sharded_equiangular():
+    """Latitude-sharded analysis/synthesis on the equiangular grid."""
+    import mixed_radix_fast_fourier_transform_tpu as sp
+    from mixed_radix_fast_fourier_transform_tpu.parallel import (
+        isht_sharded, sht_sharded,
+    )
+
+    mesh = _mesh_seq()
+    rng = np.random.default_rng(17)
+    L = 8  # nlat = 16, divisible by the 8-way mesh
+    f = rng.standard_normal((2, 2 * L, 2 * L)).astype(np.float32)
+    got = np.asarray(sht_sharded(f, mesh, "seq", grid="equiangular"))
+    want = np.asarray(sp.sht(f, grid="equiangular"))
+    assert np.max(np.abs(got - want)) < 1e-5 * max(1.0, np.abs(want).max())
+    back = np.asarray(isht_sharded(got, mesh, "seq", grid="equiangular"))
+    ref = np.asarray(sp.isht(got, grid="equiangular"))
+    assert back.shape == ref.shape == (2, 2 * L, 2 * L)
+    assert np.max(np.abs(back - ref)) < 1e-5 * max(1.0, np.abs(ref).max())
