@@ -307,23 +307,23 @@ def isht(
     )
 
 
-def sphere_laplacian(f, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+def sphere_laplacian(f, *, grid: str = "gauss", config: SpectralConfig = DEFAULT_CONFIG) -> Array:
     """Laplace-Beltrami operator on the unit sphere via the spectral
     eigenrelation Δ Y_lm = -l(l+1) Y_lm: sht -> scale -> isht.  The spectral
     building block of spherical PDE solvers (shallow-water cores etc.)."""
     f = jnp.asarray(f)
-    a = sht(f, config=config)
+    a = sht(f, grid=grid, config=config)
     L = a.shape[-1]
     l = np.arange(L, dtype=np.float64)
     scale = jnp.asarray(-(l * (l + 1.0)), dtype=a.real.dtype)
     if not jnp.issubdtype(f.dtype, jnp.complexfloating):
         # real field: symmetric coefficients -> half-work irfft synthesis
-        return isht(a * scale, real_output=True, config=config)
-    return isht(a * scale, config=config)
+        return isht(a * scale, real_output=True, grid=grid, config=config)
+    return isht(a * scale, grid=grid, config=config)
 
 
 def poisson_solve_sphere(
-    f, *, config: SpectralConfig = DEFAULT_CONFIG
+    f, *, grid: str = "gauss", config: SpectralConfig = DEFAULT_CONFIG
 ) -> Array:
     """Solve Δu = f on the unit sphere (zero-mean gauge): divide each
     spherical-harmonic coefficient by -l(l+1); the l = 0 mode (sphere mean)
@@ -331,25 +331,25 @@ def poisson_solve_sphere(
     has zero mean.  Grid in, grid out (the spherical counterpart of
     :func:`..signal.poisson_solve`)."""
     f = jnp.asarray(f)
-    a = sht(f, config=config)
+    a = sht(f, grid=grid, config=config)
     L = a.shape[-1]
     l = np.arange(L, dtype=np.float64)
     inv = np.zeros(L)
     inv[1:] = -1.0 / (l[1:] * (l[1:] + 1.0))
     ai = a * jnp.asarray(inv, dtype=a.real.dtype)
     if not jnp.issubdtype(f.dtype, jnp.complexfloating):
-        return isht(ai, real_output=True, config=config)
-    return isht(ai, config=config)
+        return isht(ai, real_output=True, grid=grid, config=config)
+    return isht(ai, grid=grid, config=config)
 
 
-def sphere_convolve(f, bl, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+def sphere_convolve(f, bl, *, grid: str = "gauss", config: SpectralConfig = DEFAULT_CONFIG) -> Array:
     """Convolve a sphere field with an isotropic (zonal) kernel: by the
     Funk-Hecke theorem this is diagonal in the harmonic basis — multiply
     a_lm by the kernel's Legendre coefficients ``bl`` (length L, one per
     degree).  Smoothing, spherical heat flow (bl = exp(-l(l+1)t)), Gaussian
     beams etc. in two transforms."""
     f = jnp.asarray(f)
-    a = sht(f, config=config)
+    a = sht(f, grid=grid, config=config)
     L = a.shape[-1]
     b = jnp.asarray(bl)
     if b.shape != (L,):
@@ -360,18 +360,20 @@ def sphere_convolve(f, bl, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
         f.dtype, jnp.complexfloating
     ) and not jnp.issubdtype(b.dtype, jnp.complexfloating)
     if real_case:  # real field x real kernel keeps the Hermitian symmetry
-        return isht(a * b.astype(a.dtype), real_output=True, config=config)
-    return isht(a * b.astype(a.dtype), config=config)
+        return isht(
+            a * b.astype(a.dtype), real_output=True, grid=grid, config=config
+        )
+    return isht(a * b.astype(a.dtype), grid=grid, config=config)
 
 
 @functools.lru_cache(maxsize=8)
-def _legendre_deriv_chunks(L: int):
+def _legendre_deriv_chunks(L: int, grid: str = "gauss"):
     """Triangular m-chunked d/dtheta tables from the verified identity
     sin(theta)·dP̄_lm/dtheta = l·mu·P̄_lm − e_lm·P̄_{l-1,m},
     e_lm = sqrt((l²−m²)(2l+1)/(2l−1)) (numerically checked vs central
     differences to 1e-8).  Same storage scheme and parity fold as
     :func:`_legendre_chunks` (dtheta differentiation preserves the m parity)."""
-    mu, _, theta = _gauss_grid(L)
+    mu, _, theta = _grid_arrays(L, grid)
     s = np.sin(theta)
     lf = np.arange(L, dtype=np.float64)[:, None]
     mf = np.arange(L, dtype=np.float64)[None, :]
@@ -382,10 +384,10 @@ def _legendre_deriv_chunks(L: int):
     e = np.where((lf >= np.maximum(mf, 1.0)), e, 0.0)
 
     def planes():
-        for l, p, p_prev in _legendre_l_iter(L):
+        for l, p, p_prev in _legendre_l_iter(L, grid):
             yield l, (l * mu[None, :] * p - e[l][:, None] * p_prev) / s
 
-    return _fill_chunks(L, planes(), L)
+    return _fill_chunks(L, planes(), len(mu))
 
 
 def _synthesize(
@@ -434,7 +436,7 @@ def _synthesize(
     return ifft(bins, config=config) * nlon
 
 
-def sphere_grad(f, *, config: SpectralConfig = DEFAULT_CONFIG):
+def sphere_grad(f, *, grid: str = "gauss", config: SpectralConfig = DEFAULT_CONFIG):
     """Surface gradient on the unit sphere: (u_theta, u_phi) =
     (∂f/∂theta, (1/sin theta)·∂f/∂phi), both (…, L, 2L) grid fields.
 
@@ -444,23 +446,40 @@ def sphere_grad(f, *, config: SpectralConfig = DEFAULT_CONFIG):
     poles, so the division is well-conditioned).  The building block for
     advection/shallow-water operators on the sphere."""
     f = jnp.asarray(f)
-    a = sht(f, config=config)
+    a = sht(f, grid=grid, config=config)
     L = a.shape[-1]
-    u_theta, u_phi = _grad_synth(a, L, config)
+    u_theta, u_phi = _grad_synth(a, L, config, grid)
     if not jnp.issubdtype(f.dtype, jnp.complexfloating):
         u_theta, u_phi = jnp.real(u_theta), jnp.real(u_phi)
     return u_theta, u_phi
 
 
-def _vector_analysis(u_theta: Array, u_phi: Array, config: SpectralConfig):
+def _check_tangent_shape(u_theta, u_phi, grid: str):
+    ok = (
+        u_theta.shape == u_phi.shape and u_theta.ndim >= 2
+        and (
+            u_theta.shape[-2] == u_theta.shape[-1] >= 2
+            if grid == "equiangular"
+            else u_theta.shape[-1] == 2 * u_theta.shape[-2]
+        )
+    )
+    if not ok:
+        want = "(…, 2L, 2L)" if grid == "equiangular" else "(…, L, 2L)"
+        raise ValueError(f"u_theta and u_phi must share a {want} grid shape")
+
+
+def _vector_analysis(
+    u_theta: Array, u_phi: Array, config: SpectralConfig,
+    grid: str = "gauss",
+):
     """Packed-m FFT pickup shared by the vector analysis ops."""
-    L = u_theta.shape[-2]
+    L = u_theta.shape[-2] if grid == "gauss" else u_theta.shape[-1] // 2
     Ft = fft(u_theta, config=config)
     Fp = fft(u_phi, config=config)
     return L, _select_packed_m(Ft, L), _select_packed_m(Fp, L)
 
 
-def sphere_div(u_theta, u_phi, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+def sphere_div(u_theta, u_phi, *, grid: str = "gauss", config: SpectralConfig = DEFAULT_CONFIG) -> Array:
     """Surface divergence of a tangent vector field:
     div u = (1/sin)·[∂_theta(sin·u_theta) + ∂_phi u_phi], grid in / grid out.
 
@@ -470,44 +489,45 @@ def sphere_div(u_theta, u_phi, *, config: SpectralConfig = DEFAULT_CONFIG) -> Ar
     verified via div(grad f) == sphere_laplacian(f)."""
     u_theta = jnp.asarray(u_theta)
     u_phi = jnp.asarray(u_phi)
-    if u_theta.shape != u_phi.shape or u_theta.ndim < 2 or (
-        u_theta.shape[-1] != 2 * u_theta.shape[-2]
-    ):
-        raise ValueError("u_theta and u_phi must share a (…, L, 2L) grid shape")
+    _check_tangent_shape(u_theta, u_phi, grid)
     real_in = not (
         jnp.issubdtype(u_theta.dtype, jnp.complexfloating)
         or jnp.issubdtype(u_phi.dtype, jnp.complexfloating)
     )
-    d = _div_coef(u_theta, u_phi, config)
+    d = _div_coef(u_theta, u_phi, config, grid)
     if real_in:
-        return isht(d, real_output=True, config=config)
-    return isht(d, config=config)
+        return isht(d, real_output=True, grid=grid, config=config)
+    return isht(d, grid=grid, config=config)
 
 
-def _div_coef(u_theta: Array, u_phi: Array, config: SpectralConfig) -> Array:
+def _div_coef(
+    u_theta: Array, u_phi: Array, config: SpectralConfig,
+    grid: str = "gauss",
+) -> Array:
     """Divergence in coefficient space (the weak-form adjoint quadrature)."""
-    L, Ut, Up = _vector_analysis(u_theta, u_phi, config)
-    _, w, theta = _gauss_grid(L)
+    L, Ut, Up = _vector_analysis(u_theta, u_phi, config, grid)
+    _, w, theta = _grid_arrays(L, grid)
     dphi = 2.0 * math.pi / (2 * L)
     s = np.sin(theta)
     msigned = np.concatenate([np.arange(L), -np.arange(L - 1, 0, -1)])
-    t1 = _analyze(_legendre_deriv_chunks(L), Ut, w * dphi, L, config)
+    t1 = _analyze(_legendre_deriv_chunks(L, grid), Ut, w * dphi, L, config)
     t2 = _analyze(
-        _legendre_chunks(L), Up, (w / s) * dphi, L, config
+        _legendre_chunks(L, grid), Up, (w / s) * dphi, L, config
     ) * jnp.asarray(-1j * msigned, t1.dtype if jnp.issubdtype(
         t1.dtype, jnp.complexfloating) else jnp.complex64)[:, None]
     return -(t1 + t2)
 
 
-def sphere_vort(u_theta, u_phi, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+def sphere_vort(u_theta, u_phi, *, grid: str = "gauss", config: SpectralConfig = DEFAULT_CONFIG) -> Array:
     """Radial vorticity of a tangent vector field:
     zeta = (1/sin)·[∂_theta(sin·u_phi) - ∂_phi u_theta] — the divergence of
     the quarter-turned field (u_phi, -u_theta)."""
-    return sphere_div(u_phi, -jnp.asarray(u_theta), config=config)
+    return sphere_div(u_phi, -jnp.asarray(u_theta), grid=grid, config=config)
 
 
 def sphere_helmholtz(
-    u_theta, u_phi, *, config: SpectralConfig = DEFAULT_CONFIG
+    u_theta, u_phi, *, grid: str = "gauss",
+    config: SpectralConfig = DEFAULT_CONFIG,
 ):
     """Helmholtz decomposition of a tangent field on the sphere:
     u = grad(phi) + k x grad(psi) with velocity potential phi and
@@ -524,19 +544,19 @@ def sphere_helmholtz(
         jnp.issubdtype(u_theta.dtype, jnp.complexfloating)
         or jnp.issubdtype(u_phi.dtype, jnp.complexfloating)
     )
-    d = _div_coef(u_theta, u_phi, config)
-    z = _div_coef(u_phi, -u_theta, config)  # vorticity = div of quarter turn
+    d = _div_coef(u_theta, u_phi, config, grid)
+    z = _div_coef(u_phi, -u_theta, config, grid)  # vorticity: quarter turn
     L = d.shape[-1]
     l = np.arange(L, dtype=np.float64)
     inv = np.zeros(L)
     inv[1:] = -1.0 / (l[1:] * (l[1:] + 1.0))
     inv_j = jnp.asarray(inv, d.real.dtype)
-    phi = isht(d * inv_j, real_output=real_in, config=config)
-    psi = isht(z * inv_j, real_output=real_in, config=config)
+    phi = isht(d * inv_j, real_output=real_in, grid=grid, config=config)
+    psi = isht(z * inv_j, real_output=real_in, grid=grid, config=config)
     return phi, psi
 
 
-def _grad_synth(alm, L: int, config: SpectralConfig):
+def _grad_synth(alm, L: int, config: SpectralConfig, grid: str = "gauss"):
     """Grid components of Σ_lm alm·∇Y_lm (the shared synthesis core of
     :func:`sphere_grad` / :func:`ivsht`): (∂θ part, (1/sinθ)∂φ part).
 
@@ -545,17 +565,18 @@ def _grad_synth(alm, L: int, config: SpectralConfig):
     zero by the dtype cast (same guard as _div_coef)."""
     if not jnp.issubdtype(alm.dtype, jnp.complexfloating):
         alm = alm.astype(jnp.complex64)
-    _, _, theta = _gauss_grid(L)
+    _, _, theta = _grid_arrays(L, grid)
     msigned = np.concatenate([np.arange(L), -np.arange(L - 1, 0, -1)])
-    g_theta = _synthesize(_legendre_deriv_chunks(L), alm, config)
+    g_theta = _synthesize(_legendre_deriv_chunks(L, grid), alm, config)
     g_phi = _synthesize(
-        _legendre_chunks(L), alm * jnp.asarray(1j * msigned, alm.dtype)[:, None],
+        _legendre_chunks(L, grid),
+        alm * jnp.asarray(1j * msigned, alm.dtype)[:, None],
         config,
     ) / jnp.asarray(np.sin(theta), jnp.float32)[:, None]
     return g_theta, g_phi
 
 
-def vsht(u_theta, u_phi, *, config: SpectralConfig = DEFAULT_CONFIG):
+def vsht(u_theta, u_phi, *, grid: str = "gauss", config: SpectralConfig = DEFAULT_CONFIG):
     """Vector spherical harmonic analysis: tangent field (…, L, 2L) pair ->
     (spheroidal, toroidal) coefficient arrays, each packed (…, 2L-1, L).
 
@@ -568,12 +589,9 @@ def vsht(u_theta, u_phi, *, config: SpectralConfig = DEFAULT_CONFIG):
     RealVectorSHT equivalent)."""
     u_theta = jnp.asarray(u_theta)
     u_phi = jnp.asarray(u_phi)
-    if u_theta.shape != u_phi.shape or u_theta.ndim < 2 or (
-        u_theta.shape[-1] != 2 * u_theta.shape[-2]
-    ):
-        raise ValueError("u_theta and u_phi must share a (…, L, 2L) grid shape")
-    d = _div_coef(u_theta, u_phi, config)
-    z = _div_coef(u_phi, -u_theta, config)
+    _check_tangent_shape(u_theta, u_phi, grid)
+    d = _div_coef(u_theta, u_phi, config, grid)
+    z = _div_coef(u_phi, -u_theta, config, grid)
     L = d.shape[-1]
     l = np.arange(L, dtype=np.float64)
     inv = np.zeros(L)
@@ -582,7 +600,7 @@ def vsht(u_theta, u_phi, *, config: SpectralConfig = DEFAULT_CONFIG):
     return d * inv_j, z * inv_j
 
 
-def ivsht(s_lm, t_lm, *, config: SpectralConfig = DEFAULT_CONFIG):
+def ivsht(s_lm, t_lm, *, grid: str = "gauss", config: SpectralConfig = DEFAULT_CONFIG):
     """Vector spherical harmonic synthesis (inverse of :func:`vsht`):
     (…, 2L-1, L) spheroidal/toroidal coefficients -> tangent field pair
     (u_theta, u_phi) on the (L, 2L) grid (complex; take .real for real
@@ -598,8 +616,8 @@ def ivsht(s_lm, t_lm, *, config: SpectralConfig = DEFAULT_CONFIG):
     inv = np.zeros(L)
     inv[1:] = 1.0 / np.sqrt(l[1:] * (l[1:] + 1.0))
     inv_j = jnp.asarray(inv, s_lm.real.dtype)
-    gt_s, gp_s = _grad_synth(s_lm * inv_j, L, config)
-    gt_t, gp_t = _grad_synth(t_lm * inv_j, L, config)
+    gt_s, gp_s = _grad_synth(s_lm * inv_j, L, config, grid)
+    gt_t, gp_t = _grad_synth(t_lm * inv_j, L, config, grid)
     # r̂×∇Y = (-(1/sin)∂φY, ∂θY) in (θ, φ) components
     return gt_s - gp_t, gp_s + gt_t
 

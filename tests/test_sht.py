@@ -387,3 +387,30 @@ def test_sht_bad_grid(rng):
         sp.sht(np.zeros((8, 16), np.float32), grid="bogus")
     with pytest.raises(ValueError):
         sp.sht(np.zeros((8, 16), np.float32), grid="equiangular")  # not square
+
+
+def test_equiangular_calculus(rng):
+    """Sphere calculus on the equiangular grid: div(grad f) == laplacian f,
+    Helmholtz/vsht round trips, heat-flow convolve."""
+    L = 12
+    alm = _rand_alm(rng, L)
+    alm[0, 0] = 0.0
+    f = np.asarray(sp.isht(alm, real_output=True, grid="equiangular"))
+    lap = np.asarray(sp.sphere_laplacian(f, grid="equiangular"))
+    ut, up = sp.sphere_grad(f, grid="equiangular")
+    div = np.asarray(sp.sphere_div(ut, up, grid="equiangular"))
+    assert np.max(np.abs(div - lap)) < 1e-3 * max(1.0, np.abs(lap).max())
+    u = np.asarray(sp.poisson_solve_sphere(lap, grid="equiangular"))
+    assert np.max(np.abs(u - f)) < 1e-3 * max(1.0, np.abs(f).max())
+    S, T = sp.vsht(np.asarray(ut), np.asarray(up), grid="equiangular")
+    bt, bp = (np.real(np.asarray(v)) for v in sp.ivsht(S, T, grid="equiangular"))
+    scale = max(np.abs(np.asarray(ut)).max(), np.abs(np.asarray(up)).max())
+    assert np.max(np.abs(bt - np.asarray(ut))) < 2e-3 * scale
+    assert np.max(np.abs(bp - np.asarray(up))) < 2e-3 * scale
+    bl = np.exp(-np.arange(L) * (np.arange(L) + 1) * 0.05).astype(np.float32)
+    g = np.asarray(sp.sphere_convolve(f, bl, grid="equiangular"))
+    want = np.asarray(sp.isht(
+        np.asarray(sp.sht(f, grid="equiangular")) * bl[None, :],
+        real_output=True, grid="equiangular",
+    ))
+    assert np.max(np.abs(g - want)) < 1e-4 * max(1.0, np.abs(want).max())
