@@ -13,3 +13,4 @@ from .factorize import (
 from .numerics import cmul, conj_planes, from_planes, to_planes
 from .metrics import enable_logging, get_metrics, reset_metrics
 from .profiling import marginal_time, plan_cost, roofline_summary, trace
+from .aot import aot_compile, export_transform, load_transform
