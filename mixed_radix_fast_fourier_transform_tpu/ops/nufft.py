@@ -1141,6 +1141,81 @@ def nufft_lsq_2d(
     return _cg(apply_normal, rhs, iters, mode_axes=2)
 
 
+def nufft_lsq_3d(
+    x,
+    y,
+    z,
+    b,
+    n_modes,
+    *,
+    weights=None,
+    damp: float = 0.0,
+    iters: int = 30,
+    isign: int = +1,
+    eps: float = 1e-6,
+    method: str = "auto",
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """3-D least-squares inverse NUFFT — the volumetric MRI shape.
+
+    Recovers (…, n1, n2, n3) Fourier modes from samples ``b`` (…, M) at
+    scattered k-space points (x, y, z): the normal operator is level-3
+    block-Toeplitz, embedding in a (2n1, 2n2, 2n3) circulant — each CG
+    iteration is one padded forward+inverse engine fftn; setup is two 3-D
+    type-1 NUFFTs (same scheme as :func:`nufft_lsq_2d`)."""
+    x, y, z, b = map(jnp.asarray, (x, y, z, b))
+    _check_points_3d(x, y, z, b)
+    n1, n2, n3 = (int(v) for v in n_modes)
+    if min(n1, n2, n3) < 1:
+        raise ValueError(f"n_modes must be positive, got {n_modes}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if weights is not None:
+        w = jnp.asarray(weights)
+        if w.shape != (x.shape[0],):
+            raise ValueError("weights must have shape (len(x),)")
+        wb = b * w
+        wl = w.astype(b.real.dtype)
+    else:
+        wb = b
+        wl = jnp.ones((x.shape[0],), b.real.dtype)
+    rhs = nufft1_3d(x, y, z, wb, (n1, n2, n3), isign=-isign, eps=eps,
+                    method=method, config=config)
+    t = nufft1_3d(x, y, z, wl.astype(rhs.dtype),
+                  (2 * n1 - 1, 2 * n2 - 1, 2 * n3 - 1), isign=-isign,
+                  eps=eps, method=method, config=config)
+
+    def embed(tt, n, axis):
+        tt = jnp.moveaxis(tt, axis, -1)
+        out = jnp.concatenate(
+            [tt[..., n - 1 :], jnp.zeros(tt.shape[:-1] + (1,), tt.dtype),
+             tt[..., : n - 1]],
+            axis=-1,
+        )
+        return jnp.moveaxis(out, -1, axis)
+
+    from .fft import fftn as _fftn, ifftn as _ifftn
+
+    C = _fftn(
+        embed(embed(embed(t, n1, -3), n2, -2), n3, -1), config=config
+    )
+    L1, L2, L3 = 2 * n1, 2 * n2, 2 * n3
+
+    def apply_normal(v):
+        widths = [(0, 0)] * (v.ndim - 3) + [
+            (0, L1 - n1), (0, L2 - n2), (0, L3 - n3)
+        ]
+        vp = jnp.pad(v, widths)
+        out = _ifftn(C * _fftn(vp, config=config), config=config)[
+            ..., :n1, :n2, :n3
+        ]
+        if damp:
+            out = out + jnp.asarray(damp, v.real.dtype) * v
+        return out
+
+    return _cg(apply_normal, rhs, iters, mode_axes=3)
+
+
 # ---------------------------------------------------------------------------
 # 3-D NUFFT (types 1 and 2) — volumetric MRI / particle-mesh shape.  Grid
 # path only beyond tiny sizes: separable Gaussian taps into a pow2^3

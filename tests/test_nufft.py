@@ -498,3 +498,22 @@ def test_block_size_caps_block_count():
             s = _block_size(mr, 32 if d < 3 else 8, d)
             assert mr % s == 0
             assert mr // s <= _MAX_BLOCKS[d]
+
+
+def test_nufft_lsq_3d_recovers_modes(rng):
+    """3-D least-squares inverse recovers band-limited volumetric modes."""
+    nm = (6, 5, 4)
+    n_total = nm[0] * nm[1] * nm[2]
+    m = 4 * n_total
+    x = rng.uniform(0, 2 * np.pi, m).astype(np.float32)
+    y = rng.uniform(0, 2 * np.pi, m).astype(np.float32)
+    z = rng.uniform(0, 2 * np.pi, m).astype(np.float32)
+    f_true = (rng.standard_normal(nm) + 1j * rng.standard_normal(nm)).astype(
+        np.complex64
+    )
+    from mixed_radix_fast_fourier_transform_tpu.ops.nufft import nudft2_3d
+
+    b = np.asarray(nudft2_3d(x, y, z, f_true))
+    got = np.asarray(sp.nufft_lsq_3d(x, y, z, b, nm, iters=40))
+    scale = np.abs(f_true).max()
+    assert np.max(np.abs(got - f_true)) / scale < 1e-3
