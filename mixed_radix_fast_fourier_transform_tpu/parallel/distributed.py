@@ -1392,6 +1392,7 @@ def sht_recurrence_sharded(
     mesh: Mesh,
     axis_name: str = SEQ_AXIS,
     *,
+    compensated: bool = False,
     config: SpectralConfig = DEFAULT_CONFIG,
 ) -> Array:
     """Latitude-sharded on-device-recurrence spherical analysis: the scan's
@@ -1407,7 +1408,7 @@ def sht_recurrence_sharded(
     from ..ops.rfft import rfft as _rfft
     from ..ops.sht import (
         _fold_neg_last, _gauss_grid, _rec_analyze_core, _rec_pack,
-        _recurrence_coeffs, _select_packed_m,
+        _recurrence_coeffs, _recurrence_coeffs_dw, _select_packed_m,
     )
 
     f = jnp.asarray(f)
@@ -1423,15 +1424,24 @@ def sht_recurrence_sharded(
     _, w, _ = _gauss_grid(L)
     wdphi = (w * (2.0 * _math.pi / (2 * L))).astype(np.float32)
     hermitian = not jnp.issubdtype(f.dtype, jnp.complexfloating)
+    if compensated:
+        _, _, mant_lo, mu_lo = _recurrence_coeffs_dw(L)
+        lo_ops = (jnp.asarray(mu_lo), jnp.asarray(mant_lo))
+        lo_specs = (P(axis_name), P(None, axis_name))
+    else:
+        lo_ops, lo_specs = (), ()
 
-    def body(fl, mul, mantl, kl, wl):
+    def body(fl, mul, mantl, kl, wl, *lo):
         if hermitian:
             fw = _rfft(fl, config=config)[..., :L] * wl[:, None]
             srcs = fw[None]
         else:
             fw = _select_packed_m(_fft(fl, config=config), L) * wl[:, None]
             srcs = jnp.stack([fw[..., :L], _fold_neg_last(fw, L)])
-        acc = _rec_analyze_core(srcs, L, config, lat=(mul, mantl, kl))
+        acc = _rec_analyze_core(
+            srcs, L, config, lat=(mul, mantl, kl) + lo,
+            compensated=compensated,
+        )
         acc = jax.lax.psum(acc, axis_name)
         return _rec_pack(acc, L, hermitian)
 
@@ -1441,10 +1451,10 @@ def sht_recurrence_sharded(
         body,
         mesh=mesh,
         in_specs=(lat_spec, P(axis_name), P(None, axis_name),
-                  P(None, axis_name), P(axis_name)),
+                  P(None, axis_name), P(axis_name)) + lo_specs,
         out_specs=out_spec,
     )(f, jnp.asarray(mu), jnp.asarray(mant), jnp.asarray(k0),
-      jnp.asarray(wdphi))
+      jnp.asarray(wdphi), *lo_ops)
 
 
 def isht_recurrence_sharded(
@@ -1453,6 +1463,7 @@ def isht_recurrence_sharded(
     axis_name: str = SEQ_AXIS,
     *,
     real_output: bool = False,
+    compensated: bool = False,
     config: SpectralConfig = DEFAULT_CONFIG,
 ) -> Array:
     """Latitude-sharded on-device-recurrence spherical synthesis: zero
@@ -1460,7 +1471,10 @@ def isht_recurrence_sharded(
     replicated coefficient input is O(L²) (see the analysis note)."""
     from ..ops.fft import ifft as _ifft
     from ..ops.rfft import irfft as _irfft
-    from ..ops.sht import _neg_signs, _rec_synth_core, _recurrence_coeffs
+    from ..ops.sht import (
+        _neg_signs, _rec_synth_core, _recurrence_coeffs,
+        _recurrence_coeffs_dw,
+    )
 
     alm = jnp.asarray(alm)
     if alm.ndim < 2 or alm.shape[-1] < 1 or alm.shape[-2] != 2 * alm.shape[-1] - 1:
@@ -1472,6 +1486,12 @@ def isht_recurrence_sharded(
             f"mesh axis size {parts} must divide the latitude count L={L}"
         )
     _, _, mant, k0, mu = _recurrence_coeffs(L)
+    if compensated:
+        _, _, mant_lo, mu_lo = _recurrence_coeffs_dw(L)
+        lo_ops = (jnp.asarray(mu_lo), jnp.asarray(mant_lo))
+        lo_specs = (P(axis_name), P(None, axis_name))
+    else:
+        lo_ops, lo_specs = (), ()
     apos = alm[..., :L, :]
     if real_output:
         srcs = apos[None]
@@ -1484,8 +1504,11 @@ def isht_recurrence_sharded(
         )
     nlon = 2 * L
 
-    def body(mul, mantl, kl):
-        g = _rec_synth_core(srcs, L, config, lat=(mul, mantl, kl))
+    def body(mul, mantl, kl, *lo):
+        g = _rec_synth_core(
+            srcs, L, config, lat=(mul, mantl, kl) + lo,
+            compensated=compensated,
+        )
         gpos = g[0]
         zeros = jnp.zeros(gpos.shape[:-1] + (1,), gpos.dtype)
         if real_output:
@@ -1500,6 +1523,7 @@ def isht_recurrence_sharded(
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(axis_name), P(None, axis_name), P(None, axis_name)),
+        in_specs=(P(axis_name), P(None, axis_name), P(None, axis_name))
+        + lo_specs,
         out_specs=out_spec,
-    )(jnp.asarray(mu), jnp.asarray(mant), jnp.asarray(k0))
+    )(jnp.asarray(mu), jnp.asarray(mant), jnp.asarray(k0), *lo_ops)

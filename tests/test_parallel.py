@@ -625,6 +625,28 @@ def test_sht_recurrence_sharded_matches_local():
     assert np.max(np.abs(gotc - wantc)) < 1e-5 * max(1.0, np.abs(wantc).max())
 
 
+def test_sht_recurrence_sharded_compensated():
+    """compensated=True plumbs through the latitude-sharded recurrence
+    pair: matches the local compensated path to psum-reorder tolerance."""
+    import mixed_radix_fast_fourier_transform_tpu as sp
+    from mixed_radix_fast_fourier_transform_tpu.parallel import (
+        isht_recurrence_sharded, sht_recurrence_sharded,
+    )
+
+    mesh = _mesh_seq()
+    rng = np.random.default_rng(12)
+    L = 16
+    f = rng.standard_normal((2, L, 2 * L)).astype(np.float32)
+    got = np.asarray(sht_recurrence_sharded(f, mesh, "seq", compensated=True))
+    want = np.asarray(sp.sht_recurrence(f, compensated=True))
+    assert np.max(np.abs(got - want)) < 1e-6 * max(1.0, np.abs(want).max())
+    back = np.asarray(
+        isht_recurrence_sharded(got, mesh, "seq", compensated=True)
+    )
+    ref = np.asarray(sp.isht_recurrence(got, compensated=True))
+    assert np.max(np.abs(back - ref)) < 1e-6 * max(1.0, np.abs(ref).max())
+
+
 def test_sht_sharded_equiangular():
     """Latitude-sharded analysis/synthesis on the equiangular grid."""
     import mixed_radix_fast_fourier_transform_tpu as sp

@@ -317,6 +317,34 @@ def test_recurrence_path_matches_tables(rng, L):
     assert np.max(np.abs(g_r - np.real(g_tab))) / gs < 1e-5
 
 
+@pytest.mark.parametrize("L", [16, 64])
+def test_recurrence_compensated_matches_tables_exactly(rng, L):
+    """The double-word (compensated=True) recurrence carry reproduces the
+    fp64-generated chunked-table path to fp32 exactness — the plain fp32
+    scan drifts ~L·eps (its own test tolerates 1e-5); the compensated scan
+    must land at least 10x tighter, both directions."""
+    f = rng.standard_normal((2, L, 2 * L)).astype(np.float32)
+    a_tab = np.asarray(sp.sht(f))
+    a_dw = np.asarray(sp.sht_recurrence(f, compensated=True))
+    scale = max(np.abs(a_tab).max(), 1e-9)
+    assert np.max(np.abs(a_dw - a_tab)) / scale < 1e-6
+    g_tab = np.asarray(sp.isht(a_tab))
+    g_dw = np.asarray(sp.isht_recurrence(a_tab, compensated=True))
+    gs = max(np.abs(g_tab).max(), 1e-9)
+    assert np.max(np.abs(g_dw - g_tab)) / gs < 1e-6
+    # complex input and real-output variants ride the same scan
+    fc = (f + 1j * rng.standard_normal(f.shape)).astype(np.complex64)
+    ac_tab = np.asarray(sp.sht(fc))
+    ac_dw = np.asarray(sp.sht_recurrence(fc, compensated=True))
+    assert (
+        np.max(np.abs(ac_dw - ac_tab)) / max(np.abs(ac_tab).max(), 1e-9)
+        < 1e-6
+    )
+    g_r = np.asarray(sp.isht_recurrence(a_tab, real_output=True, compensated=True))
+    assert not np.iscomplexobj(g_r)
+    assert np.max(np.abs(g_r - np.real(g_tab))) / gs < 1e-6
+
+
 @pytest.mark.slow
 def test_recurrence_rescaling_high_m(rng):
     """A pure high-m harmonic near the band limit round-trips through the
