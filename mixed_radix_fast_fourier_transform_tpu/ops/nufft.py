@@ -238,9 +238,9 @@ def _grid_params(n_modes: int, eps: float):
     return mr, tau, msp
 
 
-def _spread_geometry(x: Array, mr: int, tau: float, msp: int):
-    """Common spreading/interpolation geometry: indices (M, 2msp) into the
-    oversampled grid and Gaussian weights exp(-d^2/(4 tau)).
+def _anchor_weights(x: Array, mr: int, tau: float, msp: int):
+    """Anchor cells i0 (M,, unwrapped) and Gaussian tap weights (M, 2msp) —
+    the shared geometry core of the scatter/block/sorted spreading paths.
 
     Grid coordinates ride the _unit_frac head+tail pair: xi_hi = u_hi·mr is
     exact (mr is a power of two), the nearby-integer subtraction against the
@@ -256,7 +256,15 @@ def _spread_geometry(x: Array, mr: int, tau: float, msp: int):
     dist_cells = (xi_hi[:, None] - idx.astype(xi_hi.dtype)) + xi_lo[:, None]
     dist = dist_cells * jnp.asarray(h, xi_hi.dtype)
     w = jnp.exp(-(dist * dist) / (4.0 * tau))
-    return jnp.mod(idx, mr), w
+    return i0, w
+
+
+def _spread_geometry(x: Array, mr: int, tau: float, msp: int):
+    """Common spreading/interpolation geometry: indices (M, 2msp) into the
+    oversampled grid (wrapped) and Gaussian weights exp(-d^2/(4 tau))."""
+    i0, w = _anchor_weights(x, mr, tau, msp)
+    taps = np.arange(-msp + 1, msp + 1, dtype=np.int32)
+    return jnp.mod(i0[:, None] + taps[None, :], mr), w
 
 
 def _use_dense(
@@ -446,20 +454,11 @@ def _block_local(x: Array, mr: int, tau: float, msp: int, s: int):
     chunk, a measured ~1e-5-class error, so HIGHEST is required for the
     fp32-exact contraction).
 
-    Tap distances use the same unwrapped head+tail geometry as
-    :func:`_spread_geometry` (exact Sterbenz subtraction against the
+    Tap distances use the unwrapped head+tail geometry of
+    :func:`_anchor_weights` (exact Sterbenz subtraction against the
     integer tap index; only the ~2^-40 tail is approximate)."""
-    u_hi, u_lo = _unit_frac(x)
-    xi_hi = u_hi * mr  # exact: mr is a power of two
-    xi_lo = u_lo * mr
-    i0 = jnp.floor(xi_hi + xi_lo).astype(jnp.int32)
+    i0, w = _anchor_weights(x, mr, tau, msp)
     taps = np.arange(-msp + 1, msp + 1, dtype=np.int32)
-    idx = i0[:, None] + taps[None, :]
-    h = _TWO_PI / mr
-    dist = ((xi_hi[:, None] - idx.astype(xi_hi.dtype)) + xi_lo[:, None]) * (
-        jnp.asarray(h, xi_hi.dtype)
-    )
-    w = jnp.exp(-(dist * dist) / (4.0 * tau))
     i0m = jnp.mod(i0, mr)
     b = i0m // s
     off = i0m - b * s
@@ -502,12 +501,148 @@ def _spread_scatter_small(x, c, mr, tau, msp) -> Array:
     )
 
 
+# ---------------------------------------------------------------------------
+# Sorted-segment spreading: an alternative O(M·log M + msp·(M + mr)) engine.
+# Points are sorted by anchor cell once; for each of the 2·msp tap offsets
+# the per-cell sums are segment sums over the sorted strengths — a
+# double-word prefix sum plus an error-free boundary difference.  The cost
+# is independent of the grid/block geometry, vs the block-matmul path's
+# O(M·nb·Ls^d) MXU flops which grow with the block count at large grids.
+#
+# MEASURED DEAD END on TPU v5e (2026-08-17, tools/tune.py sortspread,
+# interleaved A/B at mr=8192, msp=8): block 717 us vs sorted 14.9 ms at
+# M=2^16 (0.047x) and block 1.26 ms vs sorted 20.8 ms at M=2^17 (0.060x) —
+# the device argsort (bitonic-class) and the 2·msp associative-scan passes
+# are VPU/log-pass-bound while the block path rides the MXU; the ratio
+# improves only ~linearly-slowly with M, nowhere near a crossover.  On CPU
+# the ranking flips (sorted 1.33x at M=8192) but the CPU lane is not the
+# perf target.  Auto-dispatch is therefore DISABLED (thresholds below are
+# "never"); the engine stays as an opt-in (`method`-independent, set
+# _SORTED_MIN_M yourself) bounded-memory fallback and as the reference
+# implementation the block path is tested against.
+#
+# fp32 NOTE: a plain cumsum-difference would lose ~M·eps relative accuracy
+# (prefix magnitude ~M·mean vs O(segment) results); the (hi, lo) carry
+# keeps prefixes ~eps² so the subtraction cancellation never reaches the
+# result (measured: sorted == block path to ~5e-7 end-to-end at M=4·10^4).
+# ---------------------------------------------------------------------------
+
+_SORTED_NEVER = 1 << 62  # auto-dispatch disabled (measured: block wins on TPU)
+_SORTED_MIN_M = _SORTED_NEVER
+_SORTED_MIN_M_2D = _SORTED_NEVER
+
+
+def _seg_sum_sorted(v: Array, si: Array, ei: Array) -> Array:
+    """Segment sums Σ v[…, si[g]:ei[g]] along the last axis of real ``v``
+    via a double-word (compensated) inclusive prefix scan: combine keeps a
+    (hi, lo) pair per prefix, boundary differences TwoSum the hi words
+    (error-free) so the O(prefix) magnitudes cancel exactly."""
+
+    def comb(a, b):
+        sh, se = _twosum(a[0], b[0])
+        lo = se + a[1] + b[1]
+        s = sh + lo
+        return s, lo - (s - sh)
+
+    z = jnp.zeros(v.shape[:-1] + (1,), v.dtype)
+    vp = jnp.concatenate([z, v], axis=-1)
+    hi, lo = jax.lax.associative_scan(comb, (vp, jnp.zeros_like(vp)), axis=-1)
+    dh, de = _twosum(jnp.take(hi, ei, axis=-1), -jnp.take(hi, si, axis=-1))
+    return dh + (de + (jnp.take(lo, ei, axis=-1) - jnp.take(lo, si, axis=-1)))
+
+
+def _seg_sum_sorted_c(v: Array, si: Array, ei: Array) -> Array:
+    if jnp.iscomplexobj(v):
+        return jax.lax.complex(
+            _seg_sum_sorted(jnp.real(v), si, ei),
+            _seg_sum_sorted(jnp.imag(v), si, ei),
+        )
+    return _seg_sum_sorted(v, si, ei)
+
+
+def _sorted_cells(cells_raw: Array, ncell: int):
+    """Sort permutation over the int anchor cells plus the (ncell+1,)
+    run-boundary array bnd (cell g occupies sorted slots bnd[g]:bnd[g+1])."""
+    perm = jnp.argsort(cells_raw)
+    cells = jnp.take(cells_raw, perm)
+    bnd = jnp.searchsorted(
+        cells, jnp.arange(ncell + 1, dtype=cells.dtype)
+    ).astype(jnp.int32)
+    return perm, bnd
+
+
+def _spread_sorted(x: Array, c: Array, mr: int, tau: float, msp: int) -> Array:
+    """1-D Gaussian spreading via sorted-cell segment sums (see the section
+    comment): grid[g] = Σ_t segsum over points anchored at (g − t) mod mr of
+    w_t·c — the boundary arrays for offset t are static rolls of bnd."""
+    i0, w = _anchor_weights(x, mr, tau, msp)
+    perm, bnd = _sorted_cells(jnp.mod(i0, mr), mr)
+    ws = jnp.take(w, perm, axis=0)
+    cs = jnp.take(c, perm, axis=-1).astype(
+        c.dtype if jnp.iscomplexobj(c) else w.dtype
+    )
+    taps = np.arange(-msp + 1, msp + 1, dtype=np.int32)
+    s0, e0 = bnd[:-1], bnd[1:]
+    si = jnp.stack([jnp.roll(s0, int(t)) for t in taps])
+    ei = jnp.stack([jnp.roll(e0, int(t)) for t in taps])
+
+    def body(grid, xs):
+        wt, sit, eit = xs
+        return grid + _seg_sum_sorted_c(cs * wt.astype(cs.real.dtype), sit, eit), None
+
+    grid0 = jnp.zeros(c.shape[:-1] + (mr,), cs.dtype)
+    grid, _ = jax.lax.scan(body, grid0, (ws.T, si, ei))
+    return grid
+
+
+def _spread_sorted_2d(x, y, c, mrs, taus, msp: int) -> Array:
+    """2-D sorted-segment spreading over the linearized anchor cell: one
+    sort, then a scan over the (2msp)² tap-offset pairs; per pair the
+    boundary arrays are the 2-D roll of bnd by the offset (traced shifts)."""
+    mr1, mr2 = mrs
+    i1, w1 = _anchor_weights(x, mr1, taus[0], msp)
+    i2, w2 = _anchor_weights(y, mr2, taus[1], msp)
+    lin = jnp.mod(i1, mr1) * mr2 + jnp.mod(i2, mr2)
+    perm, bnd = _sorted_cells(lin, mr1 * mr2)
+    w1s = jnp.take(w1, perm, axis=0)
+    w2s = jnp.take(w2, perm, axis=0)
+    cs = jnp.take(c, perm, axis=-1)
+    taps = np.arange(-msp + 1, msp + 1, dtype=np.int32)
+    t1, t2 = (a.reshape(-1) for a in np.meshgrid(taps, taps, indexing="ij"))
+    k1, k2 = (
+        a.reshape(-1)
+        for a in np.meshgrid(
+            np.arange(2 * msp), np.arange(2 * msp), indexing="ij"
+        )
+    )
+    s0 = bnd[:-1].reshape(mr1, mr2)
+    e0 = bnd[1:].reshape(mr1, mr2)
+
+    def body(grid, xs):
+        t1s, t2s, k1s, k2s = xs
+        wt = jnp.take(w1s, k1s, axis=1) * jnp.take(w2s, k2s, axis=1)
+        sit = jnp.roll(s0, (t1s, t2s), axis=(0, 1)).reshape(-1)
+        eit = jnp.roll(e0, (t1s, t2s), axis=(0, 1)).reshape(-1)
+        v = cs * wt.astype(cs.real.dtype)
+        return grid + _seg_sum_sorted_c(v, sit, eit), None
+
+    grid0 = jnp.zeros(c.shape[:-1] + (mr1 * mr2,), cs.dtype)
+    grid, _ = jax.lax.scan(
+        body, grid0,
+        tuple(jnp.asarray(a, jnp.int32) for a in (t1, t2, k1, k2)),
+    )
+    return grid.reshape(c.shape[:-1] + (mr1, mr2))
+
+
 def _spread(x: Array, c: Array, mr: int, tau: float, msp: int) -> Array:
     """Gaussian spreading of strengths ``c`` (…, M) onto the length-mr
-    oversampled grid, as block one-hot matmuls (see :func:`_block_local`)."""
+    oversampled grid: block one-hot matmuls (see :func:`_block_local`), or
+    sorted-segment sums past the measured point-count crossover."""
     s = _block_size(mr, _SPREAD_BLOCK, 1)
     if s < msp:  # spill would cross >1 block — tiny grid, scatter is fine
         return _spread_scatter_small(x, c, mr, tau, msp)
+    if x.shape[0] >= _SORTED_MIN_M and mr >= 2 * msp:
+        return _spread_sorted(x, c, mr, tau, msp)
     b, a = _block_local(x, mr, tau, msp, s)
     halo = _spread_blocks([a], c, b, mr // s)
     return _halo_to_grid(halo, s, msp, mr)
@@ -535,6 +670,12 @@ def _spread_2d(x, y, c, mrs, taus, msp: int) -> Array:
             vals.reshape(vals.shape[:-3] + (-1,)), mode="promise_in_bounds"
         )
         return grid.reshape(c.shape[:-1] + (mr1, mr2))
+    if (
+        x.shape[0] >= _SORTED_MIN_M_2D
+        and min(mr1, mr2) >= 2 * msp
+        and mr1 * mr2 < 1 << 31  # linearized cell ids must fit int32
+    ):
+        return _spread_sorted_2d(x, y, c, mrs, taus, msp)
     b1, a1 = _block_local(x, mr1, tau1, msp, s1)
     b2, a2 = _block_local(y, mr2, tau2, msp, s2)
     nb1, nb2 = mr1 // s1, mr2 // s2

@@ -517,3 +517,91 @@ def test_nufft_lsq_3d_recovers_modes(rng):
     got = np.asarray(sp.nufft_lsq_3d(x, y, z, b, nm, iters=40))
     scale = np.abs(f_true).max()
     assert np.max(np.abs(got - f_true)) / scale < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Sorted-segment spreading engine (opt-in; auto-dispatch disabled on TPU —
+# measured 0.05-0.06x vs the block-matmul path, see the section comment in
+# ops/nufft.py).  Kept correct as the bounded-memory fallback and as an
+# independent reference implementation for the block path.
+# ---------------------------------------------------------------------------
+
+
+def test_spread_sorted_1d_matches_block(rng):
+    from mixed_radix_fast_fourier_transform_tpu.ops import nufft as nf
+
+    m, n = 20000, 256
+    mr, tau, msp = nf._grid_params(n, 1e-6)
+    x = _pts(rng, m)
+    c = _strengths(rng, m)
+    s = nf._block_size(mr, nf._SPREAD_BLOCK, 1)
+    b, a = nf._block_local(x, mr, tau, msp, s)
+    g_block = np.asarray(
+        nf._halo_to_grid(nf._spread_blocks([a], c, b, mr // s), s, msp, mr)
+    )
+    g_sorted = np.asarray(nf._spread_sorted(x, c, mr, tau, msp))
+    scale = np.abs(g_block).max()
+    assert np.max(np.abs(g_block - g_sorted)) / scale < 5e-6
+
+
+def test_spread_sorted_batched_strengths(rng):
+    from mixed_radix_fast_fourier_transform_tpu.ops import nufft as nf
+
+    m, n = 4000, 64
+    mr, tau, msp = nf._grid_params(n, 1e-6)
+    x = _pts(rng, m)
+    c = _strengths(rng, 3, m)
+    g = np.asarray(nf._spread_sorted(x, c, mr, tau, msp))
+    g0 = np.asarray(nf._spread_sorted(x, c[1], mr, tau, msp))
+    assert g.shape == (3, mr)
+    np.testing.assert_allclose(g[1], g0, rtol=0, atol=1e-5 * np.abs(g0).max())
+
+
+def test_nufft1_sorted_dispatch_matches_oracle(rng, monkeypatch):
+    from mixed_radix_fast_fourier_transform_tpu.ops import nufft as nf
+
+    m, n = 6000, 96
+    x = _pts(rng, m)
+    c = _strengths(rng, m)
+    ref = _oracle1(x, c, n)
+    monkeypatch.setattr(nf, "_SORTED_MIN_M", 1)
+    got = np.asarray(sp.nufft1(x, c, n, eps=1e-6, method="grid"))
+    scale = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) / scale < 1e-5
+
+
+def test_nufft1_2d_sorted_dispatch_matches_dense(rng, monkeypatch):
+    from mixed_radix_fast_fourier_transform_tpu.ops import nufft as nf
+
+    m, nm = 8000, (24, 36)
+    x, y = _pts(rng, m), _pts(rng, m)
+    c = _strengths(rng, m)
+    ref = np.asarray(sp.nufft1_2d(x, y, c, nm, method="dense"))
+    monkeypatch.setattr(nf, "_SORTED_MIN_M_2D", 1)
+    got = np.asarray(sp.nufft1_2d(x, y, c, nm, eps=1e-6, method="grid"))
+    scale = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) / scale < 1e-5
+
+
+def test_seg_sum_sorted_compensated_accuracy(rng):
+    """The double-word prefix carry keeps segment sums near fp64 accuracy
+    even when prefix magnitudes are ~M x the per-segment results."""
+    import jax.numpy as jnp
+
+    from mixed_radix_fast_fourier_transform_tpu.ops.nufft import (
+        _seg_sum_sorted,
+    )
+
+    m, nseg = 1 << 15, 64
+    v = rng.standard_normal(m).astype(np.float32) + 1.0  # biased: big prefixes
+    bnd = np.linspace(0, m, nseg + 1).astype(np.int32)
+    si, ei = bnd[:-1], bnd[1:]
+    got = np.asarray(_seg_sum_sorted(jnp.asarray(v), jnp.asarray(si), jnp.asarray(ei)))
+    ref = np.add.reduceat(v.astype(np.float64), si)
+    err = np.max(np.abs(got - ref) / np.maximum(np.abs(ref), 1.0))
+    assert err < 1e-6
+    # a naive fp32 cumsum-difference is measurably worse on the same data
+    cs = np.concatenate([[0.0], np.cumsum(v, dtype=np.float32)])
+    naive = cs[ei] - cs[si]
+    naive_err = np.max(np.abs(naive - ref) / np.maximum(np.abs(ref), 1.0))
+    assert err < naive_err

@@ -237,6 +237,57 @@ def tune_nufft(n: int, m: int):
     _report("dense", "grid", res)
 
 
+def tune_sortspread(n: int, m: int, ndim: int = 1):
+    """Sorted-segment vs block-matmul spreading A/B at (n modes/axis, m
+    points) — sets _SORTED_MIN_M / _SORTED_MIN_M_2D."""
+    import jax.numpy as jnp
+
+    from mixed_radix_fast_fourier_transform_tpu.ops import nufft as nf
+
+    rng = np.random.default_rng(0)
+    x = jax.device_put(rng.uniform(0, 2 * np.pi, m).astype(np.float32))
+    y = jax.device_put(rng.uniform(0, 2 * np.pi, m).astype(np.float32))
+    cr = jax.device_put(rng.standard_normal(m).astype(np.float32))
+    ci = jax.device_put(rng.standard_normal(m).astype(np.float32))
+    mr, tau, msp = nf._grid_params(n, 1e-6)
+    # force the auto paths onto the block branch; sorted called directly
+    nf._SORTED_MIN_M = nf._SORTED_MIN_M_2D = 1 << 62
+
+    def fit(v, mm):
+        v = v.reshape(-1)
+        pad = max(0, mm - v.shape[0])
+        return jnp.concatenate([v, jnp.zeros(pad, v.dtype)])[:mm]
+
+    if ndim == 1:
+
+        def block(a, c):
+            g = nf._spread(x, jax.lax.complex(a, c), mr, tau, msp)
+            return fit(jnp.real(g), m), fit(jnp.imag(g), m)
+
+        def srt(a, c):
+            g = nf._spread_sorted(x, jax.lax.complex(a, c), mr, tau, msp)
+            return fit(jnp.real(g), m), fit(jnp.imag(g), m)
+    else:
+        mrs, taus = (mr, mr), (tau, tau)
+
+        def block(a, c):
+            g = nf._spread_2d(x, y, jax.lax.complex(a, c), mrs, taus, msp)
+            return fit(jnp.real(g), m), fit(jnp.imag(g), m)
+
+        def srt(a, c):
+            g = nf._spread_sorted_2d(
+                x, y, jax.lax.complex(a, c), mrs, taus, msp
+            )
+            return fit(jnp.real(g), m), fit(jnp.imag(g), m)
+
+    zr, _ = jax.jit(block)(cr, ci)
+    wr, _ = jax.jit(srt)(cr, ci)
+    print(f"mr={mr} msp={msp} block-vs-sorted re-plane err: "
+          f"{np.max(np.abs(np.asarray(zr) - np.asarray(wr))):.2e}")
+    res = ab_compare(block, srt, (cr, ci), short=20, long=100, rounds=5)
+    _report("block", "sorted", res)
+
+
 def tune_sht(L: int, b: int):
     """Hermitian vs full-path SHT round-trip A/B at band limit L."""
     import jax.numpy as jnp
@@ -307,6 +358,8 @@ if __name__ == "__main__":
         tune_split(n, b, sys.argv[4:])
     elif which == "prec":
         tune_prec(n, b, sys.argv[4:])
+    elif which == "sortspread":
+        tune_sortspread(n, b, int(sys.argv[4]) if len(sys.argv) > 4 else 1)
     else:
         {"stages": tune_stages, "pad": tune_pad, "builtin": tune_builtin,
          "pallas": tune_pallas, "precision": tune_precision,
