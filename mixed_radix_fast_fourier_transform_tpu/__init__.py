@@ -45,6 +45,7 @@ from .ops.dwt import (dwt, dwt2, dwt_max_level, idwt, idwt2, iswt, iswt2,
                       swt, swt2, wavedec, wavedec2, waverec, waverec2,
                       wpdec, wprec)
 from .ops.dtcwt import dtcwt, dtcwt2, idtcwt, idtcwt2
+from .ops.frft import frft, frft2, ifrft
 from .ops.chebyshev import (
     cheb_diff,
     cheb_diff_coef,
@@ -101,7 +102,7 @@ __all__ = [
     "fft_convolve", "fft_convolve2", "fft_convolven", "fft_correlate", "fft_oaconvolve",
     "stft", "istft", "spectrogram", "get_window",
     "czt", "zoom_fft", "fht", "ifht", "fhtoffset", "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn", "hilbert", "periodogram", "welch", "csd", "coherence", "spectral_diff", "poisson_solve", "resample",
-    "mdct", "imdct", "mdct_window", "cwt", "ricker", "morlet2", "dwt", "idwt", "dwt2", "idwt2", "wavedec", "waverec", "wavedec2", "waverec2", "swt", "iswt", "swt2", "iswt2", "wpdec", "wprec", "dwt_max_level", "dtcwt", "idtcwt", "dtcwt2", "idtcwt2",
+    "mdct", "imdct", "mdct_window", "cwt", "ricker", "morlet2", "dwt", "idwt", "dwt2", "idwt2", "wavedec", "waverec", "wavedec2", "waverec2", "swt", "iswt", "swt2", "iswt2", "wpdec", "wprec", "dwt_max_level", "dtcwt", "idtcwt", "dtcwt2", "idtcwt2", "frft", "ifrft", "frft2",
     "nufft1", "nufft2", "nufft3", "nudft1", "nudft2", "nufft_lsq", "nufft_lsq_2d", "nufft_lsq_3d",
     "nufft1_2d", "nufft2_2d", "nudft1_2d", "nudft2_2d",
     "nufft1_3d", "nufft2_3d", "nudft1_3d", "nudft2_3d",
