@@ -172,6 +172,34 @@ def demo_dwt_denoise():
           f"{np.max(np.abs(back - noisy)):.3e}")
 
 
+def demo_dtcwt_frft():
+    """Dual-tree complex wavelets (shift-invariant magnitudes) and the
+    fractional Fourier transform (chirp compression at its matched order)."""
+    print("== dual-tree complex wavelets and fractional Fourier ==")
+    x = np.zeros(256, np.float32)
+    x[100] = 1.0
+    _, y1 = sp.dtcwt(x, levels=3)
+    _, y2 = sp.dtcwt(np.roll(x, 1), levels=3)
+    e1 = float(np.sum(np.abs(np.asarray(y1[0])) ** 2))
+    e2 = float(np.sum(np.abs(np.asarray(y2[0])) ** 2))
+    print(f"  dtcwt level-1 energy under 1-sample shift: ratio "
+          f"{min(e1, e2) / max(e1, e2):.6f} (plain DWT scrambles)")
+    # a linear chirp concentrates under the FrFT order matching its sweep:
+    # phase pi*r*u^2 rotates to a spike at alpha = arccot(-r)
+    n = 256
+    u = (np.arange(n) - n // 2) / np.sqrt(n)
+    r = 1.0
+    sig = (np.exp(-np.pi * (u / 3) ** 2) * np.cos(np.pi * r * u * u)).astype(
+        np.float32
+    )
+    conc = []
+    for a in (1.0, 1.5):
+        y = np.abs(np.asarray(sp.frft(sig, a)))
+        conc.append(float(y.max() / np.linalg.norm(y)))
+    print(f"  chirp peak concentration |F_a x|: a=1.0 {conc[0]:.3f} vs "
+          f"matched a=1.5 {conc[1]:.3f}")
+
+
 if __name__ == "__main__":
     demo_complex()
     demo_real()
@@ -182,4 +210,5 @@ if __name__ == "__main__":
     demo_sphere()
     demo_chebyshev()
     demo_dwt_denoise()
+    demo_dtcwt_frft()
     demo_sharded()
