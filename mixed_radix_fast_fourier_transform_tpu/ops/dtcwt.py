@@ -50,6 +50,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .dwt import periodized_astep, periodized_sstep
 from ..utils.config import DEFAULT_CONFIG, SpectralConfig
 
 Array = jax.Array
@@ -167,32 +168,15 @@ def _dt_bank(K: int, L: int) -> _DTBank:
 
 
 def _astep(x: Array, filt: np.ndarray, config: SpectralConfig):
-    """One periodized analysis level along the last axis: (…, N) ->
-    ((…, N/2), (…, N/2)) via the window-gather einsum (cf. dwt.dwt)."""
-    n = x.shape[-1]
-    f = filt.shape[-1]
-    idx = (2 * np.arange(n // 2)[:, None] + np.arange(f)[None, :]) % n
-    out = jnp.einsum(
-        "...kf,cf->c...k", x[..., idx], jnp.asarray(filt, x.dtype),
-        precision=config.op_precision,
-    )
-    return out[0], out[1]
+    """One periodized analysis level (the shared dwt kernel) for a stacked
+    (2, F) tree bank."""
+    return periodized_astep(x, filt, config)
 
 
 def _sstep(a: Array, d: Array, filt: np.ndarray, config: SpectralConfig) -> Array:
     """Inverse of :func:`_astep` for an orthonormal bank (synthesis =
-    analysis adjoint): polyphase gather (cf. dwt.idwt)."""
-    h = a.shape[-1]
-    half = filt.shape[-1] // 2
-    idx = (np.arange(h)[:, None] - np.arange(half)[None, :]) % h
-    lo = jnp.asarray(np.stack([filt[0, 0::2], filt[0, 1::2]]), a.dtype)
-    hi = jnp.asarray(np.stack([filt[1, 0::2], filt[1, 1::2]]), a.dtype)
-    out = jnp.einsum(
-        "...kj,pj->...kp", a[..., idx], lo, precision=config.op_precision
-    ) + jnp.einsum(
-        "...kj,pj->...kp", d[..., idx], hi, precision=config.op_precision
-    )
-    return out.reshape(a.shape[:-1] + (2 * h,))
+    analysis adjoint): the shared dwt polyphase-gather kernel."""
+    return periodized_sstep(a, d, filt[0], filt[1], config)
 
 
 def _check_1d(x: Array, levels: int) -> Array:

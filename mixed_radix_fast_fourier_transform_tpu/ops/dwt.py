@@ -394,11 +394,23 @@ def dwt(
             f"mode='periodization' needs an even length >= 2, got {n}"
         )
     dec_lo, dec_hi, _, _, _ = _banks(wavelet)
-    f = len(dec_lo)
+    return periodized_astep(x, np.stack([dec_lo, dec_hi]), config)
+
+
+def periodized_astep(x, filt: np.ndarray, config: SpectralConfig):
+    """One periodized analysis level along the last axis with a stacked
+    (2, F) decimating filter bank: (…, N) -> ((…, N/2), (…, N/2)) via the
+    window-gather einsum.  The MXU-critical analysis kernel shared by
+    ``dwt(mode="periodization")`` and the dual-tree transform
+    (:mod:`.dtcwt`)."""
+    n = x.shape[-1]
+    f = filt.shape[-1]
     idx = (2 * np.arange(n // 2)[:, None] + np.arange(f)[None, :]) % n
     w = x[..., idx]  # (…, N/2, F) periodic windows
-    filt = jnp.asarray(np.stack([dec_lo, dec_hi]), x.dtype)  # (2, F)
-    out = jnp.einsum("...kf,cf->c...k", w, filt, precision=config.op_precision)
+    out = jnp.einsum(
+        "...kf,cf->c...k", w, jnp.asarray(filt, x.dtype),
+        precision=config.op_precision,
+    )
     return out[0], out[1]
 
 
@@ -433,6 +445,15 @@ def idwt(
     if mode != "periodization":
         return _idwt_linear(a, d, wavelet, config)
     _, _, syn_lo, syn_hi, _ = _banks(wavelet)
+    return periodized_sstep(a, d, syn_lo, syn_hi, config)
+
+
+def periodized_sstep(
+    a, d, syn_lo: np.ndarray, syn_hi: np.ndarray, config: SpectralConfig
+):
+    """One periodized synthesis level (inverse of :func:`periodized_astep`):
+    polyphase gather x[2t+p] = sum_j syn[2j+p]·coef[(t-j) mod H].  Shared by
+    ``idwt(mode="periodization")`` and the dual-tree transform."""
     h = a.shape[-1]
     half = len(syn_lo) // 2
     idx = (np.arange(h)[:, None] - np.arange(half)[None, :]) % h  # (H, FS/2)

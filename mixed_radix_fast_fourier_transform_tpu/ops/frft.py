@@ -191,7 +191,7 @@ def frft2(
 ) -> Array:
     """Separable 2-D FrFT: order ``a`` may be a scalar or a pair
     (a_row, a_col) applied along ``axes``."""
-    ar, ac = (float(a), float(a)) if np.isscalar(a) else (
+    ar, ac = (float(a), float(a)) if np.ndim(a) == 0 else (
         float(a[0]), float(a[1])
     )
     y = frft(x, ar, axis=axes[0], config=config)

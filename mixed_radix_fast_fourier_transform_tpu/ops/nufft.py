@@ -89,20 +89,9 @@ _C_MID = np.float32(int((_INV2PI - float(_C_HI)) * 2**19) / 2**19)
 _C_LO = np.float32(_INV2PI - float(_C_HI) - float(_C_MID))
 
 
-def _veltkamp(v: Array):
-    """Exact fp32 split into an 8-bit-mantissa head and a tail (factor
-    2^16 + 1 — Veltkamp 1968)."""
-    f = jnp.asarray(65537.0, v.dtype)
-    c = f * v
-    hi = c - (c - v)
-    return hi, v - hi
-
-
-def _twosum(a, b):
-    """Error-free fp addition: (s, e) with s + e == a + b exactly (Knuth)."""
-    s = a + b
-    bp = s - a
-    return s, (a - (s - bp)) + (b - bp)
+# Error-free transforms (Veltkamp split, Knuth two-sum) from the canonical
+# shared set in utils/numerics.
+from ..utils.numerics import two_sum as _twosum, veltkamp as _veltkamp
 
 
 def _unit_frac(x: Array):

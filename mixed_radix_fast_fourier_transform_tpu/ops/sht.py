@@ -246,9 +246,12 @@ def sht(f, *, grid: str = "gauss", config: SpectralConfig = DEFAULT_CONFIG) -> A
     for band-limited fields."""
     f = jnp.asarray(f)
     if grid == "equiangular":
-        if f.ndim < 2 or f.shape[-1] < 2 or f.shape[-2] != f.shape[-1]:
+        if (
+            f.ndim < 2 or f.shape[-1] < 2 or f.shape[-2] != f.shape[-1]
+            or f.shape[-1] % 2
+        ):
             raise ValueError(
-                "equiangular f must be square (…, 2L, 2L) — got "
+                "equiangular f must be even-square (…, 2L, 2L) — got "
                 f"{f.shape[-2:] if f.ndim >= 2 else f.shape}"
             )
         L = f.shape[-1] // 2
@@ -259,7 +262,13 @@ def sht(f, *, grid: str = "gauss", config: SpectralConfig = DEFAULT_CONFIG) -> A
                 f"{f.shape[-2:] if f.ndim >= 2 else f.shape}"
             )
         L = f.shape[-2]
-    if L > _TABLES_MAX_L and grid == "gauss":
+    if L > _TABLES_MAX_L:
+        if grid != "gauss":
+            raise ValueError(
+                f"equiangular sht is table-based and capped at L={_TABLES_MAX_L} "
+                f"(got L={L}); the O(L^2)-memory recurrence path is Gauss-grid "
+                "only — resample to the Gauss grid for larger band limits"
+            )
         return sht_recurrence(f, config=config)
     _, w, _ = _grid_arrays(L, grid)
     dphi = 2.0 * math.pi / (2 * L)
@@ -300,7 +309,13 @@ def isht(
             f"{alm.shape[-2:] if alm.ndim >= 2 else alm.shape}"
         )
     L = alm.shape[-1]
-    if L > _TABLES_MAX_L and grid == "gauss":
+    if L > _TABLES_MAX_L:
+        if grid != "gauss":
+            raise ValueError(
+                f"equiangular isht is table-based and capped at L={_TABLES_MAX_L} "
+                f"(got L={L}); the O(L^2)-memory recurrence path is Gauss-grid "
+                "only — synthesize on the Gauss grid for larger band limits"
+            )
         return isht_recurrence(alm, real_output=real_output, config=config)
     return _synthesize(
         _legendre_chunks(L, grid), alm, config, hermitian=real_output
@@ -438,7 +453,8 @@ def _synthesize(
 
 def sphere_grad(f, *, grid: str = "gauss", config: SpectralConfig = DEFAULT_CONFIG):
     """Surface gradient on the unit sphere: (u_theta, u_phi) =
-    (∂f/∂theta, (1/sin theta)·∂f/∂phi), both (…, L, 2L) grid fields.
+    (∂f/∂theta, (1/sin theta)·∂f/∂phi), both grid fields of the same shape
+    as ``f`` ((…, L, 2L) for ``grid="gauss"``, (…, 2L, 2L) equiangular).
 
     Spectral: the theta component synthesizes against d/dtheta Legendre
     tables (:func:`_legendre_deriv_chunks`); the phi component multiplies
@@ -459,6 +475,7 @@ def _check_tangent_shape(u_theta, u_phi, grid: str):
         u_theta.shape == u_phi.shape and u_theta.ndim >= 2
         and (
             u_theta.shape[-2] == u_theta.shape[-1] >= 2
+            and u_theta.shape[-1] % 2 == 0
             if grid == "equiangular"
             else u_theta.shape[-1] == 2 * u_theta.shape[-2]
         )
@@ -603,8 +620,8 @@ def vsht(u_theta, u_phi, *, grid: str = "gauss", config: SpectralConfig = DEFAUL
 def ivsht(s_lm, t_lm, *, grid: str = "gauss", config: SpectralConfig = DEFAULT_CONFIG):
     """Vector spherical harmonic synthesis (inverse of :func:`vsht`):
     (…, 2L-1, L) spheroidal/toroidal coefficients -> tangent field pair
-    (u_theta, u_phi) on the (L, 2L) grid (complex; take .real for real
-    fields)."""
+    (u_theta, u_phi) on the grid selected by ``grid`` ((L, 2L) gauss,
+    (2L, 2L) equiangular; complex — take .real for real fields)."""
     s_lm = jnp.asarray(s_lm)
     t_lm = jnp.asarray(t_lm)
     if s_lm.shape != t_lm.shape or s_lm.ndim < 2 or (
@@ -637,15 +654,16 @@ _RESCALE = 2.0 ** 60  # exact power-of-two renormalization step
 
 
 @functools.lru_cache(maxsize=4)
-def _recurrence_coeffs(L: int):
-    """Host O(L²) constants for the on-device recurrence: three-term
-    coefficients A[l, m], B[l, m] (zero where invalid), and the sectoral
-    seeds as exact (mantissa, k) pairs with P̄_mm = mant·2^(-60·k) —
-    computed in log space so no seed ever underflows."""
-    mu, _, theta = _gauss_grid(L)
-    A, B, _, _ = _host_recurrence_tables(L)  # single source of the A/B forms
-    # log2 P̄_mm = log2(1/sqrt(4pi)) + sum_{j<=m} 0.5·log2((2j+1)/(2j))
-    #             + m·log2(sin(theta))
+def _sectoral_seeds(L: int):
+    """Rescaled sectoral seeds P̄_mm = scaled·2^(-60·k) as fp64 (scaled, k)
+    arrays of shape (m, i) — computed in log space so no seed ever
+    underflows.  Single source for both the plain fp32 recurrence constants
+    (:func:`_recurrence_coeffs`) and their compensated low words
+    (:func:`_recurrence_coeffs_dw`).
+
+    log2 P̄_mm = log2(1/sqrt(4pi)) + sum_{j<=m} 0.5·log2((2j+1)/(2j))
+                + m·log2(sin(theta))."""
+    _, _, theta = _gauss_grid(L)
     st = np.sin(theta)
     j = np.arange(1, L, dtype=np.float64)
     csum = np.concatenate(
@@ -659,59 +677,32 @@ def _recurrence_coeffs(L: int):
     )  # (m, i)
     k = np.maximum(0, np.ceil(-log2_pmm / 60.0)).astype(np.int32)
     # restore the Condon-Shortley sign (-1)^m lost in log space
-    mant = (
-        np.exp2(log2_pmm + 60.0 * k)
-        * ((-1.0) ** np.arange(L))[:, None]
-    ).astype(np.float32)
+    scaled = np.exp2(log2_pmm + 60.0 * k) * ((-1.0) ** np.arange(L))[:, None]
+    return scaled, k
+
+
+@functools.lru_cache(maxsize=4)
+def _recurrence_coeffs(L: int):
+    """Host O(L²) constants for the on-device recurrence: three-term
+    coefficients A[l, m], B[l, m] (zero where invalid), and the sectoral
+    seeds as exact (mantissa, k) pairs with P̄_mm = mant·2^(-60·k)."""
+    mu, _, _ = _gauss_grid(L)
+    A, B, _, _ = _host_recurrence_tables(L)  # single source of the A/B forms
+    scaled, k = _sectoral_seeds(L)
     return (
-        A.astype(np.float32), B.astype(np.float32), mant, k,
-        mu.astype(np.float32),
+        A.astype(np.float32), B.astype(np.float32),
+        scaled.astype(np.float32), k, mu.astype(np.float32),
     )
 
 
 # -- double-word (compensated) fp32 arithmetic for the exact-carry scan ----
-# Error-free transforms (Knuth two-sum, Dekker split product).  XLA preserves
-# IEEE semantics (no reassociation), so these hold on TPU/CPU alike; if the
-# backend contracts mul+add into an FMA the product-error term only gets MORE
-# accurate.  Used when ``compensated=True``: the recurrence carry is a
-# (hi, lo) pair, so per-step rounding accumulates at eps² instead of eps and
-# the L-step scan stays fp32-exact at any band limit (plain-path error grows
-# ~L·eps: 3.2e-5 at L=256, 1.6e-4 at L=512 vs the fp64-generated tables).
+# Error-free transforms from utils/numerics (the canonical shared set).
+# Used when ``compensated=True``: the recurrence carry is a (hi, lo) pair,
+# so per-step rounding accumulates at eps² instead of eps and the L-step
+# scan stays fp32-exact at any band limit (plain-path error grows ~L·eps:
+# 3.2e-5 at L=256, 1.6e-4 at L=512 vs the fp64-generated tables).
 
-_DW_SPLIT = np.float32(4097.0)  # 2^12 + 1: Dekker splitter for fp32
-
-
-def _two_sum(a, b):
-    s = a + b
-    bb = s - a
-    return s, (a - (s - bb)) + (b - bb)
-
-
-def _fast_two_sum(a, b):
-    """Assumes |a| >= |b| (or a == 0)."""
-    s = a + b
-    return s, b - (s - a)
-
-
-def _two_prod(a, b):
-    p = a * b
-    ca = _DW_SPLIT * a
-    ah = ca - (ca - a)
-    al = a - ah
-    cb = _DW_SPLIT * b
-    bh = cb - (cb - b)
-    bl = b - bh
-    return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl
-
-
-def _dw_mul(ah, al, bh, bl):
-    ph, pe = _two_prod(ah, bh)
-    return _fast_two_sum(ph, pe + (ah * bl + al * bh))
-
-
-def _dw_add(ah, al, bh, bl):
-    sh, se = _two_sum(ah, bh)
-    return _fast_two_sum(sh, se + al + bl)
+from ..utils.numerics import dw_add as _dw_add, dw_mul as _dw_mul
 
 
 @functools.lru_cache(maxsize=4)
@@ -721,21 +712,10 @@ def _recurrence_coeffs_dw(L: int):
     mant_lo, mu_lo).  Without these the singly-rounded fp32 coefficients
     would re-introduce an eps-per-step forward error and cap the win."""
     A, B, _, _ = _host_recurrence_tables(L)
-    Ah, Bh, mant, k, mu = _recurrence_coeffs(L)
-    mu64, _, theta = _gauss_grid(L)
+    Ah, Bh, mant, _, mu = _recurrence_coeffs(L)
+    mu64, _, _ = _gauss_grid(L)
     # exact seed: mant·2^(-60k) == P̄_mm in fp64 ⇒ lo = (P̄·2^(60k) - mant)
-    st = np.sin(theta)
-    j = np.arange(1, L, dtype=np.float64)
-    csum = np.concatenate(
-        [[0.0], np.cumsum(0.5 * np.log2((2.0 * j + 1.0) / (2.0 * j)))]
-    )
-    log2_pmm = (
-        -0.5 * np.log2(4.0 * np.pi)
-        + csum[:, None]
-        + np.arange(L, dtype=np.float64)[:, None]
-        * np.log2(np.maximum(st, 1e-300))[None, :]
-    )
-    scaled = np.exp2(log2_pmm + 60.0 * k) * ((-1.0) ** np.arange(L))[:, None]
+    scaled, _ = _sectoral_seeds(L)
     return (
         (A - Ah.astype(np.float64)).astype(np.float32),
         (B - Bh.astype(np.float64)).astype(np.float32),

@@ -1300,8 +1300,11 @@ def sht_sharded(
 
     f = jnp.asarray(f)
     if grid == "equiangular":
-        if f.ndim < 2 or f.shape[-1] < 2 or f.shape[-2] != f.shape[-1]:
-            raise ValueError("equiangular f must be square (…, 2L, 2L)")
+        if (
+            f.ndim < 2 or f.shape[-1] < 2 or f.shape[-2] != f.shape[-1]
+            or f.shape[-1] % 2
+        ):
+            raise ValueError("equiangular f must be even-square (…, 2L, 2L)")
         L = f.shape[-1] // 2
     else:
         if f.ndim < 2 or f.shape[-2] < 1 or f.shape[-1] != 2 * f.shape[-2]:
@@ -1356,8 +1359,9 @@ def isht_sharded(
     config: SpectralConfig = DEFAULT_CONFIG,
 ) -> Array:
     """Spherical harmonic synthesis with latitude bands sharded over
-    ``axis_name``: replicated (…, 2L-1, L) coefficients -> (…, L, 2L) grid
-    sharded on latitude.  Zero collectives (each chip evaluates its band)."""
+    ``axis_name``: replicated (…, 2L-1, L) coefficients -> grid values
+    ((…, L, 2L) gauss, (…, 2L, 2L) equiangular) sharded on latitude.
+    Zero collectives (each chip evaluates its band)."""
     from ..ops.sht import _legendre_chunks, _synthesize  # noqa: F401
 
     alm = jnp.asarray(alm)

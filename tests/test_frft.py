@@ -148,6 +148,13 @@ def test_real_input_promotes(rng):
     assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 1e-5
 
 
+def test_frft2_0d_array_order(rng):
+    x = rng.standard_normal((8, 8)).astype(np.float32)
+    got = np.asarray(sp.frft2(x, np.array(1.2)))
+    want = np.asarray(sp.frft2(x, 1.2))
+    assert np.max(np.abs(got - want)) == 0.0
+
+
 def test_error_paths():
     with pytest.raises(ValueError):
         sp.frft(np.zeros(1, np.float32), 0.5)

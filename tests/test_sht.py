@@ -415,6 +415,17 @@ def test_sht_bad_grid(rng):
         sp.sht(np.zeros((8, 16), np.float32), grid="bogus")
     with pytest.raises(ValueError):
         sp.sht(np.zeros((8, 16), np.float32), grid="equiangular")  # not square
+    with pytest.raises(ValueError):
+        sp.sht(np.zeros((3, 3), np.float32), grid="equiangular")  # odd square
+    with pytest.raises(ValueError):  # past the table cap: no recurrence fallback
+        sp.sht(np.zeros((2060, 2060), np.float32), grid="equiangular")
+    with pytest.raises(ValueError):
+        sp.isht(np.zeros((2 * 1030 - 1, 1030), np.complex64), grid="equiangular")
+    with pytest.raises(ValueError):  # odd-square tangent fields
+        sp.sphere_div(
+            np.zeros((3, 3), np.float32), np.zeros((3, 3), np.float32),
+            grid="equiangular",
+        )
 
 
 def test_equiangular_calculus(rng):
