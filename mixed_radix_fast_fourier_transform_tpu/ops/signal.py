@@ -348,6 +348,208 @@ def resample(
     return jnp.moveaxis(out, -1, axis)
 
 
+def _upfirdn_len(len_h: int, n_in: int, up: int, down: int) -> int:
+    """Output length of upfirdn (scipy's _output_len)."""
+    return ((n_in - 1) * up + len_h - 1) // down + 1
+
+
+def _firwin_lowpass(numtaps: int, cutoff: float, window) -> np.ndarray:
+    """Linear-phase windowed-sinc low-pass FIR design (scipy.signal.firwin
+    semantics for a single passband containing DC): ``cutoff`` relative to
+    Nyquist, symmetric window, unit DC gain.  Host numpy — filter design is
+    plan-time work."""
+    if numtaps < 2 or numtaps % 2 == 0:
+        raise ValueError(f"numtaps must be odd and >= 3, got {numtaps}")
+    if not 0.0 < cutoff < 1.0:
+        raise ValueError(f"cutoff must be in (0, 1) of Nyquist, got {cutoff}")
+    # symmetric window of length n == periodic window of length n-1 with the
+    # (symmetric) first sample appended
+    wp = get_window(window, numtaps - 1, np.float64)
+    win = np.concatenate([wp, wp[:1]])
+    m = np.arange(numtaps, dtype=np.float64) - (numtaps - 1) / 2.0
+    h = cutoff * np.sinc(cutoff * m) * win
+    return h / h.sum()  # unit gain at DC
+
+
+def upfirdn(
+    h,
+    x,
+    up: int = 1,
+    down: int = 1,
+    axis: int = -1,
+    mode: str = "constant",
+    cval: float = 0.0,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Upsample by ``up`` (zero stuffing), FIR filter by ``h``, downsample by
+    ``down`` along ``axis`` — scipy.signal.upfirdn semantics (zero-padded
+    signal edges, output length ceil(((N-1)·up + F) / down)).
+
+    TPU formulation: no zero-stuffed intermediate and no scatter.  Because
+    ``m·down mod up`` cycles with period q = up/gcd(up, down), outputs split
+    into q polyphase classes with a FIXED tap vector each:
+    y[c·q + s] = Σ_t x[c·(down/g) + j0(s) + t] · C[s, t], so the whole op is
+    one static window gather plus one (q, T) einsum on the MXU — the same
+    kernel shape as the DWT analysis step (ops/dwt.periodized_astep).
+    Capability extension: the reference has no resampler (its only signal op
+    is convolution, src/convolve.c)."""
+    x = jnp.asarray(x)
+    h = np.asarray(h, np.float64)
+    if h.ndim != 1 or h.size == 0:
+        raise ValueError("h must be a non-empty 1-D filter")
+    up, down = int(up), int(down)
+    if up < 1 or down < 1:
+        raise ValueError(f"up and down must be >= 1, got {up}, {down}")
+    if mode != "constant":
+        raise ValueError(
+            f"only mode='constant' edge extension is supported, got {mode!r}"
+        )
+    if x.ndim < 1:
+        raise ValueError("x must have at least one dimension")
+    axis = axis % x.ndim
+    xm = jnp.moveaxis(x, axis, -1)
+    if not jnp.issubdtype(xm.dtype, jnp.inexact):
+        xm = xm.astype(config.dtype)
+    n = xm.shape[-1]
+    if n < 1:
+        raise ValueError("upfirdn needs a non-empty signal")
+    F = h.size
+    import math as _math
+
+    g = _math.gcd(up, down)
+    q = up // g
+    stride = down // g
+    M = _upfirdn_len(F, n, up, down)
+    T = (F - 1) // up + 1
+    nblocks = -(-M // q)
+    # fixed per-phase taps: C[s, t] = h[(s·down) mod up + (T-1-t)·up]
+    h_pad = np.zeros(up * T, np.float64)
+    h_pad[:F] = h
+    srange = (np.arange(q) * down) % up
+    C = h_pad[srange[:, None] + (T - 1 - np.arange(T))[None, :] * up]  # (q, T)
+    # window start per (block, phase): j0(s) = floor(s·down/up) - (T-1)
+    j0 = (np.arange(q) * down) // up - (T - 1)
+    P = T - 1  # left zero-pad makes every index non-negative
+    idx = (
+        np.arange(nblocks)[:, None, None] * stride
+        + j0[None, :, None]
+        + np.arange(T)[None, None, :]
+        + P
+    )  # (nblocks, q, T) static host indices
+    right = int(idx.max()) - (n - 1 + P)
+    if jnp.issubdtype(xm.dtype, jnp.complexfloating):
+        # planes: complex einsum decomposes anyway; explicit planes keep the
+        # contraction on real MXU matmuls (and axon-safe)
+        re = upfirdn(
+            h, jnp.real(xm), up, down, axis=-1,
+            cval=float(np.real(cval)), config=config,
+        )
+        im = upfirdn(
+            h, jnp.imag(xm), up, down, axis=-1,
+            cval=float(np.imag(cval)), config=config,
+        )
+        out = jax.lax.complex(re, im)
+        return jnp.moveaxis(out, -1, axis)
+    pads = [(0, 0)] * (xm.ndim - 1) + [(P, max(right, 0))]
+    xp_ = jnp.pad(xm, pads, constant_values=float(cval))
+    Cd = jnp.asarray(C, xp_.dtype)
+    win = xp_[..., idx]  # (…, nblocks, q, T)
+    y = jnp.einsum(
+        "...cst,st->...cs", win, Cd, precision=config.op_precision
+    )
+    y = y.reshape(*xm.shape[:-1], nblocks * q)[..., :M]
+    return jnp.moveaxis(y, -1, axis)
+
+
+def resample_poly(
+    x,
+    up: int,
+    down: int,
+    axis: int = -1,
+    window=("kaiser", 5.0),
+    padtype: str = "constant",
+    cval: Optional[float] = None,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Polyphase resampling by the rational factor up/down along ``axis``
+    (scipy.signal.resample_poly semantics: gcd reduction, Kaiser-windowed
+    sinc anti-aliasing filter of half-length 10·max(up, down), centered
+    output of length ceil(N·up/down)).
+
+    ``window`` is a :func:`get_window` spec for the FIR design, or an
+    explicit (odd-length, symmetric) filter array used as-is (then scaled by
+    ``up``).  ``padtype`` in {'constant', 'mean', 'median', 'minimum',
+    'maximum'}: the statistics modes subtract the per-signal background
+    before filtering and restore it after (scipy's edge handling);
+    zero-padded edges otherwise.  Rides :func:`upfirdn`."""
+    x = jnp.asarray(x)
+    up, down = int(up), int(down)
+    if up < 1 or down < 1:
+        raise ValueError(f"up and down must be >= 1, got {up}, {down}")
+    if cval is not None and padtype != "constant":
+        raise ValueError("cval only applies to padtype='constant'")
+    import math as _math
+
+    g_ = _math.gcd(up, down)
+    up //= g_
+    down //= g_
+    if up == down == 1:
+        return x
+    axis = axis % x.ndim
+    n_in = x.shape[axis]
+    n_out = n_in * up // down + bool((n_in * up) % down)
+
+    if isinstance(window, (list, np.ndarray)):
+        h = np.asarray(window, np.float64)
+        if h.ndim != 1:
+            raise ValueError("window array must be 1-D")
+        half_len = (h.size - 1) // 2
+    else:
+        max_rate = max(up, down)
+        f_c = 1.0 / max_rate  # cutoff relative to Nyquist
+        half_len = 10 * max_rate
+        h = _firwin_lowpass(2 * half_len + 1, f_c, window)
+    h = h * up
+
+    # zero-pad the filter so the kept samples land at window centers
+    n_pre_pad = down - half_len % down
+    n_post_pad = 0
+    n_pre_remove = (half_len + n_pre_pad) // down
+    while (
+        _upfirdn_len(h.size + n_pre_pad + n_post_pad, n_in, up, down)
+        < n_out + n_pre_remove
+    ):
+        n_post_pad += 1
+    h = np.concatenate([np.zeros(n_pre_pad), h, np.zeros(n_post_pad)])
+
+    stats = {
+        "mean": jnp.mean, "median": jnp.median,
+        "minimum": jnp.min, "maximum": jnp.max,
+    }
+    background = None
+    ufd_cval = 0.0
+    if padtype in stats:
+        background = stats[padtype](x, axis=axis, keepdims=True)
+        x = x - background
+    elif padtype == "constant":
+        ufd_cval = 0.0 if cval is None else float(cval)
+    else:
+        raise ValueError(
+            "padtype must be one of 'constant', 'mean', 'median', "
+            f"'minimum', 'maximum'; got {padtype!r}"
+        )
+
+    y = upfirdn(h, x, up, down, axis=axis, cval=ufd_cval, config=config)
+    keep = [slice(None)] * x.ndim
+    keep[axis] = slice(n_pre_remove, n_pre_remove + n_out)
+    y = y[tuple(keep)]
+    if background is not None:
+        y = y + background
+    return y
+
+
 def poisson_solve(
     f,
     period=2.0 * np.pi,

@@ -188,3 +188,81 @@ class TestStftParity:
         back = np.asarray(sp.istft(np.asarray(spec), nperseg=256, center=True,
                                    length=2048))
         assert np.max(np.abs(back - x)) < 1e-4
+
+
+class TestUpfirdnResamplePolyParity:
+    @pytest.mark.parametrize(
+        "up,down,n,F",
+        [(1, 1, 37, 9), (3, 2, 50, 21), (2, 3, 64, 17), (7, 5, 41, 30),
+         (1, 4, 100, 41), (5, 1, 33, 12), (4, 6, 55, 16)],
+    )
+    def test_upfirdn(self, rng, up, down, n, F):
+        x = rng.standard_normal(n)
+        h = rng.standard_normal(F)
+        want = scipy_signal.upfirdn(h, x, up, down)
+        got = np.asarray(sp.upfirdn(h, x.astype(np.float32), up, down))
+        assert got.shape == want.shape
+        assert _rel(got, want) < 1e-5
+
+    def test_upfirdn_complex_and_cval(self, rng):
+        h = scipy_signal.firwin(31, 0.4)
+        xc = rng.standard_normal(60) + 1j * rng.standard_normal(60)
+        want = scipy_signal.upfirdn(h, xc, 2, 3)
+        got = np.asarray(sp.upfirdn(h, xc.astype(np.complex64), 2, 3))
+        assert _rel(got, want) < 1e-5
+        x = rng.standard_normal(50)
+        want = scipy_signal.upfirdn(h, x, 3, 2, mode="constant", cval=1.5)
+        got = np.asarray(
+            sp.upfirdn(h, x.astype(np.float32), 3, 2, cval=1.5)
+        )
+        assert _rel(got, want) < 1e-5
+
+    @pytest.mark.parametrize(
+        "up,down,n",
+        [(2, 1, 64), (1, 2, 64), (3, 7, 100), (7, 3, 101), (160, 147, 200),
+         (5, 5, 30)],
+    )
+    def test_resample_poly(self, rng, up, down, n):
+        x = rng.standard_normal(n)
+        want = scipy_signal.resample_poly(x, up, down)
+        got = np.asarray(sp.resample_poly(x.astype(np.float32), up, down))
+        assert got.shape == want.shape
+        assert _rel(got, want) < 1e-5
+
+    @pytest.mark.parametrize("padtype", ["mean", "median", "minimum", "maximum"])
+    def test_resample_poly_padtypes(self, rng, padtype):
+        x = rng.standard_normal(80) + 5.0
+        want = scipy_signal.resample_poly(x, 3, 2, padtype=padtype)
+        got = np.asarray(
+            sp.resample_poly(x.astype(np.float32), 3, 2, padtype=padtype)
+        )
+        assert _rel(got, want) < 1e-5
+
+    def test_resample_poly_cval_window_axis(self, rng):
+        x = rng.standard_normal(80) + 5.0
+        want = scipy_signal.resample_poly(x, 2, 3, padtype="constant", cval=2.5)
+        got = np.asarray(
+            sp.resample_poly(x.astype(np.float32), 2, 3, cval=2.5)
+        )
+        assert _rel(got, want) < 1e-5
+        h = scipy_signal.firwin(31, 0.4)
+        want = scipy_signal.resample_poly(x, 3, 2, window=h)
+        got = np.asarray(sp.resample_poly(x.astype(np.float32), 3, 2, window=h))
+        assert _rel(got, want) < 1e-5
+        xb = rng.standard_normal((3, 50))
+        want = scipy_signal.resample_poly(xb, 5, 4, axis=1)
+        got = np.asarray(sp.resample_poly(xb.astype(np.float32), 5, 4, axis=1))
+        assert _rel(got, want) < 1e-5
+
+    def test_error_paths(self):
+        with pytest.raises(ValueError):
+            sp.upfirdn(np.ones(3), np.ones(8, np.float32), 0, 1)
+        with pytest.raises(ValueError):
+            sp.upfirdn(np.ones((2, 2)), np.ones(8, np.float32))
+        with pytest.raises(ValueError):
+            sp.upfirdn(np.ones(3), np.ones(8, np.float32), mode="wrap")
+        with pytest.raises(ValueError):
+            sp.resample_poly(np.ones(8, np.float32), 2, 3, padtype="line")
+        with pytest.raises(ValueError):
+            sp.resample_poly(np.ones(8, np.float32), 2, 3, padtype="mean",
+                             cval=1.0)
