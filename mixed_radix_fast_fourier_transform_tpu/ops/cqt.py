@@ -1,0 +1,164 @@
+"""Constant-Q transform (CQT) — log-frequency spectral analysis.
+
+Brown/Puckette spectral-kernel method, TPU-first: each constant-Q band k is
+a windowed complex exponential g_k (length N_k ∝ 1/f_k, so every band has
+the same Q = f_k/Δf_k).  Instead of correlating each band in the time
+domain (ragged lengths — hostile to the MXU), all kernels are embedded in
+one n_fft frame and applied in the frequency domain:
+
+    CQT[t, k] = Σ_n x[t·hop + n]·conj(g_k[n])
+              = (1/n_fft)·Σ_b X_t[b]·conj(Ĝ_k[b])   (Parseval)
+
+so the whole transform is one batched frame FFT (the plan engine) followed
+by one dense (n_fft, n_bins) matmul — the classic "sparse spectral kernel"
+trick, except on TPU the DENSE kernel matmul is the fast path (MXU) and
+sparsification would only add gather traffic.  Kernels are built on the
+host in fp64 (exact integer phase reduction like the twiddle machinery) and
+baked into the jitted computation as constants.
+
+Capability extension: the reference has no time-frequency analysis at all
+(src/ contains only the FFT engine and convolve.c); this rides the same
+plan-based FFT with librosa-class semantics (geometric frequency ladder,
+per-band windows, hop-synchronous frames).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.config import DEFAULT_CONFIG, SpectralConfig
+from ..utils.factorize import next_pow2
+from .fft import fft
+from .stft import _frame, get_window
+
+Array = jax.Array
+
+
+def cqt_frequencies(
+    n_bins: int, fmin: float, bins_per_octave: int = 12
+) -> np.ndarray:
+    """Center frequencies of the constant-Q ladder: fmin·2^(k/B)."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if fmin <= 0:
+        raise ValueError(f"fmin must be > 0, got {fmin}")
+    if bins_per_octave < 1:
+        raise ValueError(
+            f"bins_per_octave must be >= 1, got {bins_per_octave}"
+        )
+    k = np.arange(n_bins, dtype=np.float64)
+    return fmin * 2.0 ** (k / bins_per_octave)
+
+
+def _cqt_kernel_time(
+    fs: float,
+    freqs: np.ndarray,
+    bins_per_octave: int,
+    window,
+    filter_scale: float,
+):
+    """Host fp64 time-domain kernels: list of (length N_k, complex) arrays,
+    each a symmetric window times exp(2πi·f_k·n/fs), L1-normalized (Brown's
+    1/N_k convention, so a unit sinusoid at f_k yields |CQT| ~ window mean)."""
+    Q = filter_scale / (2.0 ** (1.0 / bins_per_octave) - 1.0)
+    kernels = []
+    for f in freqs:
+        n_k = max(int(round(Q * fs / f)), 1)
+        # symmetric window (periodic window of n_k-1 plus wrapped endpoint)
+        if n_k > 1:
+            wp = get_window(window, n_k - 1, np.float64)
+            w = np.concatenate([wp, wp[:1]])
+        else:
+            w = np.ones(1)
+        n = np.arange(n_k, dtype=np.float64) - (n_k - 1) / 2.0
+        # exact phase reduction: f/fs in fp64, phase mod 1 before the trig
+        phase = 2.0 * np.pi * ((f / fs * n) % 1.0)
+        g = w * (np.cos(phase) + 1j * np.sin(phase)) / n_k
+        kernels.append(g)
+    return kernels
+
+
+def cqt(
+    x,
+    *,
+    fs: float = 22050.0,
+    fmin: float = 32.703195662574764,  # C1
+    n_bins: int = 84,
+    bins_per_octave: int = 12,
+    hop: int = 512,
+    window="hann",
+    filter_scale: float = 1.0,
+    center: bool = True,
+    n_fft: Optional[int] = None,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Constant-Q transform of a real (or complex) signal along the last
+    axis: (…, T) -> (…, n_frames, n_bins) complex coefficients.
+
+    Band k has center frequency fmin·2^(k/bins_per_octave) and Q-matched
+    length N_k = round(Q·fs/f_k), Q = filter_scale/(2^(1/B) − 1); frame t is
+    centered on sample t·hop (``center=True`` zero-pads by n_fft//2, so
+    every kernel window fits).  All bands must lie strictly below Nyquist.
+    ``n_fft`` overrides the frame length (default: next power of two
+    covering the longest kernel)."""
+    x = jnp.asarray(x)
+    if x.ndim < 1 or x.shape[-1] < 1:
+        raise ValueError("cqt needs a non-empty signal")
+    if hop < 1:
+        raise ValueError(f"hop must be >= 1, got {hop}")
+    if fs <= 0:
+        raise ValueError(f"fs must be > 0, got {fs}")
+    freqs = cqt_frequencies(n_bins, fmin, bins_per_octave)
+    if freqs[-1] >= fs / 2.0:
+        raise ValueError(
+            f"highest band {freqs[-1]:.2f} Hz reaches Nyquist ({fs/2:.2f} "
+            "Hz) — lower n_bins or raise fs"
+        )
+    kernels = _cqt_kernel_time(fs, freqs, bins_per_octave, window, filter_scale)
+    max_len = max(k.size for k in kernels)
+    nf = next_pow2(max_len) if n_fft is None else int(n_fft)
+    if nf < max_len:
+        raise ValueError(
+            f"n_fft={nf} shorter than the longest kernel ({max_len}); "
+            "raise n_fft or fmin"
+        )
+    # spectral kernel: each time kernel centered in the frame, conjugated
+    # spectrum, scaled by 1/n_fft (Parseval)
+    K = np.zeros((n_bins, nf), np.complex128)
+    for i, g in enumerate(kernels):
+        start = (nf - g.size) // 2
+        K[i, start : start + g.size] = g
+    Khat = np.conj(np.fft.fft(K, axis=-1)) / nf  # (n_bins, nf)
+
+    if not jnp.issubdtype(x.dtype, jnp.inexact):
+        x = x.astype(config.dtype)
+    if center:
+        pad = [(0, 0)] * (x.ndim - 1) + [(nf // 2, nf // 2)]
+        x = jnp.pad(x, pad)
+    t = x.shape[-1]
+    if t < nf:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, nf - t)]
+        x = jnp.pad(x, pad)
+        t = nf
+    n_frames = 1 + (t - nf) // hop
+    frames = _frame(x, nf, hop)  # (…, n_frames, nf)
+    spec = fft(frames, config=config)
+    # kernel matmul on planes (four real MXU matmuls; complex constants
+    # upload as planes — axon-safe)
+    rdtype = jnp.real(spec).dtype
+    Kr = jnp.asarray(Khat.real, rdtype)
+    Ki = jnp.asarray(Khat.imag, rdtype)
+    sr, si = jnp.real(spec), jnp.imag(spec)
+    prec = config.op_precision
+    out_r = jnp.einsum("...tb,kb->...tk", sr, Kr, precision=prec) - jnp.einsum(
+        "...tb,kb->...tk", si, Ki, precision=prec
+    )
+    out_i = jnp.einsum("...tb,kb->...tk", sr, Ki, precision=prec) + jnp.einsum(
+        "...tb,kb->...tk", si, Kr, precision=prec
+    )
+    return jax.lax.complex(out_r, out_i)
