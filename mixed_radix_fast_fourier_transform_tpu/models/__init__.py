@@ -5,7 +5,7 @@ the demo pattern is promoted to a trainable flagship model (spectral filter)
 plus the signal/metric utilities the demo used.
 """
 
-from . import fnet, fno, sfno
+from . import afno, fnet, fno, sfno
 from .checkpoint import load_checkpoint, save_checkpoint
 from .spectral_filter import (
     apply,
