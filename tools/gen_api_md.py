@@ -16,11 +16,11 @@ groups = {
     "Transforms (numpy.fft-style)": ["fft","ifft","fft2","ifft2","fftn","ifftn","rfft","irfft","rfft2","irfft2","rfftn","irfftn","hfft","ihfft","dht","idht"],
     "Helpers": ["fftfreq","rfftfreq","fftshift","ifftshift","next_fast_len","prev_fast_len","next_pow2","prime_factors","plan_stages","dividebyN"],
     "Cosine/sine transforms": ["dct","idct","dst","idst","dctn","idctn","dstn","idstn"],
-    "Chirp-z / zoom / Hankel": ["czt","zoom_fft","fht","ifht","fhtoffset"],
+    "Chirp-z / zoom / Hankel": ["czt","zoom_fft","fht","ifht","fhtoffset","frft","ifrft","frft2"],
     "Non-uniform FFT": ["nufft1","nufft2","nufft3","nufft_lsq","nufft_lsq_2d","nufft_lsq_3d","nudft1","nudft2","nufft1_2d","nufft2_2d","nudft1_2d","nudft2_2d","nufft1_3d","nufft2_3d","nudft1_3d","nudft2_3d"],
     "Convolution / correlation": ["fft_convolve","fft_convolve2","fft_convolven","fft_oaconvolve","fft_correlate"],
-    "Time-frequency": ["stft","istft","spectrogram","get_window","mdct","imdct","mdct_window","cwt","ricker","morlet2","dwt","idwt","dwt2","idwt2","wavedec","waverec","wavedec2","waverec2","swt","iswt","swt2","iswt2","wpdec","wprec","dwt_max_level"],
-    "Signal analysis": ["hilbert","periodogram","welch","csd","coherence","resample"],
+    "Time-frequency": ["stft","istft","spectrogram","get_window","mdct","imdct","mdct_window","cwt","ricker","morlet2","dwt","idwt","dwt2","idwt2","wavedec","waverec","wavedec2","waverec2","swt","iswt","swt2","iswt2","wpdec","wprec","dwt_max_level","dtcwt","idtcwt","dtcwt2","idtcwt2","cqt","cqt_frequencies"],
+    "Signal analysis": ["hilbert","periodogram","welch","csd","coherence","resample","resample_poly","upfirdn"],
     "PDE toolbox": ["spectral_diff","poisson_solve"],
     "Spherical harmonics": ["sht","isht","sht_grid","sphere_laplacian","poisson_solve_sphere","sphere_convolve","sphere_grad","sphere_div","sphere_vort","sphere_helmholtz","vsht","ivsht","sht_recurrence","isht_recurrence"],
     "Chebyshev (non-periodic spectral)": ["cheb_points","cheb_transform","icheb_transform","cheb_diff","cheb_diff_coef","cheb_eval"],
