@@ -34,12 +34,12 @@ from .ops.fft import (
 )
 from .ops.rfft import rfft, irfft, rfftn, irfftn, rfft2, irfft2, hfft, ihfft
 from .ops.convolve import fft_convolve, fft_convolve2, fft_convolven, fft_correlate, fft_oaconvolve
-from .ops.stft import stft, istft, spectrogram, get_window
+from .ops.stft import stft, istft, spectrogram, get_window, dpss
 from .ops.cqt import cqt, cqt_frequencies
 from .ops.czt import czt, zoom_fft
 from .ops.fht import fht, ifht, fhtoffset
 from .ops.dct import dct, idct, dst, idst, dctn, idctn, dstn, idstn
-from .ops.signal import hilbert, periodogram, welch, csd, coherence, spectral_diff, poisson_solve, resample, resample_poly, upfirdn
+from .ops.signal import hilbert, periodogram, welch, csd, coherence, spectral_diff, poisson_solve, resample, resample_poly, upfirdn, lombscargle, multitaper
 from .ops.mdct import mdct, imdct, mdct_window
 from .ops.cwt import cwt, ricker, morlet2
 from .ops.dwt import (dwt, dwt2, dwt_max_level, idwt, idwt2, iswt, iswt2,
@@ -55,7 +55,7 @@ from .ops.chebyshev import (
     cheb_transform,
     icheb_transform,
 )
-from .ops.sht import isht, isht_recurrence, poisson_solve_sphere, sht, sht_recurrence, sht_grid, sphere_convolve, sphere_div, sphere_grad, sphere_helmholtz, vsht, ivsht, sphere_laplacian, sphere_vort
+from .ops.sht import isht, isht_recurrence, poisson_solve_sphere, sht, sht_recurrence, sht_grid, sphere_convolve, sphere_div, sphere_grad, sphere_helmholtz, vsht, ivsht, sphere_laplacian, sphere_vort, rotate_sht
 from .ops.nufft import (
     nudft1,
     nudft1_2d,
@@ -101,13 +101,13 @@ __all__ = [
     "fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
     "rfft", "rfft2", "irfft2", "hfft", "ihfft", "irfft", "rfftn", "irfftn",
     "fft_convolve", "fft_convolve2", "fft_convolven", "fft_correlate", "fft_oaconvolve",
-    "stft", "istft", "spectrogram", "get_window", "cqt", "cqt_frequencies",
-    "czt", "zoom_fft", "fht", "ifht", "fhtoffset", "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn", "hilbert", "periodogram", "welch", "csd", "coherence", "spectral_diff", "poisson_solve", "resample", "resample_poly", "upfirdn",
+    "stft", "istft", "spectrogram", "get_window", "dpss", "cqt", "cqt_frequencies",
+    "czt", "zoom_fft", "fht", "ifht", "fhtoffset", "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn", "hilbert", "periodogram", "welch", "csd", "coherence", "spectral_diff", "poisson_solve", "resample", "resample_poly", "upfirdn", "lombscargle", "multitaper",
     "mdct", "imdct", "mdct_window", "cwt", "ricker", "morlet2", "dwt", "idwt", "dwt2", "idwt2", "wavedec", "waverec", "wavedec2", "waverec2", "swt", "iswt", "swt2", "iswt2", "wpdec", "wprec", "dwt_max_level", "dtcwt", "idtcwt", "dtcwt2", "idtcwt2", "frft", "ifrft", "frft2",
     "nufft1", "nufft2", "nufft3", "nudft1", "nudft2", "nufft_lsq", "nufft_lsq_2d", "nufft_lsq_3d",
     "nufft1_2d", "nufft2_2d", "nudft1_2d", "nudft2_2d",
     "nufft1_3d", "nufft2_3d", "nudft1_3d", "nudft2_3d",
-    "sht", "isht", "sht_grid", "sphere_laplacian", "poisson_solve_sphere", "sphere_convolve", "sphere_grad", "sphere_div", "sphere_vort", "sphere_helmholtz", "vsht", "ivsht", "sht_recurrence", "isht_recurrence",
+    "sht", "isht", "sht_grid", "sphere_laplacian", "poisson_solve_sphere", "sphere_convolve", "sphere_grad", "sphere_div", "sphere_vort", "sphere_helmholtz", "vsht", "ivsht", "rotate_sht", "sht_recurrence", "isht_recurrence",
     "cheb_points", "cheb_transform", "icheb_transform", "cheb_diff",
     "cheb_diff_coef", "cheb_eval",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift", "prev_fast_len", "dht", "idht",

@@ -348,6 +348,183 @@ def resample(
     return jnp.moveaxis(out, -1, axis)
 
 
+def multitaper(
+    x,
+    fs: float = 1.0,
+    nw: float = 4.0,
+    k: Optional[int] = None,
+    nfft: Optional[int] = None,
+    detrend: bool = True,
+    scaling: str = "density",
+    weighting: str = "eigen",
+    axis: int = -1,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Tuple[Array, Array]:
+    """(freqs, PSD) by Thomson's multitaper method: average the
+    eigenspectra of the ``k`` best-concentrated DPSS tapers
+    (time-halfbandwidth ``nw``; default k = 2·nw − 1).  Low-variance,
+    low-leakage PSD from a SINGLE record — the standard alternative to
+    Welch when the signal cannot be segmented.
+
+    ``weighting``: 'eigen' weights each eigenspectrum by its concentration
+    ratio λ_k (Percival & Walden eq. 370a); 'unity' is the plain average.
+    Scaling/one-sided conventions match :func:`periodogram`.  TPU shape:
+    the taper bank applies as one broadcast multiply and the k spectra ride
+    one batched rfft — the taper axis is just another batch axis."""
+    from .stft import dpss
+
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("multitaper expects a real signal")
+    axis = axis % x.ndim
+    xm = jnp.moveaxis(x, axis, -1).astype(config.dtype)
+    n = xm.shape[-1]
+    if n < 2:
+        raise ValueError("multitaper needs a signal of length >= 2")
+    if k is None:
+        k = max(int(2 * nw) - 1, 1)
+    if weighting not in ("eigen", "unity"):
+        raise ValueError(
+            f"weighting must be 'eigen' or 'unity', got {weighting!r}"
+        )
+    if detrend:
+        xm = xm - jnp.mean(xm, axis=-1, keepdims=True)
+    tapers, ratios = dpss(n, float(nw), int(k), return_ratios=True,
+                          dtype=np.float64)
+    nfft = int(nfft) if nfft is not None else n
+    tap = jnp.asarray(tapers, xm.dtype)  # (k, n)
+    spec = rfft(xm[..., None, :] * tap, n=nfft, config=config)  # (…, k, bins)
+    p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    if weighting == "eigen":
+        wk = ratios / ratios.sum()
+    else:
+        wk = np.full(k, 1.0 / k)
+    p = jnp.einsum("...kf,k->...f", p, jnp.asarray(wk, p.dtype),
+                   precision=config.op_precision)
+    # tapers are unit-energy: density scale is 1/fs; spectrum 1/sum(w)^2
+    # is taper-dependent — use the standard 1/fs density plus one-sided
+    # doubling, or spectrum via the mean taper gain
+    if scaling != "density":
+        raise ValueError(
+            "multitaper supports scaling='density' only (amplitude spectra "
+            f"are not defined for orthonormal taper banks), got {scaling!r}"
+        )
+    base = 1.0 / fs
+    mult = np.full(nfft // 2 + 1, 2.0 * base)
+    mult[0] = base
+    if nfft % 2 == 0:
+        mult[-1] = base
+    p = p * jnp.asarray(mult, p.dtype)
+    freqs = rfftfreq(nfft, 1.0 / fs)
+    return freqs, jnp.moveaxis(p, -1, axis)
+
+
+def lombscargle(
+    x,
+    y,
+    freqs,
+    *,
+    weights=None,
+    floating_mean: bool = False,
+    normalize=False,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Lomb-Scargle periodogram of irregularly sampled data
+    (scipy.signal.lombscargle semantics, including ``weights``,
+    ``floating_mean``, and the three ``normalize`` modes: False/'power'
+    (legacy A²·N/4 units), True/'normalize' ([0, 1] fraction of total
+    power), 'amplitude' (complex best-fit a + i·b, tau-corrected)).
+
+    ``x`` (sample times) and ``freqs`` (angular frequencies) are 1-D;
+    ``y`` may carry leading batch axes over shared times (TPU extension —
+    scipy is 1-D only).  Every reduction is a (N,)·(N, F) contraction, so
+    the whole statistic is a handful of MXU matmuls over the dense trig
+    matrix — the right TPU shape for the direct O(N·F) method.  Weights
+    must be non-negative (not checkable under jit).
+
+    The spectral-library tie-in: for large N·F prefer :func:`..nufft.nufft1`
+    on the centered data (Press-Rybicki); this direct form is exact."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    freqs = jnp.asarray(freqs)
+    if x.ndim != 1 or x.shape[0] < 1:
+        raise ValueError("x must be a non-empty 1-D array of sample times")
+    if y.ndim < 1 or y.shape[-1] != x.shape[0]:
+        raise ValueError(
+            f"y's last axis ({y.shape[-1] if y.ndim else None}) must match "
+            f"x ({x.shape[0]})"
+        )
+    if freqs.ndim != 1 or freqs.shape[0] < 1:
+        raise ValueError("freqs must be a non-empty 1-D array")
+    if isinstance(normalize, bool):
+        normalize = "normalize" if normalize else "power"
+    if normalize not in ("power", "normalize", "amplitude"):
+        raise ValueError(
+            "normalize must be False/'power', True/'normalize', or "
+            f"'amplitude'; got {normalize!r}"
+        )
+    dt = config.dtype
+    x = x.astype(dt)
+    y = y.astype(dt)
+    freqs = freqs.astype(dt)
+    n = x.shape[0]
+    if weights is None:
+        w = jnp.full((n,), 1.0 / n, dt)
+    else:
+        w = jnp.asarray(weights, dt)
+        if w.shape != (n,):
+            raise ValueError(f"weights must have shape ({n},), got {w.shape}")
+        w = w / jnp.sum(w)
+    prec = config.op_precision
+
+    wt = x[:, None] * freqs[None, :]  # (N, F)
+    c, s = jnp.cos(wt), jnp.sin(wt)
+    CC = jnp.einsum("n,nf->f", w, c * c, precision=prec)
+    SS = 1.0 - CC
+    CS = jnp.einsum("n,nf->f", w, c * s, precision=prec)
+    if floating_mean:
+        C = jnp.einsum("n,nf->f", w, c, precision=prec)
+        S = jnp.einsum("n,nf->f", w, s, precision=prec)
+        CC = CC - C * C
+        SS = SS - S * S
+        CS = CS - C * S
+    tau = 0.5 * jnp.arctan2(2.0 * CS, CC - SS)
+
+    wtt = wt - tau[None, :]
+    ct, st = jnp.cos(wtt), jnp.sin(wtt)
+    wy = w * y  # (…, N)
+    Y = jnp.sum(wy, axis=-1)  # (…,)
+    YC = jnp.einsum("...n,nf->...f", wy, ct, precision=prec)
+    YS = jnp.einsum("...n,nf->...f", wy, st, precision=prec)
+    CC = jnp.einsum("n,nf->f", w, ct * ct, precision=prec)
+    SS = 1.0 - CC
+    if floating_mean:
+        C = jnp.einsum("n,nf->f", w, ct, precision=prec)
+        S = jnp.einsum("n,nf->f", w, st, precision=prec)
+        YC = YC - Y[..., None] * C
+        YS = YS - Y[..., None] * S
+        CC = CC - C * C
+        SS = SS - S * S
+    eps = float(np.finfo(np.dtype(dt)).epsneg)
+    CC = jnp.maximum(CC, eps)
+    SS = jnp.maximum(SS, eps)
+    a = YC / CC
+    b = YS / SS
+
+    if normalize == "amplitude":
+        # complex best-fit amplitude, rotated back by tau
+        ph_r, ph_i = jnp.cos(tau), jnp.sin(tau)
+        return jax.lax.complex(a * ph_r - b * ph_i, a * ph_i + b * ph_r)
+    pgram = 2.0 * (a * YC + b * YS)
+    if normalize == "power":
+        return pgram * (n / 4.0)
+    YY = jnp.sum(wy * y, axis=-1)
+    if floating_mean:
+        YY = YY - Y * Y
+    return pgram * (0.5 / YY[..., None])
+
+
 def _upfirdn_len(len_h: int, n_in: int, up: int, down: int) -> int:
     """Output length of upfirdn (scipy's _output_len)."""
     return ((n_in - 1) * up + len_h - 1) // down + 1

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import functools as _functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -190,3 +192,67 @@ def spectrogram(
     if power == 2.0:
         return jnp.real(s) ** 2 + jnp.imag(s) ** 2
     return mag ** power
+
+
+@_functools.lru_cache(maxsize=16)
+def _dpss_host(M: int, NW: float, Kmax: int):
+    """Host fp64 DPSS tapers + concentration ratios.
+
+    Slepian's trick (Percival & Walden 1993 §8.3): the discrete prolate
+    spheroidal sequences are eigenvectors of a symmetric TRIDIAGONAL matrix
+    commuting with the concentration operator — d[t] = ((M-1-2t)/2)²cos(2πW),
+    e[t] = t(M-t)/2 — so no dense kernel is ever built for the tapers.
+    Concentrations come from the autocorrelation identity
+    λ_k = Σ_t r_xx[t]·(4W·sinc(2W·t)) (r[0] term 2W).  scipy.signal.windows
+    .dpss sign conventions: symmetric tapers positive mean, antisymmetric
+    tapers positive first lobe."""
+    W = NW / M
+    t = np.arange(M, dtype=np.float64)
+    d = ((M - 1 - 2.0 * t) / 2.0) ** 2 * np.cos(2.0 * np.pi * W)
+    e = t[1:] * (M - t[1:]) / 2.0
+    A = np.zeros((M, M))
+    A[np.arange(M), np.arange(M)] = d
+    A[np.arange(M - 1), np.arange(1, M)] = e
+    A[np.arange(1, M), np.arange(M - 1)] = e
+    _, V = np.linalg.eigh(A)
+    tapers = V[:, ::-1][:, :Kmax].T.copy()  # (Kmax, M), best-concentrated first
+    for k in range(0, Kmax, 2):  # symmetric: positive average
+        if tapers[k].sum() < 0:
+            tapers[k] *= -1.0
+    thresh = max(1e-7, 1.0 / M)
+    for k in range(1, Kmax, 2):  # antisymmetric: positive first lobe
+        w = tapers[k]
+        if w[w * w > thresh][0] < 0:
+            tapers[k] *= -1.0
+    # concentration ratios via the autocorrelation identity
+    nfft = 2 ** int(np.ceil(np.log2(2 * M - 1)))
+    spec = np.abs(np.fft.rfft(tapers, n=nfft, axis=-1)) ** 2
+    rxx = np.fft.irfft(spec, n=nfft, axis=-1)[:, :M]
+    r = 4.0 * W * np.sinc(2.0 * W * t)
+    r[0] = 2.0 * W
+    ratios = rxx @ r
+    return tapers, ratios
+
+
+def dpss(
+    M: int, NW: float, Kmax: Optional[int] = None, *,
+    return_ratios: bool = False, dtype=np.float32,
+):
+    """Discrete prolate spheroidal (Slepian) tapers — the maximally
+    band-concentrated windows (scipy.signal.windows.dpss semantics with
+    norm=2: orthonormal rows).  ``NW`` is the time-halfbandwidth product;
+    ``Kmax`` defaults to the ~2NW-1 well-concentrated tapers.  Returns
+    (Kmax, M) host array (+ concentration ratios when requested) — inputs
+    to :func:`..signal.multitaper`."""
+    if M < 2:
+        raise ValueError(f"M must be >= 2, got {M}")
+    if not 0.0 < NW < M / 2.0:
+        raise ValueError(f"need 0 < NW < M/2, got NW={NW}, M={M}")
+    if Kmax is None:
+        Kmax = max(int(2 * NW) - 1, 1)
+    if not 0 < Kmax <= M:
+        raise ValueError(f"need 0 < Kmax <= M, got {Kmax}")
+    tapers, ratios = _dpss_host(int(M), float(NW), int(Kmax))
+    if return_ratios:
+        return tapers.astype(dtype), ratios.astype(dtype)
+    return tapers.astype(dtype)

@@ -266,3 +266,85 @@ class TestUpfirdnResamplePolyParity:
         with pytest.raises(ValueError):
             sp.resample_poly(np.ones(8, np.float32), 2, 3, padtype="mean",
                              cval=1.0)
+
+
+class TestLombscargleParity:
+    @pytest.fixture()
+    def data(self, rng):
+        t = np.sort(rng.uniform(0, 10, 200))
+        y = np.sin(2.3 * t) + 0.5 * np.cos(7.1 * t) + 0.1 * rng.standard_normal(200)
+        freqs = np.linspace(0.5, 20, 64)
+        return t, y, freqs
+
+    def test_power_and_normalize(self, data):
+        t, y, freqs = data
+        for kw in ({}, {"normalize": True}, {"floating_mean": True}):
+            want = scipy_signal.lombscargle(t, y, freqs, **kw)
+            got = sp.lombscargle(
+                t.astype(np.float32), y.astype(np.float32),
+                freqs.astype(np.float32), **kw,
+            )
+            assert _rel(got, want) < 1e-4
+
+    def test_weights_amplitude(self, data, rng):
+        t, y, freqs = data
+        w = rng.uniform(0.1, 2.0, t.size)
+        want = scipy_signal.lombscargle(t, y, freqs, weights=w,
+                                        floating_mean=True)
+        got = sp.lombscargle(
+            t.astype(np.float32), y.astype(np.float32),
+            freqs.astype(np.float32), weights=w.astype(np.float32),
+            floating_mean=True,
+        )
+        assert _rel(got, want) < 1e-4
+        want = scipy_signal.lombscargle(t, y, freqs, normalize="amplitude")
+        got = np.asarray(sp.lombscargle(
+            t.astype(np.float32), y.astype(np.float32),
+            freqs.astype(np.float32), normalize="amplitude",
+        ))
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-4
+
+    def test_batched_and_peak(self, data):
+        t, y, freqs = data
+        yb = np.stack([y, 2 * y]).astype(np.float32)
+        got = np.asarray(sp.lombscargle(
+            t.astype(np.float32), yb, freqs.astype(np.float32)
+        ))
+        assert got.shape == (2, 64)
+        want = scipy_signal.lombscargle(t, y, freqs)
+        assert _rel(got[0], want) < 1e-4
+        # dominant frequency recovered
+        assert abs(freqs[got[0].argmax()] - 2.3) < freqs[1] - freqs[0]
+
+    def test_errors(self):
+        with pytest.raises(ValueError):
+            sp.lombscargle(np.zeros((2, 2)), np.zeros(4), np.ones(3))
+        with pytest.raises(ValueError):
+            sp.lombscargle(np.zeros(4), np.zeros(5), np.ones(3))
+        with pytest.raises(ValueError):
+            sp.lombscargle(np.zeros(4), np.zeros(4), np.ones(3),
+                           normalize="bogus")
+        with pytest.raises(ValueError):
+            sp.lombscargle(np.zeros(4), np.zeros(4), np.ones(3),
+                           weights=np.ones(5))
+
+
+class TestDpssParity:
+    @pytest.mark.parametrize("M,NW,K", [(64, 3.0, 5), (128, 4.0, 7),
+                                        (255, 2.5, 4)])
+    def test_tapers_and_ratios(self, M, NW, K):
+        scipy_windows = pytest.importorskip("scipy.signal.windows")
+        got, gr = sp.dpss(M, NW, K, return_ratios=True, dtype=np.float64)
+        want, wr = scipy_windows.dpss(M, NW, K, return_ratios=True)
+        assert np.abs(got - want).max() < 1e-10
+        assert np.abs(gr - wr).max() < 1e-10
+
+    def test_default_kmax_and_errors(self):
+        t = sp.dpss(64, 3.0)
+        assert t.shape == (5, 64)  # 2*NW - 1
+        with pytest.raises(ValueError):
+            sp.dpss(1, 0.5)
+        with pytest.raises(ValueError):
+            sp.dpss(64, 40.0)
+        with pytest.raises(ValueError):
+            sp.dpss(64, 3.0, 0)

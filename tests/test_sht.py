@@ -453,3 +453,89 @@ def test_equiangular_calculus(rng):
         real_output=True, grid="equiangular",
     ))
     assert np.max(np.abs(g - want)) < 1e-4 * max(1.0, np.abs(want).max())
+
+
+class TestRotateSht:
+    """Wigner-D rotation: unitarity, composition, phase/addition-theorem
+    oracles, grid-level longitude-shift equivalence."""
+
+    @staticmethod
+    def _rand_alm_full(rng, L):
+        from mixed_radix_fast_fourier_transform_tpu.ops.sht import (
+            _packed_m_values,
+        )
+
+        mv = _packed_m_values(L)
+        alm = np.zeros((2 * L - 1, L), np.complex64)
+        for i, m in enumerate(mv):
+            for l in range(abs(m), L):
+                alm[i, l] = rng.standard_normal() + 1j * rng.standard_normal()
+        return alm, mv
+
+    def test_per_degree_power_preserved(self, rng):
+        L = 16
+        alm, _ = self._rand_alm_full(rng, L)
+        out = np.asarray(sp.rotate_sht(alm, 0.7, 1.1, -0.4))
+        p_in = np.array([np.sum(np.abs(alm[:, l]) ** 2) for l in range(L)])
+        p_out = np.array([np.sum(np.abs(out[:, l]) ** 2) for l in range(L)])
+        assert np.abs(p_out - p_in).max() / p_in.max() < 1e-5
+
+    def test_inverse_composition(self, rng):
+        L = 12
+        alm, _ = self._rand_alm_full(rng, L)
+        out = np.asarray(sp.rotate_sht(alm, 0.7, 1.1, -0.4))
+        back = np.asarray(
+            sp.rotate_sht(out.astype(np.complex64), 0.4, -1.1, -0.7)
+        )
+        assert np.abs(back - alm).max() < 1e-5
+
+    def test_z_rotation_is_m_phase(self, rng):
+        L = 12
+        alm, mv = self._rand_alm_full(rng, L)
+        got = np.asarray(sp.rotate_sht(alm, 0.9, 0.0, 0.0))
+        want = alm * np.exp(-1j * mv * 0.9)[:, None]
+        assert np.abs(got - want).max() < 1e-5
+
+    def test_rotated_zonal_matches_addition_theorem(self, rng):
+        from mixed_radix_fast_fourier_transform_tpu.ops.sht import (
+            _packed_m_values,
+        )
+
+        L = 10
+        a, b = 0.7, 1.1
+        zon = np.zeros((2 * L - 1, L), np.complex64)
+        zon[0, :] = 1.0
+        r = np.asarray(sp.rotate_sht(zon, a, b, 0.0))
+        mv = _packed_m_values(L)
+        for l in range(L):
+            for i, m in enumerate(mv):
+                if abs(m) > l:
+                    continue
+                want = np.sqrt(4 * np.pi / (2 * l + 1)) * np.conj(
+                    sph_harm_y(l, m, b, a)
+                )
+                assert abs(r[i, l] - want) < 1e-6, (l, m)
+
+    def test_grid_longitude_shift(self, rng):
+        """Rotating by alpha = one longitude step about z == rolling the
+        synthesized grid field along phi."""
+        L = 8
+        alm, _ = self._rand_alm_full(rng, L)
+        step = 2 * np.pi / (2 * L)
+        f0 = np.asarray(sp.isht(alm))
+        f1 = np.asarray(sp.isht(np.asarray(sp.rotate_sht(alm, step, 0.0, 0.0))))
+        assert np.abs(f1 - np.roll(f0, 1, axis=-1)).max() < 1e-5
+
+    def test_real_field_stays_symmetric(self, rng):
+        """Rotating coefficients of a real field keeps the Hermitian
+        m-symmetry (rotation commutes with conjugation of real fields)."""
+        L = 8
+        f = rng.standard_normal((L, 2 * L)).astype(np.float32)
+        a = np.asarray(sp.sht(f))
+        ar = np.asarray(sp.rotate_sht(a, 0.5, 0.8, 0.3))
+        f2 = np.asarray(sp.isht(ar))
+        assert np.abs(f2.imag).max() < 1e-5 * max(1.0, np.abs(f2.real).max())
+
+    def test_bad_shape(self):
+        with pytest.raises(ValueError):
+            sp.rotate_sht(np.zeros((5, 4), np.complex64), 0.1, 0.2, 0.3)

@@ -444,3 +444,54 @@ class TestResample:
             sp.resample(np.zeros(8, np.float32), 0)
         with pytest.raises(ValueError):
             sp.resample(np.zeros(8, np.float32), 4, window=np.ones(7))
+
+
+class TestMultitaper:
+    def test_matches_fp64_oracle(self, rng):
+        from scipy.signal import windows
+
+        n, fs = 1024, 100.0
+        t = np.arange(n) / fs
+        x = np.sin(2 * np.pi * 12.5 * t) + 0.5 * rng.standard_normal(n)
+        f, P = sp.multitaper(x.astype(np.float32), fs=fs, nw=4.0)
+        f, P = np.asarray(f), np.asarray(P)
+        tap, lam = windows.dpss(n, 4.0, 7, return_ratios=True)
+        xm = x - x.mean()
+        S = np.abs(np.fft.rfft(tap * xm[None, :], axis=-1)) ** 2
+        want = ((lam / lam.sum())[:, None] * S).sum(0) / fs
+        m = np.full(n // 2 + 1, 2.0)
+        m[0] = m[-1] = 1.0
+        want *= m
+        assert np.abs(P - want).max() / want.max() < 1e-5
+        assert abs(f[P.argmax()] - 12.5) < 2 * (f[1] - f[0])
+
+    def test_density_integrates_to_variance(self, rng):
+        n, fs = 2048, 50.0
+        x = rng.standard_normal(n).astype(np.float32)
+        f, P = sp.multitaper(x, fs=fs)
+        f, P = np.asarray(f), np.asarray(P)
+        total = float((P * (f[1] - f[0])).sum())
+        var = float((x - x.mean()).var())
+        assert abs(total - var) / var < 0.05
+
+    def test_unity_weighting_batch_jit(self, rng):
+        import jax
+
+        x = rng.standard_normal((3, 512)).astype(np.float32)
+        f, P = jax.jit(
+            lambda v: sp.multitaper(v, fs=10.0, weighting="unity", k=4)
+        )(x)
+        assert np.asarray(P).shape == (3, 257)
+        f1, P1 = sp.multitaper(x[1], fs=10.0, weighting="unity", k=4)
+        assert np.abs(np.asarray(P)[1] - np.asarray(P1)).max() < 1e-6
+
+    def test_errors(self, rng):
+        x = rng.standard_normal(64).astype(np.float32)
+        with pytest.raises(ValueError):
+            sp.multitaper(x.astype(np.complex64))
+        with pytest.raises(ValueError):
+            sp.multitaper(x, weighting="bogus")
+        with pytest.raises(ValueError):
+            sp.multitaper(x, scaling="spectrum")
+        with pytest.raises(ValueError):
+            sp.multitaper(np.ones(1, np.float32))
