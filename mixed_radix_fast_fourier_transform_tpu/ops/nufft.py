@@ -1575,3 +1575,128 @@ def _nufft3_fast(
         phase1 = float(isign) * s * x0
         f = f * jax.lax.complex(jnp.cos(phase1), jnp.sin(phase1))
     return f
+
+
+def nufft3_2d(
+    x,
+    y,
+    c,
+    s,
+    t,
+    *,
+    isign: int = -1,
+    eps: float = 1e-6,
+    method: str = "dense",
+    x_extent=None,
+    y_extent=None,
+    s_extent=None,
+    t_extent=None,
+    centers=(0.0, 0.0, 0.0, 0.0),
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """2-D type-3 NUFFT: f[i] = sum_j c[j] e^{isign·i·(s_i·x_j + t_i·y_j)}
+    for arbitrary source points (x, y) and arbitrary target frequencies
+    (s, t).
+
+    method "dense" (default): the exact (K, M) phase matmul — MXU-shaped to
+    ~10^4 x 10^4.  method "fast": the separable Lee-Greengard composition
+    (the 2-D analogue of :func:`nufft3`'s fast path): centre both coordinate
+    pairs, pre-deconvolve strengths by the product Gaussian
+    e^{rho1·x² + rho2·y²}, evaluate the smeared spectrum on a uniform
+    (s, t)-grid with an inner 2-D type-1 NUFFT, then separable-Gaussian
+    interpolate at the K targets — O(S1·X1·S2·X2 + M + K).  "fast" under
+    jit needs the static per-axis half-widths ``x_extent``/``y_extent``/
+    ``s_extent``/``t_extent`` (about ``centers`` = (x0, y0, s0, t0))."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    c = jnp.asarray(c)
+    s = jnp.asarray(s)
+    t = jnp.asarray(t)
+    if method not in ("dense", "fast"):
+        raise ValueError(f"method must be dense|fast, got {method!r}")
+    if isign not in (-1, 1):
+        raise ValueError(f"isign must be +1 or -1, got {isign}")
+    _check_points_2d(x, y, c)
+    if s.ndim != 1 or s.shape != t.shape or s.shape[0] < 1:
+        raise ValueError("s and t must be equal-length non-empty 1-D arrays")
+    if method == "dense":
+        theta = s[:, None] * x[None, :] + t[:, None] * y[None, :]
+        if isign < 0:
+            theta = -theta
+        cos, sin = jnp.cos(theta), jnp.sin(theta)
+        cr = jnp.real(c).astype(cos.dtype)
+        ci = jnp.imag(c).astype(cos.dtype)
+        p = config.op_precision
+        fr = jnp.einsum("km,...m->...k", cos, cr, precision=p) - jnp.einsum(
+            "km,...m->...k", sin, ci, precision=p
+        )
+        fi = jnp.einsum("km,...m->...k", sin, cr, precision=p) + jnp.einsum(
+            "km,...m->...k", cos, ci, precision=p
+        )
+        return jax.lax.complex(fr, fi)
+
+    # ---- fast: separable two-Gaussian composition --------------------------
+    def _axis_setup(pts, ext, ctr):
+        if ext is None:
+            try:
+                ph = np.asarray(pts)
+            except Exception as exc:  # traced under jit
+                raise ValueError(
+                    "nufft3_2d(method='fast') under jit needs static "
+                    "*_extent half-widths (about centers)"
+                ) from exc
+            ctr = float((ph.max() + ph.min()) / 2.0)
+            ext = max(float((ph.max() - ph.min()) / 2.0), 1e-9)
+        return float(ext), float(ctr)
+
+    X1, x0 = _axis_setup(x, x_extent, centers[0])
+    X2, y0 = _axis_setup(y, y_extent, centers[1])
+    S1, s0 = _axis_setup(s, s_extent, centers[2])
+    S2, t0 = _axis_setup(t, t_extent, centers[3])
+    xc = x - x0 if x0 != 0.0 else x
+    yc = y - y0 if y0 != 0.0 else y
+    sc = s - s0 if s0 != 0.0 else s
+    tc = t - t0 if t0 != 0.0 else t
+    sigma = 2.0
+    msp = _msp(eps)
+    h1 = math.pi / (sigma * X1)
+    h2 = math.pi / (sigma * X2)
+    rho1 = msp * h1 * h1 / (3.0 * math.pi)
+    rho2 = msp * h2 * h2 / (3.0 * math.pi)
+    k1 = int(math.ceil((S1 + msp * h1) / h1)) + 2
+    k2 = int(math.ceil((S2 + msp * h2) / h2)) + 2
+    n1, n2 = 2 * k1 + 1, 2 * k2 + 1
+    beta = c * (
+        jnp.exp(rho1 * xc * xc + rho2 * yc * yc)
+        / (4.0 * math.pi * math.sqrt(rho1 * rho2))
+    )
+    if s0 != 0.0 or t0 != 0.0:  # centre-shift phase on the sources
+        phase0 = float(isign) * (s0 * xc + t0 * yc)
+        beta = beta * jax.lax.complex(jnp.cos(phase0), jnp.sin(phase0))
+    B = nufft1_2d(
+        h1 * xc, h2 * yc, beta, (n1, n2), isign=isign, eps=eps, config=config
+    )  # (n1, n2) centered modes
+    # separable Gaussian interpolation at the K targets
+    taps = np.arange(-msp + 1, msp + 1, dtype=np.int32)
+    i1 = jnp.round(sc / h1).astype(jnp.int32)
+    i2 = jnp.round(tc / h2).astype(jnp.int32)
+    idx1 = i1[:, None] + taps[None, :]
+    idx2 = i2[:, None] + taps[None, :]
+    d1 = sc[:, None] - idx1.astype(sc.dtype) * h1
+    d2 = tc[:, None] - idx2.astype(tc.dtype) * h2
+    w1 = jnp.exp(-(d1 * d1) / (4.0 * rho1)) * h1  # (K, P)
+    w2 = jnp.exp(-(d2 * d2) / (4.0 * rho2)) * h2  # (K, P)
+    g1 = jnp.clip(idx1 + k1, 0, n1 - 1)
+    g2 = jnp.clip(idx2 + k2, 0, n2 - 1)
+    flat = B.reshape(-1)  # (n1*n2,)
+    lin = g1[:, :, None] * n2 + g2[:, None, :]  # (K, P, P)
+    vals = jnp.take(flat, lin.reshape(lin.shape[0], -1), axis=-1).reshape(lin.shape)
+    wdt = jnp.real(vals).dtype
+    f = jnp.einsum(
+        "kpq,kp,kq->k", vals, w1.astype(wdt), w2.astype(wdt),
+        precision=config.op_precision,
+    )
+    if x0 != 0.0 or y0 != 0.0:  # undo the source-centre shift at the targets
+        phase1 = float(isign) * (s * x0 + t * y0)
+        f = f * jax.lax.complex(jnp.cos(phase1), jnp.sin(phase1))
+    return f

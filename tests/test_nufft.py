@@ -605,3 +605,79 @@ def test_seg_sum_sorted_compensated_accuracy(rng):
     naive = cs[ei] - cs[si]
     naive_err = np.max(np.abs(naive - ref) / np.maximum(np.abs(ref), 1.0))
     assert err < naive_err
+
+
+class TestNufft3_2D:
+    @staticmethod
+    def _oracle(x, y, c, s, t, isign=-1):
+        th = isign * (
+            s[:, None] * x[None, :].astype(np.float64)
+            + t[:, None] * y[None, :].astype(np.float64)
+        )
+        return np.exp(1j * th) @ c.astype(np.complex128)
+
+    @staticmethod
+    def _data(rng, M=300, K=250):
+        x = rng.uniform(-1.5, 1.5, M).astype(np.float32)
+        y = rng.uniform(-2.0, 2.0, M).astype(np.float32)
+        c = (rng.standard_normal(M) + 1j * rng.standard_normal(M)).astype(
+            np.complex64
+        )
+        s = rng.uniform(-20, 20, K).astype(np.float32)
+        t = rng.uniform(-15, 15, K).astype(np.float32)
+        return x, y, c, s, t
+
+    def test_dense_matches_oracle(self, rng):
+        x, y, c, s, t = self._data(rng)
+        for isign in (-1, 1):
+            got = np.asarray(sp.nufft3_2d(x, y, c, s, t, isign=isign))
+            want = self._oracle(x, y, c, s, t, isign)
+            assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+
+    def test_fast_matches_oracle(self, rng):
+        x, y, c, s, t = self._data(rng)
+        for isign in (-1, 1):
+            got = np.asarray(
+                sp.nufft3_2d(x, y, c, s, t, isign=isign, method="fast")
+            )
+            want = self._oracle(x, y, c, s, t, isign)
+            assert np.abs(got - want).max() / np.abs(want).max() < 1e-4
+
+    def test_fast_offset_coordinates(self, rng):
+        x, y, c, s, t = self._data(rng, M=200, K=150)
+        x = x + 10.0
+        s = s + 50.0
+        got = np.asarray(sp.nufft3_2d(x, y, c, s, t, method="fast"))
+        want = self._oracle(x, y, c, s, t)
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-3
+
+    def test_fast_jit_static_extents(self, rng):
+        import jax
+
+        x, y, c, s, t = self._data(rng, M=120, K=90)
+        f = jax.jit(
+            lambda xa, ya, ca, sa, ta: sp.nufft3_2d(
+                xa, ya, ca, sa, ta, method="fast",
+                x_extent=1.5, y_extent=2.0, s_extent=20.0, t_extent=15.0,
+            )
+        )
+        got = np.asarray(f(x, y, c, s, t))
+        want = self._oracle(x, y, c, s, t)
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-4
+        with pytest.raises(ValueError):
+            jax.jit(
+                lambda xa, ya, ca, sa, ta: sp.nufft3_2d(
+                    xa, ya, ca, sa, ta, method="fast"
+                )
+            )(x, y, c, s, t)
+
+    def test_errors(self, rng):
+        x, y, c, s, t = self._data(rng, M=20, K=10)
+        with pytest.raises(ValueError):
+            sp.nufft3_2d(x, y, c, s, t, method="??")
+        with pytest.raises(ValueError):
+            sp.nufft3_2d(x, y[:-1], c, s, t)
+        with pytest.raises(ValueError):
+            sp.nufft3_2d(x, y, c, s, t[:-1])
+        with pytest.raises(ValueError):
+            sp.nufft3_2d(x, y, c, s, t, isign=0)
