@@ -71,6 +71,7 @@ from .ops.nufft import (
     nufft2_3d,
     nufft3,
     nufft3_2d,
+    nufft3_3d,
     nufft_lsq,
     nufft_lsq_2d,
     nufft_lsq_3d,
@@ -105,7 +106,7 @@ __all__ = [
     "stft", "istft", "spectrogram", "get_window", "dpss", "cqt", "cqt_frequencies",
     "czt", "zoom_fft", "fht", "ifht", "fhtoffset", "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn", "hilbert", "periodogram", "welch", "csd", "coherence", "spectral_diff", "poisson_solve", "resample", "resample_poly", "upfirdn", "lombscargle", "multitaper",
     "mdct", "imdct", "mdct_window", "cwt", "ricker", "morlet2", "dwt", "idwt", "dwt2", "idwt2", "wavedec", "waverec", "wavedec2", "waverec2", "swt", "iswt", "swt2", "iswt2", "wpdec", "wprec", "dwt_max_level", "dtcwt", "idtcwt", "dtcwt2", "idtcwt2", "frft", "ifrft", "frft2",
-    "nufft1", "nufft2", "nufft3", "nufft3_2d", "nudft1", "nudft2", "nufft_lsq", "nufft_lsq_2d", "nufft_lsq_3d",
+    "nufft1", "nufft2", "nufft3", "nufft3_2d", "nufft3_3d", "nudft1", "nudft2", "nufft_lsq", "nufft_lsq_2d", "nufft_lsq_3d",
     "nufft1_2d", "nufft2_2d", "nudft1_2d", "nudft2_2d",
     "nufft1_3d", "nufft2_3d", "nudft1_3d", "nudft2_3d",
     "sht", "isht", "sht_grid", "sphere_laplacian", "poisson_solve_sphere", "sphere_convolve", "sphere_grad", "sphere_div", "sphere_vort", "sphere_helmholtz", "vsht", "ivsht", "rotate_sht", "sht_recurrence", "isht_recurrence",

@@ -1691,12 +1691,158 @@ def nufft3_2d(
     flat = B.reshape(-1)  # (n1*n2,)
     lin = g1[:, :, None] * n2 + g2[:, None, :]  # (K, P, P)
     vals = jnp.take(flat, lin.reshape(lin.shape[0], -1), axis=-1).reshape(lin.shape)
+    # planes (see nufft3_3d: complex x real multi-operand einsum is a TPU
+    # compiler hazard)
     wdt = jnp.real(vals).dtype
-    f = jnp.einsum(
-        "kpq,kp,kq->k", vals, w1.astype(wdt), w2.astype(wdt),
-        precision=config.op_precision,
-    )
+    w1, w2 = w1.astype(wdt), w2.astype(wdt)
+    prec = config.op_precision
+    fr = jnp.einsum("kpq,kp,kq->k", jnp.real(vals), w1, w2, precision=prec)
+    fi = jnp.einsum("kpq,kp,kq->k", jnp.imag(vals), w1, w2, precision=prec)
+    f = jax.lax.complex(fr, fi)
     if x0 != 0.0 or y0 != 0.0:  # undo the source-centre shift at the targets
         phase1 = float(isign) * (s * x0 + t * y0)
+        f = f * jax.lax.complex(jnp.cos(phase1), jnp.sin(phase1))
+    return f
+
+
+def nufft3_3d(
+    x,
+    y,
+    z,
+    c,
+    s,
+    t,
+    u,
+    *,
+    isign: int = -1,
+    eps: float = 1e-6,
+    method: str = "dense",
+    extents=None,
+    centers=(0.0,) * 6,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """3-D type-3 NUFFT:
+    f[i] = sum_j c[j] e^{isign·i·(s_i·x_j + t_i·y_j + u_i·z_j)}.
+
+    Completes the type-3 family (1-D :func:`nufft3`, 2-D
+    :func:`nufft3_2d`).  method "dense": one exact (K, M) phase matmul.
+    method "fast": the separable Lee-Greengard composition over an inner
+    3-D type-1 NUFFT with per-axis product-Gaussian deconvolution and
+    separable tap interpolation.  ``extents`` is the 6-tuple of static
+    half-widths (X1, X2, X3, S1, S2, S3) about ``centers`` (x0, y0, z0,
+    s0, t0, u0) — required under jit, inferred from concrete inputs
+    otherwise."""
+    x, y, z, c, s, t, u = map(jnp.asarray, (x, y, z, c, s, t, u))
+    if method not in ("dense", "fast"):
+        raise ValueError(f"method must be dense|fast, got {method!r}")
+    if isign not in (-1, 1):
+        raise ValueError(f"isign must be +1 or -1, got {isign}")
+    _check_points_3d(x, y, z, c)
+    if s.ndim != 1 or s.shape != t.shape or s.shape != u.shape or s.shape[0] < 1:
+        raise ValueError("s, t, u must be equal-length non-empty 1-D arrays")
+    if method == "dense":
+        theta = (
+            s[:, None] * x[None, :]
+            + t[:, None] * y[None, :]
+            + u[:, None] * z[None, :]
+        )
+        if isign < 0:
+            theta = -theta
+        cos, sin = jnp.cos(theta), jnp.sin(theta)
+        cr = jnp.real(c).astype(cos.dtype)
+        ci = jnp.imag(c).astype(cos.dtype)
+        p = config.op_precision
+        fr = jnp.einsum("km,...m->...k", cos, cr, precision=p) - jnp.einsum(
+            "km,...m->...k", sin, ci, precision=p
+        )
+        fi = jnp.einsum("km,...m->...k", sin, cr, precision=p) + jnp.einsum(
+            "km,...m->...k", cos, ci, precision=p
+        )
+        return jax.lax.complex(fr, fi)
+
+    def _axis_setup(pts, ext, ctr):
+        if ext is None:
+            try:
+                ph = np.asarray(pts)
+            except Exception as exc:
+                raise ValueError(
+                    "nufft3_3d(method='fast') under jit needs the static "
+                    "6-tuple `extents` (half-widths about centers)"
+                ) from exc
+            ctr = float((ph.max() + ph.min()) / 2.0)
+            ext = max(float((ph.max() - ph.min()) / 2.0), 1e-9)
+        return float(ext), float(ctr)
+
+    exts = (None,) * 6 if extents is None else tuple(extents)
+    if len(exts) != 6 or len(centers) != 6:
+        raise ValueError("extents and centers must be 6-tuples")
+    pts_all = (x, y, z, s, t, u)
+    X, C0 = [], []
+    for pts, ext, ctr in zip(pts_all, exts, centers):
+        e, c0 = _axis_setup(pts, ext, ctr)
+        X.append(e)
+        C0.append(c0)
+    (X1, X2, X3, S1, S2, S3) = X
+    (x0, y0, z0, s0, t0, u0) = C0
+    xc = x - x0 if x0 != 0.0 else x
+    yc = y - y0 if y0 != 0.0 else y
+    zc = z - z0 if z0 != 0.0 else z
+    sc = s - s0 if s0 != 0.0 else s
+    tc = t - t0 if t0 != 0.0 else t
+    uc = u - u0 if u0 != 0.0 else u
+    sigma = 2.0
+    msp = _msp(eps)
+    hs = [math.pi / (sigma * Xi) for Xi in (X1, X2, X3)]
+    rhos = [msp * h * h / (3.0 * math.pi) for h in hs]
+    ks = [
+        int(math.ceil((Si + msp * h) / h)) + 2
+        for Si, h in zip((S1, S2, S3), hs)
+    ]
+    ns = [2 * k + 1 for k in ks]
+    norm = 8.0 * math.pi ** 1.5 * math.sqrt(rhos[0] * rhos[1] * rhos[2])
+    beta = c * (
+        jnp.exp(rhos[0] * xc * xc + rhos[1] * yc * yc + rhos[2] * zc * zc)
+        / norm
+    )
+    if s0 != 0.0 or t0 != 0.0 or u0 != 0.0:
+        phase0 = float(isign) * (s0 * xc + t0 * yc + u0 * zc)
+        beta = beta * jax.lax.complex(jnp.cos(phase0), jnp.sin(phase0))
+    B = nufft1_3d(
+        hs[0] * xc, hs[1] * yc, hs[2] * zc, beta, tuple(ns),
+        isign=isign, eps=eps, config=config,
+    )
+    taps = np.arange(-msp + 1, msp + 1, dtype=np.int32)
+
+    def _axis_interp(freq, h, rho, k, n):
+        i0 = jnp.round(freq / h).astype(jnp.int32)
+        idx = i0[:, None] + taps[None, :]
+        d = freq[:, None] - idx.astype(freq.dtype) * h
+        w = jnp.exp(-(d * d) / (4.0 * rho)) * h
+        return jnp.clip(idx + k, 0, n - 1), w
+
+    g1, w1 = _axis_interp(sc, hs[0], rhos[0], ks[0], ns[0])
+    g2, w2 = _axis_interp(tc, hs[1], rhos[1], ks[1], ns[1])
+    g3, w3 = _axis_interp(uc, hs[2], rhos[2], ks[2], ns[2])
+    flat = B.reshape(-1)
+    lin = (
+        g1[:, :, None, None] * (ns[1] * ns[2])
+        + g2[:, None, :, None] * ns[2]
+        + g3[:, None, None, :]
+    )  # (K, P, P, P)
+    vals = jnp.take(flat, lin.reshape(lin.shape[0], -1), axis=-1).reshape(
+        lin.shape
+    )
+    # planes: a >2-operand complex x real einsum SIGABRTs the TPU compiler
+    # (X64Rewriter ElementIsComplex check) — run the real contraction twice
+    wdt = jnp.real(vals).dtype
+    w1, w2, w3 = (w.astype(wdt) for w in (w1, w2, w3))
+    prec = config.op_precision
+    fr = jnp.einsum("kpqr,kp,kq,kr->k", jnp.real(vals), w1, w2, w3,
+                    precision=prec)
+    fi = jnp.einsum("kpqr,kp,kq,kr->k", jnp.imag(vals), w1, w2, w3,
+                    precision=prec)
+    f = jax.lax.complex(fr, fi)
+    if x0 != 0.0 or y0 != 0.0 or z0 != 0.0:
+        phase1 = float(isign) * (s * x0 + t * y0 + u * z0)
         f = f * jax.lax.complex(jnp.cos(phase1), jnp.sin(phase1))
     return f

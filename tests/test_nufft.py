@@ -681,3 +681,58 @@ class TestNufft3_2D:
             sp.nufft3_2d(x, y, c, s, t[:-1])
         with pytest.raises(ValueError):
             sp.nufft3_2d(x, y, c, s, t, isign=0)
+
+
+class TestNufft3_3D:
+    @staticmethod
+    def _data(rng, M=250, K=180):
+        x, y, z = (
+            rng.uniform(-a, a, M).astype(np.float32) for a in (1.5, 2.0, 1.0)
+        )
+        c = (rng.standard_normal(M) + 1j * rng.standard_normal(M)).astype(
+            np.complex64
+        )
+        s, t, u = (
+            rng.uniform(-b, b, K).astype(np.float32) for b in (12, 10, 15)
+        )
+        th = -(
+            s[:, None] * x[None, :].astype(np.float64)
+            + t[:, None] * y[None, :].astype(np.float64)
+            + u[:, None] * z[None, :].astype(np.float64)
+        )
+        want = np.exp(1j * th) @ c.astype(np.complex128)
+        return x, y, z, c, s, t, u, want
+
+    def test_dense_and_fast_match_oracle(self, rng):
+        x, y, z, c, s, t, u, want = self._data(rng)
+        dense = np.asarray(sp.nufft3_3d(x, y, z, c, s, t, u))
+        assert np.abs(dense - want).max() / np.abs(want).max() < 1e-5
+        fast = np.asarray(sp.nufft3_3d(x, y, z, c, s, t, u, method="fast"))
+        assert np.abs(fast - want).max() / np.abs(want).max() < 1e-4
+
+    def test_fast_jit_static_extents(self, rng):
+        import jax
+
+        x, y, z, c, s, t, u, want = self._data(rng, M=120, K=80)
+        f = jax.jit(
+            lambda *a: sp.nufft3_3d(
+                *a, method="fast",
+                extents=(1.5, 2.0, 1.0, 12.0, 10.0, 15.0),
+            )
+        )
+        got = np.asarray(f(x, y, z, c, s, t, u))
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-4
+        with pytest.raises(ValueError):
+            jax.jit(lambda *a: sp.nufft3_3d(*a, method="fast"))(
+                x, y, z, c, s, t, u
+            )
+
+    def test_errors(self, rng):
+        x, y, z, c, s, t, u, _ = self._data(rng, M=20, K=10)
+        with pytest.raises(ValueError):
+            sp.nufft3_3d(x, y, z, c, s, t, u, method="??")
+        with pytest.raises(ValueError):
+            sp.nufft3_3d(x, y, z, c, s, t, u[:-1])
+        with pytest.raises(ValueError):
+            sp.nufft3_3d(x, y, z, c, s, t, u, method="fast",
+                         extents=(1.0, 2.0))
