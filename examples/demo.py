@@ -200,6 +200,42 @@ def demo_dtcwt_frft():
           f"matched a=1.5 {conc[1]:.3f}")
 
 
+def demo_estimation_rotation():
+    """Round-3 additions: constant-Q analysis, multitaper PSD of a noisy
+    tone, Lomb-Scargle on irregular samples, and Wigner-D rotation moving a
+    spherical bump to a prescribed center."""
+    print("== spectral estimation + rotation ==")
+    rng = np.random.default_rng(7)
+    fs = 8000.0
+    freqs = sp.cqt_frequencies(48, 55.0, 12)
+    tone = np.cos(2 * np.pi * freqs[30] * np.arange(8192) / fs).astype(np.float32)
+    C = np.abs(np.asarray(sp.cqt(tone, fs=fs, fmin=55.0, n_bins=48, hop=512)))
+    print(f"  cqt: {freqs[30]:.1f} Hz tone peaks at band "
+          f"{int(C[C.shape[0] // 2].argmax())} (expect 30)")
+    n = 2048
+    x = np.sin(2 * np.pi * 12.5 * np.arange(n) / 100.0) + rng.standard_normal(n)
+    f, P = sp.multitaper(x.astype(np.float32), fs=100.0, nw=4.0)
+    f, P = np.asarray(f), np.asarray(P)
+    print(f"  multitaper: noisy 12.5 Hz tone -> PSD peak at {f[P.argmax()]:.2f} Hz")
+    t = np.sort(rng.uniform(0, 20, 300))
+    y = np.sin(3.3 * t) + 0.3 * rng.standard_normal(t.size)
+    w = np.linspace(0.5, 10, 256)
+    pg = np.asarray(sp.lombscargle(t.astype(np.float32), y.astype(np.float32),
+                                   w.astype(np.float32)))
+    print(f"  lombscargle: irregular 3.3 rad/s tone -> peak at "
+          f"{w[pg.argmax()]:.2f} rad/s")
+    L = 24
+    zon = np.zeros((2 * L - 1, L), np.complex64)
+    zon[0, :] = np.exp(-0.05 * np.arange(L) * (np.arange(L) + 1))  # smooth bump at the pole
+    beta, alpha = 1.1, 0.7
+    fgrid = np.real(np.asarray(sp.isht(np.asarray(
+        sp.rotate_sht(zon, alpha, beta, 0.0)).astype(np.complex64))))
+    theta, phi, _ = sp.sht_grid(L - 1)
+    i, j = np.unravel_index(np.argmax(fgrid), fgrid.shape)
+    print(f"  rotate_sht: polar bump moved to (theta, phi) = "
+          f"({theta[i]:.2f}, {phi[j]:.2f}) — prescribed ({beta:.2f}, {alpha:.2f})")
+
+
 if __name__ == "__main__":
     demo_complex()
     demo_real()
@@ -211,4 +247,5 @@ if __name__ == "__main__":
     demo_chebyshev()
     demo_dwt_denoise()
     demo_dtcwt_frft()
+    demo_estimation_rotation()
     demo_sharded()
