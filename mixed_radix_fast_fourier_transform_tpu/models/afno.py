@@ -215,12 +215,12 @@ def apply(
     hard_fraction: float = 1.0,
     config: SpectralConfig = DEFAULT_CONFIG,
 ) -> Array:
-    """(batch, H, W, in_channels) -> (batch, H, W, out_channels); H and W
-    must divide ``patch`` (static — pass the same value used at init)."""
+    """(batch, H, W, in_channels) -> (batch, H, W, out_channels); ``patch``
+    must divide H and W (static — pass the same value used at init)."""
     p = int(patch)
     b, H, W, cin = x.shape
     if H % p or W % p:
-        raise ValueError(f"H={H}, W={W} must divide patch={p}")
+        raise ValueError(f"patch={p} must divide H={H} and W={W}")
     hp, wp = H // p, W // p
     # patchify: (b, hp, wp, p*p*cin)
     t = x.reshape(b, hp, p, wp, p, cin).transpose(0, 1, 3, 2, 4, 5)

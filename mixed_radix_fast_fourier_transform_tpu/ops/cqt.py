@@ -24,6 +24,7 @@ per-band windows, hop-synchronous frames).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -69,18 +70,46 @@ def _cqt_kernel_time(
     kernels = []
     for f in freqs:
         n_k = max(int(round(Q * fs / f)), 1)
-        # symmetric window (periodic window of n_k-1 plus wrapped endpoint)
-        if n_k > 1:
-            wp = get_window(window, n_k - 1, np.float64)
-            w = np.concatenate([wp, wp[:1]])
-        else:
-            w = np.ones(1)
+        w = get_window(window, n_k, np.float64, sym=True)
         n = np.arange(n_k, dtype=np.float64) - (n_k - 1) / 2.0
         # exact phase reduction: f/fs in fp64, phase mod 1 before the trig
         phase = 2.0 * np.pi * ((f / fs * n) % 1.0)
         g = w * (np.cos(phase) + 1j * np.sin(phase)) / n_k
         kernels.append(g)
     return kernels
+
+
+@functools.lru_cache(maxsize=16)
+def _cqt_spectral_kernel(
+    fs: float,
+    fmin: float,
+    n_bins: int,
+    bins_per_octave: int,
+    window,
+    filter_scale: float,
+    n_fft,
+):
+    """Cached host build of the conjugated spectral kernel: (Khat, nf).
+    Keyed on the full band-ladder spec — like the other host-constant
+    builders (_dpss_host, _wigner_d_stack), an analysis loop calling cqt
+    per signal must not re-run the O(Σ N_k) fp64 kernel synthesis.  Only
+    hashable window specs (str/tuple) land here; array windows go through
+    the uncached path."""
+    freqs = cqt_frequencies(n_bins, fmin, bins_per_octave)
+    kernels = _cqt_kernel_time(fs, freqs, bins_per_octave, window, filter_scale)
+    max_len = max(k.size for k in kernels)
+    nf = next_pow2(max_len) if n_fft is None else int(n_fft)
+    if nf < max_len:
+        raise ValueError(
+            f"n_fft={nf} shorter than the longest kernel ({max_len}); "
+            "raise n_fft or fmin"
+        )
+    # each time kernel centered in the frame, conjugated spectrum, 1/nf
+    K = np.zeros((n_bins, nf), np.complex128)
+    for i, g in enumerate(kernels):
+        start = (nf - g.size) // 2
+        K[i, start : start + g.size] = g
+    return np.conj(np.fft.fft(K, axis=-1)) / nf, nf
 
 
 def cqt(
@@ -119,21 +148,14 @@ def cqt(
             f"highest band {freqs[-1]:.2f} Hz reaches Nyquist ({fs/2:.2f} "
             "Hz) — lower n_bins or raise fs"
         )
-    kernels = _cqt_kernel_time(fs, freqs, bins_per_octave, window, filter_scale)
-    max_len = max(k.size for k in kernels)
-    nf = next_pow2(max_len) if n_fft is None else int(n_fft)
-    if nf < max_len:
-        raise ValueError(
-            f"n_fft={nf} shorter than the longest kernel ({max_len}); "
-            "raise n_fft or fmin"
-        )
-    # spectral kernel: each time kernel centered in the frame, conjugated
-    # spectrum, scaled by 1/n_fft (Parseval)
-    K = np.zeros((n_bins, nf), np.complex128)
-    for i, g in enumerate(kernels):
-        start = (nf - g.size) // 2
-        K[i, start : start + g.size] = g
-    Khat = np.conj(np.fft.fft(K, axis=-1)) / nf  # (n_bins, nf)
+    build = (
+        _cqt_spectral_kernel if isinstance(window, (str, tuple))
+        else _cqt_spectral_kernel.__wrapped__  # array window: unhashable
+    )
+    Khat, nf = build(
+        float(fs), float(fmin), int(n_bins), int(bins_per_octave), window,
+        float(filter_scale), None if n_fft is None else int(n_fft),
+    )
 
     if not jnp.issubdtype(x.dtype, jnp.inexact):
         x = x.astype(config.dtype)

@@ -1327,7 +1327,8 @@ def nufft_lsq_3d(
     from .fft import fftn as _fftn, ifftn as _ifftn
 
     C = _fftn(
-        embed(embed(embed(t, n1, -3), n2, -2), n3, -1), config=config
+        embed(embed(embed(t, n1, -3), n2, -2), n3, -1),
+        axes=(-3, -2, -1), config=config,
     )
     L1, L2, L3 = 2 * n1, 2 * n2, 2 * n3
 
@@ -1336,9 +1337,12 @@ def nufft_lsq_3d(
             (0, L1 - n1), (0, L2 - n2), (0, L3 - n3)
         ]
         vp = jnp.pad(v, widths)
-        out = _ifftn(C * _fftn(vp, config=config), config=config)[
-            ..., :n1, :n2, :n3
-        ]
+        # axes pinned: numpy-style fftn defaults transform EVERY axis,
+        # which silently corrupts batched inputs (leading axes are batch)
+        out = _ifftn(
+            C * _fftn(vp, axes=(-3, -2, -1), config=config),
+            axes=(-3, -2, -1), config=config,
+        )[..., :n1, :n2, :n3]
         if damp:
             out = out + jnp.asarray(damp, v.real.dtype) * v
         return out
@@ -1457,7 +1461,7 @@ def nufft1_3d(
             vals.reshape(vals.shape[:-4] + (-1,)), mode="promise_in_bounds"
         )
         grid = grid.reshape(c.shape[:-1] + (mr1, mr2, mr3))
-    spec = _fftn(grid, config=config)
+    spec = _fftn(grid, axes=(-3, -2, -1), config=config)
     centered = _center(
         _center(_center(spec, mr1, n1, axis=-3), mr2, n2, axis=-2), mr3, n3
     )
@@ -1498,7 +1502,7 @@ def nufft2_3d(
     )
     fd = f * jnp.asarray(deconv, dtype=f.real.dtype)
     wrapped = _wrap(_wrap(_wrap(fd, mr1, axis=-3), mr2, axis=-2), mr3)
-    u = _ifftn(wrapped, config=config) * (mr1 * mr2 * mr3)
+    u = _ifftn(wrapped, axes=(-3, -2, -1), config=config) * (mr1 * mr2 * mr3)
     idx1, w1 = _spread_geometry(x, mr1, tau1, msp)
     idx2, w2 = _spread_geometry(y, mr2, tau2, msp)
     idx3, w3 = _spread_geometry(z, mr3, tau3, msp)
@@ -1688,16 +1692,18 @@ def nufft3_2d(
     w2 = jnp.exp(-(d2 * d2) / (4.0 * rho2)) * h2  # (K, P)
     g1 = jnp.clip(idx1 + k1, 0, n1 - 1)
     g2 = jnp.clip(idx2 + k2, 0, n2 - 1)
-    flat = B.reshape(-1)  # (n1*n2,)
+    flat = B.reshape(B.shape[:-2] + (-1,))  # (…, n1*n2): keep batch axes
     lin = g1[:, :, None] * n2 + g2[:, None, :]  # (K, P, P)
-    vals = jnp.take(flat, lin.reshape(lin.shape[0], -1), axis=-1).reshape(lin.shape)
+    vals = jnp.take(flat, lin.reshape(-1), axis=-1).reshape(
+        B.shape[:-2] + lin.shape
+    )  # (…, K, P, P)
     # planes (see nufft3_3d: complex x real multi-operand einsum is a TPU
     # compiler hazard)
     wdt = jnp.real(vals).dtype
     w1, w2 = w1.astype(wdt), w2.astype(wdt)
     prec = config.op_precision
-    fr = jnp.einsum("kpq,kp,kq->k", jnp.real(vals), w1, w2, precision=prec)
-    fi = jnp.einsum("kpq,kp,kq->k", jnp.imag(vals), w1, w2, precision=prec)
+    fr = jnp.einsum("...kpq,kp,kq->...k", jnp.real(vals), w1, w2, precision=prec)
+    fi = jnp.einsum("...kpq,kp,kq->...k", jnp.imag(vals), w1, w2, precision=prec)
     f = jax.lax.complex(fr, fi)
     if x0 != 0.0 or y0 != 0.0:  # undo the source-centre shift at the targets
         phase1 = float(isign) * (s * x0 + t * y0)
@@ -1823,23 +1829,23 @@ def nufft3_3d(
     g1, w1 = _axis_interp(sc, hs[0], rhos[0], ks[0], ns[0])
     g2, w2 = _axis_interp(tc, hs[1], rhos[1], ks[1], ns[1])
     g3, w3 = _axis_interp(uc, hs[2], rhos[2], ks[2], ns[2])
-    flat = B.reshape(-1)
+    flat = B.reshape(B.shape[:-3] + (-1,))  # (…, n1*n2*n3): keep batch axes
     lin = (
         g1[:, :, None, None] * (ns[1] * ns[2])
         + g2[:, None, :, None] * ns[2]
         + g3[:, None, None, :]
     )  # (K, P, P, P)
-    vals = jnp.take(flat, lin.reshape(lin.shape[0], -1), axis=-1).reshape(
-        lin.shape
-    )
+    vals = jnp.take(flat, lin.reshape(-1), axis=-1).reshape(
+        B.shape[:-3] + lin.shape
+    )  # (…, K, P, P, P)
     # planes: a >2-operand complex x real einsum SIGABRTs the TPU compiler
     # (X64Rewriter ElementIsComplex check) — run the real contraction twice
     wdt = jnp.real(vals).dtype
     w1, w2, w3 = (w.astype(wdt) for w in (w1, w2, w3))
     prec = config.op_precision
-    fr = jnp.einsum("kpqr,kp,kq,kr->k", jnp.real(vals), w1, w2, w3,
+    fr = jnp.einsum("...kpqr,kp,kq,kr->...k", jnp.real(vals), w1, w2, w3,
                     precision=prec)
-    fi = jnp.einsum("kpqr,kp,kq,kr->k", jnp.imag(vals), w1, w2, w3,
+    fi = jnp.einsum("...kpqr,kp,kq,kr->...k", jnp.imag(vals), w1, w2, w3,
                     precision=prec)
     f = jax.lax.complex(fr, fi)
     if x0 != 0.0 or y0 != 0.0 or z0 != 0.0:

@@ -136,11 +136,31 @@ def _cap_nperseg(t: int, nperseg: int, noverlap: Optional[int]):
     return nperseg, noverlap
 
 
-def _welch_spectra(x, nperseg, noverlap, window, config):
+def _detrend_frames(frames, detrend):
+    """Per-segment detrend (scipy conventions): 'constant' removes the
+    mean, 'linear' the least-squares line, False/None nothing."""
+    if detrend in (False, None):
+        return frames
+    mean = jnp.mean(frames, axis=-1, keepdims=True)
+    if detrend == "constant" or detrend is True:
+        return frames - mean
+    if detrend == "linear":
+        n = frames.shape[-1]
+        tt = np.arange(n, dtype=np.float64) - (n - 1) / 2.0  # centered
+        ttd = jnp.asarray(tt, frames.dtype)
+        denom = float(np.sum(tt * tt)) or 1.0
+        slope = jnp.sum(frames * ttd, axis=-1, keepdims=True) / denom
+        return frames - mean - slope * ttd
+    raise ValueError(
+        f"detrend must be 'constant', 'linear', or False; got {detrend!r}"
+    )
+
+
+def _welch_spectra(x, nperseg, noverlap, window, config, detrend="constant"):
     """Windowed segment spectra with scipy's Welch conventions: a partial
     tail frame is DROPPED (never zero-padded — padding biases the averaged
-    PSD low) and the constant detrend is applied PER SEGMENT, not to the
-    whole signal (scipy.signal.welch's detrend='constant')."""
+    PSD low) and the detrend is applied PER SEGMENT, not to the whole
+    signal (scipy.signal.welch's detrend= semantics)."""
     t = x.shape[-1]
     if not 0 <= noverlap < nperseg:
         raise ValueError(f"need 0 <= noverlap < nperseg, got {noverlap}")
@@ -149,9 +169,16 @@ def _welch_spectra(x, nperseg, noverlap, window, config):
     hop = nperseg - noverlap
     n_frames = 1 + (t - nperseg) // hop
     frames = _frame(x[..., : nperseg + (n_frames - 1) * hop], nperseg, hop)
-    frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    frames = _detrend_frames(frames, detrend)
     w = jnp.asarray(get_window(window, nperseg, np.dtype(config.dtype)))
     return rfft(frames * w, config=config)
+
+
+def _median_bias(n: int) -> float:
+    """Bias of the median of n periodogram samples relative to the mean
+    (scipy.signal._spectral_py._median_bias)."""
+    ii_2 = 2.0 * np.arange(1.0, (n - 1) // 2 + 1)
+    return float(1.0 + np.sum(1.0 / (ii_2 + 1.0) - 1.0 / ii_2))
 
 
 def _onesided_scale(nperseg: int, fs: float, window, scaling: str) -> np.ndarray:
@@ -177,6 +204,7 @@ def csd(
     nperseg: int = 256,
     noverlap: Optional[int] = None,
     scaling: str = "density",
+    detrend="constant",
     *,
     config: SpectralConfig = DEFAULT_CONFIG,
 ) -> Tuple[Array, Array]:
@@ -185,8 +213,10 @@ def csd(
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     nperseg, noverlap = _cap_nperseg(min(x.shape[-1], y.shape[-1]), nperseg, noverlap)
-    sx = _welch_spectra(x.astype(config.dtype), nperseg, noverlap, window, config)
-    sy = _welch_spectra(y.astype(config.dtype), nperseg, noverlap, window, config)
+    sx = _welch_spectra(x.astype(config.dtype), nperseg, noverlap, window,
+                        config, detrend)
+    sy = _welch_spectra(y.astype(config.dtype), nperseg, noverlap, window,
+                        config, detrend)
     pxy = jnp.mean(jnp.conj(sx) * sy, axis=-2)
     mult = _onesided_scale(nperseg, fs, window, scaling)
     freqs = rfftfreq(nperseg, 1.0 / fs)
@@ -220,16 +250,23 @@ def welch(
     noverlap: Optional[int] = None,
     scaling: str = "density",
     axis: int = -1,
+    detrend="constant",
+    average: str = "mean",
     *,
     config: SpectralConfig = DEFAULT_CONFIG,
 ) -> Tuple[Array, Array]:
     """Welch PSD estimate: averaged modified periodograms over overlapping
-    segments (scipy.signal.welch semantics, mean averaging)."""
+    segments (scipy.signal.welch semantics).  ``average``: 'mean' or
+    'median' (bias-corrected — robust to burst interference);
+    ``detrend``: 'constant', 'linear', or False, applied per segment."""
     x = jnp.asarray(x)
+    if average not in ("mean", "median"):
+        raise ValueError(f"average must be 'mean' or 'median', got {average!r}")
     axis = axis % x.ndim
     xm = jnp.moveaxis(x, axis, -1).astype(config.dtype)
     nperseg, noverlap = _cap_nperseg(xm.shape[-1], nperseg, noverlap)
-    spec = _welch_spectra(xm, nperseg, noverlap, window, config)  # (..., frames, bins)
+    spec = _welch_spectra(xm, nperseg, noverlap, window, config,
+                          detrend)  # (..., frames, bins)
     p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     w = np.asarray(get_window(window, nperseg, np.float64))
     if scaling == "density":
@@ -242,7 +279,12 @@ def welch(
     mult[0] = 1.0
     if nperseg % 2 == 0:
         mult[-1] = 1.0
-    p = jnp.mean(p, axis=-2) * jnp.asarray(mult, dtype=p.dtype)
+    if average == "median":
+        n_frames = p.shape[-2]
+        p = jnp.median(p, axis=-2) / _median_bias(n_frames)
+    else:
+        p = jnp.mean(p, axis=-2)
+    p = p * jnp.asarray(mult, dtype=p.dtype)
     freqs = rfftfreq(nperseg, 1.0 / fs)
     return freqs, jnp.moveaxis(p, -1, axis)
 
@@ -393,6 +435,11 @@ def multitaper(
     tapers, ratios = dpss(n, float(nw), int(k), return_ratios=True,
                           dtype=np.float64)
     nfft = int(nfft) if nfft is not None else n
+    if nfft < n:
+        raise ValueError(
+            f"nfft={nfft} < signal length {n}: truncating tapered records "
+            "breaks the tapers' orthonormality (zero-padding nfft > n is fine)"
+        )
     tap = jnp.asarray(tapers, xm.dtype)  # (k, n)
     spec = rfft(xm[..., None, :] * tap, n=nfft, config=config)  # (…, k, bins)
     p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
@@ -539,10 +586,7 @@ def _firwin_lowpass(numtaps: int, cutoff: float, window) -> np.ndarray:
         raise ValueError(f"numtaps must be odd and >= 3, got {numtaps}")
     if not 0.0 < cutoff < 1.0:
         raise ValueError(f"cutoff must be in (0, 1) of Nyquist, got {cutoff}")
-    # symmetric window of length n == periodic window of length n-1 with the
-    # (symmetric) first sample appended
-    wp = get_window(window, numtaps - 1, np.float64)
-    win = np.concatenate([wp, wp[:1]])
+    win = get_window(window, numtaps, np.float64, sym=True)
     m = np.arange(numtaps, dtype=np.float64) - (numtaps - 1) / 2.0
     h = cutoff * np.sinc(cutoff * m) * win
     return h / h.sum()  # unit gain at DC

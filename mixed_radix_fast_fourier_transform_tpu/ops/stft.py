@@ -23,10 +23,24 @@ from .rfft import irfft, rfft
 Array = jax.Array
 
 
-def get_window(window, nperseg: int, dtype=np.float32) -> np.ndarray:
+def get_window(window, nperseg: int, dtype=np.float32, *, sym: bool = False) -> np.ndarray:
     """Named window ('hann', 'hamming', 'blackman', 'blackmanharris',
     'bartlett', 'flattop', 'boxcar', ('kaiser', beta)) or an explicit array.
-    Periodic (DFT-even) convention, matching scipy's spectral defaults."""
+    Periodic (DFT-even) convention by default, matching scipy's spectral
+    estimators; ``sym=True`` returns the symmetric (filter-design)
+    variant — a symmetric window of length n is the periodic window of
+    length n-1 with its (symmetric) first sample appended.  Used by the
+    FIR designer (signal._firwin_lowpass) and the CQT kernel builder."""
+    if sym:
+        if not isinstance(window, (str, tuple)):
+            w = np.asarray(window, dtype=dtype)
+            if w.shape != (nperseg,):
+                raise ValueError(f"window shape {w.shape} != ({nperseg},)")
+            return w
+        if nperseg < 2:
+            return np.ones(nperseg, dtype)
+        wp = get_window(window, nperseg - 1, np.float64)
+        return np.concatenate([wp, wp[:1]]).astype(dtype)
     if isinstance(window, tuple):
         name, *params = window
         if len(params) != 1 or name not in ("kaiser", "tukey", "gaussian"):

@@ -736,3 +736,47 @@ class TestNufft3_3D:
         with pytest.raises(ValueError):
             sp.nufft3_3d(x, y, z, c, s, t, u, method="fast",
                          extents=(1.0, 2.0))
+
+
+def test_nufft3_fast_batched_strengths(rng):
+    """Fast type-3 paths must honor leading batch axes of c (round-3
+    review: the flattened tap gather silently read batch 0 only)."""
+    M, K = 120, 80
+    x = rng.uniform(-1.5, 1.5, M).astype(np.float32)
+    y = rng.uniform(-2.0, 2.0, M).astype(np.float32)
+    z = rng.uniform(-1.0, 1.0, M).astype(np.float32)
+    c = (rng.standard_normal((3, M)) + 1j * rng.standard_normal((3, M))).astype(
+        np.complex64
+    )
+    s = rng.uniform(-20, 20, K).astype(np.float32)
+    t = rng.uniform(-15, 15, K).astype(np.float32)
+    u = rng.uniform(-10, 10, K).astype(np.float32)
+    f2 = np.asarray(sp.nufft3_2d(x, y, c, s, t, method="fast"))
+    d2 = np.asarray(sp.nufft3_2d(x, y, c, s, t))
+    assert f2.shape == (3, K)
+    assert np.abs(f2 - d2).max() / np.abs(d2).max() < 1e-4
+    f3 = np.asarray(sp.nufft3_3d(x, y, z, c, s, t, u, method="fast"))
+    d3 = np.asarray(sp.nufft3_3d(x, y, z, c, s, t, u))
+    assert f3.shape == (3, K)
+    assert np.abs(f3 - d3).max() / np.abs(d3).max() < 1e-4
+
+
+def test_nufft_3d_grid_batched_strengths(rng):
+    """3-D grid paths with batch axes: fftn/ifftn must transform only the
+    trailing mode axes (round-3 review: default axes swallowed the batch
+    axis)."""
+    M = 100
+    x = rng.uniform(0, 2 * np.pi, M).astype(np.float32)
+    y = rng.uniform(0, 2 * np.pi, M).astype(np.float32)
+    z = rng.uniform(0, 2 * np.pi, M).astype(np.float32)
+    c = (rng.standard_normal((2, M)) + 1j * rng.standard_normal((2, M))).astype(
+        np.complex64
+    )
+    got = np.asarray(sp.nufft1_3d(x, y, z, c, (12, 12, 12), method="grid"))
+    want = np.asarray(sp.nudft1_3d(x, y, z, c, (12, 12, 12)))
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-4
+    f = (rng.standard_normal((2, 12, 12, 12))
+         + 1j * rng.standard_normal((2, 12, 12, 12))).astype(np.complex64)
+    got = np.asarray(sp.nufft2_3d(x, y, z, f, method="grid"))
+    want = np.asarray(sp.nudft2_3d(x, y, z, f))
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-4

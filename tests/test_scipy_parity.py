@@ -348,3 +348,31 @@ class TestDpssParity:
             sp.dpss(64, 40.0)
         with pytest.raises(ValueError):
             sp.dpss(64, 3.0, 0)
+
+
+class TestWelchOptionsParity:
+    @pytest.mark.parametrize(
+        "kw",
+        [{"average": "median"}, {"detrend": "linear"}, {"detrend": False},
+         {"average": "median", "detrend": "linear"}],
+    )
+    def test_welch_average_detrend(self, rng, kw):
+        x = rng.standard_normal(4096) + 0.002 * np.arange(4096)
+        fw, Pw = scipy_signal.welch(x, fs=10.0, nperseg=256, **kw)
+        fg, Pg = sp.welch(x.astype(np.float32), fs=10.0, nperseg=256, **kw)
+        assert _rel(np.asarray(Pg), Pw) < 1e-4
+
+    def test_csd_detrend_linear(self, rng):
+        x = rng.standard_normal(2048) + 0.01 * np.arange(2048)
+        y = np.roll(x, 5) + 0.1 * rng.standard_normal(2048)
+        fw, Pw = scipy_signal.csd(x, y, fs=4.0, nperseg=256, detrend="linear")
+        fg, Pg = sp.csd(x.astype(np.float32), y.astype(np.float32), fs=4.0,
+                        nperseg=256, detrend="linear")
+        assert np.abs(np.asarray(Pg) - Pw).max() / np.abs(Pw).max() < 1e-4
+
+    def test_welch_errors(self, rng):
+        x = rng.standard_normal(512).astype(np.float32)
+        with pytest.raises(ValueError):
+            sp.welch(x, average="bogus")
+        with pytest.raises(ValueError):
+            sp.welch(x, detrend="quadratic")

@@ -495,3 +495,12 @@ class TestMultitaper:
             sp.multitaper(x, scaling="spectrum")
         with pytest.raises(ValueError):
             sp.multitaper(np.ones(1, np.float32))
+
+
+def test_multitaper_nfft_guard(rng):
+    x = rng.standard_normal(256).astype(np.float32)
+    with pytest.raises(ValueError):
+        sp.multitaper(x, nfft=128)
+    # zero-padding is allowed
+    f, P = sp.multitaper(x, nfft=512)
+    assert np.asarray(P).shape == (257,)
