@@ -1,0 +1,191 @@
+"""Mel-scale audio features: filterbank, mel spectrogram, MFCC.
+
+The standard speech/audio front end, built on the engine's STFT and DCT:
+a host-generated (n_mels, n_fft//2+1) triangular filterbank applied as one
+MXU matmul over the power spectrogram, then a log and a type-II DCT for
+cepstral coefficients.  Conventions follow librosa's defaults (Slaney-style
+mel scale and filter normalization, HTK formula available) so feature
+pipelines port directly; the filterbank is an lru-cached host constant
+like the other kernel builders (DPSS, CQT, Wigner-d).
+
+Capability extension: the reference has no time-frequency analysis
+(src/ is the C FFT engine and convolve.c alone).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.config import DEFAULT_CONFIG, SpectralConfig
+from .dct import dct as _dct
+from .stft import stft as _stft
+
+Array = jax.Array
+
+
+def hz_to_mel(f, htk: bool = False) -> np.ndarray:
+    """Hz -> mel.  Slaney (librosa default): linear below 1 kHz, log above;
+    ``htk=True``: 2595·log10(1 + f/700)."""
+    f = np.asarray(f, np.float64)
+    if htk:
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+    f_sp = 200.0 / 3.0
+    min_log_hz = 1000.0
+    logstep = np.log(6.4) / 27.0
+    mel = f / f_sp
+    above = f >= min_log_hz
+    return np.where(
+        above,
+        min_log_hz / f_sp + np.log(np.maximum(f, 1e-10) / min_log_hz) / logstep,
+        mel,
+    )
+
+
+def mel_to_hz(m, htk: bool = False) -> np.ndarray:
+    """Inverse of :func:`hz_to_mel`."""
+    m = np.asarray(m, np.float64)
+    if htk:
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+    f_sp = 200.0 / 3.0
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    above = m >= min_log_mel
+    return np.where(above, min_log_hz * np.exp(logstep * (m - min_log_mel)),
+                    f_sp * m)
+
+
+def mel_frequencies(
+    n_mels: int, fmin: float = 0.0, fmax: float = 11025.0, htk: bool = False
+) -> np.ndarray:
+    """``n_mels`` frequencies evenly spaced on the mel scale in [fmin, fmax]."""
+    if n_mels < 1:
+        raise ValueError(f"n_mels must be >= 1, got {n_mels}")
+    mels = np.linspace(hz_to_mel(fmin, htk), hz_to_mel(fmax, htk), n_mels)
+    return mel_to_hz(mels, htk)
+
+
+@functools.lru_cache(maxsize=16)
+def _mel_filterbank_cached(
+    sr: float, n_fft: int, n_mels: int, fmin: float, fmax: float,
+    htk: bool, norm,
+):
+    freqs = np.fft.rfftfreq(n_fft, 1.0 / sr)  # (n_fft//2 + 1,)
+    edges = mel_frequencies(n_mels + 2, fmin, fmax, htk)  # band edges
+    fb = np.zeros((n_mels, freqs.size))
+    for i in range(n_mels):
+        lo, ctr, hi = edges[i], edges[i + 1], edges[i + 2]
+        up = (freqs - lo) / max(ctr - lo, 1e-10)
+        down = (hi - freqs) / max(hi - ctr, 1e-10)
+        fb[i] = np.maximum(0.0, np.minimum(up, down))
+    if norm == "slaney":
+        # equal-area normalization: each filter integrates to ~1
+        enorm = 2.0 / (edges[2:] - edges[:-2])
+        fb *= enorm[:, None]
+    elif norm is not None:
+        raise ValueError(f"norm must be 'slaney' or None, got {norm!r}")
+    return fb
+
+
+def mel_filterbank(
+    sr: float,
+    n_fft: int,
+    n_mels: int = 128,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
+    htk: bool = False,
+    norm="slaney",
+    dtype=np.float32,
+) -> np.ndarray:
+    """Triangular mel filterbank (n_mels, n_fft//2 + 1) — librosa
+    ``filters.mel`` conventions (Slaney scale + equal-area norm by
+    default)."""
+    if n_fft < 2:
+        raise ValueError(f"n_fft must be >= 2, got {n_fft}")
+    if n_mels < 1:
+        raise ValueError(f"n_mels must be >= 1, got {n_mels}")
+    fmax = sr / 2.0 if fmax is None else float(fmax)
+    if not 0.0 <= fmin < fmax:
+        raise ValueError(f"need 0 <= fmin < fmax, got {fmin}, {fmax}")
+    fb = _mel_filterbank_cached(
+        float(sr), int(n_fft), int(n_mels), float(fmin), fmax, bool(htk), norm
+    )
+    return fb.astype(dtype)
+
+
+def melspectrogram(
+    x,
+    sr: float = 22050.0,
+    n_fft: int = 2048,
+    hop: Optional[int] = None,
+    window="hann",
+    n_mels: int = 128,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
+    power: float = 2.0,
+    htk: bool = False,
+    norm="slaney",
+    center: bool = True,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Mel-scaled spectrogram: (…, T) -> (…, n_frames, n_mels).
+
+    |STFT|^power contracted against the mel filterbank — one batched frame
+    rfft (the engine) plus one (bins, n_mels) MXU matmul."""
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("melspectrogram expects a real signal")
+    hop = n_fft // 4 if hop is None else int(hop)
+    if hop < 1:
+        raise ValueError(f"hop must be >= 1, got {hop}")
+    spec = _stft(
+        x, nperseg=n_fft, noverlap=n_fft - hop, window=window, center=center,
+        config=config,
+    )  # (…, frames, bins)
+    p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    if power != 2.0:
+        p = jnp.power(jnp.maximum(p, 0.0), power / 2.0)
+    fb = mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk, norm)
+    return jnp.einsum(
+        "...tb,mb->...tm", p, jnp.asarray(fb, p.dtype),
+        precision=config.op_precision,
+    )
+
+
+def mfcc(
+    x,
+    sr: float = 22050.0,
+    n_mfcc: int = 20,
+    n_fft: int = 2048,
+    hop: Optional[int] = None,
+    n_mels: int = 128,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
+    top_db: float = 80.0,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Mel-frequency cepstral coefficients: (…, T) -> (…, frames, n_mfcc).
+
+    log-power mel spectrogram (dB, floored ``top_db`` below the per-signal
+    peak like librosa's power_to_db) followed by an orthonormal type-II DCT
+    over the mel axis."""
+    if n_mfcc < 1:
+        raise ValueError(f"n_mfcc must be >= 1, got {n_mfcc}")
+    if n_mfcc > n_mels:
+        raise ValueError(f"n_mfcc={n_mfcc} > n_mels={n_mels}")
+    m = melspectrogram(
+        x, sr, n_fft, hop, n_mels=n_mels, fmin=fmin, fmax=fmax, config=config
+    )
+    amin = jnp.asarray(1e-10, m.dtype)
+    db = 10.0 * jnp.log10(jnp.maximum(m, amin))
+    if top_db is not None:
+        peak = jnp.max(db, axis=(-2, -1), keepdims=True)
+        db = jnp.maximum(db, peak - top_db)
+    return _dct(db, type=2, norm="ortho", config=config)[..., :n_mfcc]

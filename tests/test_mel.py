@@ -1,0 +1,90 @@
+"""Mel features: scale round trips, filterbank geometry, fp64 spectrogram
+oracle, MFCC shape/energy ordering, error paths."""
+
+import numpy as np
+import pytest
+
+import mixed_radix_fast_fourier_transform_tpu as sp
+
+
+def test_mel_scale_roundtrip_and_anchors():
+    f = np.array([0.0, 440.0, 1000.0, 4000.0, 8000.0])
+    for htk in (False, True):
+        back = sp.mel_to_hz(sp.hz_to_mel(f, htk=htk), htk=htk)
+        assert np.abs(back - f).max() < 1e-8
+    # slaney: linear below 1 kHz with slope 3/200
+    assert abs(float(sp.hz_to_mel(1000.0)) - 15.0) < 1e-12
+    assert abs(float(sp.hz_to_mel(500.0)) - 7.5) < 1e-12
+    # htk formula at 700 Hz: 2595*log10(2)
+    assert abs(float(sp.hz_to_mel(700.0, htk=True)) - 2595.0 * np.log10(2.0)) < 1e-9
+
+
+def test_filterbank_geometry():
+    sr, n_fft, n_mels = 22050, 2048, 40
+    fb = sp.mel_filterbank(sr, n_fft, n_mels)
+    assert fb.shape == (n_mels, n_fft // 2 + 1)
+    assert (fb >= 0).all()
+    freqs = np.fft.rfftfreq(n_fft, 1 / sr)
+    centers = sp.mel_frequencies(n_mels + 2, 0, sr / 2)[1:-1]
+    # peaks land within one bin of the band centers
+    assert np.abs(freqs[fb.argmax(1)] - centers).max() < freqs[1]
+    # slaney equal-area: each row integrates to ~1 over Hz
+    areas = fb.sum(1) * freqs[1]
+    assert np.abs(areas - 1.0).max() < 0.1
+    # norm=None keeps unit peaks (away from the resolution floor)
+    fb2 = sp.mel_filterbank(sr, n_fft, n_mels, norm=None)
+    assert np.abs(fb2.max(1)[5:] - 1.0).max() < 0.1
+
+
+def test_melspectrogram_matches_fp64_oracle(rng):
+    sr, n_fft, hop = 22050.0, 2048, 512
+    x = rng.standard_normal(22050).astype(np.float32)
+    got = np.asarray(sp.melspectrogram(x, sr))
+    xp = np.pad(x.astype(np.float64), (n_fft // 2, n_fft // 2), mode="reflect")
+    t = xp.size
+    nfrm = 1 + -(-(t - n_fft) // hop)
+    xp = np.pad(xp, (0, n_fft + (nfrm - 1) * hop - t))
+    w = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
+    S = np.stack([
+        np.abs(np.fft.rfft(xp[i * hop : i * hop + n_fft] * w)) ** 2
+        for i in range(nfrm)
+    ])
+    want = S @ sp.mel_filterbank(int(sr), n_fft, 128, dtype=np.float64).T
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() / want.max() < 1e-5
+
+
+def test_tone_lands_in_matching_band(rng):
+    sr = 22050.0
+    tone = np.sin(2 * np.pi * 2000 * np.arange(22050) / sr).astype(np.float32)
+    M = np.asarray(sp.melspectrogram(tone, sr))
+    band = int(M[M.shape[0] // 2].argmax())
+    cf = sp.mel_frequencies(130, 0, sr / 2)[1:-1][band]
+    assert abs(cf - 2000.0) < 150.0  # within a mel band at 2 kHz
+
+
+def test_mfcc_shape_jit_batch(rng):
+    import jax
+
+    x = rng.standard_normal((2, 11025)).astype(np.float32)
+    C = np.asarray(jax.jit(lambda v: sp.mfcc(v, 22050.0))(x))
+    assert C.shape[:1] == (2,) and C.shape[-1] == 20
+    # c0 carries the loudness: scaling the signal shifts only c0
+    C2 = np.asarray(jax.jit(lambda v: sp.mfcc(v, 22050.0))(4.0 * x))
+    d = np.abs(C2 - C).mean(axis=(0, 1))
+    assert d[0] > 5 * d[1:].max()
+
+
+def test_errors():
+    with pytest.raises(ValueError):
+        sp.mel_filterbank(22050, 2048, 0)
+    with pytest.raises(ValueError):
+        sp.mel_filterbank(22050, 2048, 40, fmin=12000.0)
+    with pytest.raises(ValueError):
+        sp.mel_filterbank(22050, 2048, 40, norm="l2")
+    with pytest.raises(ValueError):
+        sp.melspectrogram(np.zeros(100, np.complex64), 22050.0)
+    with pytest.raises(ValueError):
+        sp.mfcc(np.zeros(4096, np.float32), n_mfcc=0)
+    with pytest.raises(ValueError):
+        sp.mfcc(np.zeros(4096, np.float32), n_mfcc=200, n_mels=128)
