@@ -172,9 +172,11 @@ def istft(
     out = jnp.zeros((*batch, t_padded), dtype=frames.dtype)
     out = out.at[..., idx].add(flat)
 
-    # NOLA normalization: sum of squared windows at each sample
+    # NOLA normalization: sum of squared windows at each sample — from the
+    # HOST window (the device constant is a tracer under an outer trace,
+    # e.g. griffinlim's fori_loop)
     wsq = np.zeros(t_padded, dtype=np.float64)
-    w_np = np.asarray(w, dtype=np.float64) ** 2
+    w_np = get_window(window, nperseg, np.float64) ** 2
     for s in starts:
         wsq[s : s + nperseg] += w_np
     safe = np.where(wsq > 1e-10, wsq, 1.0)
@@ -270,3 +272,85 @@ def dpss(
     if return_ratios:
         return tapers.astype(dtype), ratios.astype(dtype)
     return tapers.astype(dtype)
+
+
+def griffinlim(
+    mag,
+    n_iter: int = 32,
+    nperseg: int = 256,
+    noverlap: Optional[int] = None,
+    window="hann",
+    momentum: float = 0.99,
+    *,
+    center: bool = True,
+    length: Optional[int] = None,
+    seed: int = 0,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Griffin-Lim phase retrieval: reconstruct a real signal from an STFT
+    MAGNITUDE (…, n_frames, nperseg//2+1) by alternating projections
+    between the magnitude constraint and the set of consistent spectrograms
+    (istft -> stft), with Perraudin-style momentum (librosa's accelerated
+    default).  The whole iteration is one lax.fori_loop of engine
+    rfft/irfft pairs — jittable end to end.
+
+    Returns the time signal (length inferred from the frame count, or
+    ``length``)."""
+    mag = jnp.asarray(mag)
+    if jnp.issubdtype(mag.dtype, jnp.complexfloating):
+        raise ValueError("griffinlim takes a magnitude (real) spectrogram")
+    if mag.ndim < 2 or mag.shape[-1] != nperseg // 2 + 1:
+        raise ValueError(
+            f"mag must be (…, n_frames, {nperseg // 2 + 1}) for "
+            f"nperseg={nperseg}, got {mag.shape}"
+        )
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if not 0.0 <= momentum < 1.0:
+        raise ValueError(f"momentum must be in [0, 1), got {momentum}")
+    mag = mag.astype(config.dtype)
+    if noverlap is None:
+        noverlap = nperseg // 2
+    hop = nperseg - noverlap
+    n_frames = mag.shape[-2]
+    t_padded = nperseg + (n_frames - 1) * hop
+    sig_len = t_padded - (nperseg if center else 0)
+    if length is not None:
+        sig_len = int(length)
+
+    def project(spec):
+        """Magnitude-consistent projection: istft then stft."""
+        x = istft(
+            spec, nperseg, noverlap, window, center=center, length=sig_len,
+            config=config,
+        )
+        return stft(
+            x, nperseg, noverlap, window, center=center, config=config
+        )[..., :n_frames, :]
+
+    # random initial phase (angle-uniform), deterministic by seed
+    key = jax.random.PRNGKey(seed)
+    ph = jax.random.uniform(
+        key, mag.shape, mag.dtype, 0.0, 2.0 * float(np.pi)
+    )
+    spec0 = jax.lax.complex(mag * jnp.cos(ph), mag * jnp.sin(ph))
+
+    def rephase(c):
+        a = jnp.sqrt(jnp.real(c) ** 2 + jnp.imag(c) ** 2)
+        safe = jnp.maximum(a, jnp.asarray(1e-16, mag.dtype))
+        return jax.lax.complex(mag * jnp.real(c) / safe,
+                               mag * jnp.imag(c) / safe)
+
+    mom = jnp.asarray(momentum, mag.dtype)
+
+    def body(_, carry):
+        spec, prev = carry
+        est = project(spec)
+        accel = est + mom * (est - prev)
+        return rephase(accel), est
+
+    spec, _ = jax.lax.fori_loop(0, n_iter, body, (spec0, spec0))
+    return istft(
+        spec, nperseg, noverlap, window, center=center, length=sig_len,
+        config=config,
+    )

@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import mixed_radix_fast_fourier_transform_tpu as sp
 from mixed_radix_fast_fourier_transform_tpu.ops.stft import (
     get_window,
     istft,
@@ -77,3 +78,45 @@ class TestSpectrogram:
         s1 = np.asarray(spectrogram(x, nperseg=128, power=1.0))
         s2 = np.asarray(spectrogram(x, nperseg=128, power=2.0))
         assert np.allclose(s1 ** 2, s2, rtol=1e-4, atol=1e-5)
+
+
+class TestGriffinLim:
+    def test_spectral_convergence_improves(self, rng):
+        n = 4096
+        t = np.arange(n)
+        x = (np.sin(2 * np.pi * 0.01 * t)
+             + 0.5 * np.sin(2 * np.pi * 0.037 * t)).astype(np.float32)
+        S = np.abs(np.asarray(sp.stft(x, nperseg=256)))
+
+        def sc(n_iter):
+            y = np.asarray(sp.griffinlim(S, n_iter=n_iter, nperseg=256,
+                                         length=n))
+            Sy = np.abs(np.asarray(sp.stft(y, nperseg=256)))
+            return np.linalg.norm(Sy - S) / np.linalg.norm(S)
+
+        c4, c48 = sc(4), sc(48)
+        assert c48 < c4 < 0.5
+        assert c48 < 0.15
+
+    def test_jit_and_batch(self, rng):
+        import jax
+
+        x = rng.standard_normal((2, 2048)).astype(np.float32)
+        S = np.abs(np.asarray(sp.stft(x, nperseg=128)))
+        y = np.asarray(jax.jit(
+            lambda m: sp.griffinlim(m, n_iter=8, nperseg=128, length=2048)
+        )(S))
+        assert y.shape == (2, 2048)
+        assert np.isfinite(y).all()
+
+    def test_errors(self):
+        with pytest.raises(ValueError):
+            sp.griffinlim(np.zeros((4, 100), np.float32), nperseg=256)
+        with pytest.raises(ValueError):
+            sp.griffinlim(np.zeros((4, 129), np.complex64), nperseg=256)
+        with pytest.raises(ValueError):
+            sp.griffinlim(np.zeros((4, 129), np.float32), nperseg=256,
+                          n_iter=0)
+        with pytest.raises(ValueError):
+            sp.griffinlim(np.zeros((4, 129), np.float32), nperseg=256,
+                          momentum=1.5)
