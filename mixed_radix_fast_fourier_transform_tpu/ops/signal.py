@@ -84,26 +84,27 @@ def periodogram(
     fs: float = 1.0,
     window: str = "boxcar",
     nfft: Optional[int] = None,
-    detrend: bool = True,
+    detrend="constant",
     scaling: str = "density",
     axis: int = -1,
     *,
     config: SpectralConfig = DEFAULT_CONFIG,
 ) -> Tuple[Array, Array]:
-    """(freqs, PSD) of a real signal — scipy.signal.periodogram semantics."""
+    """(freqs, PSD) of a real signal — scipy.signal.periodogram semantics.
+    ``detrend``: 'constant' (default; True is accepted as an alias),
+    'linear', or False."""
     x = jnp.asarray(x)
     axis = axis % x.ndim
     xm = jnp.moveaxis(x, axis, -1).astype(config.dtype)
     n = xm.shape[-1]
-    if detrend:
-        xm = xm - jnp.mean(xm, axis=-1, keepdims=True)
-    w = jnp.asarray(get_window(window, n, np.dtype(config.dtype)))
-    xm = xm * w
+    xm = _detrend_frames(xm, detrend)
+    w_host = get_window(window, n, np.float64)  # host copy: scalar sums
+    xm = xm * jnp.asarray(w_host, config.dtype)
     nfft = int(nfft) if nfft is not None else n
     spec = rfft(xm, n=nfft, config=config)
     p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
-    wsum2 = float(np.sum(np.asarray(w, dtype=np.float64) ** 2))
-    wsum = float(np.sum(np.asarray(w, dtype=np.float64)))
+    wsum2 = float(np.sum(w_host ** 2))
+    wsum = float(np.sum(w_host))
     if scaling == "density":
         p = p / (fs * wsum2)
     elif scaling == "spectrum":

@@ -226,12 +226,22 @@ def _dpss_host(M: int, NW: float, Kmax: int):
     t = np.arange(M, dtype=np.float64)
     d = ((M - 1 - 2.0 * t) / 2.0) ** 2 * np.cos(2.0 * np.pi * W)
     e = t[1:] * (M - t[1:]) / 2.0
-    A = np.zeros((M, M))
-    A[np.arange(M), np.arange(M)] = d
-    A[np.arange(M - 1), np.arange(1, M)] = e
-    A[np.arange(1, M), np.arange(M - 1)] = e
-    _, V = np.linalg.eigh(A)
-    tapers = V[:, ::-1][:, :Kmax].T.copy()  # (Kmax, M), best-concentrated first
+    try:
+        # O(M·Kmax)-class tridiagonal solver with index selection — the
+        # only tractable route at audio lengths (dense eigh is O(M³):
+        # minutes at M ~ 20k, where this is milliseconds)
+        from scipy.linalg import eigh_tridiagonal
+
+        _, V = eigh_tridiagonal(d, e, select="i",
+                                select_range=(M - Kmax, M - 1))
+        tapers = V[:, ::-1].T.copy()  # (Kmax, M), best-concentrated first
+    except ImportError:  # pragma: no cover - scipy is normally present
+        A = np.zeros((M, M))
+        A[np.arange(M), np.arange(M)] = d
+        A[np.arange(M - 1), np.arange(1, M)] = e
+        A[np.arange(1, M), np.arange(M - 1)] = e
+        _, V = np.linalg.eigh(A)
+        tapers = V[:, ::-1][:, :Kmax].T.copy()
     for k in range(0, Kmax, 2):  # symmetric: positive average
         if tapers[k].sum() < 0:
             tapers[k] *= -1.0

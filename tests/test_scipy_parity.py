@@ -376,3 +376,18 @@ class TestWelchOptionsParity:
             sp.welch(x, average="bogus")
         with pytest.raises(ValueError):
             sp.welch(x, detrend="quadratic")
+
+
+class TestPeriodogramDetrendParity:
+    @pytest.mark.parametrize("detrend", ["constant", "linear", False])
+    def test_modes(self, rng, detrend):
+        x = rng.standard_normal(1024) + 0.01 * np.arange(1024)
+        fw, Pw = scipy_signal.periodogram(x, fs=8.0, detrend=detrend)
+        fg, Pg = sp.periodogram(x.astype(np.float32), fs=8.0, detrend=detrend)
+        assert _rel(np.asarray(Pg), Pw) < 1e-4
+
+    def test_bool_alias(self, rng):
+        x = rng.standard_normal(512)
+        _, a = sp.periodogram(x.astype(np.float32), detrend=True)
+        _, b = sp.periodogram(x.astype(np.float32), detrend="constant")
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() == 0.0
