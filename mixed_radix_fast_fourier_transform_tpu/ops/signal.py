@@ -7,6 +7,8 @@ the plan-based FFT/rFFT/STFT machinery.
 
 from __future__ import annotations
 
+import math
+
 from typing import Optional, Tuple
 
 import jax
@@ -819,3 +821,116 @@ def poisson_solve(
     for a in range(ndim - 1):
         out = ifft(out, axis=a, config=config)
     return irfft(out, n=shape[-1], config=config)
+
+
+def rceps(x, n: Optional[int] = None, axis: int = -1,
+          *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """Real cepstrum: ifft(log |fft(x)|).real — echo/pitch detection and
+    homomorphic deconvolution (an echo at lag d appears as a cepstral peak
+    at quefrency d).  ``n`` optionally pads/crops the transform length."""
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("rceps expects a real signal")
+    axis = axis % x.ndim
+    xm = jnp.moveaxis(x, axis, -1).astype(config.dtype)
+    spec = fft(xm, n=n, config=config)
+    mag = jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2)
+    logm = jnp.log(jnp.maximum(mag, jnp.asarray(1e-30, mag.dtype)))
+    out = jnp.real(ifft(logm.astype(jnp.complex64), config=config))
+    return jnp.moveaxis(out, -1, axis)
+
+
+def cceps(x, n: Optional[int] = None, axis: int = -1,
+          *, config: SpectralConfig = DEFAULT_CONFIG):
+    """Complex cepstrum (matlab cceps conventions): ifft(log fft(x)) with
+    the phase unwrapped and its linear component removed to make log F
+    continuous; returns ``(xhat, ndelay)`` where ``ndelay`` is the integer
+    circular delay removed (needed by :func:`icceps` for exact
+    inversion)."""
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("cceps expects a real signal")
+    axis = axis % x.ndim
+    xm = jnp.moveaxis(x, axis, -1).astype(config.dtype)
+    spec = fft(xm, n=n, config=config)
+    nn = spec.shape[-1]
+    mag = jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2)
+    ph = jnp.unwrap(jnp.arctan2(jnp.imag(spec), jnp.real(spec)), axis=-1)
+    # remove the linear phase trend (integer circular delay) — matlab's
+    # rcunwrap: nd = round(ph[N/2]/pi), subtracted as a pi*k*nd/(N/2) ramp
+    mid = nn // 2
+    nd = jnp.round(ph[..., mid] / np.pi)
+    k = jnp.asarray(np.arange(nn, dtype=np.float64) / mid, ph.dtype)
+    ph = ph - np.pi * k * nd[..., None]
+    logf = jax.lax.complex(
+        jnp.log(jnp.maximum(mag, jnp.asarray(1e-30, mag.dtype))), ph
+    )
+    out = jnp.real(ifft(logf, config=config))
+    return jnp.moveaxis(out, -1, axis), nd
+
+
+def icceps(xhat, ndelay=0, axis: int = -1,
+           *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """Inverse complex cepstrum: exp in the spectral domain, re-applying the
+    integer circular delay removed by :func:`cceps`."""
+    xhat = jnp.asarray(xhat)
+    axis = axis % xhat.ndim
+    xm = jnp.moveaxis(xhat, axis, -1)
+    nn = xm.shape[-1]
+    logf = fft(xm.astype(jnp.complex64), config=config)
+    mid = nn // 2
+    nd = jnp.asarray(ndelay, jnp.real(logf).dtype)
+    while nd.ndim < xm.ndim - 1:
+        nd = nd[None]
+    k = jnp.asarray(np.arange(nn, dtype=np.float64) / mid, jnp.real(logf).dtype)
+    ramp = np.pi * k * nd[..., None]
+    lr, li = jnp.real(logf), jnp.imag(logf) + ramp
+    ex = jnp.exp(lr)
+    spec = jax.lax.complex(ex * jnp.cos(li), ex * jnp.sin(li))
+    out = jnp.real(ifft(spec, config=config))
+    return jnp.moveaxis(out, -1, axis)
+
+
+def minimum_phase(
+    h, n_fft: Optional[int] = None, half: bool = True,
+    *, config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Minimum-phase FIR from a linear-phase prototype by the homomorphic
+    method (scipy.signal.minimum_phase(method='homomorphic') semantics:
+    cepstral windowing lmin[n] = 2u[n] - delta[n] of 0.5·log|H|, Oppenheim
+    & Schafer eq. 13.42b).  ``half=True`` returns the half-length root
+    filter (|H_min| = sqrt(|H|)), ``half=False`` the equal-length
+    minimum-phase version."""
+    h = jnp.asarray(h)
+    if jnp.issubdtype(h.dtype, jnp.complexfloating):
+        raise ValueError("minimum_phase takes a real filter")
+    if h.ndim != 1 or h.shape[0] <= 2:
+        raise ValueError("h must be 1-D with more than 2 taps")
+    n_h = h.shape[0]
+    if n_fft is None:
+        n_fft = 2 ** int(math.ceil(math.log2(2 * (n_h - 1) / 0.01)))
+    n_fft = int(n_fft)
+    if n_fft < n_h:
+        raise ValueError(f"n_fft must be >= len(h) = {n_h}")
+    spec = fft(h.astype(config.dtype), n=n_fft, config=config)
+    mag = jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2)
+    floor = 1e-7 * jnp.min(jnp.where(mag > 0, mag, jnp.inf))
+    logm = jnp.log(mag + floor)
+    if half:
+        logm = logm * 0.5
+    cep = jnp.real(ifft(logm.astype(jnp.complex64), config=config))
+    win = np.zeros(n_fft)
+    win[0] = 1.0
+    stop = n_fft // 2
+    win[1:stop] = 2.0
+    if n_fft % 2:
+        win[stop] = 1.0
+    cep = cep * jnp.asarray(win, cep.dtype)
+    eh = fft(cep.astype(jnp.complex64), config=config)
+    ex = jnp.exp(jnp.real(eh))
+    spec_min = jax.lax.complex(
+        ex * jnp.cos(jnp.imag(eh)), ex * jnp.sin(jnp.imag(eh))
+    )
+    h_min = jnp.real(ifft(spec_min, config=config))
+    n_out = (n_h // 2 + n_h % 2) if half else n_h
+    return h_min[:n_out]

@@ -504,3 +504,66 @@ def test_multitaper_nfft_guard(rng):
     # zero-padding is allowed
     f, P = sp.multitaper(x, nfft=512)
     assert np.asarray(P).shape == (257,)
+
+
+class TestCepstrum:
+    def test_rceps_echo_detection(self, rng):
+        base = rng.standard_normal(1024)
+        x = base.copy()
+        x[100:] += 0.5 * base[:-100]
+        c = np.asarray(sp.rceps(x.astype(np.float32)))
+        assert int(np.abs(c[50:512]).argmax()) + 50 == 100
+
+    def test_cceps_impulse_echo_series(self):
+        """Complex cepstrum of delta + a*delta_d is the textbook series
+        (-1)^(k+1) a^k/k at quefrencies k*d."""
+        n = 1024
+        x = np.zeros(n, np.float32)
+        x[0], x[150] = 1.0, 0.4
+        xh, nd = sp.cceps(x)
+        c = np.asarray(xh)
+        assert abs(c[150] - 0.4) < 1e-5
+        assert abs(c[300] + 0.08) < 1e-5
+        assert abs(c[450] - 0.4 ** 3 / 3) < 1e-5
+        back = np.asarray(sp.icceps(np.asarray(xh), nd))
+        assert np.abs(back - x).max() < 1e-5
+
+    def test_cceps_roundtrip_smooth(self):
+        n = 1024
+        t = np.arange(n)
+        pulse = np.exp(-0.5 * ((t - 200) / 12.0) ** 2)
+        x = pulse.copy()
+        x[150:] += 0.4 * pulse[:-150]
+        xh, nd = sp.cceps(x.astype(np.float32))
+        back = np.asarray(sp.icceps(np.asarray(xh), nd))
+        assert np.abs(back - x).max() / np.abs(x).max() < 1e-4
+
+    def test_minimum_phase_scipy_parity(self):
+        from scipy.signal import firwin, minimum_phase as sp_minphase
+
+        h = firwin(31, 0.3)
+        for half in (True, False):
+            got = np.asarray(sp.minimum_phase(h.astype(np.float32), half=half))
+            want = sp_minphase(h, method="homomorphic", half=half)
+            assert got.shape == want.shape
+            assert np.abs(got - want).max() / np.abs(want).max() < 1e-4
+
+    def test_minimum_phase_energy_front_loaded(self):
+        from scipy.signal import firwin
+
+        h = firwin(63, 0.4)
+        hm = np.asarray(sp.minimum_phase(h.astype(np.float32), half=False))
+        # minimum phase concentrates energy at the front
+        e = np.cumsum(hm ** 2) / np.sum(hm ** 2)
+        el = np.cumsum(h ** 2) / np.sum(h ** 2)
+        assert e[10] > el[10]
+
+    def test_errors(self):
+        with pytest.raises(ValueError):
+            sp.rceps(np.zeros(8, np.complex64))
+        with pytest.raises(ValueError):
+            sp.cceps(np.zeros(8, np.complex64))
+        with pytest.raises(ValueError):
+            sp.minimum_phase(np.ones(2, np.float32))
+        with pytest.raises(ValueError):
+            sp.minimum_phase(np.ones(16, np.float32), n_fft=8)
