@@ -112,6 +112,11 @@ def mel_filterbank(
     fmax = sr / 2.0 if fmax is None else float(fmax)
     if not 0.0 <= fmin < fmax:
         raise ValueError(f"need 0 <= fmin < fmax, got {fmin}, {fmax}")
+    if fmax > sr / 2.0:
+        raise ValueError(
+            f"fmax={fmax} exceeds Nyquist ({sr / 2.0}): bands above Nyquist "
+            "would be silently empty"
+        )
     fb = _mel_filterbank_cached(
         float(sr), int(n_fft), int(n_mels), float(fmin), fmax, bool(htk), norm
     )

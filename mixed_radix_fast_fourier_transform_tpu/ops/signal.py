@@ -399,7 +399,7 @@ def multitaper(
     nw: float = 4.0,
     k: Optional[int] = None,
     nfft: Optional[int] = None,
-    detrend: bool = True,
+    detrend="constant",
     scaling: str = "density",
     weighting: str = "eigen",
     axis: int = -1,
@@ -433,8 +433,7 @@ def multitaper(
         raise ValueError(
             f"weighting must be 'eigen' or 'unity', got {weighting!r}"
         )
-    if detrend:
-        xm = xm - jnp.mean(xm, axis=-1, keepdims=True)
+    xm = _detrend_frames(xm, detrend)
     tapers, ratios = dpss(n, float(nw), int(k), return_ratios=True,
                           dtype=np.float64)
     nfft = int(nfft) if nfft is not None else n
@@ -836,7 +835,8 @@ def rceps(x, n: Optional[int] = None, axis: int = -1,
     spec = fft(xm, n=n, config=config)
     mag = jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2)
     logm = jnp.log(jnp.maximum(mag, jnp.asarray(1e-30, mag.dtype)))
-    out = jnp.real(ifft(logm.astype(jnp.complex64), config=config))
+    cdtype = jnp.result_type(config.dtype, jnp.complex64)
+    out = jnp.real(ifft(logm.astype(cdtype), config=config))
     return jnp.moveaxis(out, -1, axis)
 
 
@@ -858,7 +858,7 @@ def cceps(x, n: Optional[int] = None, axis: int = -1,
     ph = jnp.unwrap(jnp.arctan2(jnp.imag(spec), jnp.real(spec)), axis=-1)
     # remove the linear phase trend (integer circular delay) — matlab's
     # rcunwrap: nd = round(ph[N/2]/pi), subtracted as a pi*k*nd/(N/2) ramp
-    mid = nn // 2
+    mid = (nn + 1) // 2  # MATLAB rcunwrap: nh = fix((n+1)/2)
     nd = jnp.round(ph[..., mid] / np.pi)
     k = jnp.asarray(np.arange(nn, dtype=np.float64) / mid, ph.dtype)
     ph = ph - np.pi * k * nd[..., None]
@@ -877,8 +877,9 @@ def icceps(xhat, ndelay=0, axis: int = -1,
     axis = axis % xhat.ndim
     xm = jnp.moveaxis(xhat, axis, -1)
     nn = xm.shape[-1]
-    logf = fft(xm.astype(jnp.complex64), config=config)
-    mid = nn // 2
+    cdtype = jnp.result_type(config.dtype, jnp.complex64)
+    logf = fft(xm.astype(cdtype), config=config)
+    mid = (nn + 1) // 2  # MATLAB rcunwrap convention
     nd = jnp.asarray(ndelay, jnp.real(logf).dtype)
     while nd.ndim < xm.ndim - 1:
         nd = nd[None]
@@ -918,7 +919,8 @@ def minimum_phase(
     logm = jnp.log(mag + floor)
     if half:
         logm = logm * 0.5
-    cep = jnp.real(ifft(logm.astype(jnp.complex64), config=config))
+    cdtype = jnp.result_type(config.dtype, jnp.complex64)
+    cep = jnp.real(ifft(logm.astype(cdtype), config=config))
     win = np.zeros(n_fft)
     win[0] = 1.0
     stop = n_fft // 2
@@ -926,7 +928,7 @@ def minimum_phase(
     if n_fft % 2:
         win[stop] = 1.0
     cep = cep * jnp.asarray(win, cep.dtype)
-    eh = fft(cep.astype(jnp.complex64), config=config)
+    eh = fft(cep.astype(cdtype), config=config)
     ex = jnp.exp(jnp.real(eh))
     spec_min = jax.lax.complex(
         ex * jnp.cos(jnp.imag(eh)), ex * jnp.sin(jnp.imag(eh))

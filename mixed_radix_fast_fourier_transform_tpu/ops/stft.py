@@ -324,9 +324,29 @@ def griffinlim(
     hop = nperseg - noverlap
     n_frames = mag.shape[-2]
     t_padded = nperseg + (n_frames - 1) * hop
-    sig_len = t_padded - (nperseg if center else 0)
+    max_len = t_padded - (nperseg if center else 0)
+    if max_len < 1:
+        raise ValueError(
+            f"n_frames={n_frames} with nperseg={nperseg}, hop={hop}, "
+            f"center={center} spans no samples — need more frames"
+        )
+    sig_len = max_len
     if length is not None:
         sig_len = int(length)
+        if not 1 <= sig_len <= max_len:
+            raise ValueError(
+                f"length={sig_len} not reachable from {n_frames} frames "
+                f"(max {max_len}); istft can only crop"
+            )
+        # the projection loop needs stft(istft(spec)) to return at least
+        # n_frames frames, or the fori_loop carry changes shape
+        t_eff = sig_len + (2 * (nperseg // 2) if center else 0)
+        sig_len_frames = 1 + -(-max(t_eff - nperseg, 0) // hop)
+        if sig_len_frames < n_frames:
+            raise ValueError(
+                f"length={sig_len} yields only {sig_len_frames} frames, mag "
+                f"has {n_frames} — raise length or pass fewer frames"
+            )
 
     def project(spec):
         """Magnitude-consistent projection: istft then stft."""

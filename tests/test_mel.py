@@ -88,3 +88,8 @@ def test_errors():
         sp.mfcc(np.zeros(4096, np.float32), n_mfcc=0)
     with pytest.raises(ValueError):
         sp.mfcc(np.zeros(4096, np.float32), n_mfcc=200, n_mels=128)
+
+
+def test_fmax_beyond_nyquist_raises():
+    with pytest.raises(ValueError):
+        sp.mel_filterbank(22050, 2048, 40, fmax=20000.0)

@@ -567,3 +567,32 @@ class TestCepstrum:
             sp.minimum_phase(np.ones(2, np.float32))
         with pytest.raises(ValueError):
             sp.minimum_phase(np.ones(16, np.float32), n_fft=8)
+
+
+def test_cceps_odd_length_matlab_convention(rng):
+    """rcunwrap's midpoint is fix((n+1)/2) — odd lengths must match the
+    MATLAB-convention fp64 oracle (round-3 review)."""
+    for n in (511, 1023):
+        x = np.zeros(n)
+        x[2], x[60] = 1.0, 0.5
+        x += 0.01 * rng.standard_normal(n)
+        xh, _ = sp.cceps(x.astype(np.float32))
+        F = np.fft.fft(x)
+        ph = np.unwrap(np.angle(F))
+        nh = (n + 1) // 2
+        nd = round(ph[nh] / np.pi)
+        ph = ph - np.pi * np.arange(n) / nh * nd
+        want = np.fft.ifft(np.log(np.abs(F)) + 1j * ph).real
+        assert np.abs(np.asarray(xh) - want).max() < 1e-5
+
+
+def test_multitaper_detrend_linear(rng):
+    xt = (rng.standard_normal(1024) + 0.05 * np.arange(1024)).astype(np.float32)
+    _, Pc = sp.multitaper(xt, detrend="constant")
+    _, Pl = sp.multitaper(xt, detrend="linear")
+    Pc, Pl = np.asarray(Pc), np.asarray(Pl)
+    assert np.abs(Pc - Pl).max() > 0
+    # the linear detrend removes the trend's low-frequency leakage
+    assert Pl[1] < Pc[1]
+    with pytest.raises(ValueError):
+        sp.multitaper(xt, detrend="quadratic")

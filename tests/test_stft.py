@@ -120,3 +120,16 @@ class TestGriffinLim:
         with pytest.raises(ValueError):
             sp.griffinlim(np.zeros((4, 129), np.float32), nperseg=256,
                           momentum=1.5)
+
+
+class TestGriffinLimValidation:
+    def test_degenerate_frames_and_lengths(self, rng):
+        with pytest.raises(ValueError):
+            sp.griffinlim(np.ones((1, 129), np.float32), nperseg=256)
+        S = np.abs(np.asarray(sp.stft(
+            rng.standard_normal(4096).astype(np.float32), nperseg=256
+        )))
+        with pytest.raises(ValueError):  # too few frames for this length
+            sp.griffinlim(S, nperseg=256, length=100)
+        with pytest.raises(ValueError):  # beyond what istft can produce
+            sp.griffinlim(S, nperseg=256, length=99999)
