@@ -240,6 +240,38 @@ def bench_sht(L: int, batch: int, iters: int, seed: int = 0):
     return dt, err
 
 
+def bench_cqt(batch: int, n: int, iters: int, seed: int = 0):
+    """(seconds per signal, peak-band correctness flag) for the 84-band
+    constant-Q transform at ``n`` samples — the audio front-end headline
+    (one frame FFT + one dense spectral-kernel matmul)."""
+    import mixed_radix_fast_fourier_transform_tpu as sp
+    from mixed_radix_fast_fourier_transform_tpu.utils.profiling import marginal_time
+
+    fs, fmin, n_bins = 22050.0, 32.703195662574764, 84
+    freqs = sp.cqt_frequencies(n_bins, fmin, 12)
+    k_target = 60
+    tt = np.arange(n) / fs
+    sig = np.stack([
+        np.cos(2 * math.pi * freqs[k_target] * tt) for _ in range(batch)
+    ]).astype(np.float32)
+    xd = jax.device_put(sig)
+
+    def fn(v):
+        C = sp.cqt(v, fs=fs, fmin=fmin, n_bins=n_bins, hop=512)
+        mag = jnp.real(C) ** 2 + jnp.imag(C) ** 2
+        return (v + jnp.asarray(1e-20, v.dtype) * jnp.sum(mag).astype(v.dtype),)
+
+    def peak(v):
+        C = sp.cqt(v, fs=fs, fmin=fmin, n_bins=n_bins, hop=512)
+        mag = jnp.real(C) ** 2 + jnp.imag(C) ** 2
+        mid = mag.shape[-2] // 2
+        return jnp.argmax(mag[0, mid]).astype(jnp.int32)
+
+    ok = int(np.asarray(jax.jit(peak)(xd))) == k_target
+    dt = marginal_time(fn, (xd,), short=iters, long=5 * iters)
+    return dt / batch, ok
+
+
 def main():
     from mixed_radix_fast_fourier_transform_tpu.utils.cache import (
         enable_persistent_cache,
@@ -351,6 +383,15 @@ def main():
         ext_ok = ext_ok and ok
     except Exception as e:  # pragma: no cover
         extras["sht_roundtrip_L128_b16"] = {"error": str(e)[:200]}
+        ext_ok = False
+    try:
+        dt, ok = bench_cqt(4, 1 << 17, 3)
+        extras["cqt_84bands_131072_b4"] = {
+            "ms_per_signal": round(dt * 1e3, 3), "peak_band_ok": bool(ok),
+        }
+        ext_ok = ext_ok and ok
+    except Exception as e:  # pragma: no cover
+        extras["cqt_84bands_131072_b4"] = {"error": str(e)[:200]}
         ext_ok = False
     primary = extras.get("n1024_b256", {}).get("gflops", 0.0)
     print(json.dumps({
