@@ -113,3 +113,47 @@ def test_frequencies_and_errors():
     with pytest.raises(ValueError):
         sp.cqt(np.ones(100, np.float32), fs=1000.0, fmin=50.0, n_bins=8,
                n_fft=16)
+
+
+class TestInverseCqt:
+    def test_tone_reconstruction(self, rng):
+        fs = 8000.0
+        freqs = sp.cqt_frequencies(48, 55.0, 12)
+        n = 16384
+        t = np.arange(n) / fs
+        sig = (np.cos(2 * np.pi * freqs[20] * t)
+               + 0.5 * np.cos(2 * np.pi * freqs[35] * t)).astype(np.float32)
+        kw = dict(fs=fs, fmin=55.0, hop=256)
+        C = np.asarray(sp.cqt(sig, n_bins=48, **kw))
+        y = np.asarray(sp.icqt(C, length=n, **kw))
+        sl = slice(2000, n - 2000)
+        corr = np.corrcoef(y[sl], sig[sl])[0, 1]
+        assert corr > 0.93, corr
+        # Landweber refinement improves the fit, jitted end to end
+        import jax
+
+        y5 = np.asarray(jax.jit(
+            lambda c: sp.icqt(c, length=n, n_iter=5, **kw)
+        )(C))
+        corr5 = np.corrcoef(y5[sl], sig[sl])[0, 1]
+        assert corr5 > corr
+
+    def test_batched_shapes(self, rng):
+        fs = 4000.0
+        x = rng.standard_normal((2, 4096)).astype(np.float32)
+        C = np.asarray(sp.cqt(x, fs=fs, fmin=60.0, n_bins=24, hop=256))
+        y = np.asarray(sp.icqt(C, fs=fs, fmin=60.0, n_bins=24, hop=256,
+                               length=4096))
+        assert y.shape == (2, 4096)
+        assert np.isfinite(y).all()
+
+    def test_errors(self):
+        with pytest.raises(ValueError):
+            sp.icqt(np.ones(5, np.complex64))
+        with pytest.raises(ValueError):
+            sp.icqt(np.ones((3, 24), np.complex64), fs=1000.0, fmin=400.0)
+        with pytest.raises(ValueError):
+            sp.icqt(np.ones((3, 24), np.complex64), hop=0)
+        with pytest.raises(ValueError):
+            sp.icqt(np.ones((3, 24), np.complex64),
+                    window=np.ones(7, np.float32))
