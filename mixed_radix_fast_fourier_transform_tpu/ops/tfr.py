@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.config import DEFAULT_CONFIG, SpectralConfig
-from .fft import fft
+from .fft import fft, ifft
 from .signal import hilbert
 from .stft import get_window
 
@@ -90,3 +90,94 @@ def wigner_ville(
     prod = prod * jnp.asarray(h, jnp.real(z).dtype)
     W = fft(prod, config=config)
     return jnp.real(W)
+
+
+def _morlet_hat(xi: np.ndarray, w: float) -> np.ndarray:
+    """Analytic Morlet in frequency: pi^{-1/4}·exp(-(xi-w)²/2) for xi > 0."""
+    out = np.pi ** -0.25 * np.exp(-0.5 * (xi - w) ** 2)
+    return np.where(xi > 0, out, 0.0)
+
+
+def ssq_cwt(
+    x,
+    n_scales: int = 64,
+    n_freqs: Optional[int] = None,
+    fmin: float = 1.0 / 512.0,
+    fmax: float = 0.5,
+    w: float = 6.0,
+    gamma: float = 1e-4,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+):
+    """Synchrosqueezed continuous wavelet transform: (…, T) ->
+    ``(S, freqs)`` with S complex (…, n_freqs, T) and ``freqs`` the
+    log-spaced bin centers in cycles/sample.
+
+    The Morlet CWT and its exact time derivative are computed in the
+    frequency domain (one batched engine FFT + 2·n_scales ifft rows); the
+    phase transform ω(a, b) = Im(∂_b W / W)/2π reassigns each (scale,
+    time) cell to its nearest log-frequency bin, and the squeeze runs as a
+    data-dependent ONE-HOT contraction over scales (the NUFFT-spreading
+    trick — no scatter).  Cells with |W| <= gamma·max|W| are dropped.
+    Tones and chirps collapse from the wavelet's constant-Q smear to
+    ~single-bin ridges — the sharpened spectrogram of Daubechies'
+    synchrosqueezing.
+
+    Capability extension; conventions follow ssqueezepy's log-frequency
+    ladder (S sums W over reassigned cells)."""
+    x = jnp.asarray(x)
+    if x.ndim < 1 or x.shape[-1] < 8:
+        raise ValueError("ssq_cwt needs a signal of length >= 8")
+    if not 0.0 < fmin < fmax <= 0.5:
+        raise ValueError(
+            f"need 0 < fmin < fmax <= 0.5 cycles/sample, got {fmin}, {fmax}"
+        )
+    if n_scales < 2:
+        raise ValueError(f"n_scales must be >= 2, got {n_scales}")
+    if n_freqs is None:
+        n_freqs = n_scales
+    if n_freqs < 2:
+        raise ValueError(f"n_freqs must be >= 2, got {n_freqs}")
+    T = x.shape[-1]
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        z = x
+    else:
+        z = hilbert(x, config=config)
+    X = fft(z, config=config)  # (…, T)
+    xi = 2.0 * np.pi * np.fft.fftfreq(T)  # rad/sample
+    # scales: wavelet peak at a·xi = w  ->  a_j = w / (2π f_j)
+    f_sc = np.exp(np.linspace(np.log(fmin), np.log(fmax), n_scales))
+    scales = w / (2.0 * np.pi * f_sc)
+    psi = np.stack([_morlet_hat(a * xi, w) for a in scales])  # (S, T) real
+    rdtype = jnp.real(X).dtype
+    psid = jnp.asarray(psi, rdtype)
+    Wf = X[..., None, :] * psid  # (…, S, T) spectra (psi real: cheap)
+    Wt = ifft(Wf, config=config)  # CWT rows
+    xid = jnp.broadcast_to(jnp.asarray(xi, rdtype), psid.shape)
+    dWt = ifft(Wf * jax.lax.complex(jnp.zeros_like(psid), xid), config=config)
+    wr, wi = jnp.real(Wt), jnp.imag(Wt)
+    dr, di = jnp.real(dWt), jnp.imag(dWt)
+    mag2 = wr * wr + wi * wi
+    # ω = Im(dW / W) / 2π  (cycles/sample)
+    omega = (di * wr - dr * wi) / (
+        2.0 * np.pi * jnp.maximum(mag2, jnp.asarray(1e-30, rdtype))
+    )
+    thresh = gamma * jnp.sqrt(
+        jnp.max(mag2, axis=(-2, -1), keepdims=True)
+    )
+    alive = mag2 > thresh * thresh
+    # nearest log-frequency bin
+    fbins = np.exp(np.linspace(np.log(fmin), np.log(fmax), n_freqs))
+    dlf = (np.log(fmax) - np.log(fmin)) / (n_freqs - 1)
+    pos = jnp.log(jnp.maximum(omega, jnp.asarray(1e-30, rdtype)))
+    idx = jnp.round((pos - float(np.log(fmin))) / dlf)
+    in_range = (idx >= 0) & (idx <= n_freqs - 1) & alive & (omega > 0)
+    idx = jnp.clip(idx, 0, n_freqs - 1)
+    kgrid = jnp.arange(n_freqs, dtype=idx.dtype)
+    onehot = (
+        (idx[..., None] == kgrid) & in_range[..., None]
+    ).astype(rdtype)  # (…, S, T, K)
+    prec = config.op_precision
+    Sr = jnp.einsum("...st,...stk->...kt", wr, onehot, precision=prec)
+    Si = jnp.einsum("...st,...stk->...kt", wi, onehot, precision=prec)
+    return jax.lax.complex(Sr, Si), fbins

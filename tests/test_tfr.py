@@ -64,3 +64,58 @@ def test_errors(rng):
         sp.wigner_ville(np.ones(64, np.float32), nperseg=129)  # > T
     with pytest.raises(ValueError):
         sp.wigner_ville(np.ones(64, np.float32), nperseg=33, hop=0)
+
+
+class TestSynchrosqueezing:
+    def test_two_tone_sharpening(self, rng):
+        T = 2048
+        t = np.arange(T)
+        f1, f2 = 0.05, 0.17
+        sig = (np.cos(2 * np.pi * f1 * t)
+               + 0.7 * np.cos(2 * np.pi * f2 * t)).astype(np.float32)
+        S, freqs = sp.ssq_cwt(sig, n_scales=96, fmin=0.01, fmax=0.4)
+        mag = np.abs(np.asarray(S))[:, 200:-200].mean(-1)
+        top2 = np.sort(np.argsort(mag)[-2:])
+        # recovered frequencies within one log-bin
+        assert abs(freqs[top2[0]] - f1) / f1 < 0.06
+        assert abs(freqs[top2[1]] - f2) / f2 < 0.06
+        # squeezing concentrates nearly all energy on the two ridges
+        conc = sum(mag[max(0, k - 1) : k + 2].sum() for k in top2) / mag.sum()
+        assert conc > 0.95
+
+    def test_chirp_ridge_tracks(self, rng):
+        T = 2048
+        t = np.arange(T)
+        f0, f1 = 0.03, 0.2
+        rate = (f1 - f0) / T
+        sig = np.cos(2 * np.pi * (f0 * t + 0.5 * rate * t * t)).astype(
+            np.float32
+        )
+        S, freqs = sp.ssq_cwt(sig, n_scales=96, fmin=0.01, fmax=0.4)
+        mag = np.abs(np.asarray(S))
+        errs = []
+        for n in range(300, T - 300, 100):
+            f_inst = f0 + rate * n
+            k = int(np.argmax(mag[:, n]))
+            errs.append(abs(freqs[k] - f_inst) / f_inst)
+        assert np.median(errs) < 0.06, errs
+
+    def test_batch_jit(self, rng):
+        import jax
+
+        x = rng.standard_normal((2, 512)).astype(np.float32)
+        S, freqs = jax.jit(
+            lambda v: sp.ssq_cwt(v, n_scales=32, fmin=0.02, fmax=0.4)
+        )(x)
+        assert np.asarray(S).shape == (2, 32, 512)
+        S1, _ = sp.ssq_cwt(x[1], n_scales=32, fmin=0.02, fmax=0.4)
+        d = np.abs(np.asarray(S)[1] - np.asarray(S1)).max()
+        assert d / max(1.0, float(np.abs(np.asarray(S1)).max())) < 1e-5
+
+    def test_errors(self):
+        with pytest.raises(ValueError):
+            sp.ssq_cwt(np.ones(4, np.float32))
+        with pytest.raises(ValueError):
+            sp.ssq_cwt(np.ones(64, np.float32), fmin=0.4, fmax=0.2)
+        with pytest.raises(ValueError):
+            sp.ssq_cwt(np.ones(64, np.float32), n_scales=1)
