@@ -49,6 +49,16 @@ def main():
     sc = float(np.linalg.norm(Sy - S) / np.linalg.norm(S))
     print(f"griffinlim resynthesis spectral convergence: {sc:.3f}")
 
+    # synchrosqueezing pins each note to a single log-frequency ridge
+    dec = sig[::4][:8192]  # fs/4 working rate
+    Sq, freqs = sp.ssq_cwt(dec, n_scales=96, fmin=0.002, fmax=0.45)
+    mag = np.abs(np.asarray(Sq))
+    half = mag.shape[-1] // 2
+    k1 = int(mag[:, 400:half - 400].mean(-1).argmax())
+    k2 = int(mag[:, half + 400:-400].mean(-1).argmax())
+    print(f"ssq_cwt note ridges: {freqs[k1] * fs / 4:.1f} Hz then "
+          f"{freqs[k2] * fs / 4:.1f} Hz (440 / 660 expected)")
+
 
 if __name__ == "__main__":
     main()
