@@ -180,3 +180,50 @@ def fourier_shift(x, shift, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array
     ph = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
     out = ifft2(X * ph, config=config)
     return jnp.real(out) if real_in else out
+
+
+def unwrap_phase_2d(psi, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """Weighted-least-squares 2-D phase unwrapping (Ghiglia-Romero DCT
+    algorithm): solve ∇²φ = div(wrapped gradients) with Neumann boundaries
+    via one DCT-II Poisson solve — the standard InSAR/MRI unwrapper for
+    smooth phase fields.
+
+    Input wrapped phase (…, H, W) in radians; returns the least-squares
+    unwrapped surface (defined up to an additive constant, anchored to
+    mean zero).  Exact for phase fields whose true gradients never exceed
+    π per pixel; residue-crossed fields get the least-squares smooth
+    fit."""
+    from .dct import dctn, idctn
+
+    psi = jnp.asarray(psi)
+    if psi.ndim < 2 or psi.shape[-1] < 2 or psi.shape[-2] < 2:
+        raise ValueError("psi must be (…, H, W) with H, W >= 2")
+    if jnp.issubdtype(psi.dtype, jnp.complexfloating):
+        raise ValueError("psi must be a real phase field (radians)")
+    psi = psi.astype(config.dtype)
+    H, W = psi.shape[-2], psi.shape[-1]
+
+    def wrap(a):
+        return (a + np.pi) % (2.0 * np.pi) - np.pi
+
+    dx = wrap(psi[..., 1:, :] - psi[..., :-1, :])  # (…, H-1, W)
+    dy = wrap(psi[..., :, 1:] - psi[..., :, :-1])  # (…, H, W-1)
+    z = jnp.zeros_like(psi[..., :1, :])
+    rho_x = jnp.concatenate([dx, z], axis=-2) - jnp.concatenate(
+        [z, dx], axis=-2
+    )
+    zy = jnp.zeros_like(psi[..., :, :1])
+    rho_y = jnp.concatenate([dy, zy], axis=-1) - jnp.concatenate(
+        [zy, dy], axis=-1
+    )
+    rho = rho_x + rho_y
+    # Neumann-BC Poisson solve: DCT-II eigenvalues 2cos(pi k/N) - 2
+    R = dctn(rho, axes=(-2, -1), config=config)
+    ei = 2.0 * np.cos(np.pi * np.arange(H) / H) - 2.0
+    ej = 2.0 * np.cos(np.pi * np.arange(W) / W) - 2.0
+    denom = ei[:, None] + ej[None, :]
+    denom[0, 0] = 1.0  # DC: gauge freedom, set below
+    R = R / jnp.asarray(denom, R.dtype)
+    R = R.at[..., 0, 0].set(0.0)
+    phi = idctn(R, axes=(-2, -1), config=config)
+    return phi - jnp.mean(phi, axis=(-2, -1), keepdims=True)

@@ -82,3 +82,37 @@ def test_errors(img):
         sp.fourier_shift(np.ones(8, np.float32), np.zeros(2))
     with pytest.raises(ValueError):
         sp.fourier_shift(img, np.zeros(3))
+
+
+class TestUnwrapPhase2D:
+    def test_recovers_smooth_surface(self, rng):
+        H, W = 96, 128
+        yy, xx = np.mgrid[0:H, 0:W]
+        true = (18.0 * np.exp(-(((yy - 40) / 30.0) ** 2
+                                + ((xx - 60) / 40.0) ** 2))
+                + 0.08 * yy + 0.05 * xx)
+        wrapped = np.angle(np.exp(1j * true)).astype(np.float32)
+        un = np.asarray(sp.unwrap_phase_2d(wrapped))
+        diff = un - (true - true.mean())
+        assert np.abs(diff - diff.mean()).max() < 1e-3
+
+    def test_batch_jit_and_noise(self, rng):
+        import jax
+
+        H, W = 64, 64
+        yy, xx = np.mgrid[0:H, 0:W]
+        true = 0.2 * yy + 0.15 * xx
+        wrapped = np.angle(
+            np.exp(1j * (true + 0.05 * rng.standard_normal((H, W))))
+        ).astype(np.float32)
+        batch = np.stack([wrapped, wrapped])
+        un = np.asarray(jax.jit(sp.unwrap_phase_2d)(batch))
+        assert un.shape == (2, H, W)
+        diff = un[0] - (true - true.mean())
+        assert np.abs(diff - diff.mean()).max() < 0.3  # noise-limited
+
+    def test_errors(self):
+        with pytest.raises(ValueError):
+            sp.unwrap_phase_2d(np.ones(8, np.float32))
+        with pytest.raises(ValueError):
+            sp.unwrap_phase_2d(np.ones((4, 4), np.complex64))
