@@ -181,3 +181,67 @@ def ssq_cwt(
     Sr = jnp.einsum("...st,...stk->...kt", wr, onehot, precision=prec)
     Si = jnp.einsum("...st,...stk->...kt", wi, onehot, precision=prec)
     return jax.lax.complex(Sr, Si), fbins
+
+
+def ssq_stft(
+    x,
+    nperseg: int = 256,
+    noverlap: Optional[int] = None,
+    window="hann",
+    gamma: float = 1e-4,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+):
+    """Synchrosqueezed STFT: (…, T) -> (S, freqs) with S complex
+    (…, n_frames, nperseg//2+1) and ``freqs`` in cycles/sample.
+
+    The phase transform ω(f, t) = f − Im(S_dw/S)/2π (S_dw the STFT taken
+    with the window's derivative) reassigns each cell to its nearest
+    LINEAR frequency bin; the squeeze is the same scatter-free one-hot
+    contraction as :func:`ssq_cwt`, here over the frequency axis.  Tones
+    collapse from the window's mainlobe smear to ~single bins."""
+    from .stft import _frame, stft as _stft
+    from .rfft import rfft as _rfft
+
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("ssq_stft takes real signals")
+    if noverlap is None:
+        noverlap = nperseg - max(1, nperseg // 8)
+    S = _stft(x, nperseg, noverlap, window, center=True, config=config)
+    # derivative-window STFT: d/dt of the periodic window, host fp64
+    w = get_window(window, nperseg, np.float64)
+    wd = np.fft.irfft(
+        np.fft.rfft(w) * (2j * np.pi * np.fft.rfftfreq(nperseg)), n=nperseg
+    )
+    hop = nperseg - noverlap
+    pad = [(0, 0)] * (x.ndim - 1) + [(nperseg // 2, nperseg // 2)]
+    xm = jnp.pad(x.astype(config.dtype), pad, mode="reflect")
+    t = xm.shape[-1]
+    n_frames = S.shape[-2]
+    full = nperseg + (n_frames - 1) * hop
+    if full > t:
+        xm = jnp.pad(xm, [(0, 0)] * (x.ndim - 1) + [(0, full - t)])
+    frames = _frame(xm, nperseg, hop)[..., :n_frames, :]
+    Sd = _rfft(frames * jnp.asarray(wd, frames.dtype), config=config)
+    sr, si = jnp.real(S), jnp.imag(S)
+    dr, di = jnp.real(Sd), jnp.imag(Sd)
+    mag2 = sr * sr + si * si
+    rdtype = sr.dtype
+    nb = S.shape[-1]
+    fgrid = np.fft.rfftfreq(nperseg)  # cycles/sample
+    omega = jnp.asarray(fgrid, rdtype) - (di * sr - dr * si) / (
+        2.0 * np.pi * jnp.maximum(mag2, jnp.asarray(1e-30, rdtype))
+    )
+    thresh = gamma * jnp.sqrt(jnp.max(mag2, axis=(-2, -1), keepdims=True))
+    alive = mag2 > thresh * thresh
+    df = fgrid[1]
+    idx = jnp.round(omega / df)
+    in_range = (idx >= 0) & (idx <= nb - 1) & alive
+    idx = jnp.clip(idx, 0, nb - 1)
+    kgrid = jnp.arange(nb, dtype=idx.dtype)
+    onehot = ((idx[..., None] == kgrid) & in_range[..., None]).astype(rdtype)
+    prec = config.op_precision
+    Sr = jnp.einsum("...tf,...tfk->...tk", sr, onehot, precision=prec)
+    Si = jnp.einsum("...tf,...tfk->...tk", si, onehot, precision=prec)
+    return jax.lax.complex(Sr, Si), fgrid

@@ -119,3 +119,33 @@ class TestSynchrosqueezing:
             sp.ssq_cwt(np.ones(64, np.float32), fmin=0.4, fmax=0.2)
         with pytest.raises(ValueError):
             sp.ssq_cwt(np.ones(64, np.float32), n_scales=1)
+
+
+class TestSsqStft:
+    def test_two_tone_ridges(self, rng):
+        T = 4096
+        t = np.arange(T)
+        f1, f2 = 0.0503, 0.1717
+        sig = (np.cos(2 * np.pi * f1 * t)
+               + 0.7 * np.cos(2 * np.pi * f2 * t)).astype(np.float32)
+        S, freqs = sp.ssq_stft(sig, nperseg=256)
+        mag = np.abs(np.asarray(S))[10:-10].mean(0)
+        df = freqs[1]
+        for f0 in (f1, f2):
+            k = int(round(f0 / df))
+            kw = np.argmax(mag[k - 2 : k + 3]) + k - 2
+            assert abs(freqs[kw] - f0) < 1.5 * df
+            # energy near the ridge dominates a window twice the mainlobe
+            near = mag[k - 2 : k + 3].sum()
+            wide = mag[max(0, k - 8) : k + 9].sum()
+            assert near / wide > 0.8
+
+    def test_batch_jit_errors(self, rng):
+        import jax
+
+        x = rng.standard_normal((2, 1024)).astype(np.float32)
+        S, freqs = jax.jit(lambda v: sp.ssq_stft(v, nperseg=128))(x)
+        assert np.asarray(S).shape[0] == 2
+        assert np.asarray(S).shape[-1] == 65
+        with pytest.raises(ValueError):
+            sp.ssq_stft(np.zeros(64, np.complex64))
