@@ -199,7 +199,13 @@ def ssq_stft(
     with the window's derivative) reassigns each cell to its nearest
     LINEAR frequency bin; the squeeze is the same scatter-free one-hot
     contraction as :func:`ssq_cwt`, here over the frequency axis.  Tones
-    collapse from the window's mainlobe smear to ~single bins."""
+    collapse from the window's mainlobe smear to ~single bins.
+
+    Phase convention: bins are referenced to the FRAME CENTER (the
+    modified STFT S·e^{2πik·c/n}, c = nperseg//2 — a (−1)^k sign flip for
+    even nperseg).  This makes the squeezed coefficients bin-sum
+    invertible: :func:`issq_stft` reconstructs the signal at the frame
+    centers by a plain sum over frequency bins."""
     from .stft import _frame, stft as _stft
     from .rfft import rfft as _rfft
 
@@ -224,6 +230,13 @@ def ssq_stft(
         xm = jnp.pad(xm, [(0, 0)] * (x.ndim - 1) + [(0, full - t)])
     frames = _frame(xm, nperseg, hop)[..., :n_frames, :]
     Sd = _rfft(frames * jnp.asarray(wd, frames.dtype), config=config)
+    # reference phases to the frame center (modified STFT): bin-sum
+    # reconstruction then needs no per-bin phase factor (see issq_stft)
+    cmod = np.exp(
+        2j * np.pi * np.arange(nperseg // 2 + 1) * (nperseg // 2) / nperseg
+    )
+    S = S * jnp.asarray(cmod, S.dtype)
+    Sd = Sd * jnp.asarray(cmod, Sd.dtype)
     sr, si = jnp.real(S), jnp.imag(S)
     dr, di = jnp.real(Sd), jnp.imag(Sd)
     mag2 = sr * sr + si * si
@@ -245,3 +258,76 @@ def ssq_stft(
     Sr = jnp.einsum("...tf,...tfk->...tk", sr, onehot, precision=prec)
     Si = jnp.einsum("...tf,...tfk->...tk", si, onehot, precision=prec)
     return jax.lax.complex(Sr, Si), fgrid
+
+
+def issq_cwt(
+    S,
+    n_scales: int = 64,
+    fmin: float = 1.0 / 512.0,
+    fmax: float = 0.5,
+    w: float = 6.0,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+):
+    """Inverse synchrosqueezed CWT: Daubechies' one-integral formula.
+
+    Because :func:`ssq_cwt` squeezes an amplitude-preserving (L1) Morlet
+    CWT over a LOG-spaced scale ladder, summing the squeezed plane over
+    frequency bins recovers Σ_j W(a_j, b) — and with Δln a constant,
+
+        x(b) ≈ Re[ (Δln a / C_ψ) · Σ_k S(k, b) ],   C_ψ = ∫₀^∞ ψ̂(u) du/u,
+
+    one dense reduction, no scatter/gather.  Pass the SAME analysis
+    parameters (``n_scales``, ``fmin``, ``fmax``, ``w``) used at
+    :func:`ssq_cwt` time; accurate for content whose frequencies lie in
+    the interior of the [fmin, fmax] ladder (the scale integral is
+    truncated at the ladder ends).
+    """
+    S = jnp.asarray(S)
+    if not 0.0 < fmin < fmax <= 0.5:
+        raise ValueError(
+            f"need 0 < fmin < fmax <= 0.5 cycles/sample, got {fmin}, {fmax}"
+        )
+    if n_scales < 2:
+        raise ValueError(f"n_scales must be >= 2, got {n_scales}")
+    dloga = (np.log(fmax) - np.log(fmin)) / (n_scales - 1)
+    # C_ψ by host fp64 quadrature (integrand a Gaussian bump at u = w)
+    u = np.linspace(1e-4, w + 15.0, 200_001)
+    c_psi = float(np.trapezoid(_morlet_hat(u, w) / u, u))
+    return jnp.sum(jnp.real(S), axis=-2) * jnp.asarray(
+        dloga / c_psi, jnp.real(S).dtype
+    )
+
+
+def issq_stft(
+    S,
+    nperseg: int = 256,
+    window="hann",
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+):
+    """Inverse synchrosqueezed STFT: (…, n_frames, nperseg//2+1) ->
+    (…, n_frames), the signal sampled AT THE FRAME CENTERS t_m = m·hop
+    (pass hop=1 at analysis time for a full-rate reconstruction).
+
+    :func:`ssq_stft` coefficients are frame-center referenced, so the
+    full-spectrum inversion Σ_k S_full[k] = n·x(t_m)·w[c] needs only the
+    one-sided-to-full weights (2 everywhere but DC/Nyquist):
+
+        x(t_m) = (2·Re Σ_k S[m,k] − Re S[m,0] − Re S[m,n/2]) / (n·w[c]).
+    """
+    S = jnp.asarray(S)
+    nb = S.shape[-1]
+    if nb != nperseg // 2 + 1:
+        raise ValueError(
+            f"S has {nb} bins; expected nperseg//2+1 = {nperseg // 2 + 1}"
+        )
+    wvals = get_window(window, nperseg, np.float64)
+    wc = float(wvals[nperseg // 2])
+    if abs(wc) < 1e-12:
+        raise ValueError("window vanishes at the frame center; not invertible")
+    sr = jnp.real(S)
+    total = 2.0 * jnp.sum(sr, axis=-1) - sr[..., 0]
+    if nperseg % 2 == 0:
+        total = total - sr[..., -1]
+    return total / jnp.asarray(nperseg * wc, sr.dtype)

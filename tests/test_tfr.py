@@ -149,3 +149,48 @@ class TestSsqStft:
         assert np.asarray(S).shape[-1] == 65
         with pytest.raises(ValueError):
             sp.ssq_stft(np.zeros(64, np.complex64))
+
+
+class TestInverseSynchrosqueezing:
+    def test_issq_cwt_tone_roundtrip(self, rng):
+        T = 2048
+        t = np.arange(T)
+        f0 = 0.043
+        x = np.cos(2 * np.pi * f0 * t).astype(np.float32)
+        S, _ = sp.ssq_cwt(x, n_scales=128, fmin=1 / 256, fmax=0.5)
+        xr = np.asarray(sp.issq_cwt(S, n_scales=128, fmin=1 / 256, fmax=0.5))
+        core = slice(128, -128)  # away from Hilbert/CWT edge effects
+        err = np.linalg.norm(xr[core] - x[core]) / np.linalg.norm(x[core])
+        assert err < 0.05, err
+
+    def test_issq_cwt_two_tone(self, rng):
+        T = 4096
+        t = np.arange(T)
+        x = (np.cos(2 * np.pi * 0.031 * t)
+             + 0.6 * np.sin(2 * np.pi * 0.117 * t)).astype(np.float32)
+        S, _ = sp.ssq_cwt(x, n_scales=160, fmin=1 / 512, fmax=0.5)
+        xr = np.asarray(sp.issq_cwt(S, n_scales=160, fmin=1 / 512, fmax=0.5))
+        core = slice(256, -256)
+        err = np.linalg.norm(xr[core] - x[core]) / np.linalg.norm(x[core])
+        assert err < 0.06, err
+
+    def test_issq_stft_frame_centers(self, rng):
+        T = 4096
+        t = np.arange(T)
+        x = (np.cos(2 * np.pi * 0.0503 * t)
+             + 0.7 * np.cos(2 * np.pi * 0.1717 * t + 0.3)).astype(np.float32)
+        nperseg = 256
+        S, _ = sp.ssq_stft(x, nperseg=nperseg)
+        xr = np.asarray(sp.issq_stft(S, nperseg=nperseg))
+        hop = nperseg // 8
+        centers = np.arange(xr.shape[-1]) * hop
+        keep = (centers > 256) & (centers < T - 256)
+        ref = x[centers[keep]]
+        err = np.linalg.norm(xr[keep] - ref) / np.linalg.norm(ref)
+        assert err < 0.05, err
+
+    def test_issq_errors(self):
+        with pytest.raises(ValueError):
+            sp.issq_stft(np.zeros((4, 12), np.complex64), nperseg=256)
+        with pytest.raises(ValueError):
+            sp.issq_cwt(np.zeros((4, 8), np.complex64), fmin=0.4, fmax=0.2)
