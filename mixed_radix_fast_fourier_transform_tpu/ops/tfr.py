@@ -183,6 +183,29 @@ def ssq_cwt(
     return jax.lax.complex(Sr, Si), fbins
 
 
+def _window_derivative(w: np.ndarray) -> np.ndarray:
+    """d/dj of a periodic window, exact in the DFT basis (host fp64)."""
+    n = len(w)
+    return np.fft.irfft(
+        np.fft.rfft(w) * (2j * np.pi * np.fft.rfftfreq(n)), n=n
+    )
+
+
+def _centered_frames(x: Array, nperseg: int, hop: int, n_frames: int,
+                     config: SpectralConfig) -> Array:
+    """Frames aligned with ``stft(center=True)``: frame m's sample j is
+    original sample m·hop + j − nperseg//2 (reflect-padded edges)."""
+    from .stft import _frame
+
+    pad = [(0, 0)] * (x.ndim - 1) + [(nperseg // 2, nperseg // 2)]
+    xm = jnp.pad(x.astype(config.dtype), pad, mode="reflect")
+    t = xm.shape[-1]
+    full = nperseg + (n_frames - 1) * hop
+    if full > t:
+        xm = jnp.pad(xm, [(0, 0)] * (x.ndim - 1) + [(0, full - t)])
+    return _frame(xm, nperseg, hop)[..., :n_frames, :]
+
+
 def ssq_stft(
     x,
     nperseg: int = 256,
@@ -206,7 +229,7 @@ def ssq_stft(
     even nperseg).  This makes the squeezed coefficients bin-sum
     invertible: :func:`issq_stft` reconstructs the signal at the frame
     centers by a plain sum over frequency bins."""
-    from .stft import _frame, stft as _stft
+    from .stft import stft as _stft
     from .rfft import rfft as _rfft
 
     x = jnp.asarray(x)
@@ -217,18 +240,9 @@ def ssq_stft(
     S = _stft(x, nperseg, noverlap, window, center=True, config=config)
     # derivative-window STFT: d/dt of the periodic window, host fp64
     w = get_window(window, nperseg, np.float64)
-    wd = np.fft.irfft(
-        np.fft.rfft(w) * (2j * np.pi * np.fft.rfftfreq(nperseg)), n=nperseg
-    )
+    wd = _window_derivative(w)
     hop = nperseg - noverlap
-    pad = [(0, 0)] * (x.ndim - 1) + [(nperseg // 2, nperseg // 2)]
-    xm = jnp.pad(x.astype(config.dtype), pad, mode="reflect")
-    t = xm.shape[-1]
-    n_frames = S.shape[-2]
-    full = nperseg + (n_frames - 1) * hop
-    if full > t:
-        xm = jnp.pad(xm, [(0, 0)] * (x.ndim - 1) + [(0, full - t)])
-    frames = _frame(xm, nperseg, hop)[..., :n_frames, :]
+    frames = _centered_frames(x, nperseg, hop, S.shape[-2], config)
     Sd = _rfft(frames * jnp.asarray(wd, frames.dtype), config=config)
     # reference phases to the frame center (modified STFT): bin-sum
     # reconstruction then needs no per-bin phase factor (see issq_stft)
@@ -331,3 +345,85 @@ def issq_stft(
     if nperseg % 2 == 0:
         total = total - sr[..., -1]
     return total / jnp.asarray(nperseg * wc, sr.dtype)
+
+
+def reassigned_spectrogram(
+    x,
+    nperseg: int = 256,
+    noverlap: Optional[int] = None,
+    window="hann",
+    gamma: float = 1e-4,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+):
+    """Time-frequency reassigned spectrogram (Auger-Flandrin):
+    (…, T) -> (E, freqs) with E real (…, n_frames, nperseg//2+1), frame m
+    centered on sample m·hop and ``freqs`` in cycles/sample.
+
+    Each spectrogram cell's ENERGY |S|² moves to its local center of
+    gravity: frequency ω̂ = f − Im(S_dw/S)/2π (derivative-window STFT) and
+    time t̂ = t_m + Re(S_tw/S) (time-weighted-window STFT) — impulses
+    collapse to their true frame, chirps to their instantaneous-frequency
+    ridge, in BOTH axes (synchrosqueezing sharpens frequency only).
+
+    TPU shape: the 2-D relocation is a small static loop over frame
+    offsets o ∈ [−⌈c/hop⌉, ⌈c/hop⌉] (time shifts are bounded by the
+    window half-length c), each a masked one-hot frequency contraction
+    (MXU matmul) placed by a static pad — no scatter.  Cells with
+    |S| <= gamma·max|S| or targets outside the plane are dropped, as in
+    reassignment literature (librosa.reassigned_spectrogram semantics with
+    energy accumulation instead of coordinate output)."""
+    from .stft import stft as _stft
+    from .rfft import rfft as _rfft
+
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("reassigned_spectrogram takes real signals")
+    if noverlap is None:
+        noverlap = nperseg - max(1, nperseg // 8)
+    S = _stft(x, nperseg, noverlap, window, center=True, config=config)
+    hop = nperseg - noverlap
+    n_frames = S.shape[-2]
+    nb = S.shape[-1]
+    c = nperseg // 2
+    w = get_window(window, nperseg, np.float64)
+    wd = _window_derivative(w)
+    wt = (np.arange(nperseg) - c) * w  # time-weighted window, sample units
+    frames = _centered_frames(x, nperseg, hop, n_frames, config)
+    Sd = _rfft(frames * jnp.asarray(wd, frames.dtype), config=config)
+    St = _rfft(frames * jnp.asarray(wt, frames.dtype), config=config)
+    sr, si = jnp.real(S), jnp.imag(S)
+    dr, di = jnp.real(Sd), jnp.imag(Sd)
+    tr, ti = jnp.real(St), jnp.imag(St)
+    rdtype = sr.dtype
+    mag2 = sr * sr + si * si
+    denom = jnp.maximum(mag2, jnp.asarray(1e-30, rdtype))
+    fgrid = np.fft.rfftfreq(nperseg)
+    omega = jnp.asarray(fgrid, rdtype) - (di * sr - dr * si) / (
+        2.0 * np.pi * denom
+    )
+    dt = (tr * sr + ti * si) / denom  # Re(St/S), samples
+    thresh = gamma * jnp.sqrt(jnp.max(mag2, axis=(-2, -1), keepdims=True))
+    alive = mag2 > thresh * thresh
+    df = fgrid[1]
+    fidx = jnp.round(omega / df)
+    f_ok = (fidx >= 0) & (fidx <= nb - 1) & alive
+    fidx = jnp.clip(fidx, 0, nb - 1)
+    kgrid = jnp.arange(nb, dtype=fidx.dtype)
+    onehot_f = (fidx[..., None] == kgrid).astype(rdtype)  # (…, t, f, k)
+    off = jnp.round(dt / hop)  # frame offset of the reassigned time
+    max_off = int(np.ceil(c / hop))
+    prec = config.op_precision
+    pieces = []
+    for o in range(-max_off, max_off + 1):
+        m_o = (f_ok & (off == o)).astype(rdtype)
+        P = jnp.einsum(
+            "...tf,...tfk->...tk", mag2 * m_o, onehot_f, precision=prec
+        )
+        # place rows at target frames t+o inside a 2·max_off-padded plane
+        pads = [(0, 0)] * (P.ndim - 2) + [
+            (max_off + o, max_off - o), (0, 0)
+        ]
+        pieces.append(jnp.pad(P, pads))
+    total = sum(pieces)[..., max_off : max_off + n_frames, :]
+    return total, fgrid

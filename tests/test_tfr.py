@@ -194,3 +194,63 @@ class TestInverseSynchrosqueezing:
             sp.issq_stft(np.zeros((4, 12), np.complex64), nperseg=256)
         with pytest.raises(ValueError):
             sp.issq_cwt(np.zeros((4, 8), np.complex64), fmin=0.4, fmax=0.2)
+
+
+class TestReassignedSpectrogram:
+    def test_impulse_time_collapse(self):
+        T = 2048
+        nperseg, hop = 256, 32
+        t0 = 1024  # multiple of hop
+        x = np.zeros(T, np.float32)
+        x[t0] = 1.0
+        E, _ = sp.reassigned_spectrogram(x, nperseg=nperseg)
+        E = np.asarray(E)
+        frame_energy = E.sum(-1)
+        m0 = t0 // hop
+        conc = frame_energy[m0] / max(frame_energy.sum(), 1e-30)
+        assert conc > 0.95, conc
+        # the plain spectrogram spreads the impulse over ~nperseg/hop frames
+        S = np.abs(np.asarray(
+            sp.stft(x, nperseg=nperseg, noverlap=nperseg - hop)
+        )) ** 2
+        plain = S.sum(-1)[m0] / S.sum()
+        assert conc > plain + 0.3, (conc, plain)
+
+    def test_chirp_ridge_concentration(self):
+        T = 4096
+        t = np.arange(T)
+        f = 0.05 + (0.20 - 0.05) * t / T  # linear chirp
+        phase = 2 * np.pi * np.cumsum(f)
+        x = np.cos(phase).astype(np.float32)
+        nperseg, hop = 256, 32
+        E, freqs = sp.reassigned_spectrogram(x, nperseg=nperseg)
+        E = np.asarray(E)
+        df = freqs[1]
+        m_lo, m_hi = 16, E.shape[0] - 16
+        hits = 0
+        near = 0.0
+        tot = 0.0
+        for m in range(m_lo, m_hi):
+            f_inst = f[min(m * hop, T - 1)]
+            k = int(round(f_inst / df))
+            hits += abs(int(np.argmax(E[m])) - k) <= 1
+            near += E[m, max(0, k - 1) : k + 2].sum()
+            tot += E[m].sum()
+        assert hits / (m_hi - m_lo) > 0.9
+        assert near / tot > 0.7, near / tot
+
+    def test_energy_conservation_and_batch_jit(self, rng):
+        t = np.arange(2048)
+        x = np.cos(2 * np.pi * 0.1234 * t).astype(np.float32)
+        E, _ = sp.reassigned_spectrogram(x, nperseg=128)
+        S = np.abs(np.asarray(
+            sp.stft(x, nperseg=128, noverlap=128 - 16)
+        )) ** 2
+        ratio = np.asarray(E).sum() / S.sum()
+        assert 0.8 < ratio <= 1.0 + 1e-6, ratio
+        xb = rng.standard_normal((2, 1024)).astype(np.float32)
+        import jax
+        Eb, _ = jax.jit(lambda v: sp.reassigned_spectrogram(v, nperseg=128))(xb)
+        assert np.asarray(Eb).shape == (2, 65, 65)
+        with pytest.raises(ValueError):
+            sp.reassigned_spectrogram(np.zeros(64, np.complex64))
