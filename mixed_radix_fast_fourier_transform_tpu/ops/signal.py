@@ -588,10 +588,149 @@ def _firwin_lowpass(numtaps: int, cutoff: float, window) -> np.ndarray:
         raise ValueError(f"numtaps must be odd and >= 3, got {numtaps}")
     if not 0.0 < cutoff < 1.0:
         raise ValueError(f"cutoff must be in (0, 1) of Nyquist, got {cutoff}")
+    return firwin(numtaps, cutoff, window=window)
+
+
+def kaiser_atten(numtaps: int, width: float) -> float:
+    """Kaiser-window attenuation for a given transition width (fraction of
+    Nyquist) — scipy.signal.kaiser_atten."""
+    return 2.285 * (numtaps - 1) * np.pi * width + 7.95
+
+
+def kaiser_beta(a: float) -> float:
+    """Kaiser beta for ``a`` dB of stopband attenuation —
+    scipy.signal.kaiser_beta's piecewise fit."""
+    if a > 50:
+        return 0.1102 * (a - 8.7)
+    if a > 21:
+        return 0.5842 * (a - 21) ** 0.4 + 0.07886 * (a - 21)
+    return 0.0
+
+
+def firwin(
+    numtaps: int,
+    cutoff,
+    width: Optional[float] = None,
+    window="hamming",
+    pass_zero=True,
+    scale: bool = True,
+    fs: float = 2.0,
+) -> np.ndarray:
+    """Windowed-sinc linear-phase FIR design — scipy.signal.firwin parity
+    (multi-band ``cutoff``, ``pass_zero`` bool or 'lowpass'/'highpass'/
+    'bandpass'/'bandstop', Kaiser design via ``width``, response pinned to
+    unity at the first passband center when ``scale``).
+
+    Returns a host fp64 tap array (filter design is plan-time work); apply
+    it with :func:`upfirdn`, :func:`resample_poly` or
+    :func:`fft_convolve`."""
+    if numtaps < 2:
+        raise ValueError(f"numtaps must be >= 2, got {numtaps}")
+    nyq = 0.5 * fs
+    cut = np.atleast_1d(np.asarray(cutoff, np.float64)) / nyq
+    if cut.ndim != 1 or cut.size == 0:
+        raise ValueError("cutoff must be a scalar or a 1-D sequence")
+    if np.any(cut <= 0) or np.any(cut >= 1):
+        raise ValueError("cutoff must lie strictly inside (0, fs/2)")
+    if cut.size > 1 and np.any(np.diff(cut) <= 0):
+        raise ValueError("cutoff must be strictly increasing")
+    if isinstance(pass_zero, str):
+        if pass_zero in ("bandstop", "lowpass"):
+            if pass_zero == "lowpass" and cut.size != 1:
+                raise ValueError("lowpass takes exactly one cutoff")
+            pass_zero = True
+        elif pass_zero in ("bandpass", "highpass"):
+            if pass_zero == "highpass" and cut.size != 1:
+                raise ValueError("highpass takes exactly one cutoff")
+            pass_zero = False
+        else:
+            raise ValueError(f"unknown pass_zero {pass_zero!r}")
+    pass_nyquist = bool(cut.size & 1) ^ bool(pass_zero)
+    if pass_nyquist and numtaps % 2 == 0:
+        raise ValueError(
+            "even numtaps (type II) cannot pass Nyquist; use odd numtaps"
+        )
+    if width is not None:
+        window = ("kaiser", kaiser_beta(kaiser_atten(numtaps, width / nyq)))
+    # band edges in [0, 1]-of-Nyquist, alternating stop/pass from pass_zero
+    bands = np.concatenate([
+        [0.0] if pass_zero else [], cut, [1.0] if pass_nyquist else []
+    ]).reshape(-1, 2)
     win = get_window(window, numtaps, np.float64, sym=True)
     m = np.arange(numtaps, dtype=np.float64) - (numtaps - 1) / 2.0
-    h = cutoff * np.sinc(cutoff * m) * win
-    return h / h.sum()  # unit gain at DC
+    h = np.zeros(numtaps, np.float64)
+    for left, right in bands:
+        h += right * np.sinc(right * m) - left * np.sinc(left * m)
+    h *= win
+    if scale:
+        left, right = bands[0]
+        fr = 0.0 if left == 0.0 else (1.0 if right == 1.0 else (left + right) / 2)
+        c = np.cos(np.pi * m * fr)
+        h /= np.sum(h * c)
+    return h
+
+
+def freqz(
+    b,
+    a=1.0,
+    worN=512,
+    whole: bool = False,
+    fs: float = 2.0 * np.pi,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+):
+    """Frequency response of a digital filter — scipy.signal.freqz
+    semantics: returns ``(w, h)`` with ``w`` in units of ``fs`` (host fp64)
+    and ``h`` complex on device.
+
+    For integer ``worN`` the response is one engine FFT of the zero-padded
+    coefficient vectors (worN bins over [0, fs) when ``whole``, else
+    [0, fs/2)); for an explicit frequency array it is a dense
+    e^{−jωk} matrix contraction on the MXU."""
+    b = jnp.asarray(jnp.atleast_1d(jnp.asarray(b)))
+    a = jnp.asarray(jnp.atleast_1d(jnp.asarray(a)))
+    if b.ndim != 1 or a.ndim != 1:
+        raise ValueError("b and a must be 1-D coefficient vectors")
+    cdtype = jnp.result_type(b.dtype, a.dtype, jnp.complex64)
+
+    def _eval_fft(v, nfft):
+        pad = jnp.zeros((nfft - v.shape[0],), v.dtype)
+        return fft(jnp.concatenate([v, pad]).astype(cdtype), config=config)
+
+    if isinstance(worN, (int, np.integer)):
+        n = int(worN)
+        if n < 1:
+            raise ValueError(f"worN must be >= 1, got {worN}")
+        nfft = n if whole else 2 * n
+        if nfft < max(b.shape[0], a.shape[0]):
+            # grid too coarse for an FFT evaluation: fall back to dense
+            w = np.arange(n) * (fs / nfft)
+            return w, _freqz_dense(b, a, w * (2.0 * np.pi / fs), cdtype, config)
+        hb = _eval_fft(b, nfft)[:n]
+        ha = _eval_fft(a, nfft)[:n]
+        w = np.arange(n) * (fs / nfft)
+        return w, hb / ha
+    w = np.asarray(worN, np.float64)
+    if w.ndim != 1:
+        raise ValueError("worN must be an int or a 1-D frequency array")
+    return w, _freqz_dense(b, a, w * (2.0 * np.pi / fs), cdtype, config)
+
+
+def _freqz_dense(b, a, omega: np.ndarray, cdtype, config) -> Array:
+    """H(e^{jω}) at arbitrary ω via e^{−jωk} matrix contractions."""
+    kb = np.arange(b.shape[0])
+    ka = np.arange(a.shape[0])
+    prec = config.op_precision
+    rdtype = jnp.finfo(cdtype).dtype
+    def resp(v, k):
+        ang = -np.outer(omega, k)  # (W, K) host fp64
+        cr = jnp.asarray(np.cos(ang), rdtype)
+        ci = jnp.asarray(np.sin(ang), rdtype)
+        vr, vi = jnp.real(v).astype(rdtype), jnp.imag(v).astype(rdtype)
+        hr = cr @ vr - ci @ vi
+        hi = cr @ vi + ci @ vr
+        return jax.lax.complex(hr, hi)
+    return resp(b, kb) / resp(a, ka)
 
 
 def upfirdn(

@@ -596,3 +596,62 @@ def test_multitaper_detrend_linear(rng):
     assert Pl[1] < Pc[1]
     with pytest.raises(ValueError):
         sp.multitaper(xt, detrend="quadratic")
+
+
+class TestFirwinFreqz:
+    def test_firwin_vs_scipy(self):
+        import scipy.signal as ss
+
+        cases = [
+            dict(numtaps=31, cutoff=0.3),
+            dict(numtaps=64, cutoff=0.4, window="blackman"),
+            dict(numtaps=41, cutoff=0.25, pass_zero=False),
+            dict(numtaps=55, cutoff=[0.2, 0.5], pass_zero=False),
+            dict(numtaps=55, cutoff=[0.2, 0.5], pass_zero=True),
+            dict(numtaps=33, cutoff=[0.1, 0.3, 0.6], pass_zero="bandstop"),
+            dict(numtaps=81, cutoff=0.35, width=0.04),
+            dict(numtaps=21, cutoff=0.3, scale=False),
+            dict(numtaps=31, cutoff=1500.0, fs=8000.0),
+        ]
+        for kw in cases:
+            ours = sp.firwin(**kw)
+            want = ss.firwin(**kw)
+            assert np.max(np.abs(ours - want)) < 1e-12, kw
+
+    def test_firwin_errors(self):
+        with pytest.raises(ValueError):
+            sp.firwin(30, 0.3, pass_zero=False)  # even taps pass Nyquist
+        with pytest.raises(ValueError):
+            sp.firwin(31, [0.5, 0.2])
+        with pytest.raises(ValueError):
+            sp.firwin(31, 1.2)
+        with pytest.raises(ValueError):
+            sp.firwin(31, 0.3, pass_zero="sideways")
+
+    def test_freqz_fir_vs_scipy(self):
+        import scipy.signal as ss
+
+        b = sp.firwin(41, 0.3)
+        for kw in (dict(), dict(worN=256), dict(whole=True, worN=300),
+                   dict(fs=1000.0)):
+            w0, h0 = ss.freqz(b, **kw)
+            w1, h1 = sp.freqz(b.astype(np.float32), **kw)
+            np.testing.assert_allclose(w1, w0, rtol=1e-9)
+            assert np.max(np.abs(np.asarray(h1) - h0)) < 2e-4
+
+    def test_freqz_iir_and_array_grid(self):
+        import scipy.signal as ss
+
+        b = np.array([0.2, 0.3, 0.2])
+        a = np.array([1.0, -0.5, 0.25])
+        grid = np.linspace(0.1, 3.0, 37)
+        w0, h0 = ss.freqz(b, a, worN=grid)
+        w1, h1 = sp.freqz(b.astype(np.float32), a.astype(np.float32),
+                          worN=grid)
+        np.testing.assert_allclose(w1, w0, rtol=1e-12)
+        assert np.max(np.abs(np.asarray(h1) - h0)) < 2e-5
+        # coarse-grid fallback (worN smaller than the filter)
+        long_b = sp.firwin(129, 0.2)
+        w2, h2 = sp.freqz(long_b.astype(np.float32), worN=16)
+        w3, h3 = ss.freqz(long_b, worN=16)
+        assert np.max(np.abs(np.asarray(h2) - h3)) < 2e-4
