@@ -427,3 +427,92 @@ def reassigned_spectrogram(
         pieces.append(jnp.pad(P, pads))
     total = sum(pieces)[..., max_off : max_off + n_frames, :]
     return total, fgrid
+
+
+def stockwell(
+    x,
+    fmin: int = 0,
+    fmax: Optional[int] = None,
+    gamma: float = 1.0,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+):
+    """Stockwell transform (S-transform): (…, T) -> (S, freqs) with S
+    complex (…, K, T), rows the voice at each rfft bin k ∈ [fmin, fmax]
+    (default the full one-sided ladder) and ``freqs`` in cycles/sample.
+
+    The S-transform is an STFT whose Gaussian window scales with frequency
+    (σ_f = f/γ — constant relative bandwidth like the CWT, but keeping the
+    Fourier phase reference at t=0):
+
+        S[k, t] = ifft_j( X[(j+k) mod T] · e^{−2π²γ²j²/k²} )[t] ,
+
+    row k=0 carrying the mean.  TPU shape: one engine FFT, a STATIC
+    host-index roll gather to (K, T), a host Gaussian voice-window
+    constant, and one batched engine ifft over rows — no loops.  Row sums
+    recover X[k] exactly (the window is 1 at j=0), so :func:`istockwell`
+    inverts losslessly when all rows are kept (Stockwell 1996 Eq. 19).
+
+    ``gamma`` > 1 widens the window in time — σ_t = γ/(2πf) — trading
+    event localization for sharper frequencies."""
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("stockwell takes real signals")
+    if x.ndim < 1 or x.shape[-1] < 4:
+        raise ValueError("stockwell needs a signal of length >= 4")
+    T = x.shape[-1]
+    nb = T // 2 + 1
+    if fmax is None:
+        fmax = nb - 1
+    if not (0 <= fmin <= fmax <= nb - 1):
+        raise ValueError(
+            f"need 0 <= fmin <= fmax <= {nb - 1}, got {fmin}, {fmax}"
+        )
+    if gamma <= 0:
+        raise ValueError(f"gamma must be > 0, got {gamma}")
+    z = x.astype(config.dtype)
+    X = fft(z.astype(jnp.result_type(z.dtype, jnp.complex64)), config=config)
+    ks = np.arange(fmin, fmax + 1)
+    idx = np.arange(T)
+    j = np.where(idx < (T + 1) // 2, idx, idx - T)  # signed bin offsets
+    # voice windows in frequency: Gaussian of width k/γ
+    G = np.exp(
+        -2.0 * (np.pi * gamma * j[None, :].astype(np.float64)) ** 2
+        / np.maximum(ks[:, None], 1) ** 2
+    )
+    rows = (j[None, :] + ks[:, None]) % T  # static gather indices
+    V = X[..., rows] * jnp.asarray(G, jnp.real(X).dtype)
+    S = ifft(V, config=config)
+    if fmin == 0:
+        # k=0 voice: the literature keeps the plain mean, not a window
+        mean_row = jnp.mean(z, axis=-1, keepdims=True)[..., None, :]
+        mean_row = jnp.broadcast_to(
+            mean_row, S.shape[:-2] + (1, T)
+        ).astype(S.dtype)
+        S = jnp.concatenate([mean_row, S[..., 1:, :]], axis=-2)
+    freqs = ks / T
+    return S, freqs
+
+
+def istockwell(
+    S,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+):
+    """Invert a FULL-ladder :func:`stockwell` transform: (…, T//2+1, T) ->
+    (…, T) real.  Time-marginals of each voice recover the spectrum
+    (Σ_t S[k, t] = X[k]); one engine irfft finishes."""
+    from .rfft import irfft as _irfft
+
+    S = jnp.asarray(S)
+    if S.ndim < 2:
+        raise ValueError("S must be (…, K, T)")
+    nb, T = S.shape[-2], S.shape[-1]
+    if nb != T // 2 + 1:
+        raise ValueError(
+            f"istockwell needs the full one-sided ladder: {T // 2 + 1} rows "
+            f"for T={T}, got {nb}"
+        )
+    Xh = jnp.sum(S, axis=-1)
+    # row 0 holds the mean replicated across time: its sum is T·mean = X[0]
+    return _irfft(Xh, n=T, config=config)

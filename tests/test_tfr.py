@@ -254,3 +254,52 @@ class TestReassignedSpectrogram:
         assert np.asarray(Eb).shape == (2, 65, 65)
         with pytest.raises(ValueError):
             sp.reassigned_spectrogram(np.zeros(64, np.complex64))
+
+
+class TestStockwell:
+    def test_roundtrip_exact(self, rng):
+        for T in (256, 255):
+            x = rng.standard_normal(T).astype(np.float32)
+            S, freqs = sp.stockwell(x)
+            assert S.shape == (T // 2 + 1, T)
+            assert freqs[0] == 0 and abs(freqs[-1] - (T // 2) / T) < 1e-12
+            xr = np.asarray(sp.istockwell(S))
+            assert np.max(np.abs(xr - x)) < 1e-4
+
+    def test_tone_voice_localization(self):
+        T = 512
+        t = np.arange(T)
+        f0 = 32 / T  # exact bin 32
+        x = np.cos(2 * np.pi * f0 * t).astype(np.float32)
+        S, freqs = sp.stockwell(x)
+        mag = np.abs(np.asarray(S)).mean(-1)
+        assert np.argmax(mag) == 32
+        # voice amplitude of a unit tone is 1/2 along time
+        assert np.max(np.abs(np.abs(np.asarray(S)[32]) - 0.5)) < 1e-3
+
+    def test_event_time_localization(self):
+        T = 512
+        x = np.zeros(T, np.float32)
+        x[300] = 1.0
+        S, _ = sp.stockwell(x, fmin=64, fmax=64)
+        mag = np.abs(np.asarray(S)[0])
+        assert abs(int(np.argmax(mag)) - 300) <= 1
+        # higher gamma -> wider time spread (sharper frequency resolution)
+        Sg, _ = sp.stockwell(x, fmin=64, fmax=64, gamma=2.0)
+        mg = np.abs(np.asarray(Sg)[0])
+        width = (mag > mag.max() / 2).sum()
+        width_g = (mg > mg.max() / 2).sum()
+        assert width_g > width
+
+    def test_batch_and_errors(self, rng):
+        import jax
+
+        xb = rng.standard_normal((3, 128)).astype(np.float32)
+        S, _ = jax.jit(lambda v: sp.stockwell(v))(xb)
+        assert np.asarray(S).shape == (3, 65, 128)
+        with pytest.raises(ValueError):
+            sp.stockwell(np.zeros(64, np.complex64))
+        with pytest.raises(ValueError):
+            sp.stockwell(np.zeros(64, np.float32), fmin=40, fmax=20)
+        with pytest.raises(ValueError):
+            sp.istockwell(np.zeros((4, 128), np.complex64))
