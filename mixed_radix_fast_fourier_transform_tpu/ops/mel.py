@@ -194,3 +194,88 @@ def mfcc(
         peak = jnp.max(db, axis=(-2, -1), keepdims=True)
         db = jnp.maximum(db, peak - top_db)
     return _dct(db, type=2, norm="ortho", config=config)[..., :n_mfcc]
+
+
+def mel_to_stft(
+    M,
+    sr: float = 22050.0,
+    n_fft: int = 2048,
+    power: float = 2.0,
+    n_iter: int = 32,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
+    htk: bool = False,
+    norm="slaney",
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Approximate-invert a mel spectrogram to STFT MAGNITUDES:
+    (…, frames, n_mels) -> (…, frames, n_fft//2+1) — librosa
+    ``feature.inverse.mel_to_stft`` semantics (its NNLS step).
+
+    NNLS per frame, TPU shape: initialize at the clipped pseudo-inverse
+    solution (one host pinv of the small (n_mels, bins) filterbank, one
+    MXU matmul) and refine with ``n_iter`` projected-gradient steps at the
+    exact Lipschitz rate 1/||F Fᵀ||₂ — a lax.fori_loop of two matmuls per
+    step, jittable end to end."""
+    M = jnp.asarray(M)
+    if jnp.issubdtype(M.dtype, jnp.complexfloating):
+        raise ValueError("mel_to_stft takes a real mel spectrogram")
+    if M.ndim < 2:
+        raise ValueError("M must be (…, frames, n_mels)")
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    n_mels = M.shape[-1]
+    fb = mel_filterbank(
+        sr, n_fft, n_mels, fmin, fmax, htk, norm, dtype=np.float64
+    )  # (n_mels, bins)
+    pinv = np.linalg.pinv(fb)  # (bins, n_mels)
+    lam = 1.0 / max(float(np.linalg.norm(fb @ fb.T, 2)), 1e-12)
+    rdtype = M.dtype
+    fbd = jnp.asarray(fb, rdtype)
+    prec = config.op_precision
+    s0 = jnp.maximum(
+        jnp.einsum("...tm,bm->...tb", M, jnp.asarray(pinv, rdtype),
+                   precision=prec),
+        0.0,
+    )
+
+    def step(_, s):
+        resid = jnp.einsum("...tb,mb->...tm", s, fbd, precision=prec) - M
+        grad = jnp.einsum("...tm,mb->...tb", resid, fbd, precision=prec)
+        return jnp.maximum(s - lam * grad, 0.0)
+
+    s = jax.lax.fori_loop(0, n_iter, step, s0) if n_iter else s0
+    # mel power -> linear magnitude
+    return jnp.power(jnp.maximum(s, 0.0), 1.0 / power)
+
+
+def mel_to_audio(
+    M,
+    sr: float = 22050.0,
+    n_fft: int = 2048,
+    hop: Optional[int] = None,
+    window="hann",
+    power: float = 2.0,
+    n_iter_nnls: int = 32,
+    n_iter_gl: int = 32,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
+    length: Optional[int] = None,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Invert a mel spectrogram to a waveform: NNLS filterbank inversion
+    (:func:`mel_to_stft`) followed by Griffin-Lim phase retrieval —
+    librosa ``feature.inverse.mel_to_audio`` semantics, one jittable
+    pipeline of engine rfft/irfft rounds."""
+    from .stft import griffinlim as _griffinlim
+
+    hop = n_fft // 4 if hop is None else int(hop)
+    mag = mel_to_stft(
+        M, sr, n_fft, power, n_iter_nnls, fmin, fmax, config=config
+    )
+    return _griffinlim(
+        mag, n_iter=n_iter_gl, nperseg=n_fft, noverlap=n_fft - hop,
+        window=window, length=length, config=config,
+    )

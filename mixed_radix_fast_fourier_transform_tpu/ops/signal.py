@@ -81,6 +81,39 @@ def hilbert(x, n: Optional[int] = None, axis: int = -1,
     return jnp.moveaxis(out, -1, axis)
 
 
+def hilbert2(x, n=None, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """2-D analytic signal over the LAST TWO axes
+    (scipy.signal.hilbert2 semantics, batched): real (…, H, W) -> complex,
+    single-orthant spectrum (Hahn 1992): per axis, DC kept, strictly
+    positive bins doubled, negative AND Nyquist bins zeroed — matching
+    scipy >= 1.17 exactly.  Note Re(result) ≠ x in general (unlike 1-D
+    :func:`hilbert`); that is a property of the single-orthant
+    definition, not an error."""
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("hilbert2 requires a real signal")
+    if x.ndim < 2:
+        raise ValueError("hilbert2 needs at least 2 dimensions")
+    if n is None:
+        ns = (x.shape[-2], x.shape[-1])
+    else:
+        ns = (int(n), int(n)) if np.ndim(n) == 0 else tuple(int(v) for v in n)
+        if len(ns) != 2 or min(ns) < 1:
+            raise ValueError(f"n must be a positive int or pair, got {n}")
+    from .fft import fft2, ifft2
+
+    spec = fft2(x, s=ns, config=config)
+
+    def _step(m: int) -> np.ndarray:
+        h = np.zeros(m)
+        h[0] = 1.0
+        h[1 : (m + 1) // 2] = 2.0  # Nyquist zeroed for even m (scipy 1.17)
+        return h
+
+    h2d = np.outer(_step(ns[0]), _step(ns[1]))
+    return ifft2(spec * jnp.asarray(h2d, jnp.real(spec).dtype), config=config)
+
+
 def periodogram(
     x,
     fs: float = 1.0,

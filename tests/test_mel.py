@@ -93,3 +93,46 @@ def test_errors():
 def test_fmax_beyond_nyquist_raises():
     with pytest.raises(ValueError):
         sp.mel_filterbank(22050, 2048, 40, fmax=20000.0)
+
+
+class TestMelInversion:
+    def test_mel_to_stft_recovers_magnitude(self, rng):
+        sr, n_fft = 22050.0, 512
+        t = np.arange(4096) / sr
+        x = (np.sin(2 * np.pi * 880 * t)
+             + 0.5 * np.sin(2 * np.pi * 2500 * t)).astype(np.float32)
+        S = np.abs(np.asarray(sp.stft(x, nperseg=n_fft,
+                                      noverlap=n_fft - n_fft // 4))) ** 2
+        M = np.asarray(sp.melspectrogram(x, sr, n_fft=n_fft, n_mels=128))
+        Sr = np.asarray(sp.mel_to_stft(M, sr, n_fft=n_fft, n_iter=64)) ** 2
+        # spectral peaks land on the right bins with sane magnitudes
+        mid = S.shape[0] // 2
+        for f0 in (880.0, 2500.0):
+            k = int(round(f0 * n_fft / sr))
+            krec = k - 3 + int(np.argmax(Sr[mid, k - 3 : k + 4]))
+            assert abs(krec - k) <= 1
+        # NNLS residual is small in the mel domain
+        fb = sp.mel_filterbank(sr, n_fft, 128)
+        resid = np.linalg.norm(Sr[mid] @ fb.T - M[mid]) / np.linalg.norm(M[mid])
+        assert resid < 0.05, resid
+
+    def test_mel_to_audio_roundtrip_spectrum(self, rng):
+        sr, n_fft = 22050.0, 512
+        t = np.arange(8192) / sr
+        x = np.sin(2 * np.pi * 1200 * t).astype(np.float32)
+        M = sp.melspectrogram(x, sr, n_fft=n_fft, n_mels=96)
+        y = np.asarray(sp.mel_to_audio(M, sr, n_fft=n_fft, n_iter_gl=16,
+                                       length=len(x)))
+        assert y.shape == x.shape
+        # dominant frequency survives the double inversion
+        Y = np.abs(np.fft.rfft(y * np.hanning(len(y))))
+        f_rec = np.argmax(Y) * sr / len(y)
+        assert abs(f_rec - 1200.0) < 30.0, f_rec
+
+    def test_errors(self):
+        with pytest.raises(ValueError):
+            sp.mel_to_stft(np.zeros((4, 8), np.complex64))
+        with pytest.raises(ValueError):
+            sp.mel_to_stft(np.zeros(8, np.float32))
+        with pytest.raises(ValueError):
+            sp.mel_to_stft(np.zeros((4, 8), np.float32), n_iter=-1)

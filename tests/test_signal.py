@@ -655,3 +655,35 @@ class TestFirwinFreqz:
         w2, h2 = sp.freqz(long_b.astype(np.float32), worN=16)
         w3, h3 = ss.freqz(long_b, worN=16)
         assert np.max(np.abs(np.asarray(h2) - h3)) < 2e-4
+
+
+class TestHilbert2:
+    def test_vs_scipy(self, rng):
+        import scipy.signal as ss
+
+        x = rng.standard_normal((24, 30)).astype(np.float64)
+        got = np.asarray(sp.hilbert2(x.astype(np.float32)))
+        want = ss.hilbert2(x)
+        assert np.max(np.abs(got - want)) < 1e-4
+        # odd sizes
+        x2 = rng.standard_normal((17, 21))
+        got2 = np.asarray(sp.hilbert2(x2.astype(np.float32)))
+        want2 = ss.hilbert2(x2)
+        assert np.max(np.abs(got2 - want2)) < 1e-4
+
+    def test_batched_and_errors(self, rng):
+        import scipy.signal as ss
+
+        xb = rng.standard_normal((3, 16, 16)).astype(np.float32)
+        z = np.asarray(sp.hilbert2(xb))
+        assert z.shape == (3, 16, 16)
+        # batched result matches per-image scipy
+        want = np.stack([ss.hilbert2(xb[i].astype(np.float64))
+                         for i in range(3)])
+        assert np.max(np.abs(z - want)) < 1e-4
+        with pytest.raises(ValueError):
+            sp.hilbert2(np.zeros((4, 4), np.complex64))
+        with pytest.raises(ValueError):
+            sp.hilbert2(np.zeros(8, np.float32))
+        with pytest.raises(ValueError):
+            sp.hilbert2(np.zeros((4, 4), np.float32), n=(2, 3, 4))
