@@ -172,6 +172,47 @@ _REC_LO["sym3"] = _REC_LO["db3"]
 for _n in range(4, 11):
     _REC_LO[f"sym{_n}"] = _symlet_lowpass(_n).tolist()
 
+# Coiflets (coifL: length 6L, 2L vanishing moments for BOTH psi and — p >=
+# 1 — phi), derived by tools/derive_coiflets.py: factor out the binomial
+# ((1+z)/2)^2L, Levenberg-Marquardt on the remainder with Chebyshev-based
+# scaling-moment rows, near-linear-phase branch selection (same criterion
+# as the symlets; branches separate by >10x in phase deviation).  coif1 is
+# the closed form (sqrt(2)/32)·[1−√7, 5+√7, 14+2√7, 14−2√7, 1−√7, −3+√7]
+# reversed; the higher orders are frozen here because the restart search
+# costs ~minutes (values verified against all defining conditions at
+# derivation time, and re-verified by tests/test_dwt.py moment checks).
+_REC_LO.update({
+    "coif1": [-0.07273261951252646, 0.3378976624574818, 0.8525720202116004,
+              0.3848648468648578, -0.07273261951252646, -0.01565572813579199],
+    "coif2": [0.016387336463203707, -0.04146493678687119,
+              -0.06737255472372544, 0.3861100668227614, 0.8127236354494134,
+              0.41700518442324086, -0.07648859907828065,
+              -0.059434418646431994, 0.02368017194684787,
+              0.005611434819368951, -0.0018232088709110373,
+              -0.0007205494455202785],
+    "coif3": [-0.0037935128646718963, 0.007782596426165859,
+              0.023452696143545976, -0.06577191128439741,
+              -0.06112339000570599, 0.40517690241629367, 0.7937772226278721,
+              0.42848347636808937, -0.07179982161817611,
+              -0.0823019270996539, 0.034555027571057315,
+              0.015880544861198678, -0.00900797613543506,
+              -0.002574517687762439, 0.001117518770567916,
+              0.0004662169597979529, -7.098330250693364e-05,
+              -3.459977318497693e-05],
+    "coif4": [0.0008923139308015434, -0.001629492473379725,
+              -0.0073461681358152064, 0.01606894751033472,
+              0.02668230524954951, -0.08126671154706777,
+              -0.05607732045026825, 0.4153084295272933, 0.7822389349389027,
+              0.43438603006516985, -0.06662747212965847,
+              -0.09622042220747229, 0.03933442194575798,
+              0.025082252241492325, -0.015211727683994446,
+              -0.005658283503166019, 0.003751434507566242,
+              0.0012665610327605129, -0.0005890201895931771,
+              -0.0002599743276153757, 6.233885066321267e-05,
+              3.1229858971468046e-05, -3.259647365803015e-06,
+              -1.7849907767410207e-06],
+})
+
 
 def _cdf97_lowpass():
     """CDF 9/7 lowpass pair by spline factorization (derivation, not

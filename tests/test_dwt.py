@@ -334,3 +334,42 @@ def test_dwt_axis_out_of_range():
     with _pytest.raises(ValueError):
         sp.idwt(np.ones((4, 16), np.float32), np.ones((4, 16), np.float32),
                 "db2", axis=3)
+
+
+class TestCoiflets:
+    def test_coif1_closed_form(self):
+        from mixed_radix_fast_fourier_transform_tpu.ops.dwt import _REC_LO
+
+        s7 = np.sqrt(7.0)
+        want = (np.array([1 - s7, 5 + s7, 14 + 2 * s7, 14 - 2 * s7,
+                          1 - s7, -3 + s7]) * np.sqrt(2.0) / 32.0)
+        np.testing.assert_allclose(_REC_LO["coif1"], want, atol=1e-14)
+
+    @pytest.mark.parametrize("L", [1, 2, 3, 4])
+    def test_defining_conditions(self, L):
+        from mixed_radix_fast_fourier_transform_tpu.ops.dwt import _REC_LO
+
+        h = np.array(_REC_LO[f"coif{L}"])
+        K, N, c = 2 * L, 6 * L, 2 * L
+        assert len(h) == N
+        assert abs(h.sum() - np.sqrt(2.0)) < 1e-9
+        n = np.arange(N, dtype=np.float64)
+        for p in range(K):  # psi moments
+            assert abs(np.sum((-1.0) ** n * (n / N) ** p * h)) < 1e-8, p
+        for p in range(1, K):  # phi moments about 2L
+            assert abs(np.sum(((n - c) / N) ** p * h)) < 1e-8, p
+        for k in range(3 * L):  # orthonormality
+            g = np.sum(h[: N - 2 * k] * h[2 * k :])
+            assert abs(g - (1.0 if k == 0 else 0.0)) < 1e-9, k
+
+    @pytest.mark.parametrize("L", [1, 2, 4])
+    def test_roundtrip_all_modes(self, L, rng):
+        w = f"coif{L}"
+        x = rng.standard_normal(96).astype(np.float32)
+        for mode in ("periodization", "symmetric", "zero"):
+            a, d = sp.dwt(x, w, mode=mode)
+            xr = np.asarray(sp.idwt(a, d, w, mode=mode))[..., :96]
+            assert np.max(np.abs(xr - x)) < 1e-5, (w, mode)
+        coeffs = sp.wavedec(x, w, level=3)
+        xr = np.asarray(sp.waverec(coeffs, w))[..., :96]
+        assert np.max(np.abs(xr - x)) < 1e-5
