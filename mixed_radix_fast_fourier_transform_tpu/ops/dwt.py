@@ -211,6 +211,20 @@ _REC_LO.update({
               -0.0002599743276153757, 6.233885066321267e-05,
               3.1229858971468046e-05, -3.259647365803015e-06,
               -1.7849907767410207e-06],
+    "coif5": [-0.0002120761273263406, 0.00035856802928209246,
+              0.002178242366716269, -0.004159216925403358,
+              -0.010131379959809728, 0.023407898905936975,
+              0.028169294518125554, -0.09192048293913757,
+              -0.05204609947097083, 0.4215693816685615, 0.7742932831560907,
+              0.43798449846154597, -0.062037872629929325,
+              -0.10556490832957977, 0.0412879514508262, 0.03267575912371168,
+              -0.019758778543947586, -0.009159853950816324,
+              0.006761718308198623, 0.0024316574087172634,
+              -0.001661688956548616, -0.0006375749959033894,
+              0.00030187032684742107, 0.00014036071573842991,
+              -4.122186994463779e-05, -2.127128307499251e-05,
+              3.7010093387457774e-06, 2.0613467875953164e-06,
+              -1.623911144487161e-07, -9.604981534598897e-08],
 })
 
 

@@ -345,7 +345,7 @@ class TestCoiflets:
                           1 - s7, -3 + s7]) * np.sqrt(2.0) / 32.0)
         np.testing.assert_allclose(_REC_LO["coif1"], want, atol=1e-14)
 
-    @pytest.mark.parametrize("L", [1, 2, 3, 4])
+    @pytest.mark.parametrize("L", [1, 2, 3, 4, 5])
     def test_defining_conditions(self, L):
         from mixed_radix_fast_fourier_transform_tpu.ops.dwt import _REC_LO
 
@@ -362,7 +362,7 @@ class TestCoiflets:
             g = np.sum(h[: N - 2 * k] * h[2 * k :])
             assert abs(g - (1.0 if k == 0 else 0.0)) < 1e-9, k
 
-    @pytest.mark.parametrize("L", [1, 2, 4])
+    @pytest.mark.parametrize("L", [1, 2, 5])
     def test_roundtrip_all_modes(self, L, rng):
         w = f"coif{L}"
         x = rng.standard_normal(96).astype(np.float32)
