@@ -703,6 +703,173 @@ def firwin(
     return h
 
 
+def remez(
+    numtaps: int,
+    bands,
+    desired,
+    weight=None,
+    type: str = "bandpass",
+    maxiter: int = 50,
+    grid_density: int = 16,
+    fs: float = 1.0,
+) -> np.ndarray:
+    """Parks-McClellan optimal equiripple FIR design — scipy.signal.remez
+    semantics (``bands`` as 2·nbands edges in units of ``fs``, ``desired``
+    per band, ``type`` in {'bandpass', 'differentiator', 'hilbert'}).
+
+    Host fp64 Remez exchange (filter design is plan-time work): the
+    linear-phase response factors G(ω) = Q(ω)·P(ω) with Q fixed by the
+    parity/symmetry case (1, cos ω/2, sin ω, sin ω/2) and P a degree-M
+    polynomial in x = cos ω handled in BARYCENTRIC Lagrange form (the
+    (M+2)-node alternation step has the classical closed form for δ; a
+    cosine-coefficient linear solve is rank-deficient past M≈25).  Each
+    iteration re-selects alternating extrema of the weighted error on a
+    dense multi-band grid (candidates = local maxima ∪ band edges ∪
+    previous nodes; same-sign runs keep their largest; excess trimmed by
+    weakest adjacent pair, then weakest endpoint).  Taps are recovered by
+    sampling the converged G at the N DFT frequencies and one inverse
+    real DFT with the linear-phase (and, for the antisymmetric types,
+    quadrature) factor — no coefficient back-conversion tables.  The
+    equiripple solution is unique (Chebyshev alternation), so results
+    agree with scipy's independent implementation to grid accuracy
+    (~1e-5 taps; verified in tests)."""
+    if numtaps < 3:
+        raise ValueError(f"numtaps must be >= 3, got {numtaps}")
+    bands = np.asarray(bands, np.float64).ravel() / fs
+    desired = np.asarray(desired, np.float64).ravel()
+    if bands.size % 2 or bands.size == 0:
+        raise ValueError("bands must have an even number of edges")
+    if np.any(np.diff(bands) < 0) or bands[0] < 0 or bands[-1] > 0.5:
+        raise ValueError("bands must be nondecreasing within [0, fs/2]")
+    nb = bands.size // 2
+    if desired.size != nb:
+        raise ValueError(f"desired must have {nb} entries (one per band)")
+    if weight is None:
+        weight = np.ones(nb)
+    weight = np.asarray(weight, np.float64).ravel()
+    if weight.size != nb or np.any(weight <= 0):
+        raise ValueError(f"weight must be {nb} positive entries")
+    if type not in ("bandpass", "differentiator", "hilbert"):
+        raise ValueError(f"unknown type {type!r}")
+    antisym = type in ("differentiator", "hilbert")
+    even = numtaps % 2 == 0
+    # case selection: Q(ω) and polynomial degree M (O&S conventions)
+    if not antisym and not even:
+        Q = lambda w: np.ones_like(w); M = (numtaps - 1) // 2
+    elif not antisym and even:
+        Q = lambda w: np.cos(w / 2); M = numtaps // 2 - 1
+    elif antisym and not even:
+        Q = lambda w: np.sin(w); M = (numtaps - 1) // 2 - 1
+    else:
+        Q = lambda w: np.sin(w / 2); M = numtaps // 2 - 1
+    if M < 1:
+        raise ValueError("numtaps too small for this type")
+
+    # dense grid over the bands (scipy's density), avoiding Q(ω)=0 points
+    npts = max(grid_density * (numtaps + 1) // 2, 4 * (M + 2))
+    widths = bands[1::2] - bands[0::2]
+    total = max(widths.sum(), 1e-12)
+    grid, dgrid, wgrid = [], [], []
+    for i in range(nb):
+        n_i = max(int(round(npts * widths[i] / total)), 8)
+        g = np.linspace(bands[2 * i], bands[2 * i + 1], n_i)
+        d = np.full(n_i, desired[i])
+        wg = np.full(n_i, weight[i])
+        if type == "differentiator":
+            d = desired[i] * g  # scipy: gain grows as the band fraction
+            wg = wg / np.maximum(g, 1e-9)  # relative-error weighting
+        grid.append(g); dgrid.append(d); wgrid.append(wg)
+    w = np.concatenate(grid) * 2 * np.pi  # rad/sample
+    D = np.concatenate(dgrid)
+    W = np.concatenate(wgrid)
+    qv = Q(w)
+    keep = np.abs(qv) > 1e-9
+    w, D, W, qv = w[keep], D[keep], W[keep], qv[keep]
+    if w.size < M + 2:
+        raise ValueError("grid too small; raise grid_density")
+    Deff = D / qv
+    Weff = W * np.abs(qv)
+    x = np.cos(w)
+    m = w.size
+
+    def node_weights(xi: np.ndarray) -> np.ndarray:
+        """Barycentric weights 1/Π(x_i−x_j), log-scaled against overflow."""
+        diffs = xi[:, None] - xi[None, :]
+        np.fill_diagonal(diffs, 1.0)
+        logs = np.sum(np.log(np.abs(2.0 * diffs)), axis=1)
+        sgns = np.prod(np.sign(diffs), axis=1)
+        return sgns * np.exp(-(logs - logs.mean()))
+
+    def bary_eval(xq: np.ndarray, xn, a, y) -> np.ndarray:
+        num = np.zeros_like(xq)
+        den = np.zeros_like(xq)
+        exact = np.full(xq.size, -1)
+        for i in range(xn.size):
+            d = xq - xn[i]
+            hit = np.abs(d) < 1e-13
+            exact[hit] = i
+            d[hit] = 1.0
+            t = a[i] / d
+            num += t * y[i]
+            den += t
+        P = num / den
+        P[exact >= 0] = np.asarray(y)[exact[exact >= 0]]
+        return P
+
+    idx = np.unique(np.linspace(0, m - 1, M + 2).round().astype(int))
+    last = None
+    a = y = None
+    for _ in range(maxiter):
+        xi = x[idx]
+        a = node_weights(xi)
+        alt = (-1.0) ** np.arange(idx.size)
+        delta = np.sum(a * Deff[idx]) / np.sum(a * alt / Weff[idx])
+        y = Deff[idx] - alt * delta / Weff[idx]
+        E = Weff * (Deff - bary_eval(x, xi, a, y))
+        mag = np.abs(E)
+        inner = np.where(
+            (mag[1:-1] >= mag[:-2]) & (mag[1:-1] >= mag[2:])
+        )[0] + 1
+        cand = np.unique(np.concatenate([[0], inner, [m - 1], idx]))
+        sel = []
+        for i2 in cand:  # same-sign runs keep their largest member
+            if sel and np.sign(E[i2]) == np.sign(E[sel[-1]]):
+                if mag[i2] > mag[sel[-1]]:
+                    sel[-1] = i2
+            else:
+                sel.append(i2)
+        while len(sel) > M + 2:
+            if len(sel) - (M + 2) >= 2:
+                j = min(
+                    range(len(sel) - 1),
+                    key=lambda j: max(mag[sel[j]], mag[sel[j + 1]]),
+                )
+                del sel[j : j + 2]
+            elif mag[sel[0]] <= mag[sel[-1]]:
+                del sel[0]  # single excess: drop the weaker ENDPOINT
+            else:
+                del sel[-1]
+        new = np.array(sel)
+        if new.size < M + 2:
+            break  # degenerate grid; keep the current solution
+        if last is not None and np.array_equal(new, last):
+            idx = new
+            break
+        last = idx = new
+
+    # taps via inverse real DFT of the sampled linear-phase response
+    N = numtaps
+    k = np.arange(N // 2 + 1)
+    wk = 2 * np.pi * k / N
+    Gk = Q(wk) * bary_eval(np.cos(wk), x[idx], a, y)
+    phase = np.exp(-1j * wk * (N - 1) / 2)
+    if antisym:
+        phase = phase * 1j  # scipy/MATLAB quadrature sign convention
+    Hk = Gk * phase
+    full = np.concatenate([Hk, np.conj(Hk[1 : (N + 1) // 2][::-1])])
+    return np.real(np.fft.ifft(full))
+
+
 def freqz(
     b,
     a=1.0,

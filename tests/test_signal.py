@@ -687,3 +687,46 @@ class TestHilbert2:
             sp.hilbert2(np.zeros(8, np.float32))
         with pytest.raises(ValueError):
             sp.hilbert2(np.zeros((4, 4), np.float32), n=(2, 3, 4))
+
+
+class TestRemez:
+    @pytest.mark.parametrize("kw", [
+        dict(numtaps=65, bands=[0, 0.2, 0.25, 0.5], desired=[1, 0]),
+        dict(numtaps=64, bands=[0, 0.2, 0.25, 0.5], desired=[1, 0]),
+        dict(numtaps=71, bands=[0, 0.1, 0.15, 0.3, 0.35, 0.5],
+             desired=[0, 1, 0], weight=[1, 2, 1]),
+        dict(numtaps=63, bands=[0.03, 0.47], desired=[1], type="hilbert"),
+        dict(numtaps=51, bands=[0.02, 0.45], desired=[1],
+             type="differentiator"),
+        dict(numtaps=41, bands=[0, 1000, 1500, 4000], desired=[1, 0],
+             fs=8000),
+    ])
+    def test_vs_scipy(self, kw):
+        import scipy.signal as ss
+
+        ours = sp.remez(**kw)
+        want = ss.remez(**kw)
+        assert np.max(np.abs(ours - want)) < 5e-4, kw
+        wg = np.linspace(0, np.pi, 2049)
+        Ho = np.abs(np.polyval(ours[::-1], np.exp(-1j * wg)))
+        Hw = np.abs(np.polyval(want[::-1], np.exp(-1j * wg)))
+        assert np.max(np.abs(Ho - Hw)) < 2e-3, kw
+
+    def test_equiripple_property(self):
+        # passband/stopband ripples are equal in magnitude (alternation)
+        h = sp.remez(65, [0, 0.2, 0.25, 0.5], [1, 0])
+        wg = np.linspace(0, np.pi, 16385)
+        H = np.abs(np.polyval(h[::-1], np.exp(-1j * wg)))
+        rp = np.max(np.abs(H[wg <= 0.4 * np.pi] - 1))
+        rs = np.max(H[wg >= 0.5 * np.pi])
+        assert abs(rp - rs) / rp < 0.02, (rp, rs)
+
+    def test_errors(self):
+        with pytest.raises(ValueError):
+            sp.remez(2, [0, 0.4], [1])
+        with pytest.raises(ValueError):
+            sp.remez(31, [0, 0.3, 0.2, 0.5], [1, 0])
+        with pytest.raises(ValueError):
+            sp.remez(31, [0, 0.2, 0.3, 0.5], [1])
+        with pytest.raises(ValueError):
+            sp.remez(31, [0, 0.4], [1], type="sideways")
