@@ -279,3 +279,69 @@ def mel_to_audio(
         mag, n_iter=n_iter_gl, nperseg=n_fft, noverlap=n_fft - hop,
         window=window, length=length, config=config,
     )
+
+
+def _median_filter_axis(x: Array, size: int, axis: int) -> Array:
+    """Sliding median along ``axis`` (reflect edges) — static window
+    gather + one jnp.median over the window axis; no loops."""
+    n = x.shape[axis]
+    half = size // 2
+    idx = np.arange(n)[:, None] + np.arange(size)[None, :] - half
+    idx = np.abs(idx)  # reflect at 0
+    idx = np.where(idx >= n, 2 * (n - 1) - idx, idx)  # reflect at n-1
+    xm = jnp.moveaxis(x, axis, -1)
+    win = xm[..., idx]  # (…, n, size)
+    med = jnp.median(win, axis=-1)
+    return jnp.moveaxis(med, -1, axis)
+
+
+def _softmask(x: Array, ref: Array, power: float) -> Array:
+    """librosa.util.softmask: x^p / (x^p + ref^p), scale-invariant and
+    zero-safe; power=inf gives the hard mask x > ref."""
+    if np.isinf(power):
+        return (x > ref).astype(x.dtype)
+    z = jnp.maximum(jnp.maximum(x, ref), jnp.asarray(1e-30, x.dtype))
+    xp = (x / z) ** power
+    rp = (ref / z) ** power
+    return xp / (xp + rp)
+
+
+def hpss(
+    S,
+    kernel_size=31,
+    power: float = 2.0,
+    margin=1.0,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+):
+    """Harmonic-percussive source separation on a spectrogram
+    (…, frames, bins) — librosa.decompose.hpss (Fitzgerald 2010 /
+    Driedger 2014 margins): harmonic enhancement is a median filter
+    ALONG TIME, percussive along FREQUENCY; soft Wiener-style masks of
+    exponent ``power`` (inf = hard) recombine the input.
+
+    ``kernel_size`` and ``margin`` take scalars or (harmonic,
+    percussive) pairs.  Returns ``(S_harmonic, S_percussive)`` with the
+    dtype of ``S`` (complex in, complex out — run istft after to get the
+    separated signals).  TPU shape: two static window gathers +
+    jnp.median reductions and elementwise masks; no data-dependent
+    control flow."""
+    S = jnp.asarray(S)
+    if S.ndim < 2:
+        raise ValueError("S must be (…, frames, bins)")
+    kh, kp = (kernel_size if np.ndim(kernel_size) else (kernel_size,) * 2)
+    mh, mp = (margin if np.ndim(margin) else (margin,) * 2)
+    if kh < 1 or kp < 1 or kh % 2 == 0 or kp % 2 == 0:
+        raise ValueError("kernel sizes must be odd and >= 1")
+    if mh < 1.0 or mp < 1.0:
+        raise ValueError("margins must be >= 1")
+    if min(S.shape[-2], S.shape[-1]) < 2:
+        raise ValueError("spectrogram too small to separate")
+    mag = jnp.abs(S) if jnp.issubdtype(S.dtype, jnp.complexfloating) else S
+    harm = _median_filter_axis(mag, min(kh, 2 * S.shape[-2] - 1), -2)
+    perc = _median_filter_axis(mag, min(kp, 2 * S.shape[-1] - 1), -1)
+    mask_h = _softmask(harm, perc * jnp.asarray(mh, harm.dtype), power)
+    mask_p = _softmask(perc, harm * jnp.asarray(mp, perc.dtype), power)
+    return S * mask_h.astype(jnp.real(S).dtype), S * mask_p.astype(
+        jnp.real(S).dtype
+    )

@@ -136,3 +136,53 @@ class TestMelInversion:
             sp.mel_to_stft(np.zeros(8, np.float32))
         with pytest.raises(ValueError):
             sp.mel_to_stft(np.zeros((4, 8), np.float32), n_iter=-1)
+
+
+class TestHPSS:
+    def _mixture(self):
+        sr = 22050.0
+        T = 16384
+        t = np.arange(T) / sr
+        tone = 0.8 * np.sin(2 * np.pi * 880 * t)
+        clicks = np.zeros(T)
+        clicks[2000::3000] = 3.0
+        return (tone + clicks).astype(np.float32), tone, clicks
+
+    def test_separates_tone_and_clicks(self):
+        x, tone, clicks = self._mixture()
+        nperseg, hop = 512, 128
+        S = sp.stft(x, nperseg=nperseg, noverlap=nperseg - hop)
+        H, P = sp.hpss(S, kernel_size=31)
+        xh = np.asarray(sp.istft(H, nperseg=nperseg,
+                                 noverlap=nperseg - hop, length=len(x)))
+        xp = np.asarray(sp.istft(P, nperseg=nperseg,
+                                 noverlap=nperseg - hop, length=len(x)))
+        sl = slice(1024, -1024)
+        # harmonic channel keeps the tone, sheds the clicks
+        corr_tone = np.corrcoef(xh[sl], tone[sl])[0, 1]
+        assert corr_tone > 0.95, corr_tone
+        click_idx = np.where(clicks > 0)[0]
+        click_idx = click_idx[(click_idx > 1024) & (click_idx < len(x) - 1024)]
+        # percussive channel holds most of the click peaks
+        assert np.mean(np.abs(xp[click_idx])) > 3 * np.mean(np.abs(xh[click_idx]))
+
+    def test_masks_partition_energy(self, rng):
+        mag = np.abs(rng.standard_normal((40, 65))).astype(np.float32)
+        H, P = sp.hpss(mag, kernel_size=11)
+        # soft masks at margin 1 sum to 1 -> components sum back to input
+        assert np.max(np.abs(np.asarray(H) + np.asarray(P) - mag)) < 1e-5
+
+    def test_hard_mask_and_margin(self, rng):
+        mag = np.abs(rng.standard_normal((40, 65))).astype(np.float32)
+        H, P = sp.hpss(mag, kernel_size=11, power=np.inf, margin=2.0)
+        Hn, Pn = np.asarray(H), np.asarray(P)
+        # hard masks are 0/1 on each cell; margins make them disjoint
+        assert np.all((Hn == 0) | (Pn == 0))
+
+    def test_errors(self):
+        with pytest.raises(ValueError):
+            sp.hpss(np.zeros(8, np.float32))
+        with pytest.raises(ValueError):
+            sp.hpss(np.zeros((8, 8), np.float32), kernel_size=4)
+        with pytest.raises(ValueError):
+            sp.hpss(np.zeros((8, 8), np.float32), margin=0.5)
