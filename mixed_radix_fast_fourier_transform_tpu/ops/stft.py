@@ -23,14 +23,107 @@ from .rfft import irfft, rfft
 Array = jax.Array
 
 
+def _sym_triang(m: int) -> np.ndarray:
+    n = np.arange(1, (m + 1) // 2 + 1, dtype=np.float64)
+    if m % 2 == 0:
+        w = (2 * n - 1.0) / m
+        return np.concatenate([w, w[::-1]])
+    w = 2 * n / (m + 1.0)
+    return np.concatenate([w, w[-2::-1]])
+
+
+def _sym_parzen(m: int) -> np.ndarray:
+    n = np.arange(-(m - 1) / 2.0, (m - 1) / 2.0 + 0.5, 1.0)
+    na = np.abs(n) / (m / 2.0)
+    outer = 2.0 * (1.0 - na) ** 3
+    inner = 1.0 - 6.0 * na**2 + 6.0 * na**3
+    return np.where(np.abs(n) <= (m - 1) / 4.0, inner, outer)
+
+
+def _sym_bohman(m: int) -> np.ndarray:
+    fac = np.abs(np.linspace(-1.0, 1.0, m))
+    w = (1.0 - fac) * np.cos(np.pi * fac) + np.sin(np.pi * fac) / np.pi
+    w[0] = w[-1] = 0.0
+    return w
+
+
+def _sym_cosine(m: int) -> np.ndarray:
+    return np.sin(np.pi / m * (np.arange(m) + 0.5))
+
+
+def _sym_barthann(m: int) -> np.ndarray:
+    fac = np.abs(np.arange(m, dtype=np.float64) / (m - 1.0) - 0.5)
+    return 0.62 - 0.48 * fac + 0.38 * np.cos(2 * np.pi * fac)
+
+
+def _sym_lanczos(m: int) -> np.ndarray:
+    return np.sinc(2 * np.arange(m, dtype=np.float64) / (m - 1.0) - 1.0)
+
+
+def _sym_nuttall(m: int) -> np.ndarray:
+    a = (0.3635819, 0.4891775, 0.1365995, 0.0106411)
+    fac = np.linspace(-np.pi, np.pi, m)
+    return sum(a[k] * np.cos(k * fac) for k in range(4))
+
+
+def _sym_exponential(m: int, tau: float) -> np.ndarray:
+    n = np.arange(m, dtype=np.float64)
+    return np.exp(-np.abs(n - (m - 1) / 2.0) / tau)
+
+
+def _sym_chebwin(m: int, at: float) -> np.ndarray:
+    """Dolph-Chebyshev window of ``at`` dB sidelobe attenuation (scipy's
+    frequency-sampling construction: T_{m-1} on the scaled cosine grid,
+    one real DFT back, peak-normalized)."""
+    if np.abs(10 ** (np.abs(at) / 20.0)) > 1e150:
+        raise ValueError("chebwin attenuation too large")
+    order = m - 1.0
+    beta = np.cosh(1.0 / order * np.arccosh(10 ** (np.abs(at) / 20.0)))
+    k = np.arange(m, dtype=np.float64)
+    x = beta * np.cos(np.pi * k / m)
+    p = np.zeros_like(x)
+    gt = x > 1
+    lt = x < -1
+    mid = ~(gt | lt)
+    p[gt] = np.cosh(order * np.arccosh(x[gt]))
+    p[lt] = (2 * (m % 2) - 1) * np.cosh(order * np.arccosh(-x[lt]))
+    p[mid] = np.cos(order * np.arccos(x[mid]))
+    if m % 2:
+        w = np.real(np.fft.fft(p))
+        n = (m + 1) // 2
+        w = w[:n]
+        w = np.concatenate([w[n - 1 : 0 : -1], w])
+    else:
+        p = p * np.exp(1j * np.pi / m * np.arange(m))
+        w = np.real(np.fft.fft(p))
+        n = m // 2 + 1
+        w = np.concatenate([w[n - 1 : 0 : -1], w[1:n]])
+    return w / np.max(w)
+
+
+_SYM_WINDOWS = {
+    "triang": _sym_triang,
+    "parzen": _sym_parzen,
+    "bohman": _sym_bohman,
+    "cosine": _sym_cosine,
+    "barthann": _sym_barthann,
+    "lanczos": _sym_lanczos,
+    "nuttall": _sym_nuttall,
+}
+
+
 def get_window(window, nperseg: int, dtype=np.float32, *, sym: bool = False) -> np.ndarray:
     """Named window ('hann', 'hamming', 'blackman', 'blackmanharris',
-    'bartlett', 'flattop', 'boxcar', ('kaiser', beta)) or an explicit array.
-    Periodic (DFT-even) convention by default, matching scipy's spectral
-    estimators; ``sym=True`` returns the symmetric (filter-design)
-    variant — a symmetric window of length n is the periodic window of
-    length n-1 with its (symmetric) first sample appended.  Used by the
-    FIR designer (signal._firwin_lowpass) and the CQT kernel builder."""
+    'bartlett', 'flattop', 'boxcar', 'triang', 'parzen', 'bohman',
+    'cosine', 'barthann', 'lanczos', 'nuttall', ('kaiser', beta),
+    ('tukey', alpha), ('gaussian', std), ('exponential', tau),
+    ('chebwin', attenuation_dB)) or an explicit array — scipy.signal
+    window set.  Periodic (DFT-even) convention by default, matching
+    scipy's spectral estimators; ``sym=True`` returns the symmetric
+    (filter-design) variant — a symmetric window of length n is the
+    periodic window of length n-1 with its (symmetric) first sample
+    appended.  Used by the FIR designers (firwin/remez) and the CQT
+    kernel builder."""
     if sym:
         if not isinstance(window, (str, tuple)):
             w = np.asarray(window, dtype=dtype)
@@ -43,8 +136,23 @@ def get_window(window, nperseg: int, dtype=np.float32, *, sym: bool = False) -> 
         return np.concatenate([wp, wp[:1]]).astype(dtype)
     if isinstance(window, tuple):
         name, *params = window
-        if len(params) != 1 or name not in ("kaiser", "tukey", "gaussian"):
+        if name == "exponential":
+            # ("exponential", tau) or scipy's ("exponential", None, tau);
+            # custom centers are not supported (they break the periodic
+            # drop-last identity)
+            if len(params) == 2 and params[0] is None:
+                tau = float(params[1])
+            elif len(params) == 1 and params[0] is not None:
+                tau = float(params[0])
+            else:
+                raise ValueError(f"unsupported exponential window {window!r}")
+            return _sym_exponential(nperseg + 1, tau)[:nperseg].astype(dtype)
+        if len(params) != 1 or name not in (
+            "kaiser", "tukey", "gaussian", "chebwin"
+        ):
             raise ValueError(f"unknown parameterized window {window!r}")
+        if name == "chebwin":
+            return _sym_chebwin(nperseg + 1, float(params[0]))[:nperseg].astype(dtype)
         n = np.arange(nperseg, dtype=np.float64)
         if name == "kaiser":
             beta = float(params[0])
@@ -87,6 +195,9 @@ def get_window(window, nperseg: int, dtype=np.float32, *, sym: bool = False) -> 
             w = 1.0 - np.abs(2.0 * n / nperseg - 1.0)
         elif window == "boxcar":
             w = np.ones(nperseg)
+        elif window in _SYM_WINDOWS:
+            # periodic = symmetric length n+1 with the last point dropped
+            w = _SYM_WINDOWS[window](nperseg + 1)[:nperseg]
         else:
             raise ValueError(f"unknown window {window!r}")
         return w.astype(dtype)

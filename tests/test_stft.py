@@ -133,3 +133,43 @@ class TestGriffinLimValidation:
             sp.griffinlim(S, nperseg=256, length=100)
         with pytest.raises(ValueError):  # beyond what istft can produce
             sp.griffinlim(S, nperseg=256, length=99999)
+
+
+class TestWindowSet:
+    """Full scipy.signal window-family parity, both conventions."""
+
+    NAMES = ["triang", "parzen", "bohman", "cosine", "barthann", "lanczos",
+             "nuttall", ("exponential", None, 13.0), ("chebwin", 100.0),
+             ("kaiser", 8.0), ("tukey", 0.4), ("gaussian", 11.0),
+             "hann", "hamming", "blackman", "blackmanharris", "flattop",
+             "bartlett", "boxcar"]
+
+    @pytest.mark.parametrize("m", [64, 65])
+    @pytest.mark.parametrize("sym", [False, True])
+    def test_vs_scipy(self, m, sym):
+        import scipy.signal as ss
+
+        for nm in self.NAMES:
+            got = sp.get_window(nm, m, np.float64, sym=sym)
+            want = ss.get_window(nm, m, fftbins=not sym)
+            assert np.max(np.abs(got - want)) < 1e-10, (nm, m, sym)
+
+    def test_exponential_short_form_and_errors(self):
+        import scipy.signal as ss
+
+        g = sp.get_window(("exponential", 13.0), 64, np.float64)
+        w = ss.get_window(("exponential", None, 13.0), 64)
+        assert np.max(np.abs(g - w)) < 1e-12
+        with pytest.raises(ValueError):
+            sp.get_window(("exponential", 3.0, 13.0), 64)  # custom center
+        with pytest.raises(ValueError):
+            sp.get_window("sideways", 64)
+        with pytest.raises(ValueError):
+            sp.get_window(("sideways", 1.0), 64)
+
+    def test_windows_flow_through_stft(self, rng):
+        x = rng.standard_normal(1024).astype(np.float32)
+        for nm in ("nuttall", ("chebwin", 80.0), "parzen"):
+            S = sp.stft(x, nperseg=128, window=nm)
+            y = np.asarray(sp.istft(S, nperseg=128, window=nm, length=1024))
+            assert np.max(np.abs(y - x)) < 1e-4, nm
