@@ -345,3 +345,110 @@ def hpss(
     return S * mask_h.astype(jnp.real(S).dtype), S * mask_p.astype(
         jnp.real(S).dtype
     )
+
+
+def yin(
+    x,
+    fmin: float,
+    fmax: float,
+    sr: float = 22050.0,
+    frame_length: int = 2048,
+    win_length: Optional[int] = None,
+    hop: Optional[int] = None,
+    trough_threshold: float = 0.1,
+    center: bool = True,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """YIN fundamental-frequency estimation (de Cheveigné & Kawahara
+    2002; librosa.yin conventions): (…, T) -> f0 in Hz per frame
+    (…, n_frames), frame m centered on sample m·hop.
+
+    TPU shape: the difference function d(τ) = Σ_j (x_j − x_{j+τ})²
+    evaluates per frame as sliding energies (one cumsum) plus a cross
+    term computed with ONE batched engine rfft/irfft correlation — no
+    lag loop; the cumulative-mean normalization is a cumsum; the
+    "first trough under threshold, else global minimum" pick and the
+    parabolic refinement are argmax/gather compositions, so the whole
+    estimator jits with no data-dependent control flow."""
+    from .stft import _frame
+    from .rfft import rfft as _rfft, irfft as _irfft
+
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("yin takes real signals")
+    if not 0 < fmin < fmax <= sr / 2:
+        raise ValueError(f"need 0 < fmin < fmax <= sr/2, got {fmin}, {fmax}")
+    win_length = frame_length // 2 if win_length is None else int(win_length)
+    hop = frame_length // 4 if hop is None else int(hop)
+    if not 0 < win_length < frame_length:
+        raise ValueError("need 0 < win_length < frame_length")
+    if hop < 1:
+        raise ValueError(f"hop must be >= 1, got {hop}")
+    tau_max = min(frame_length - win_length, int(np.ceil(sr / fmin)))
+    tau_min = max(1, int(np.floor(sr / fmax)))
+    if tau_min + 2 > tau_max:
+        raise ValueError(
+            f"frequency range [{fmin}, {fmax}] needs lags in "
+            f"[{tau_min}, {tau_max}] — enlarge frame_length or the range"
+        )
+    xw = x.astype(config.dtype)
+    if center:
+        pad = [(0, 0)] * (x.ndim - 1) + [(frame_length // 2,) * 2]
+        xw = jnp.pad(xw, pad, mode="constant")
+    frames = _frame(xw, frame_length, hop)  # (…, F, frame_length)
+    W = win_length
+    # d(τ) = e0 + e(τ) − 2c(τ): sliding energy + one FFT correlation
+    sq = frames * frames
+    csum = jnp.cumsum(sq, axis=-1)
+    zero = jnp.zeros_like(csum[..., :1])
+    csum = jnp.concatenate([zero, csum], axis=-1)  # (…, F, fl+1)
+    taus = np.arange(tau_max + 1)
+    e0 = csum[..., W] - csum[..., 0]
+    e_tau = csum[..., taus + W] - csum[..., taus]
+    nfft = int(2 ** np.ceil(np.log2(frame_length + W)))
+    head = frames[..., :W]
+    pad_head = jnp.concatenate(
+        [head, jnp.zeros(frames.shape[:-1] + (nfft - W,), frames.dtype)], -1
+    )
+    pad_full = jnp.concatenate(
+        [frames, jnp.zeros(frames.shape[:-1] + (nfft - frame_length,),
+                           frames.dtype)], -1
+    )
+    spec = _rfft(pad_full, config=config) * jnp.conj(
+        _rfft(pad_head, config=config)
+    )
+    corr = _irfft(spec, n=nfft, config=config)[..., : tau_max + 1]
+    d = e0[..., None] + e_tau - 2.0 * corr  # (…, F, tau_max+1)
+    # cumulative mean normalized difference
+    tau_f = jnp.asarray(taus, d.dtype)
+    run = jnp.cumsum(d[..., 1:], axis=-1)
+    cmnd = jnp.concatenate(
+        [jnp.ones_like(d[..., :1]),
+         d[..., 1:] * tau_f[1:] / jnp.maximum(run, 1e-12)], -1
+    )
+    # troughs: local minima within [tau_min, tau_max-1]
+    lo = cmnd[..., 1:-1]
+    is_trough = (lo <= cmnd[..., :-2]) & (lo <= cmnd[..., 2:])
+    lag_idx = np.arange(1, tau_max)
+    in_band = jnp.asarray((lag_idx >= tau_min) & (lag_idx <= tau_max - 1))
+    trough = is_trough & in_band
+    below = trough & (lo < trough_threshold)
+    # first below-threshold trough (argmax finds the first True), else the
+    # global in-band minimum of the normalized difference
+    any_below = jnp.any(below, axis=-1)
+    first = jnp.argmax(below, axis=-1)
+    masked = jnp.where(in_band, lo, jnp.inf)
+    fallback = jnp.argmin(masked, axis=-1)
+    pick = jnp.where(any_below, first, fallback) + 1  # back to lag units
+    # parabolic interpolation on cmnd around the picked lag
+    p0 = jnp.take_along_axis(cmnd, pick[..., None] - 1, axis=-1)[..., 0]
+    p1 = jnp.take_along_axis(cmnd, pick[..., None], axis=-1)[..., 0]
+    p2 = jnp.take_along_axis(cmnd, pick[..., None] + 1, axis=-1)[..., 0]
+    denom = p0 + p2 - 2.0 * p1
+    shift = jnp.where(
+        jnp.abs(denom) > 1e-12, 0.5 * (p0 - p2) / denom, 0.0
+    )
+    shift = jnp.clip(shift, -0.5, 0.5)
+    tau_hat = pick.astype(d.dtype) + shift
+    return jnp.asarray(sr, d.dtype) / tau_hat

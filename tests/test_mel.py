@@ -186,3 +186,55 @@ class TestHPSS:
             sp.hpss(np.zeros((8, 8), np.float32), kernel_size=4)
         with pytest.raises(ValueError):
             sp.hpss(np.zeros((8, 8), np.float32), margin=0.5)
+
+
+class TestYin:
+    def test_tone_pitch(self):
+        sr = 22050.0
+        t = np.arange(22050) / sr
+        for f0 in (110.0, 220.0, 441.0, 880.0):
+            x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+            f = np.asarray(sp.yin(x, 65.0, 2093.0, sr))
+            med = np.median(f[4:-4])
+            assert abs(med - f0) / f0 < 0.01, (f0, med)
+
+    def test_harmonic_rich_and_vibrato(self):
+        sr = 22050.0
+        t = np.arange(33075) / sr
+        f0 = 196.0  # G3 with strong harmonics
+        x = sum((0.6 ** k) * np.sin(2 * np.pi * f0 * (k + 1) * t)
+                for k in range(5)).astype(np.float32)
+        f = np.asarray(sp.yin(x, 65.0, 2093.0, sr))
+        assert abs(np.median(f[4:-4]) - f0) / f0 < 0.01
+        # vibrato: ±3% at 5 Hz tracks frame to frame
+        inst = f0 * (1 + 0.03 * np.sin(2 * np.pi * 5.0 * t))
+        phase = 2 * np.pi * np.cumsum(inst) / sr
+        xv = np.sin(phase).astype(np.float32)
+        fv = np.asarray(sp.yin(xv, 65.0, 2093.0, sr))
+        hop = 512
+        centers = np.arange(len(fv)) * hop
+        keep = (centers > 2048) & (centers < len(xv) - 2048)
+        err = np.abs(fv[keep] - inst[centers[keep]]) / inst[centers[keep]]
+        # the 93 ms frame averages ~half a 5 Hz vibrato cycle, so allow 2%
+        assert np.median(err) < 0.02, np.median(err)
+
+    def test_batch_jit_errors(self, rng):
+        import jax
+
+        sr = 16000.0
+        t = np.arange(8000) / sr
+        xb = np.stack([np.sin(2 * np.pi * 150 * t),
+                       np.sin(2 * np.pi * 300 * t)]).astype(np.float32)
+        f = np.asarray(jax.jit(
+            lambda v: sp.yin(v, 80.0, 1000.0, sr)
+        )(xb))
+        assert f.shape[0] == 2
+        assert abs(np.median(f[0]) - 150.0) < 3
+        assert abs(np.median(f[1]) - 300.0) < 6
+        with pytest.raises(ValueError):
+            sp.yin(np.zeros(4096, np.complex64), 80, 400)
+        with pytest.raises(ValueError):
+            sp.yin(np.zeros(4096, np.float32), 400, 80)
+        with pytest.raises(ValueError):
+            sp.yin(np.zeros(4096, np.float32), 10.0, 20.0, sr=22050.0,
+                   frame_length=64)
