@@ -495,3 +495,112 @@ def griffinlim(
         spec, nperseg, noverlap, window, center=center, length=sig_len,
         config=config,
     )
+
+
+def phase_vocoder(
+    S,
+    rate: float,
+    hop: Optional[int] = None,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Phase-vocoder time stretch of a complex STFT (…, frames, bins) by
+    ``rate`` (>1 speeds up) — librosa.phase_vocoder (Flanagan-Golden with
+    phase accumulation).
+
+    TPU shape: the fractional read positions are HOST constants (rate and
+    the frame count are static), so the two source frames per output step
+    are one static gather; the only sequential part — phase accumulation —
+    is a lax.scan over output frames of pure elementwise work."""
+    S = jnp.asarray(S)
+    if not jnp.issubdtype(S.dtype, jnp.complexfloating):
+        raise ValueError("phase_vocoder takes a complex STFT")
+    if S.ndim < 2:
+        raise ValueError("S must be (…, frames, bins)")
+    if rate <= 0:
+        raise ValueError(f"rate must be > 0, got {rate}")
+    n_frames, nb = S.shape[-2], S.shape[-1]
+    nfft = 2 * (nb - 1)
+    hop = nfft // 4 if hop is None else int(hop)
+    steps = np.arange(0, n_frames, rate)  # host fp64
+    lo = np.minimum(steps.astype(np.int64), n_frames - 1)
+    hi = np.minimum(lo + 1, n_frames - 1)
+    frac = jnp.asarray(steps - lo, jnp.real(S).dtype)[:, None]
+    S0 = S[..., lo, :]
+    S1 = S[..., hi, :]
+    phi_adv = jnp.asarray(
+        np.linspace(0, np.pi * hop, nb), jnp.real(S).dtype
+    )
+    eps = jnp.asarray(1e-30, jnp.real(S).dtype)
+    mag = (1.0 - frac) * jnp.abs(S0) + frac * jnp.abs(S1)
+    ang0 = jnp.angle(S0 + eps)
+    dphi = jnp.angle(S1 + eps) - ang0 - phi_adv
+    dphi = dphi - 2.0 * np.pi * jnp.round(dphi / (2.0 * np.pi))
+    inc = jnp.moveaxis(phi_adv + dphi, -2, 0)  # (steps, …, bins)
+    mag_steps = jnp.moveaxis(mag, -2, 0)
+    init = jnp.angle(S[..., 0, :] + eps)
+
+    def step(phase, xs):
+        inc_m, mag_m = xs
+        out = mag_m * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+        return phase + inc_m, out
+
+    _, outs = jax.lax.scan(step, init, (inc, mag_steps))
+    return jnp.moveaxis(outs, 0, -2)
+
+
+def time_stretch(
+    x,
+    rate: float,
+    nperseg: int = 2048,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Time-stretch a real signal by ``rate`` without changing pitch
+    (librosa.effects.time_stretch): stft -> :func:`phase_vocoder` ->
+    istft at length round(T/rate)."""
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("time_stretch takes real signals")
+    if rate <= 0:
+        raise ValueError(f"rate must be > 0, got {rate}")
+    hop = nperseg // 4
+    S = stft(x, nperseg, nperseg - hop, "hann", center=True, config=config)
+    S2 = phase_vocoder(S, rate, hop, config=config)
+    n_out = int(round(x.shape[-1] / rate))
+    return istft(
+        S2, nperseg, nperseg - hop, "hann", center=True, length=n_out,
+        config=config,
+    )
+
+
+def pitch_shift(
+    x,
+    sr: float,
+    n_steps: float,
+    bins_per_octave: int = 12,
+    nperseg: int = 2048,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Pitch-shift a real signal by ``n_steps`` (fractional allowed) in
+    ``bins_per_octave``-TET without changing duration
+    (librosa.effects.pitch_shift): time-stretch by 2^{-steps/bpo}, then
+    resample back to the original length with the polyphase resampler."""
+    from fractions import Fraction
+
+    from .signal import resample_poly
+
+    x = jnp.asarray(x)
+    if bins_per_octave < 1:
+        raise ValueError(f"bins_per_octave must be >= 1, got {bins_per_octave}")
+    rate = 2.0 ** (-float(n_steps) / bins_per_octave)
+    y = time_stretch(x, rate, nperseg, config=config)
+    frac = Fraction(rate).limit_denominator(1000)
+    z = resample_poly(y, frac.numerator, frac.denominator, config=config)
+    n = x.shape[-1]
+    z = z[..., :n]
+    if z.shape[-1] < n:
+        padw = [(0, 0)] * (z.ndim - 1) + [(0, n - z.shape[-1])]
+        z = jnp.pad(z, padw)
+    return z

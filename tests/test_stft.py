@@ -173,3 +173,46 @@ class TestWindowSet:
             S = sp.stft(x, nperseg=128, window=nm)
             y = np.asarray(sp.istft(S, nperseg=128, window=nm, length=1024))
             assert np.max(np.abs(y - x)) < 1e-4, nm
+
+
+class TestPhaseVocoder:
+    def test_identity_rate(self, rng):
+        sr = 22050.0
+        t = np.arange(16384) / sr
+        x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        y = np.asarray(sp.time_stretch(x, 1.0, nperseg=1024))
+        assert y.shape == x.shape
+        # rate-1 stretch preserves the signal up to vocoder phase noise
+        corr = np.corrcoef(y[2048:-2048], x[2048:-2048])[0, 1]
+        assert corr > 0.99, corr
+
+    @pytest.mark.parametrize("rate", [0.5, 2.0])
+    def test_stretch_preserves_pitch(self, rate):
+        sr = 22050.0
+        t = np.arange(32768) / sr
+        f0 = 440.0
+        x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+        y = np.asarray(sp.time_stretch(x, rate, nperseg=1024))
+        assert y.shape[-1] == int(round(len(x) / rate))
+        Y = np.abs(np.fft.rfft(y[2048:-2048] * np.hanning(len(y) - 4096)))
+        f_rec = np.argmax(Y) * sr / (len(y) - 4096)
+        assert abs(f_rec - f0) < 5.0, f_rec
+
+    def test_pitch_shift_octave(self):
+        sr = 22050.0
+        t = np.arange(32768) / sr
+        x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        y = np.asarray(sp.pitch_shift(x, sr, 12.0, nperseg=1024))
+        assert y.shape == x.shape
+        core = y[4096:-4096] * np.hanning(len(y) - 8192)
+        f_rec = np.argmax(np.abs(np.fft.rfft(core))) * sr / (len(y) - 8192)
+        assert abs(f_rec - 880.0) < 10.0, f_rec
+
+    def test_errors(self):
+        with pytest.raises(ValueError):
+            sp.phase_vocoder(np.zeros((4, 5), np.float32), 2.0)
+        with pytest.raises(ValueError):
+            sp.time_stretch(np.zeros(4096, np.float32), 0.0)
+        with pytest.raises(ValueError):
+            sp.pitch_shift(np.zeros(4096, np.float32), 22050.0, 1.0,
+                           bins_per_octave=0)
