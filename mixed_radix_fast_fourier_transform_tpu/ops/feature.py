@@ -1,0 +1,201 @@
+"""Spectral descriptors (librosa.feature conventions, batched).
+
+All features run off ONE shared engine STFT magnitude (computed here or
+passed in as ``S``) and reduce with dense matmul/weighted-moment
+arithmetic — each descriptor is a couple of elementwise ops and
+reductions XLA fuses into the spectrogram pass.  Frames follow the
+library's stft: frame m centered on sample m·hop, (…, frames, bins).
+
+Capability extension: the reference C library has no feature extraction.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.config import DEFAULT_CONFIG, SpectralConfig
+from .stft import stft as _stft
+
+Array = jax.Array
+
+
+def _magspec(x, S, nperseg, hop, window, power, config) -> Array:
+    if S is not None:
+        S = jnp.asarray(S)
+        if S.ndim < 2:
+            raise ValueError("S must be (…, frames, bins)")
+        mag = jnp.abs(S) if jnp.issubdtype(S.dtype, jnp.complexfloating) else S
+        return mag ** power if power != 1.0 else mag
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("features take real signals")
+    spec = _stft(x, nperseg, nperseg - hop, window, center=True,
+                 config=config)
+    mag = jnp.abs(spec)
+    return mag ** power if power != 1.0 else mag
+
+
+def spectral_centroid(
+    x=None, sr: float = 22050.0, nperseg: int = 2048,
+    hop: Optional[int] = None, window="hann", S=None,
+    *, config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """First moment of the magnitude spectrum per frame, in Hz:
+    (…, T) -> (…, frames)."""
+    hop = nperseg // 4 if hop is None else int(hop)
+    mag = _magspec(x, S, nperseg, hop, window, 1.0, config)
+    freqs = jnp.asarray(
+        np.fft.rfftfreq(2 * (mag.shape[-1] - 1)) * sr, mag.dtype
+    )
+    norm = jnp.maximum(jnp.sum(mag, -1), jnp.asarray(1e-30, mag.dtype))
+    return jnp.sum(mag * freqs, -1) / norm
+
+
+def spectral_bandwidth(
+    x=None, sr: float = 22050.0, nperseg: int = 2048,
+    hop: Optional[int] = None, window="hann", S=None, p: float = 2.0,
+    *, config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """p-th-order spread about the centroid per frame, in Hz
+    (librosa.feature.spectral_bandwidth)."""
+    hop = nperseg // 4 if hop is None else int(hop)
+    mag = _magspec(x, S, nperseg, hop, window, 1.0, config)
+    freqs = jnp.asarray(
+        np.fft.rfftfreq(2 * (mag.shape[-1] - 1)) * sr, mag.dtype
+    )
+    norm = jnp.maximum(jnp.sum(mag, -1), jnp.asarray(1e-30, mag.dtype))
+    cent = (jnp.sum(mag * freqs, -1) / norm)[..., None]
+    dev = jnp.abs(freqs - cent) ** p
+    return (jnp.sum(mag * dev, -1) / norm) ** (1.0 / p)
+
+
+def spectral_rolloff(
+    x=None, sr: float = 22050.0, nperseg: int = 2048,
+    hop: Optional[int] = None, window="hann", S=None,
+    roll_percent: float = 0.85,
+    *, config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Frequency below which ``roll_percent`` of the spectral energy
+    lies, per frame, in Hz (first bin crossing the threshold — an argmax
+    over a cumulative-sum mask, no data-dependent control flow)."""
+    if not 0.0 < roll_percent < 1.0:
+        raise ValueError(f"roll_percent must be in (0, 1), got {roll_percent}")
+    hop = nperseg // 4 if hop is None else int(hop)
+    mag = _magspec(x, S, nperseg, hop, window, 1.0, config)
+    freqs = jnp.asarray(
+        np.fft.rfftfreq(2 * (mag.shape[-1] - 1)) * sr, mag.dtype
+    )
+    csum = jnp.cumsum(mag, -1)
+    thresh = roll_percent * csum[..., -1:]
+    idx = jnp.argmax(csum >= thresh, axis=-1)
+    return freqs[idx]
+
+
+def spectral_flatness(
+    x=None, nperseg: int = 2048, hop: Optional[int] = None, window="hann",
+    S=None, power: float = 2.0, amin: float = 1e-10,
+    *, config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Wiener entropy per frame: geometric / arithmetic mean of the power
+    spectrum — 1 for white noise, →0 for pure tones."""
+    hop = nperseg // 4 if hop is None else int(hop)
+    p = _magspec(x, S, nperseg, hop, window, power, config)
+    p = jnp.maximum(p, jnp.asarray(amin, p.dtype))
+    gmean = jnp.exp(jnp.mean(jnp.log(p), -1))
+    return gmean / jnp.mean(p, -1)
+
+
+def spectral_contrast(
+    x=None, sr: float = 22050.0, nperseg: int = 2048,
+    hop: Optional[int] = None, window="hann", S=None,
+    n_bands: int = 6, fmin: float = 200.0, quantile: float = 0.02,
+    *, config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Peak-to-valley contrast (dB) in octave-spaced bands
+    (Jiang et al. 2002; librosa.feature.spectral_contrast):
+    (…, T) -> (…, frames, n_bands+1).  Band quantiles are top-k sums on
+    sorted static slices."""
+    if n_bands < 1:
+        raise ValueError(f"n_bands must be >= 1, got {n_bands}")
+    if not 0.0 < quantile < 1.0:
+        raise ValueError(f"quantile must be in (0, 1), got {quantile}")
+    hop = nperseg // 4 if hop is None else int(hop)
+    mag = _magspec(x, S, nperseg, hop, window, 1.0, config)
+    nb = mag.shape[-1]
+    freqs = np.fft.rfftfreq(2 * (nb - 1)) * sr
+    edges = fmin * (2.0 ** np.arange(n_bands + 1))
+    if np.any(edges[:-1] >= sr / 2):
+        raise ValueError(
+            f"octave band edges exceed Nyquist ({edges[-2]} >= {sr / 2}); "
+            "reduce n_bands or fmin"
+        )
+    edges[-1] = min(edges[-1], sr / 2)  # top band clamps at Nyquist
+    bounds = np.concatenate([[0.0], edges])
+    out = []
+    tiny = jnp.asarray(1e-30, mag.dtype)
+    for b in range(n_bands + 1):
+        lo, hi = bounds[b], bounds[b + 1]
+        sel = (freqs >= lo) & (freqs < hi) if b < n_bands else (
+            (freqs >= lo) & (freqs <= sr / 2)
+        )
+        k = max(int(sel.sum()), 1)
+        band = mag[..., np.where(sel)[0]] if sel.any() else mag[..., :1]
+        srt = jnp.sort(band, axis=-1)
+        q = max(int(np.ceil(quantile * k)), 1)
+        valley = jnp.mean(srt[..., :q], -1)
+        peak = jnp.mean(srt[..., -q:], -1)
+        out.append(jnp.log10(jnp.maximum(peak, tiny))
+                   - jnp.log10(jnp.maximum(valley, tiny)))
+    return 20.0 * jnp.stack(out, axis=-1)
+
+
+def zero_crossing_rate(
+    x, frame_length: int = 2048, hop: Optional[int] = None,
+    *, config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Fraction of sign changes per frame: (…, T) -> (…, frames)
+    (librosa conventions, center-padded frames)."""
+    from .stft import _frame
+
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("zero_crossing_rate takes real signals")
+    hop = frame_length // 4 if hop is None else int(hop)
+    pad = [(0, 0)] * (x.ndim - 1) + [(frame_length // 2,) * 2]
+    xp = jnp.pad(x.astype(config.dtype), pad)
+    frames = _frame(xp, frame_length, hop)
+    sign = frames >= 0
+    flips = sign[..., 1:] != sign[..., :-1]
+    return jnp.mean(flips.astype(config.dtype), -1)
+
+
+def rms(
+    x=None, frame_length: int = 2048, hop: Optional[int] = None, S=None,
+    *, config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Root-mean-square energy per frame, from the waveform or (Parseval)
+    from a spectrogram magnitude."""
+    from .stft import _frame
+
+    hop = frame_length // 4 if hop is None else int(hop)
+    if S is not None:
+        S = jnp.asarray(S)
+        if S.ndim < 2:
+            raise ValueError("S must be (…, frames, bins)")
+        mag2 = (jnp.abs(S) if jnp.issubdtype(S.dtype, jnp.complexfloating)
+                else S) ** 2
+        n = 2 * (S.shape[-1] - 1)
+        # Parseval: undo the one-sided fold, normalize by n²
+        full = 2.0 * jnp.sum(mag2, -1) - mag2[..., 0] - mag2[..., -1]
+        return jnp.sqrt(jnp.maximum(full, 0.0) / (n * n))
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("rms takes real signals")
+    pad = [(0, 0)] * (x.ndim - 1) + [(frame_length // 2,) * 2]
+    xp = jnp.pad(x.astype(config.dtype), pad)
+    frames = _frame(xp, frame_length, hop)
+    return jnp.sqrt(jnp.mean(frames * frames, -1))

@@ -1,0 +1,83 @@
+"""Spectral descriptors: construction-based oracles (tones, noise)."""
+
+import numpy as np
+import pytest
+
+import mixed_radix_fast_fourier_transform_tpu as sp
+
+SR = 22050.0
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(21)
+
+
+def _tone(f0, T=16384):
+    t = np.arange(T) / SR
+    return np.sin(2 * np.pi * f0 * t).astype(np.float32)
+
+
+class TestDescriptors:
+    def test_centroid_of_tone(self):
+        c = np.asarray(sp.spectral_centroid(_tone(1000.0), SR, nperseg=2048))
+        assert abs(np.median(c[4:-4]) - 1000.0) < 15.0
+
+    def test_bandwidth_orders_tone_vs_noise(self, rng):
+        bt = np.median(np.asarray(
+            sp.spectral_bandwidth(_tone(1000.0), SR))[4:-4])
+        bn = np.median(np.asarray(sp.spectral_bandwidth(
+            rng.standard_normal(16384).astype(np.float32), SR))[4:-4])
+        assert bt < 100.0 and bn > 2000.0, (bt, bn)
+
+    def test_rolloff(self, rng):
+        r = np.asarray(sp.spectral_rolloff(_tone(500.0), SR))
+        assert abs(np.median(r[4:-4]) - 500.0) < 30.0
+        rn = np.median(np.asarray(sp.spectral_rolloff(
+            rng.standard_normal(16384).astype(np.float32), SR,
+            roll_percent=0.85))[4:-4])
+        assert abs(rn - 0.85 * SR / 2) / (SR / 2) < 0.05
+        with pytest.raises(ValueError):
+            sp.spectral_rolloff(_tone(500.0), SR, roll_percent=1.5)
+
+    def test_flatness_extremes(self, rng):
+        ft = np.median(np.asarray(sp.spectral_flatness(_tone(880.0)))[4:-4])
+        fn = np.median(np.asarray(sp.spectral_flatness(
+            rng.standard_normal(16384).astype(np.float32)))[4:-4])
+        assert ft < 1e-3 and fn > 0.3, (ft, fn)
+
+    def test_contrast_tone_band_pops(self):
+        x = _tone(1600.0)  # inside band 3 of fmin=200 octaves
+        C = np.asarray(sp.spectral_contrast(x, SR, nperseg=2048))
+        assert C.shape[-1] == 7
+        mid = C[C.shape[0] // 2]
+        assert np.argmax(mid) == 4  # 1600 Hz lies in [1600, 3200)
+        with pytest.raises(ValueError):
+            sp.spectral_contrast(x, SR, n_bands=9)
+
+    def test_zcr_of_tone(self):
+        # a tone at f0 crosses zero 2·f0 times per second
+        z = np.asarray(sp.zero_crossing_rate(_tone(441.0), 2048))
+        assert abs(np.median(z[4:-4]) - 2 * 441.0 / SR) < 0.003
+
+    def test_rms_waveform_and_parseval(self, rng):
+        x = rng.standard_normal(16384).astype(np.float32)
+        r = np.asarray(sp.rms(x, frame_length=1024))
+        assert abs(np.median(r[4:-4]) - 1.0) < 0.1
+        # spectrogram route agrees with waveform route (boxcar window;
+        # interior frames — the two pad edges differently: zero vs reflect)
+        S = sp.stft(x, nperseg=1024, noverlap=768, window="boxcar")
+        r2 = np.asarray(sp.rms(S=S, frame_length=1024))
+        n = min(len(r), len(r2))
+        assert np.max(np.abs(r[3 : n - 3] - r2[3 : n - 3])) < 1e-5
+
+    def test_batch_jit(self, rng):
+        import jax
+
+        xb = rng.standard_normal((2, 8192)).astype(np.float32)
+        c = np.asarray(jax.jit(
+            lambda v: sp.spectral_centroid(v, SR, nperseg=1024)
+        )(xb))
+        assert c.shape[0] == 2
+        with pytest.raises(ValueError):
+            sp.spectral_centroid(np.zeros(4096, np.complex64), SR)
