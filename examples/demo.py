@@ -236,6 +236,50 @@ def demo_estimation_rotation():
           f"({theta[i]:.2f}, {phi[j]:.2f}) — prescribed ({beta:.2f}, {alpha:.2f})")
 
 
+def demo_audio_toolbox():
+    """Late-round-3 audio/TFR suite: generators, vocoder, separation,
+    pitch, features, S-transform, equiripple design."""
+    print("audio toolbox:")
+    rng = np.random.default_rng(9)
+    fs = 8000.0
+    t = np.arange(16384) / fs
+    x = np.asarray(sp.chirp(t, 200.0, t[-1], 1200.0))  # swept tone
+    S, freqs = sp.stockwell(np.asarray(x)[:1024].astype(np.float32))
+    xrec = np.asarray(sp.istockwell(S))
+    print(f"  stockwell: lossless inverse err "
+          f"{np.max(np.abs(xrec - np.asarray(x)[:1024])):.2e}")
+    y = np.asarray(sp.pitch_shift(np.asarray(x).astype(np.float32), fs, 12.0,
+                                  nperseg=1024))
+    f_in = np.asarray(sp.yin(np.asarray(x).astype(np.float32), 100, 3000, fs,
+                             frame_length=1024))
+    f_out = np.asarray(sp.yin(y, 100, 3500, fs, frame_length=1024))
+    mid = slice(len(f_in) // 3, 2 * len(f_in) // 3)
+    print(f"  pitch_shift +12 semitones: yin ratio "
+          f"{np.median(f_out[mid] / f_in[mid]):.3f} (expect 2.0)")
+    mix = (np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    mix[1000::2000] += 2.5
+    Sm = sp.stft(mix, nperseg=512, noverlap=384)
+    H, P = sp.hpss(Sm, kernel_size=17)
+    eh = float(np.sum(np.abs(np.asarray(H))**2))
+    ep = float(np.sum(np.abs(np.asarray(P))**2))
+    print(f"  hpss: tone+clicks split, harmonic/percussive energy "
+          f"{eh / (eh + ep):.2f}/{ep / (eh + ep):.2f}")
+    cen = np.asarray(sp.spectral_centroid(mix, fs, nperseg=1024))
+    flat = np.asarray(sp.spectral_flatness(mix, nperseg=1024))
+    print(f"  features: centroid {np.median(cen):.0f} Hz, "
+          f"flatness {np.median(flat):.1e} (tone-dominated)")
+    b = sp.remez(73, [0, 0.18, 0.24, 0.5], [1, 0])
+    w, h = sp.freqz(b.astype(np.float32), worN=512)
+    h = np.asarray(h)
+    print(f"  remez 73-tap lowpass: stopband "
+          f"{20 * np.log10(np.max(np.abs(h[w >= 0.49 * np.pi]))):.0f} dB")
+    E, fg = sp.reassigned_spectrogram(mix[:4096], nperseg=256)
+    m = np.asarray(E).shape[0] // 2
+    print(f"  reassigned spectrogram: tone ridge at "
+          f"{fg[int(np.argmax(np.asarray(E)[m]))] * fs:.0f} Hz (expect 440)")
+
+
+
 if __name__ == "__main__":
     demo_complex()
     demo_real()
@@ -248,4 +292,5 @@ if __name__ == "__main__":
     demo_dwt_denoise()
     demo_dtcwt_frft()
     demo_estimation_rotation()
+    demo_audio_toolbox()
     demo_sharded()
