@@ -1275,3 +1275,214 @@ def minimum_phase(
     h_min = jnp.real(ifft(spec_min, config=config))
     n_out = (n_h // 2 + n_h % 2) if half else n_h
     return h_min[:n_out]
+
+
+def detrend(data, axis: int = -1, type: str = "linear", bp=0,
+            *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """Remove a constant or piecewise-linear trend along ``axis``
+    (scipy.signal.detrend semantics incl. breakpoints ``bp``).
+
+    Segment boundaries are static, so each segment's least-squares line
+    is two closed-form device reductions — no solver, no host sync."""
+    x = jnp.asarray(data)
+    if type not in ("linear", "constant", "l", "c"):
+        raise ValueError(f"type must be 'linear' or 'constant', got {type!r}")
+    axis = axis % x.ndim
+    if type in ("constant", "c"):
+        return x - jnp.mean(x, axis=axis, keepdims=True)
+    n = x.shape[axis]
+    bp = np.sort(np.unique(np.concatenate([[0], np.atleast_1d(bp), [n]])))
+    if np.any(bp < 0) or np.any(bp > n):
+        raise ValueError(f"breakpoints must lie in [0, {n}]")
+    xm = jnp.moveaxis(x, axis, -1)
+    pieces = []
+    rdt = jnp.result_type(xm.dtype, jnp.float32)
+    for lo, hi in zip(bp[:-1], bp[1:]):
+        seg = xm[..., int(lo):int(hi)].astype(rdt)
+        m = int(hi - lo)
+        if m == 0:
+            continue
+        t = jnp.asarray(np.arange(m) - (m - 1) / 2.0, rdt)  # centered
+        mean = jnp.mean(seg, -1, keepdims=True)
+        denom = float(np.sum((np.arange(m) - (m - 1) / 2.0) ** 2)) or 1.0
+        slope = jnp.sum(seg * t, -1, keepdims=True) / denom
+        pieces.append(seg - mean - slope * t)
+    out = jnp.concatenate(pieces, -1).astype(xm.dtype)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def decimate(x, q: int, n: Optional[int] = None, ftype: str = "fir",
+             axis: int = -1, zero_phase: bool = True,
+             *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """Downsample by an integer factor after an anti-aliasing FIR
+    (scipy.signal.decimate, FIR path: Hamming-windowed sinc of order
+    20·q, zero-phase via the centered polyphase application).  The IIR
+    ``ftype`` is intentionally unsupported — recursive filtering
+    serializes on TPU; use the default FIR."""
+    if ftype != "fir":
+        raise ValueError(
+            "only ftype='fir' is supported (IIR filtering is serial; "
+            "the FIR path is the TPU-native one)"
+        )
+    q = int(q)
+    if q < 1:
+        raise ValueError(f"q must be >= 1, got {q}")
+    if not zero_phase:
+        raise ValueError("zero_phase=False is not supported for FIR")
+    if n is None:
+        n = 20 * q
+    if n % 2:
+        n += 1  # keep the filter odd-length symmetric (exact zero phase)
+    h = _firwin_lowpass(n + 1, 1.0 / q, "hamming") if q > 1 else None
+    if q == 1:
+        return jnp.asarray(x)
+    return resample_poly(x, 1, q, axis=axis, window=np.asarray(h),
+                         config=config)
+
+
+def savgol_coeffs(window_length: int, polyorder: int, deriv: int = 0,
+                  delta: float = 1.0, pos: Optional[float] = None,
+                  use: str = "conv") -> np.ndarray:
+    """Savitzky-Golay FIR coefficients (scipy.signal.savgol_coeffs):
+    least-squares polynomial smoothing/differentiation taps, host fp64
+    (the min-norm lstsq solution of the underdetermined moment system)."""
+    import math as _math
+
+    if window_length < 1:
+        raise ValueError(f"window_length must be >= 1, got {window_length}")
+    if polyorder >= window_length:
+        raise ValueError("polyorder must be < window_length")
+    halflen, rem = divmod(window_length, 2)
+    if pos is None:
+        pos = halflen if rem else halflen - 0.5
+    if not 0 <= pos <= window_length - 1:
+        raise ValueError("pos must be within the window")
+    if use not in ("conv", "dot"):
+        raise ValueError(f"use must be 'conv' or 'dot', got {use!r}")
+    if deriv > polyorder:
+        return np.zeros(window_length)
+    x = np.arange(-pos, window_length - pos, dtype=np.float64)
+    if use == "conv":
+        x = x[::-1]
+    order = np.arange(polyorder + 1).reshape(-1, 1)
+    A = x ** order  # (polyorder+1, window_length)
+    y = np.zeros(polyorder + 1)
+    y[deriv] = _math.factorial(deriv) / (delta ** deriv)
+    coeffs, *_ = np.linalg.lstsq(A, y, rcond=None)
+    return coeffs
+
+
+def savgol_filter(x, window_length: int, polyorder: int, deriv: int = 0,
+                  delta: float = 1.0, axis: int = -1, mode: str = "interp",
+                  cval: float = 0.0,
+                  *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """Savitzky-Golay smoothing/differentiation along ``axis``
+    (scipy.signal.savgol_filter semantics incl. the 'interp' edge mode).
+
+    TPU shape: the interior is one static window gather + a (wl,) tap
+    contraction (the same polyphase kernel as upfirdn); the 'interp'
+    edges are STATIC (halflen, wl) matrices — evaluate-at-edge ∘
+    pinv(fit) of the polynomial basis, precomputed on the host — so the
+    whole filter is two small matmuls and jits with no edge loop."""
+    from .stft import _frame
+
+    x = jnp.asarray(x)
+    if mode not in ("interp", "mirror", "nearest", "wrap", "constant"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if window_length % 2 == 0 and mode == "interp":
+        raise ValueError("mode='interp' needs an odd window_length")
+    wl = int(window_length)
+    c = savgol_coeffs(wl, polyorder, deriv, delta, use="dot")
+    axis = axis % x.ndim
+    xm = jnp.moveaxis(x, axis, -1)
+    n = xm.shape[-1]
+    half = wl // 2
+    rdt = jnp.result_type(xm.dtype, jnp.float32)
+    xw = xm.astype(rdt)
+    cd = jnp.asarray(c, rdt)
+    if mode == "interp":
+        if n < wl:
+            raise ValueError("signal shorter than window_length for 'interp'")
+        frames = _frame(xw, wl, 1)  # (…, n-wl+1, wl)
+        interior = jnp.einsum("...tw,w->...t", frames, cd)
+        # edge fit: evaluate the lstsq polynomial of the first/last window
+        t_fit = np.arange(wl, dtype=np.float64)
+        A = np.vander(t_fit, polyorder + 1, increasing=True)
+        pinv = np.linalg.pinv(A)
+        import math as _math
+
+        def eval_mat(ts):
+            # d^deriv/dt^deriv of Σ a_k t^k at positions ts, over fits
+            rows = np.zeros((len(ts), polyorder + 1))
+            for k in range(deriv, polyorder + 1):
+                fac = _math.factorial(k) / _math.factorial(k - deriv)
+                rows[:, k] = fac * ts ** (k - deriv)
+            return rows / (delta ** deriv)
+
+        left = jnp.asarray(eval_mat(np.arange(half)) @ pinv, rdt)
+        right = jnp.asarray(
+            eval_mat(np.arange(wl - half, wl)) @ pinv, rdt
+        )
+        lo = jnp.einsum("ew,...w->...e", left, xw[..., :wl])
+        hi = jnp.einsum("ew,...w->...e", right, xw[..., -wl:])
+        out = jnp.concatenate([lo, interior, hi], -1)
+    else:
+        if mode == "mirror":
+            pads = dict(mode="reflect")
+        elif mode == "nearest":
+            pads = dict(mode="edge")
+        elif mode == "wrap":
+            pads = dict(mode="wrap")
+        else:
+            pads = dict(mode="constant", constant_values=cval)
+        padw = [(0, 0)] * (xw.ndim - 1) + [(half, half)]
+        xp_ = jnp.pad(xw, padw, **pads)
+        frames = _frame(xp_, wl, 1)[..., :n, :]
+        out = jnp.einsum("...tw,w->...t", frames, cd)
+    return jnp.moveaxis(out.astype(xm.dtype), -1, axis)
+
+
+def group_delay(system, w: int = 512, whole: bool = False,
+                fs: float = 2.0 * np.pi,
+                *, config: SpectralConfig = DEFAULT_CONFIG):
+    """Group delay of a digital filter (scipy.signal.group_delay):
+    τ(ω) = −dφ/dω in samples, via the Shpak identity
+    τ = Re[FFT(n·c)/FFT(c)] − (len(a)−1) with c = b ⊛ reverse(conj(a)) —
+    two engine FFT evaluations, no phase unwrapping."""
+    b, a = system
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    if b.ndim != 1 or a.ndim != 1:
+        raise ValueError("b and a must be 1-D coefficient vectors")
+    c = np.convolve(b, a[::-1].conj())
+    cr = c * np.arange(len(c))
+    wg, num = freqz(jnp.asarray(cr, jnp.float32), worN=w, whole=whole,
+                    fs=fs, config=config)
+    _, den = freqz(jnp.asarray(c, jnp.float32), worN=w, whole=whole,
+                   fs=fs, config=config)
+    eps = jnp.asarray(1e-30, jnp.float32)
+    tau = jnp.real(num * jnp.conj(den)) / jnp.maximum(
+        jnp.abs(den) ** 2, eps
+    ) - (len(a) - 1)
+    return wg, tau
+
+
+def deconvolve(signal, divisor):
+    """Polynomial deconvolution (scipy.signal.deconvolve): quotient and
+    remainder of ``signal = conv(divisor, quotient) + remainder`` — host
+    fp64 long division (deconvolution is plan-time small-vector work)."""
+    num = np.atleast_1d(np.asarray(signal, np.float64))
+    den = np.atleast_1d(np.asarray(divisor, np.float64))
+    if den.ndim != 1 or num.ndim != 1:
+        raise ValueError("signal and divisor must be 1-D")
+    if den.size == 0 or den[0] == 0:
+        raise ValueError("divisor must have a nonzero leading coefficient")
+    n = num.size - den.size + 1
+    if n <= 0:
+        return np.zeros(1), num.copy()
+    quot = np.zeros(n)
+    rem = num.copy()
+    for i in range(n):
+        quot[i] = rem[i] / den[0]
+        rem[i : i + den.size] -= quot[i] * den
+    return quot, rem

@@ -730,3 +730,81 @@ class TestRemez:
             sp.remez(31, [0, 0.2, 0.3, 0.5], [1])
         with pytest.raises(ValueError):
             sp.remez(31, [0, 0.4], [1], type="sideways")
+
+
+class TestSignalUtilities:
+    def test_detrend_vs_scipy(self, rng):
+        import scipy.signal as ss
+
+        x = (np.arange(500) * 0.03 + rng.standard_normal(500)).astype(np.float64)
+        for kw in (dict(type="constant"), dict(type="linear"),
+                   dict(type="linear", bp=[100, 300])):
+            got = np.asarray(sp.detrend(x.astype(np.float32), **kw))
+            want = ss.detrend(x, **kw)
+            assert np.max(np.abs(got - want)) < 1e-3, kw
+        xb = rng.standard_normal((3, 64, 5))
+        got = np.asarray(sp.detrend(xb.astype(np.float32), axis=1))
+        want = ss.detrend(xb, axis=1)
+        assert np.max(np.abs(got - want)) < 1e-4
+        with pytest.raises(ValueError):
+            sp.detrend(x, type="sideways")
+
+    def test_decimate_vs_scipy(self, rng):
+        import scipy.signal as ss
+
+        x = rng.standard_normal(1000).astype(np.float64)
+        for q in (2, 5):
+            got = np.asarray(sp.decimate(x.astype(np.float32), q))
+            want = ss.decimate(x, q, ftype="fir", zero_phase=True)
+            assert got.shape == want.shape
+            assert np.max(np.abs(got - want)) < 1e-4, q
+        with pytest.raises(ValueError):
+            sp.decimate(x, 2, ftype="iir")
+
+    def test_savgol_vs_scipy(self, rng):
+        import scipy.signal as ss
+
+        x = np.cumsum(rng.standard_normal(300))
+        for kw in (dict(window_length=11, polyorder=3),
+                   dict(window_length=21, polyorder=4, deriv=1, delta=0.5),
+                   dict(window_length=11, polyorder=2, mode="mirror"),
+                   dict(window_length=11, polyorder=2, mode="nearest"),
+                   dict(window_length=11, polyorder=2, mode="wrap"),
+                   dict(window_length=11, polyorder=2, mode="constant",
+                        cval=1.5)):
+            got = np.asarray(sp.savgol_filter(x.astype(np.float32), **kw))
+            want = ss.savgol_filter(x, **kw)
+            scale = np.max(np.abs(want)) + 1e-12
+            assert np.max(np.abs(got - want)) / scale < 2e-5, kw
+        c = sp.savgol_coeffs(9, 3, deriv=2, delta=0.25)
+        cr = ss.savgol_coeffs(9, 3, deriv=2, delta=0.25)
+        assert np.max(np.abs(c - cr)) < 1e-12
+        with pytest.raises(ValueError):
+            sp.savgol_filter(x, 10, 3)  # even window with interp
+
+    def test_group_delay_vs_scipy(self):
+        import scipy.signal as ss
+
+        b = sp.firwin(31, 0.3)
+        w0, g0 = ss.group_delay((b, 1.0), w=256)
+        w1, g1 = sp.group_delay((b, 1.0), w=256)
+        keep = np.abs(np.polyval(b[::-1], np.exp(-1j * w0))) > 1e-3
+        assert np.max(np.abs(np.asarray(g1)[keep] - g0[keep])) < 1e-2
+        # IIR case
+        bb = np.array([1.0, 0.5]); aa = np.array([1.0, -0.3])
+        w0, g0 = ss.group_delay((bb, aa), w=128)
+        _, g1 = sp.group_delay((bb, aa), w=128)
+        assert np.max(np.abs(np.asarray(g1) - g0)) < 1e-3
+
+    def test_deconvolve_vs_scipy(self, rng):
+        import scipy.signal as ss
+
+        d = np.array([1.0, 0.4, -0.2])
+        qtrue = rng.standard_normal(17)
+        sig = np.convolve(d, qtrue)
+        q, r = sp.deconvolve(sig, d)
+        q0, r0 = ss.deconvolve(sig, d)
+        assert np.max(np.abs(q - q0)) < 1e-10
+        assert np.max(np.abs(r - r0)) < 1e-10
+        with pytest.raises(ValueError):
+            sp.deconvolve(sig, [0.0, 1.0])
