@@ -199,3 +199,50 @@ def rms(
     xp = jnp.pad(x.astype(config.dtype), pad)
     frames = _frame(xp, frame_length, hop)
     return jnp.sqrt(jnp.mean(frames * frames, -1))
+
+
+def specaugment(
+    S,
+    key,
+    n_freq_masks: int = 2,
+    freq_mask_width: int = 16,
+    n_time_masks: int = 2,
+    time_mask_width: int = 32,
+    mask_value: float = 0.0,
+):
+    """SpecAugment masking (Park et al. 2019) on a spectrogram
+    (…, frames, bins): ``n_freq_masks`` random bands of width up to
+    ``freq_mask_width`` zeroed along frequency, ``n_time_masks`` along
+    time.  ``key`` is a jax PRNG key; leading batch dims get independent
+    masks.  Pure comparisons against uniform draws — no dynamic slicing,
+    so it jits and vmaps freely (the standard audio-ML augmentation)."""
+    S = jnp.asarray(S)
+    if S.ndim < 2:
+        raise ValueError("S must be (…, frames, bins)")
+    if n_freq_masks < 0 or n_time_masks < 0:
+        raise ValueError("mask counts must be >= 0")
+    if freq_mask_width < 0 or time_mask_width < 0:
+        raise ValueError("mask widths must be >= 0")
+    T, F = S.shape[-2], S.shape[-1]
+    batch = S.shape[:-2]
+    rdtype = jnp.real(S).dtype
+
+    def _axis_mask(k, n_masks, width, size):
+        if n_masks == 0 or width == 0:
+            return jnp.ones(batch + (size,), bool)
+        kw, ks = jax.random.split(k)
+        w = jax.random.randint(kw, batch + (n_masks, 1), 0, width + 1)
+        s = jax.random.uniform(ks, batch + (n_masks, 1)) * jnp.maximum(
+            size - w, 1
+        ).astype(jnp.float32)
+        s = s.astype(jnp.int32)
+        grid = jnp.arange(size)
+        hit = (grid >= s) & (grid < s + w)  # (…, n_masks, size)
+        return ~jnp.any(hit, axis=-2)
+
+    kf, kt = jax.random.split(key)
+    fmask = _axis_mask(kf, n_freq_masks, freq_mask_width, F)
+    tmask = _axis_mask(kt, n_time_masks, time_mask_width, T)
+    keep = fmask[..., None, :] & tmask[..., :, None]
+    fill = jnp.asarray(mask_value, S.dtype)
+    return jnp.where(keep, S, fill)

@@ -516,3 +516,45 @@ def istockwell(
     Xh = jnp.sum(S, axis=-1)
     # row 0 holds the mean replicated across time: its sum is T·mean = X[0]
     return _irfft(Xh, n=T, config=config)
+
+
+def ambiguity(
+    x,
+    max_lag: Optional[int] = None,
+    analytic: bool = True,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Narrowband ambiguity function A[τ, ν] = Σ_t z[t+τ]·z*[t−τ]·e^{−2πiνt/T}:
+    (…, T) -> complex (…, 2·max_lag+1, T), lag axis τ = −max_lag..max_lag
+    (in HALF-lag units like the discrete WVD — effective delay 2τ) and
+    doppler bins ν = fftfreq(T)·T cycles (fftshifted to center zero).
+
+    The dual of :func:`wigner_ville` (they are a 2-D Fourier pair): matched
+    filters and delay-doppler radar maps read straight off it.  Same TPU
+    shape as the WVD — static lag-index gathers, one batched engine FFT
+    along TIME per lag row."""
+    x = jnp.asarray(x)
+    if x.ndim < 1 or x.shape[-1] < 3:
+        raise ValueError("ambiguity needs a signal of length >= 3")
+    T = x.shape[-1]
+    if max_lag is None:
+        max_lag = min(128, (T - 1) // 2)
+    max_lag = int(max_lag)
+    if not 1 <= max_lag <= (T - 1) // 2:
+        raise ValueError(f"need 1 <= max_lag <= {(T - 1) // 2}, got {max_lag}")
+    if analytic and not jnp.issubdtype(x.dtype, jnp.complexfloating):
+        z = hilbert(x, config=config)
+    else:
+        z = x.astype(jnp.result_type(x.dtype, jnp.complex64))
+    tau = np.arange(-max_lag, max_lag + 1)
+    tgrid = np.arange(T)
+    ip = tgrid[None, :] + tau[:, None]
+    im = tgrid[None, :] - tau[:, None]
+    valid = (ip >= 0) & (ip < T) & (im >= 0) & (im < T)
+    prod = z[..., np.clip(ip, 0, T - 1)] * jnp.conj(
+        z[..., np.clip(im, 0, T - 1)]
+    )
+    prod = prod * jnp.asarray(valid, jnp.real(z).dtype)
+    A = fft(prod, config=config)  # doppler transform along time
+    return jnp.fft.fftshift(A, axes=-1)

@@ -303,3 +303,67 @@ class TestStockwell:
             sp.stockwell(np.zeros(64, np.float32), fmin=40, fmax=20)
         with pytest.raises(ValueError):
             sp.istockwell(np.zeros((4, 128), np.complex64))
+
+
+class TestAmbiguity:
+    def test_tone_lives_on_doppler_zero(self):
+        T = 512
+        t = np.arange(T)
+        x = np.cos(2 * np.pi * 0.11 * t).astype(np.float32)
+        A = np.abs(np.asarray(sp.ambiguity(x, max_lag=64)))
+        # a stationary tone concentrates on the zero-doppler axis
+        dop0 = T // 2  # fftshifted center
+        on_axis = A[:, dop0].sum()
+        off = A.sum() - on_axis
+        assert on_axis > 0.1 * off  # axis is 1 of 512 columns, heavily loaded
+        assert np.argmax(A.sum(0)) == dop0
+
+    def test_delay_doppler_peak_of_shifted_pulse(self):
+        # the AF of a chirp stays concentrated along a rotated line
+        T = 512
+        t = np.arange(T)
+        rate = 0.2 / T
+        x = np.cos(2 * np.pi * (0.05 * t + 0.5 * rate * t * t)).astype(np.float32)
+        A = np.abs(np.asarray(sp.ambiguity(x, max_lag=64)))
+        # chirp AF: doppler of the ridge scales linearly with lag
+        lags = np.arange(-64, 65)
+        ridge = np.argmax(A, axis=1) - T // 2
+        k = np.polyfit(lags[32:-32], ridge[32:-32], 1)[0]
+        # doppler bins per half-lag unit = 2·rate·T
+        assert abs(k - 2 * rate * T) < 0.05, k
+
+    def test_errors_and_batch(self, rng):
+        xb = rng.standard_normal((2, 256)).astype(np.float32)
+        A = np.asarray(sp.ambiguity(xb, max_lag=32))
+        assert A.shape == (2, 65, 256)
+        with pytest.raises(ValueError):
+            sp.ambiguity(np.zeros(2, np.float32))
+        with pytest.raises(ValueError):
+            sp.ambiguity(np.zeros(64, np.float32), max_lag=40)
+
+
+class TestSpecAugment:
+    def test_masks_and_shapes(self, rng):
+        import jax
+
+        mag = np.abs(rng.standard_normal((3, 40, 65))).astype(np.float32) + 0.1
+        key = jax.random.PRNGKey(0)
+        out = np.asarray(sp.specaugment(mag, key, n_freq_masks=2,
+                                        freq_mask_width=10, n_time_masks=1,
+                                        time_mask_width=8))
+        assert out.shape == mag.shape
+        zeroed = (out == 0.0)
+        assert zeroed.any() and not zeroed.all()
+        # masked cells form full rows/columns per batch element
+        for b in range(3):
+            cols = np.where((out[b] == 0).all(0))[0]
+            rows = np.where((out[b] == 0).all(1))[0]
+            assert len(cols) <= 20 and len(rows) <= 8
+        # unmasked cells are untouched
+        assert np.array_equal(out[~zeroed], mag[~zeroed])
+        # jits
+        f = jax.jit(lambda s, k: sp.specaugment(s, k, mask_value=-1.0))
+        out2 = np.asarray(f(mag, key))
+        assert (out2 == -1.0).any()
+        with pytest.raises(ValueError):
+            sp.specaugment(np.zeros(8, np.float32), key)
