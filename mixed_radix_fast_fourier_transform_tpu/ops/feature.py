@@ -150,7 +150,8 @@ def spectral_contrast(
         peak = jnp.mean(srt[..., -q:], -1)
         out.append(jnp.log10(jnp.maximum(peak, tiny))
                    - jnp.log10(jnp.maximum(valley, tiny)))
-    return 20.0 * jnp.stack(out, axis=-1)
+    # librosa convention: power_to_db on the MAGNITUDE quantiles -> 10·log10
+    return 10.0 * jnp.stack(out, axis=-1)
 
 
 def zero_crossing_rate(

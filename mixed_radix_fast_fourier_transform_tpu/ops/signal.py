@@ -857,11 +857,20 @@ def remez(
             break
         last = idx = new
 
+    # re-solve on the FINAL node set (idx may have been exchanged after
+    # (a, y) were last computed — e.g. maxiter exhaustion); idempotent on
+    # the converged set
+    xi = x[idx]
+    a = node_weights(xi)
+    alt = (-1.0) ** np.arange(idx.size)
+    delta = np.sum(a * Deff[idx]) / np.sum(a * alt / Weff[idx])
+    y = Deff[idx] - alt * delta / Weff[idx]
+
     # taps via inverse real DFT of the sampled linear-phase response
     N = numtaps
     k = np.arange(N // 2 + 1)
     wk = 2 * np.pi * k / N
-    Gk = Q(wk) * bary_eval(np.cos(wk), x[idx], a, y)
+    Gk = Q(wk) * bary_eval(np.cos(wk), xi, a, y)
     phase = np.exp(-1j * wk * (N - 1) / 2)
     if antisym:
         phase = phase * 1j  # scipy/MATLAB quadrature sign convention
@@ -927,8 +936,9 @@ def _freqz_dense(b, a, omega: np.ndarray, cdtype, config) -> Array:
         cr = jnp.asarray(np.cos(ang), rdtype)
         ci = jnp.asarray(np.sin(ang), rdtype)
         vr, vi = jnp.real(v).astype(rdtype), jnp.imag(v).astype(rdtype)
-        hr = cr @ vr - ci @ vi
-        hi = cr @ vi + ci @ vr
+        mm = lambda A, u: jnp.matmul(A, u, precision=prec)
+        hr = mm(cr, vr) - mm(ci, vi)
+        hi = mm(cr, vi) + mm(ci, vr)
         return jax.lax.complex(hr, hi)
     return resp(b, kb) / resp(a, ka)
 
@@ -1404,7 +1414,8 @@ def savgol_filter(x, window_length: int, polyorder: int, deriv: int = 0,
         if n < wl:
             raise ValueError("signal shorter than window_length for 'interp'")
         frames = _frame(xw, wl, 1)  # (…, n-wl+1, wl)
-        interior = jnp.einsum("...tw,w->...t", frames, cd)
+        interior = jnp.einsum("...tw,w->...t", frames, cd,
+                              precision=config.op_precision)
         # edge fit: evaluate the lstsq polynomial of the first/last window
         t_fit = np.arange(wl, dtype=np.float64)
         A = np.vander(t_fit, polyorder + 1, increasing=True)
@@ -1423,8 +1434,10 @@ def savgol_filter(x, window_length: int, polyorder: int, deriv: int = 0,
         right = jnp.asarray(
             eval_mat(np.arange(wl - half, wl)) @ pinv, rdt
         )
-        lo = jnp.einsum("ew,...w->...e", left, xw[..., :wl])
-        hi = jnp.einsum("ew,...w->...e", right, xw[..., -wl:])
+        lo = jnp.einsum("ew,...w->...e", left, xw[..., :wl],
+                        precision=config.op_precision)
+        hi = jnp.einsum("ew,...w->...e", right, xw[..., -wl:],
+                        precision=config.op_precision)
         out = jnp.concatenate([lo, interior, hi], -1)
     else:
         if mode == "mirror":
@@ -1438,7 +1451,8 @@ def savgol_filter(x, window_length: int, polyorder: int, deriv: int = 0,
         padw = [(0, 0)] * (xw.ndim - 1) + [(half, half)]
         xp_ = jnp.pad(xw, padw, **pads)
         frames = _frame(xp_, wl, 1)[..., :n, :]
-        out = jnp.einsum("...tw,w->...t", frames, cd)
+        out = jnp.einsum("...tw,w->...t", frames, cd,
+                         precision=config.op_precision)
     return jnp.moveaxis(out.astype(xm.dtype), -1, axis)
 
 

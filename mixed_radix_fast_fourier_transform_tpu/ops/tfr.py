@@ -307,7 +307,8 @@ def issq_cwt(
     dloga = (np.log(fmax) - np.log(fmin)) / (n_scales - 1)
     # C_ψ by host fp64 quadrature (integrand a Gaussian bump at u = w)
     u = np.linspace(1e-4, w + 15.0, 200_001)
-    c_psi = float(np.trapezoid(_morlet_hat(u, w) / u, u))
+    trapz = getattr(np, "trapezoid", None) or np.trapz  # numpy<2 compat
+    c_psi = float(trapz(_morlet_hat(u, w) / u, u))
     return jnp.sum(jnp.real(S), axis=-2) * jnp.asarray(
         dloga / c_psi, jnp.real(S).dtype
     )

@@ -712,6 +712,14 @@ class TestRemez:
         Hw = np.abs(np.polyval(want[::-1], np.exp(-1j * wg)))
         assert np.max(np.abs(Ho - Hw)) < 2e-3, kw
 
+    def test_maxiter_returns_sane_iterate(self):
+        # regression: the final (a, y) must be re-solved on the FINAL node
+        # set — with stale nodes a truncated run returned |H| peaking at 20
+        h = sp.remez(65, [0, 0.2, 0.25, 0.5], [1, 0], maxiter=3)
+        w = np.linspace(0, np.pi, 2049)
+        H = np.abs(np.polyval(h[::-1], np.exp(-1j * w)))
+        assert H.max() < 1.5
+
     def test_equiripple_property(self):
         # passband/stopband ripples are equal in magnitude (alternation)
         h = sp.remez(65, [0, 0.2, 0.25, 0.5], [1, 0])
