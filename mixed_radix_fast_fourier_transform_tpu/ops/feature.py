@@ -247,3 +247,117 @@ def specaugment(
     keep = fmask[..., None, :] & tmask[..., :, None]
     fill = jnp.asarray(mask_value, S.dtype)
     return jnp.where(keep, S, fill)
+
+
+def chroma_filterbank(sr: float, n_fft: int, n_chroma: int = 12,
+                      tuning: float = 0.0, ctroct: float = 5.0,
+                      octwidth: float = 2.0) -> np.ndarray:
+    """Chroma filterbank (n_chroma, n_fft//2+1) — librosa.filters.chroma
+    conventions: Gaussian pitch-class bins on the log-frequency axis with
+    a soft octave-centering envelope; host fp64 constant."""
+    if n_chroma < 2:
+        raise ValueError(f"n_chroma must be >= 2, got {n_chroma}")
+    nb = n_fft // 2 + 1
+    freqs = np.fft.rfftfreq(n_fft) * sr
+    freqs = freqs[1:]  # DC has no pitch
+    # fractional chroma bin of each frequency (A440 reference, C-based)
+    frqbins = n_chroma * (np.log2(freqs / (440.0 / 16.0)) - tuning / n_chroma)
+    # width: half a semitone in chroma-bin units (librosa binwidthbins)
+    wts = np.zeros((n_chroma, nb))
+    binwidth = np.concatenate([
+        np.maximum(frqbins[1:] - frqbins[:-1], 1.0), [1.0]
+    ])
+    d = frqbins[None, :] - np.arange(n_chroma)[:, None]
+    nc2 = round(n_chroma / 2)
+    d = np.remainder(d + nc2 + 10 * n_chroma, n_chroma) - nc2
+    w = np.exp(-0.5 * (2 * d / np.tile(binwidth, (n_chroma, 1))) ** 2)
+    # normalize columns then apply the octave-weighting envelope
+    w = w / np.maximum(np.sqrt(np.sum(w * w, axis=0, keepdims=True)), 1e-30)
+    if octwidth:
+        w *= np.exp(-0.5 * ((frqbins / n_chroma - ctroct) / octwidth) ** 2)
+    wts[:, 1:] = w
+    # the A440/16 reference puts A at row 0; roll 3 semitones so row 0 = C
+    return np.roll(wts, -3 * (n_chroma // 12), axis=0)
+
+
+def chroma_stft(
+    x=None, sr: float = 22050.0, nperseg: int = 2048,
+    hop: Optional[int] = None, window="hann", S=None, n_chroma: int = 12,
+    tuning: float = 0.0, power: float = 2.0,
+    *, config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Chromagram: (…, T) -> (…, frames, n_chroma), energy folded onto
+    pitch classes (librosa.feature.chroma_stft shape conventions, max-
+    normalized per frame) — one filterbank matmul on the power
+    spectrogram."""
+    hop = nperseg // 4 if hop is None else int(hop)
+    p = _magspec(x, S, nperseg, hop, window, power, config)
+    fb = chroma_filterbank(sr, 2 * (p.shape[-1] - 1), n_chroma, tuning)
+    c = jnp.einsum("...tb,cb->...tc", p, jnp.asarray(fb, p.dtype),
+                   precision=config.op_precision)
+    peak = jnp.max(c, axis=-1, keepdims=True)
+    return c / jnp.maximum(peak, jnp.asarray(1e-30, c.dtype))
+
+
+def onset_strength(
+    x=None, sr: float = 22050.0, nperseg: int = 2048,
+    hop: Optional[int] = None, n_mels: int = 128, S=None,
+    *, config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Spectral-flux onset envelope: (…, T) -> (…, frames) — positive
+    first difference of the log-mel spectrogram, averaged over bands
+    (librosa.onset.onset_strength's default recipe)."""
+    from .mel import melspectrogram
+
+    hop = nperseg // 4 if hop is None else int(hop)
+    if S is None:
+        S = melspectrogram(x, sr, n_fft=nperseg, hop=hop, n_mels=n_mels,
+                           config=config)
+    else:
+        S = jnp.asarray(S)
+        if S.ndim < 2:
+            raise ValueError("S must be (…, frames, bands)")
+    amin = jnp.asarray(1e-10, jnp.real(S).dtype)
+    db = 10.0 * jnp.log10(jnp.maximum(S, amin))
+    flux = jnp.maximum(db[..., 1:, :] - db[..., :-1, :], 0.0)
+    env = jnp.mean(flux, axis=-1)
+    pad = [(0, 0)] * (env.ndim - 1) + [(1, 0)]
+    return jnp.pad(env, pad)
+
+
+def tempo(
+    x=None, sr: float = 22050.0, nperseg: int = 2048,
+    hop: Optional[int] = None, onset_env=None,
+    start_bpm: float = 120.0, std_bpm: float = 1.0,
+    max_bpm: float = 320.0, min_bpm: float = 24.0,
+    *, config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Global tempo estimate in BPM: (…, T) -> (…,) scalar per signal —
+    the log-normal-weighted peak of the onset-envelope autocorrelation
+    (librosa.beat.tempo's autocorrelation recipe), computed with one
+    engine rfft/irfft round."""
+    from .rfft import rfft as _rfft, irfft as _irfft
+
+    hop = nperseg // 4 if hop is None else int(hop)
+    env = (onset_strength(x, sr, nperseg, hop, config=config)
+           if onset_env is None else jnp.asarray(onset_env))
+    n = env.shape[-1]
+    if n < 8:
+        raise ValueError("onset envelope too short for a tempo estimate")
+    env = env - jnp.mean(env, axis=-1, keepdims=True)
+    nfft = int(2 ** np.ceil(np.log2(2 * n)))
+    pad = [(0, 0)] * (env.ndim - 1) + [(0, nfft - n)]
+    spec = _rfft(jnp.pad(env, pad), config=config)
+    ac = _irfft(spec * jnp.conj(spec), n=nfft, config=config)[..., :n]
+    # lag -> bpm grid (host): bpm = 60 / (lag · hop / sr)
+    lags = np.arange(1, n)
+    bpms = 60.0 * sr / (hop * lags)
+    keep = (bpms >= min_bpm) & (bpms <= max_bpm)
+    lags = lags[keep]
+    bpms = bpms[keep]
+    if lags.size == 0:
+        raise ValueError("BPM window excludes every lag; widen the range")
+    prior = np.exp(-0.5 * ((np.log2(bpms / start_bpm)) / std_bpm) ** 2)
+    score = ac[..., lags] * jnp.asarray(prior, ac.dtype)
+    best = jnp.argmax(score, axis=-1)
+    return jnp.asarray(bpms, ac.dtype)[best]

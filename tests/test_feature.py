@@ -81,3 +81,47 @@ class TestDescriptors:
         assert c.shape[0] == 2
         with pytest.raises(ValueError):
             sp.spectral_centroid(np.zeros(4096, np.complex64), SR)
+
+
+class TestMIR:
+    def test_chroma_of_notes(self):
+        # A4=440 -> pitch class A (index 9, C-based); C5~523.25 -> C (0)
+        for f0, pc in ((440.0, 9), (523.25, 0), (659.25, 4)):  # A, C, E
+            x = np.sin(2 * np.pi * f0 * np.arange(22050) / SR).astype(np.float32)
+            C = np.asarray(sp.chroma_stft(x, SR, nperseg=4096))
+            prof = C[4:-4].mean(0)
+            assert np.argmax(prof) == pc, (f0, np.argmax(prof), prof)
+
+    def test_chroma_octave_invariance(self):
+        x1 = np.sin(2 * np.pi * 220.0 * np.arange(22050) / SR).astype(np.float32)
+        x2 = np.sin(2 * np.pi * 880.0 * np.arange(22050) / SR).astype(np.float32)
+        c1 = np.asarray(sp.chroma_stft(x1, SR, nperseg=4096))[4:-4].mean(0)
+        c2 = np.asarray(sp.chroma_stft(x2, SR, nperseg=4096))[4:-4].mean(0)
+        assert np.argmax(c1) == np.argmax(c2) == 9
+
+    def test_onset_strength_clicks(self):
+        x = np.zeros(44100, np.float32)
+        hop = 512
+        for k in range(8):
+            x[4410 * (k + 1)] = 1.0
+        env = np.asarray(sp.onset_strength(x, SR, nperseg=2048, hop=hop))
+        # envelope peaks near the click frames
+        peaks = np.argsort(env)[-8:]
+        click_frames = (4410 * np.arange(1, 9)) / hop
+        for p in peaks:
+            assert np.min(np.abs(click_frames - p)) <= 2.0
+
+    def test_tempo_of_click_track(self):
+        # 120 BPM click track at 22050 Hz: clicks every 0.5 s
+        x = np.zeros(22050 * 8, np.float32)
+        period = int(0.5 * SR)
+        x[::period] = 1.0
+        x += 0.01 * np.random.default_rng(0).standard_normal(len(x)).astype(np.float32)
+        t = float(np.asarray(sp.tempo(x, SR, nperseg=2048, hop=512)))
+        assert abs(t - 120.0) / 120.0 < 0.08, t
+
+    def test_errors(self):
+        with pytest.raises(ValueError):
+            sp.chroma_stft(np.zeros(4096, np.float32), SR, n_chroma=1)
+        with pytest.raises(ValueError):
+            sp.tempo(np.zeros(2048, np.float32), SR, min_bpm=500, max_bpm=600)
