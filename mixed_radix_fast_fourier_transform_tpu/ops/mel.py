@@ -347,36 +347,16 @@ def hpss(
     )
 
 
-def yin(
-    x,
-    fmin: float,
-    fmax: float,
-    sr: float = 22050.0,
-    frame_length: int = 2048,
-    win_length: Optional[int] = None,
-    hop: Optional[int] = None,
-    trough_threshold: float = 0.1,
-    center: bool = True,
-    *,
-    config: SpectralConfig = DEFAULT_CONFIG,
-) -> Array:
-    """YIN fundamental-frequency estimation (de Cheveigné & Kawahara
-    2002; librosa.yin conventions): (…, T) -> f0 in Hz per frame
-    (…, n_frames), frame m centered on sample m·hop.
-
-    TPU shape: the difference function d(τ) = Σ_j (x_j − x_{j+τ})²
-    evaluates per frame as sliding energies (one cumsum) plus a cross
-    term computed with ONE batched engine rfft/irfft correlation — no
-    lag loop; the cumulative-mean normalization is a cumsum; the
-    "first trough under threshold, else global minimum" pick and the
-    parabolic refinement are argmax/gather compositions, so the whole
-    estimator jits with no data-dependent control flow."""
+def _yin_cmnd(x, fmin, fmax, sr, frame_length, win_length, hop, center,
+              config):
+    """Cumulative-mean-normalized difference frames shared by yin/pyin:
+    (…, T) -> (cmnd (…, F, tau_max+1), tau_min, tau_max)."""
     from .stft import _frame
     from .rfft import rfft as _rfft, irfft as _irfft
 
     x = jnp.asarray(x)
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
-        raise ValueError("yin takes real signals")
+        raise ValueError("pitch estimators take real signals")
     if not 0 < fmin < fmax <= sr / 2:
         raise ValueError(f"need 0 < fmin < fmax <= sr/2, got {fmin}, {fmax}")
     win_length = frame_length // 2 if win_length is None else int(win_length)
@@ -427,6 +407,36 @@ def yin(
         [jnp.ones_like(d[..., :1]),
          d[..., 1:] * tau_f[1:] / jnp.maximum(run, 1e-12)], -1
     )
+    return cmnd, tau_min, tau_max, e0
+
+
+def yin(
+    x,
+    fmin: float,
+    fmax: float,
+    sr: float = 22050.0,
+    frame_length: int = 2048,
+    win_length: Optional[int] = None,
+    hop: Optional[int] = None,
+    trough_threshold: float = 0.1,
+    center: bool = True,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """YIN fundamental-frequency estimation (de Cheveigné & Kawahara
+    2002; librosa.yin conventions): (…, T) -> f0 in Hz per frame
+    (…, n_frames), frame m centered on sample m·hop.
+
+    TPU shape: the difference function d(τ) = Σ_j (x_j − x_{j+τ})²
+    evaluates per frame as sliding energies (one cumsum) plus a cross
+    term computed with ONE batched engine rfft/irfft correlation — no
+    lag loop; the cumulative-mean normalization is a cumsum; the
+    "first trough under threshold, else global minimum" pick and the
+    parabolic refinement are argmax/gather compositions, so the whole
+    estimator jits with no data-dependent control flow."""
+    cmnd, tau_min, tau_max, _ = _yin_cmnd(
+        x, fmin, fmax, sr, frame_length, win_length, hop, center, config
+    )
     # troughs: local minima within [tau_min, tau_max-1]
     lo = cmnd[..., 1:-1]
     is_trough = (lo <= cmnd[..., :-2]) & (lo <= cmnd[..., 2:])
@@ -450,5 +460,127 @@ def yin(
         jnp.abs(denom) > 1e-12, 0.5 * (p0 - p2) / denom, 0.0
     )
     shift = jnp.clip(shift, -0.5, 0.5)
-    tau_hat = pick.astype(d.dtype) + shift
-    return jnp.asarray(sr, d.dtype) / tau_hat
+    tau_hat = pick.astype(cmnd.dtype) + shift
+    return jnp.asarray(sr, cmnd.dtype) / tau_hat
+
+
+def pyin(
+    x,
+    fmin: float,
+    fmax: float,
+    sr: float = 22050.0,
+    frame_length: int = 2048,
+    win_length: Optional[int] = None,
+    hop: Optional[int] = None,
+    resolution: float = 0.1,
+    switch_prob: float = 0.01,
+    max_semitones_per_frame: float = 12.0,
+    center: bool = True,
+    fill_unvoiced: float = np.nan,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+):
+    """Probabilistic YIN (Mauch & Dixon 2014 style): (…, T) ->
+    ``(f0, voiced_flag, voiced_prob)``, each (…, n_frames); unvoiced
+    frames carry ``fill_unvoiced`` in f0.
+
+    Per frame, EVERY trough of the cumulative-mean-normalized difference
+    becomes a pitch candidate weighted by the Beta(2, 18) threshold prior
+    of the original pYIN (P[threshold > depth] has the closed form
+    (1−d)¹⁹ + 19·d·(1−d)¹⁸ — no incomplete-beta calls); candidates spread
+    onto a log-pitch grid of ``resolution`` semitones through a STATIC
+    lag→bin one-hot matmul.  A single-unvoiced-state HMM (triangular
+    pitch transitions capped at ``max_semitones_per_frame``,
+    ``switch_prob`` voicing switches) is decoded by max-product Viterbi —
+    one lax.scan forward with int32 backpointers and one reverse scan, so
+    the whole tracker jits.  Simplification vs librosa.pyin: one unvoiced
+    state instead of per-pitch unvoiced states (pitch memory resets
+    across unvoiced gaps)."""
+    cmnd, tau_min, tau_max, e0 = _yin_cmnd(
+        x, fmin, fmax, sr, frame_length, win_length, hop, center, config
+    )
+    if not 0.0 < switch_prob < 1.0:
+        raise ValueError(f"switch_prob must be in (0, 1), got {switch_prob}")
+    if resolution <= 0:
+        raise ValueError(f"resolution must be > 0, got {resolution}")
+    rdt = cmnd.dtype
+    lo = cmnd[..., 1:-1]
+    is_trough = (lo <= cmnd[..., :-2]) & (lo <= cmnd[..., 2:])
+    lag_idx = np.arange(1, tau_max)
+    in_band = jnp.asarray((lag_idx >= tau_min) & (lag_idx <= tau_max - 1))
+    d = jnp.clip(lo, 0.0, 1.0)
+    trough = is_trough & in_band
+    # P[Beta(2,18) threshold > depth] = (1-d)^19 + 19 d (1-d)^18
+    w = jnp.where(
+        trough, (1.0 - d) ** 19 + 19.0 * d * (1.0 - d) ** 18, 0.0
+    )  # (…, F, tau_max-1)
+    # pYIN's Boltzmann prior over trough RANK (parameter 2): earlier
+    # (shorter-lag) troughs dominate by e² per rank — this both suppresses
+    # octave-below errors and outweighs the +log2/frame self-transition
+    # bonus the truncated triangular HMM kernel gives the edge pitch bins
+    rank = jnp.cumsum(trough.astype(rdt), axis=-1) - trough.astype(rdt)
+    w = w * jnp.exp(-2.0 * rank)
+    # silence gate: zero-energy frames carry no pitch evidence (the CMND
+    # of an all-zero frame is 0/0 -> 0, which would read as deep troughs)
+    emax = jnp.max(e0, axis=-1, keepdims=True)
+    live = e0 > 1e-10 * jnp.maximum(emax, 1e-30)
+    w = w * live[..., None].astype(rdt)
+    total = jnp.sum(w, -1)
+    # candidate probs normalized; frame voicing = min(total, 1)
+    p_voiced = jnp.minimum(total, 1.0)
+    cand = w / jnp.maximum(total, 1.0)[..., None]
+    # static lag -> log-pitch-bin map
+    n_bins = int(np.ceil(12.0 * np.log2(fmax / fmin) / resolution)) + 1
+    bin_f = fmin * 2.0 ** (resolution * np.arange(n_bins) / 12.0)
+    lag_f = sr / lag_idx.astype(np.float64)
+    bin_of = np.clip(np.round(
+        12.0 * np.log2(np.maximum(lag_f, 1e-10) / fmin) / resolution
+    ), 0, n_bins - 1).astype(np.int64)
+    onehot = jnp.asarray(
+        bin_of[:, None] == np.arange(n_bins)[None, :], rdt
+    )  # (lags, bins)
+    obs_v = jnp.einsum("...fl,lb->...fb", cand, onehot,
+                       precision=config.op_precision)
+    obs_v = obs_v * p_voiced[..., None]
+    obs_u = (1.0 - p_voiced)[..., None]
+    eps = jnp.asarray(1e-12, rdt)
+    obs = jnp.log(jnp.concatenate([obs_v, obs_u], -1) + eps)  # (…,F,S)
+    # transition matrix (host): triangular pitch window + voicing switch
+    width = max(int(round(max_semitones_per_frame / resolution)), 1)
+    db = np.abs(np.arange(n_bins)[:, None] - np.arange(n_bins)[None, :])
+    tri = np.maximum(1.0 - db / (width + 1.0), 0.0)
+    tri /= np.maximum(tri.sum(1, keepdims=True), 1e-30)
+    T = np.zeros((n_bins + 1, n_bins + 1))
+    T[:n_bins, :n_bins] = (1.0 - switch_prob) * tri
+    T[:n_bins, n_bins] = switch_prob
+    T[n_bins, :n_bins] = switch_prob / n_bins
+    T[n_bins, n_bins] = 1.0 - switch_prob
+    logT = jnp.asarray(np.log(T + 1e-30), rdt)  # (S, S)
+
+    # Viterbi: forward max-product with backpointers, then backtrace
+    obs_steps = jnp.moveaxis(obs, -2, 0)  # (F, …, S)
+
+    def fwd(v, ob):
+        scores = v[..., :, None] + logT  # (…, S_prev, S)
+        best = jnp.max(scores, axis=-2)
+        arg = jnp.argmax(scores, axis=-2).astype(jnp.int32)
+        return best + ob, arg
+
+    v0 = obs_steps[0]
+    vT, bps = jax.lax.scan(fwd, v0, obs_steps[1:])
+    last = jnp.argmax(vT, axis=-1).astype(jnp.int32)
+
+    def back(state, bp):
+        # bp[t] maps state_{t+1} -> state_t; emit state_{t+1}, carry state_t
+        prev = jnp.take_along_axis(bp, state[..., None], axis=-1)[..., 0]
+        return prev, state
+
+    s0, path_rev = jax.lax.scan(back, last, bps, reverse=True)
+    path = jnp.concatenate(
+        [s0[..., None], jnp.moveaxis(path_rev, 0, -1)], -1
+    )  # (…, F) states 0..F-1
+    voiced = path < n_bins
+    f0 = jnp.asarray(bin_f, rdt)[jnp.minimum(path, n_bins - 1)]
+    f0 = jnp.where(voiced, f0, jnp.asarray(fill_unvoiced, rdt))
+    # voiced probability per frame from the observation model
+    return f0, voiced, p_voiced

@@ -238,3 +238,56 @@ class TestYin:
         with pytest.raises(ValueError):
             sp.yin(np.zeros(4096, np.float32), 10.0, 20.0, sr=22050.0,
                    frame_length=64)
+
+
+class TestPyin:
+    def test_tone_with_silence_gaps(self):
+        sr = 22050.0
+        T = 33075
+        t = np.arange(T) / sr
+        x = np.sin(2 * np.pi * 220.0 * t).astype(np.float32)
+        x[8000:12000] = 0.0  # silent gap
+        f0, voiced, pv = sp.pyin(x, 110.0, 440.0, sr, frame_length=2048)
+        f0 = np.asarray(f0); voiced = np.asarray(voiced)
+        hop = 512
+        centers = np.arange(len(f0)) * hop
+        tone_frames = (centers > 2048) & (centers < 6000)
+        gap_frames = (centers > 9000) & (centers < 11000)
+        assert voiced[tone_frames].mean() > 0.9
+        assert voiced[gap_frames].mean() < 0.3
+        ft = f0[tone_frames & voiced.astype(bool)]
+        assert abs(np.median(ft) - 220.0) / 220.0 < 0.02
+
+    def test_viterbi_tracks_noisy_tone(self):
+        # moderate noise: the Beta(2,18) threshold prior keeps the frames
+        # voiced (CMND dips ~0.04) and the HMM keeps the track coherent
+        sr = 22050.0
+        rng = np.random.default_rng(3)
+        t = np.arange(44100) / sr
+        x = (np.sin(2 * np.pi * 330.0 * t)
+             + 0.1 * rng.standard_normal(len(t))).astype(np.float32)
+        f0, voiced, _ = sp.pyin(x, 110.0, 880.0, sr)
+        f0 = np.asarray(f0)
+        voiced = np.asarray(voiced)
+        mid = slice(8, -8)
+        assert voiced[mid].mean() > 0.9
+        ok = np.abs(f0[mid] - 330.0) / 330.0 < 0.05
+        assert ok.mean() > 0.9, ok.mean()
+        # heavy noise flips the model to unvoiced rather than to garbage
+        xh = (np.sin(2 * np.pi * 330.0 * t)
+              + 0.6 * rng.standard_normal(len(t))).astype(np.float32)
+        _, vh, _ = sp.pyin(xh, 110.0, 880.0, sr)
+        assert np.asarray(vh).mean() < 0.2
+
+    def test_jit_and_errors(self):
+        import jax
+
+        sr = 16000.0
+        x = np.sin(2 * np.pi * 200 * np.arange(8000) / sr).astype(np.float32)
+        f = jax.jit(lambda v: sp.pyin(v, 100.0, 400.0, sr)[0])
+        out = np.asarray(f(x))
+        assert abs(np.nanmedian(out) - 200.0) / 200.0 < 0.02
+        with pytest.raises(ValueError):
+            sp.pyin(x, 100.0, 400.0, sr, switch_prob=0.0)
+        with pytest.raises(ValueError):
+            sp.pyin(x, 100.0, 400.0, sr, resolution=-1.0)
