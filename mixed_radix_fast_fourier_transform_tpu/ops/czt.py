@@ -148,3 +148,17 @@ def zoom_fft(
     w = np.exp(-2j * np.pi * step / fs)
     a = np.exp(2j * np.pi * f1 / fs)
     return czt(x, m=m, w=w, a=a, axis=axis, config=config)
+
+
+def czt_points(m: int, w: Optional[complex] = None,
+               a: complex = 1.0 + 0.0j) -> np.ndarray:
+    """The z-plane points a·w^{−k}, k = 0..m−1, where :func:`czt`
+    evaluates the transform (scipy.signal.czt_points parity; host
+    constant)."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    if w is None:
+        w = np.exp(-2j * np.pi / m)
+    return np.asarray(a, np.complex128) * np.asarray(w, np.complex128) ** (
+        -np.arange(m)
+    )

@@ -361,3 +361,26 @@ def tempo(
     score = ac[..., lags] * jnp.asarray(prior, ac.dtype)
     best = jnp.argmax(score, axis=-1)
     return jnp.asarray(bpms, ac.dtype)[best]
+
+
+def delta(
+    data,
+    width: int = 9,
+    order: int = 1,
+    axis: int = -2,
+    *, config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Local-slope delta features (librosa.feature.delta semantics: a
+    Savitzky-Golay derivative of the feature track along ``axis``,
+    'interp' edges) — one static tap contraction via
+    :func:`~..ops.signal.savgol_filter`."""
+    from .signal import savgol_filter
+
+    if width < 3 or width % 2 == 0:
+        raise ValueError(f"width must be odd and >= 3, got {width}")
+    if order < 1:
+        raise ValueError(f"order must be >= 1, got {order}")
+    # librosa: polyorder == deriv order (the least-squares local slope)
+    return savgol_filter(
+        data, width, polyorder=order, deriv=order, axis=axis, config=config,
+    )

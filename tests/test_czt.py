@@ -90,3 +90,15 @@ def test_invalid_args(rng):
         sp.czt(x, w=0.0)
     with pytest.raises(ValueError):
         sp.czt(x, a=0.0)
+
+
+def test_czt_points_vs_scipy():
+    import scipy.signal as ss
+
+    for kw in (dict(m=16,), dict(m=9, w=np.exp(-2j * np.pi / 32)),
+               dict(m=7, w=0.99 * np.exp(-2j * np.pi / 11), a=1.1 + 0.1j)):
+        got = sp.czt_points(**kw)
+        want = ss.czt_points(**kw)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+    with pytest.raises(ValueError):
+        sp.czt_points(0)

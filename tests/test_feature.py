@@ -125,3 +125,19 @@ class TestMIR:
             sp.chroma_stft(np.zeros(4096, np.float32), SR, n_chroma=1)
         with pytest.raises(ValueError):
             sp.tempo(np.zeros(2048, np.float32), SR, min_bpm=500, max_bpm=600)
+
+
+class TestDelta:
+    def test_linear_ramp_slope(self):
+        # a linear feature track has constant delta = its slope
+        track = (0.25 * np.arange(60))[:, None] * np.ones((1, 4))
+        d = np.asarray(sp.delta(track.astype(np.float32), width=9))
+        assert np.max(np.abs(d - 0.25)) < 1e-5
+        # second order of a quadratic
+        q = (0.5 * np.arange(60) ** 2)[:, None] * np.ones((1, 3))
+        d2 = np.asarray(sp.delta(q.astype(np.float32), width=9, order=2))
+        assert np.max(np.abs(d2 - 1.0)) < 1e-3
+        with pytest.raises(ValueError):
+            sp.delta(track, width=4)
+        with pytest.raises(ValueError):
+            sp.delta(track, order=0)
