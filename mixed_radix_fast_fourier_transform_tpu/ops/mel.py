@@ -584,3 +584,61 @@ def pyin(
     f0 = jnp.where(voiced, f0, jnp.asarray(fill_unvoiced, rdt))
     # voiced probability per frame from the observation model
     return f0, voiced, p_voiced
+
+
+def pcen(
+    S,
+    sr: float = 22050.0,
+    hop: int = 512,
+    gain: float = 0.98,
+    bias: float = 2.0,
+    power: float = 0.5,
+    time_constant: float = 0.4,
+    eps: float = 1e-6,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Per-channel energy normalization (Wang et al. 2017;
+    librosa.pcen defaults): (…, frames, bands) -> same shape,
+
+        PCEN = (S / (eps + M)^gain + bias)^power − bias^power,
+
+    with M the per-band IIR-smoothed energy (one-pole, coefficient b
+    from ``time_constant`` seconds at the given frame rate) — the
+    learnable-frontend alternative to log-mel.  The smoother is one
+    lax.scan over frames of pure elementwise work; everything else
+    fuses."""
+    S = jnp.asarray(S)
+    if S.ndim < 2:
+        raise ValueError("S must be (…, frames, bands)")
+    if jnp.issubdtype(S.dtype, jnp.complexfloating):
+        raise ValueError("pcen takes a magnitude/power spectrogram")
+    if time_constant <= 0 or hop < 1:
+        raise ValueError("need time_constant > 0 and hop >= 1")
+    t_frames = time_constant * sr / float(hop)
+    # librosa: b from the equivalent-width of the one-pole smoother
+    b = (np.sqrt(1.0 + 4.0 * t_frames**2) - 1.0) / (2.0 * t_frames**2)
+    bd = jnp.asarray(b, S.dtype)
+    steps = jnp.moveaxis(S, -2, 0)
+
+    def smooth(m, s):
+        m2 = (1.0 - bd) * m + bd * s
+        return m2, m2
+
+    _, M = jax.lax.scan(smooth, steps[0], steps)
+    M = jnp.moveaxis(M, 0, -2)
+    epsd = jnp.asarray(eps, S.dtype)
+    smooth_gain = jnp.exp(-gain * jnp.log(epsd + M))
+    return (S * smooth_gain + bias) ** power - bias**power
+
+
+def A_weighting(frequencies) -> np.ndarray:
+    """IEC 61672 A-weighting in dB at the given frequencies (host fp64,
+    librosa.A_weighting conventions — 0 dB at 1 kHz)."""
+    f = np.atleast_1d(np.asarray(frequencies, np.float64))
+    f2 = np.maximum(f, 1e-10) ** 2
+    c1, c2, c3, c4 = 12194.217**2, 20.598997**2, 107.65265**2, 737.86223**2
+    num = c1 * f2**2
+    den = (f2 + c2) * np.sqrt((f2 + c3) * (f2 + c4)) * (f2 + c1)
+    ra = num / den
+    return 2.0 + 20.0 * np.log10(np.maximum(ra, 1e-30))

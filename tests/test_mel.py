@@ -291,3 +291,39 @@ class TestPyin:
             sp.pyin(x, 100.0, 400.0, sr, switch_prob=0.0)
         with pytest.raises(ValueError):
             sp.pyin(x, 100.0, 400.0, sr, resolution=-1.0)
+
+
+class TestPcenAWeighting:
+    def test_pcen_agc_behavior(self, rng):
+        # PCEN flattens loudness: a 100x level change barely moves output
+        sr, hop = 22050.0, 512
+        quiet = np.abs(rng.standard_normal((60, 32))).astype(np.float32)
+        loud = 100.0 * quiet
+        pq = np.asarray(sp.pcen(quiet, sr, hop))
+        pl = np.asarray(sp.pcen(loud, sr, hop))
+        # steady state: outputs within a few percent despite 40 dB input gap
+        assert np.abs(pl[20:] - pq[20:]).mean() / pq[20:].mean() < 0.1
+        # onset emphasis: a sudden step pops above its steady state
+        S = np.ones((80, 8), np.float32) * 0.1
+        S[40:] = 10.0
+        p = np.asarray(sp.pcen(S, sr, hop))
+        assert p[40, 0] > 2.0 * p[70, 0]
+
+    def test_pcen_jit_and_errors(self, rng):
+        import jax
+
+        S = np.abs(rng.standard_normal((2, 30, 16))).astype(np.float32)
+        out = np.asarray(jax.jit(lambda v: sp.pcen(v))(S))
+        assert out.shape == S.shape
+        with pytest.raises(ValueError):
+            sp.pcen(np.zeros(8, np.float32))
+        with pytest.raises(ValueError):
+            sp.pcen(S, time_constant=0.0)
+
+    def test_a_weighting_anchors(self):
+        # IEC 61672 table anchors: 0 dB at 1 kHz, -19.1 at 100 Hz, +1.2 at 2 kHz
+        w = sp.A_weighting([100.0, 1000.0, 2000.0, 10000.0])
+        assert abs(w[1]) < 0.02
+        assert abs(w[0] - (-19.1)) < 0.2
+        assert abs(w[2] - 1.2) < 0.1
+        assert abs(w[3] - (-2.5)) < 0.2
