@@ -384,3 +384,73 @@ def delta(
     return savgol_filter(
         data, width, polyorder=order, deriv=order, axis=axis, config=config,
     )
+
+
+def beat_track(
+    x=None, sr: float = 22050.0, nperseg: int = 2048,
+    hop: Optional[int] = None, onset_env=None, bpm=None,
+    tightness: float = 100.0, min_bpm: float = 24.0, max_bpm: float = 320.0,
+    *, config: SpectralConfig = DEFAULT_CONFIG,
+) -> tuple:
+    """Dynamic-programming beat tracker (Ellis 2007;
+    librosa.beat.beat_track's recipe): (…, T) -> (bpm, beat_mask) with
+    ``beat_mask`` boolean per frame (frame m centered on sample m·hop).
+
+    Score C[t] = O[t] + max_Δ [ C[t−Δ] − tightness·log²(Δ/p) ] runs as one
+    lax.scan with a static Δ-window ring buffer (the window covers
+    2·p_max, so the tempo may be traced data); the beat sequence
+    reconstructs with a reverse scan over backpointers — fully jittable,
+    fixed shapes."""
+    hop = nperseg // 4 if hop is None else int(hop)
+    env = (onset_strength(x, sr, nperseg, hop, config=config)
+           if onset_env is None else jnp.asarray(onset_env))
+    if env.ndim != 1:
+        raise ValueError("beat_track takes a single signal/envelope")
+    n = env.shape[-1]
+    if n < 8:
+        raise ValueError("onset envelope too short to track beats")
+    if bpm is None:
+        bpm = tempo(onset_env=env, sr=sr, nperseg=nperseg, hop=hop,
+                    start_bpm=120.0, min_bpm=min_bpm, max_bpm=max_bpm,
+                    config=config)
+    bpm = jnp.asarray(bpm)
+    period = 60.0 * sr / (hop * jnp.maximum(bpm, 1e-3))  # frames (traced)
+    rdt = env.dtype
+    env = env / jnp.maximum(jnp.std(env), jnp.asarray(1e-10, rdt))
+    D = int(min(np.ceil(2.0 * 60.0 * sr / (hop * min_bpm)), n - 1))
+    deltas = jnp.arange(1, D + 1, dtype=rdt)
+    # transition penalty (traced in period, static in Δ)
+    pen = -tightness * jnp.log(deltas / period) ** 2  # (D,)
+    neg = jnp.asarray(-1e9, rdt)
+
+    def step(carry, o_t):
+        buf, t = carry  # buf[k] = C[t-1-k], k = 0..D-1
+        valid = jnp.arange(D) < t  # only scores from real frames
+        cand = jnp.where(valid, buf + pen, neg)
+        best = jnp.max(cand)
+        arg = jnp.argmax(cand).astype(jnp.int32)  # Δ-1
+        score = o_t + jnp.maximum(best, 0.0)  # allow fresh starts
+        started = best > 0.0
+        bp = jnp.where(started, arg + 1, 0).astype(jnp.int32)  # 0 = start
+        buf2 = jnp.concatenate([score[None], buf[:-1]])
+        return (buf2, t + 1), (score, bp)
+
+    buf0 = jnp.full((D,), neg, rdt)
+    (_, _), (scores, bps) = jax.lax.scan(
+        step, (buf0, jnp.asarray(0, jnp.int32)), env
+    )
+    end = jnp.argmax(scores).astype(jnp.int32)
+
+    def back(carry, t):
+        cur = carry  # frame index of the next beat at or before t
+        here = t == cur
+        delta = bps[jnp.maximum(cur, 0)]
+        nxt = jnp.where(here & (delta > 0), cur - delta, cur)
+        nxt = jnp.where(here & (delta == 0), jnp.asarray(-1, jnp.int32), nxt)
+        return nxt, here
+
+    _, mask_rev = jax.lax.scan(
+        back, end, jnp.arange(n - 1, -1, -1, dtype=jnp.int32)
+    )
+    beats = mask_rev[::-1]
+    return bpm, beats

@@ -141,3 +141,36 @@ class TestDelta:
             sp.delta(track, width=4)
         with pytest.raises(ValueError):
             sp.delta(track, order=0)
+
+
+class TestBeatTrack:
+    def test_click_track_beats(self):
+        sr, hop = 22050.0, 512
+        period_s = int(0.5 * SR)  # 120 BPM
+        x = np.zeros(22050 * 8, np.float32)
+        x[::period_s] = 1.0
+        bpm, beats = sp.beat_track(x, SR, nperseg=2048, hop=hop)
+        bpm = float(np.asarray(bpm))
+        beats = np.asarray(beats)
+        assert abs(bpm - 120.0) / 120.0 < 0.08, bpm
+        beat_frames = np.where(beats)[0]
+        # one beat per click (interior), each within 2 frames of a click
+        clicks = np.arange(0, len(x), period_s) / hop
+        interior = beat_frames[(beat_frames > 4) & (beat_frames < beats.size - 4)]
+        assert len(interior) >= len(clicks) - 4
+        for b in interior:
+            assert np.min(np.abs(clicks - b)) <= 2.0, b
+        # spacing is the beat period
+        gaps = np.diff(beat_frames)
+        assert abs(np.median(gaps) - period_s / hop) <= 1.0
+
+    def test_jit_and_errors(self):
+        import jax
+
+        x = np.zeros(22050 * 4, np.float32)
+        x[::11025] = 1.0
+        f = jax.jit(lambda v: sp.beat_track(v, SR)[1])
+        beats = np.asarray(f(x))
+        assert beats.dtype == bool and beats.any()
+        with pytest.raises(ValueError):
+            sp.beat_track(np.zeros((2, 8192), np.float32), SR)
