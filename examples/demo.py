@@ -280,6 +280,39 @@ def demo_audio_toolbox():
 
 
 
+def demo_mir_tomo():
+    """MIR layer + tomography showcase."""
+    print("MIR + tomography:")
+    sr, hop = 22050.0, 512
+    t = np.arange(22050 * 4) / sr
+    x = np.zeros(t.size, np.float32)
+    x[:: int(0.5 * sr)] = 1.0  # 120 BPM clicks
+    x += 0.3 * np.asarray(sp.chirp(t, 200.0, t[-1], 400.0)).astype(np.float32)
+    bpm, beats = sp.beat_track(x, sr, hop=hop)
+    print(f"  beat_track: {float(np.asarray(bpm)):.1f} BPM, "
+          f"{int(np.asarray(beats).sum())} beats on a 120 BPM click bed")
+    tri = sum(np.sin(2 * np.pi * f * t) for f in (261.63, 329.63, 392.0))
+    C = np.asarray(sp.chroma_stft(tri.astype(np.float32), sr, nperseg=4096))
+    names = np.array(list("C.D.EF.G.A.B"))
+    top = sorted(np.argsort(C[4:-4].mean(0))[-3:])
+    print(f"  chroma: C-major triad lights {'/'.join(names[top])} "
+          f"(bins {top})")
+    melody = np.sin(2 * np.pi * 220.0 * t[:44100]).astype(np.float32)
+    f0, voiced, _ = sp.pyin(melody, 110.0, 880.0, sr)
+    f0m = float(np.nanmedian(np.asarray(f0)))
+    print(f"  pyin: 220 Hz tone tracked at {f0m:.1f} Hz, "
+          f"{float(np.asarray(voiced).mean()):.0%} voiced")
+    n = 96
+    yy, xx = np.mgrid[:n, :n].astype(np.float64) - n // 2
+    phantom = (((xx - 8) ** 2 + (yy + 5) ** 2) <= 15 ** 2).astype(np.float32)
+    theta = np.linspace(0, np.pi, 90, endpoint=False)
+    rec = np.asarray(sp.iradon(sp.radon(phantom, theta), theta,
+                               filter_name="hann"))
+    corr = np.corrcoef(rec.ravel(), phantom.ravel())[0, 1]
+    print(f"  radon/iradon: 90-view FBP of a disk phantom, corr {corr:.3f}")
+
+
+
 if __name__ == "__main__":
     demo_complex()
     demo_real()
@@ -293,4 +326,5 @@ if __name__ == "__main__":
     demo_dtcwt_frft()
     demo_estimation_rotation()
     demo_audio_toolbox()
+    demo_mir_tomo()
     demo_sharded()
