@@ -158,7 +158,11 @@ def czt_points(m: int, w: Optional[complex] = None,
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
     if w is None:
-        w = np.exp(-2j * np.pi / m)
+        # per-point phase (exact integer reduction): powering the base
+        # would amplify its rounding by k
+        return np.asarray(a, np.complex128) * np.exp(
+            2j * np.pi * (np.arange(m) % m) / m
+        )
     return np.asarray(a, np.complex128) * np.asarray(w, np.complex128) ** (
         -np.arange(m)
     )

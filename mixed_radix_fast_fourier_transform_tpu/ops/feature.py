@@ -11,6 +11,7 @@ Capability extension: the reference C library has no feature extraction.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -254,9 +255,20 @@ def chroma_filterbank(sr: float, n_fft: int, n_chroma: int = 12,
                       octwidth: float = 2.0) -> np.ndarray:
     """Chroma filterbank (n_chroma, n_fft//2+1) — librosa.filters.chroma
     conventions: Gaussian pitch-class bins on the log-frequency axis with
-    a soft octave-centering envelope; host fp64 constant."""
+    a soft octave-centering envelope; lru-cached host fp64 constant (same
+    pattern as the mel filterbank)."""
     if n_chroma < 2:
         raise ValueError(f"n_chroma must be >= 2, got {n_chroma}")
+    return _chroma_filterbank_cached(
+        float(sr), int(n_fft), int(n_chroma), float(tuning), float(ctroct),
+        float(octwidth),
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _chroma_filterbank_cached(sr: float, n_fft: int, n_chroma: int,
+                              tuning: float, ctroct: float,
+                              octwidth: float) -> np.ndarray:
     nb = n_fft // 2 + 1
     freqs = np.fft.rfftfreq(n_fft) * sr
     freqs = freqs[1:]  # DC has no pitch
@@ -453,4 +465,7 @@ def beat_track(
         back, end, jnp.arange(n - 1, -1, -1, dtype=jnp.int32)
     )
     beats = mask_rev[::-1]
+    # silence gate: with a flat-zero envelope every DP score is 0 and the
+    # backtrace would emit a phantom beat at frame 0
+    beats = beats & (jnp.max(scores) > jnp.asarray(1e-6, rdt))
     return bpm, beats

@@ -410,6 +410,26 @@ def _yin_cmnd(x, fmin, fmax, sr, frame_length, win_length, hop, center,
     return cmnd, tau_min, tau_max, e0
 
 
+def _cmnd_troughs(cmnd, tau_min: int, tau_max: int):
+    """Shared yin/pyin trough detection: (lo, trough_mask, in_band) over
+    the interior lag axis 1..tau_max-1."""
+    lo = cmnd[..., 1:-1]
+    is_trough = (lo <= cmnd[..., :-2]) & (lo <= cmnd[..., 2:])
+    lag_idx = np.arange(1, cmnd.shape[-1] - 1)
+    in_band = jnp.asarray((lag_idx >= tau_min) & (lag_idx <= tau_max - 1))
+    return lo, is_trough & in_band, in_band
+
+
+def _parabolic_lag(cmnd, pick):
+    """Sub-sample lag: parabolic minimum of cmnd around integer ``pick``."""
+    p0 = jnp.take_along_axis(cmnd, pick[..., None] - 1, axis=-1)[..., 0]
+    p1 = jnp.take_along_axis(cmnd, pick[..., None], axis=-1)[..., 0]
+    p2 = jnp.take_along_axis(cmnd, pick[..., None] + 1, axis=-1)[..., 0]
+    denom = p0 + p2 - 2.0 * p1
+    shift = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (p0 - p2) / denom, 0.0)
+    return pick.astype(cmnd.dtype) + jnp.clip(shift, -0.5, 0.5)
+
+
 def yin(
     x,
     fmin: float,
@@ -437,12 +457,7 @@ def yin(
     cmnd, tau_min, tau_max, _ = _yin_cmnd(
         x, fmin, fmax, sr, frame_length, win_length, hop, center, config
     )
-    # troughs: local minima within [tau_min, tau_max-1]
-    lo = cmnd[..., 1:-1]
-    is_trough = (lo <= cmnd[..., :-2]) & (lo <= cmnd[..., 2:])
-    lag_idx = np.arange(1, tau_max)
-    in_band = jnp.asarray((lag_idx >= tau_min) & (lag_idx <= tau_max - 1))
-    trough = is_trough & in_band
+    lo, trough, in_band = _cmnd_troughs(cmnd, tau_min, tau_max)
     below = trough & (lo < trough_threshold)
     # first below-threshold trough (argmax finds the first True), else the
     # global in-band minimum of the normalized difference
@@ -451,16 +466,7 @@ def yin(
     masked = jnp.where(in_band, lo, jnp.inf)
     fallback = jnp.argmin(masked, axis=-1)
     pick = jnp.where(any_below, first, fallback) + 1  # back to lag units
-    # parabolic interpolation on cmnd around the picked lag
-    p0 = jnp.take_along_axis(cmnd, pick[..., None] - 1, axis=-1)[..., 0]
-    p1 = jnp.take_along_axis(cmnd, pick[..., None], axis=-1)[..., 0]
-    p2 = jnp.take_along_axis(cmnd, pick[..., None] + 1, axis=-1)[..., 0]
-    denom = p0 + p2 - 2.0 * p1
-    shift = jnp.where(
-        jnp.abs(denom) > 1e-12, 0.5 * (p0 - p2) / denom, 0.0
-    )
-    shift = jnp.clip(shift, -0.5, 0.5)
-    tau_hat = pick.astype(cmnd.dtype) + shift
+    tau_hat = _parabolic_lag(cmnd, pick)
     return jnp.asarray(sr, cmnd.dtype) / tau_hat
 
 
@@ -504,12 +510,9 @@ def pyin(
     if resolution <= 0:
         raise ValueError(f"resolution must be > 0, got {resolution}")
     rdt = cmnd.dtype
-    lo = cmnd[..., 1:-1]
-    is_trough = (lo <= cmnd[..., :-2]) & (lo <= cmnd[..., 2:])
+    lo, trough, _ = _cmnd_troughs(cmnd, tau_min, tau_max)
     lag_idx = np.arange(1, tau_max)
-    in_band = jnp.asarray((lag_idx >= tau_min) & (lag_idx <= tau_max - 1))
     d = jnp.clip(lo, 0.0, 1.0)
-    trough = is_trough & in_band
     # P[Beta(2,18) threshold > depth] = (1-d)^19 + 19 d (1-d)^18
     w = jnp.where(
         trough, (1.0 - d) ** 19 + 19.0 * d * (1.0 - d) ** 18, 0.0
@@ -526,9 +529,12 @@ def pyin(
     live = e0 > 1e-10 * jnp.maximum(emax, 1e-30)
     w = w * live[..., None].astype(rdt)
     total = jnp.sum(w, -1)
-    # candidate probs normalized; frame voicing = min(total, 1)
+    # frame voicing = min(total, 1); candidates split that mass in
+    # proportion to w (normalize by total ALWAYS — normalizing only when
+    # total > 1 would square the voicing probability into the voiced
+    # observations and bias the decoder unvoiced on moderate evidence)
     p_voiced = jnp.minimum(total, 1.0)
-    cand = w / jnp.maximum(total, 1.0)[..., None]
+    cand = w / jnp.maximum(total, 1e-12)[..., None]
     # static lag -> log-pitch-bin map
     n_bins = int(np.ceil(12.0 * np.log2(fmax / fmin) / resolution)) + 1
     bin_f = fmin * 2.0 ** (resolution * np.arange(n_bins) / 12.0)
@@ -580,9 +586,21 @@ def pyin(
         [s0[..., None], jnp.moveaxis(path_rev, 0, -1)], -1
     )  # (…, F) states 0..F-1
     voiced = path < n_bins
-    f0 = jnp.asarray(bin_f, rdt)[jnp.minimum(path, n_bins - 1)]
+    bsel = jnp.minimum(path, n_bins - 1)
+    # refine the decoded bin to sub-sample pitch: among the troughs that
+    # map to the selected bin, take the strongest and interpolate the
+    # CMND parabolically (yin's refinement) — near fmax adjacent integer
+    # lags are several bin-widths apart, so the bin center alone would be
+    # far coarser than `resolution` promises
+    colsel = jnp.moveaxis(jnp.take(onehot, bsel, axis=1), 0, -1)  # (…,F,l)
+    wsel = w * colsel
+    has_lag = jnp.any(wsel > 0, axis=-1)
+    pick = jnp.argmax(wsel, axis=-1) + 1  # lag units
+    tau_hat = _parabolic_lag(cmnd, pick)
+    f0_fine = jnp.asarray(sr, rdt) / tau_hat
+    f0_bin = jnp.asarray(bin_f, rdt)[bsel]
+    f0 = jnp.where(has_lag, f0_fine, f0_bin)
     f0 = jnp.where(voiced, f0, jnp.asarray(fill_unvoiced, rdt))
-    # voiced probability per frame from the observation model
     return f0, voiced, p_voiced
 
 

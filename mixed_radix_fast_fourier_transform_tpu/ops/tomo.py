@@ -102,8 +102,10 @@ def iradon(
     if theta is None:
         theta = np.linspace(0.0, np.pi, nt, endpoint=False)
     theta = np.atleast_1d(np.asarray(theta, np.float64))
-    if theta.size != nt:
-        raise ValueError(f"theta has {theta.size} angles, sinogram has {nt}")
+    if theta.ndim != 1 or theta.size != nt:
+        raise ValueError(
+            f"theta must be 1-D with {nt} angles, got shape {theta.shape}"
+        )
     omega, xs, ys = _polar_points(n, theta)
     absw = np.abs(omega)
     if filter_name == "ramp":

@@ -174,3 +174,8 @@ class TestBeatTrack:
         assert beats.dtype == bool and beats.any()
         with pytest.raises(ValueError):
             sp.beat_track(np.zeros((2, 8192), np.float32), SR)
+
+
+def test_beat_track_silence_no_phantom_beat():
+    bpm, beats = sp.beat_track(np.zeros(88200, np.float32), SR)
+    assert not np.asarray(beats).any()

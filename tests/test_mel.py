@@ -327,3 +327,14 @@ class TestPcenAWeighting:
         assert abs(w[0] - (-19.1)) < 0.2
         assert abs(w[2] - 1.2) < 0.1
         assert abs(w[3] - (-2.5)) < 0.2
+
+
+def test_pyin_high_pitch_resolution():
+    # near fmax integer lags are coarse; the parabolic refinement must
+    # beat the raw bin grid (review-8 regression)
+    sr = 22050.0
+    f_true = 850.0
+    x = np.sin(2 * np.pi * f_true * np.arange(22050) / sr).astype(np.float32)
+    f0, voiced, _ = sp.pyin(x, 200.0, 880.0, sr)
+    f0 = np.asarray(f0)[4:-4]
+    assert np.nanmedian(np.abs(f0 - f_true)) / f_true < 0.005
