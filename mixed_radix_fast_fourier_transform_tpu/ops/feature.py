@@ -469,3 +469,47 @@ def beat_track(
     # backtrace would emit a phantom beat at frame 0
     beats = beats & (jnp.max(scores) > jnp.asarray(1e-6, rdt))
     return bpm, beats
+
+
+def decompose(
+    S,
+    n_components: int = 8,
+    n_iter: int = 200,
+    key=None,
+    eps: float = 1e-10,
+    *, config: SpectralConfig = DEFAULT_CONFIG,
+):
+    """Nonnegative matrix factorization of a spectrogram
+    (librosa.decompose.decompose's role): S (frames, bins) ≈
+    activations (frames, k) @ components (k, bins), both nonnegative.
+
+    Lee-Seung multiplicative updates for the Euclidean objective — a
+    lax.fori_loop of six MXU matmuls per iteration, jittable end to end;
+    ``key`` (jax PRNG, default PRNGKey(0)) seeds the nonnegative init."""
+    S = jnp.asarray(S)
+    if S.ndim != 2:
+        raise ValueError("decompose takes a single (frames, bins) matrix")
+    if jnp.issubdtype(S.dtype, jnp.complexfloating):
+        raise ValueError("decompose takes a magnitude/power spectrogram")
+    if n_components < 1 or n_iter < 0:
+        raise ValueError("need n_components >= 1 and n_iter >= 0")
+    F, B = S.shape
+    k = n_components
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    ka, kc = jax.random.split(key)
+    scale = jnp.sqrt(jnp.mean(S) / k + eps)
+    A = scale * jax.random.uniform(ka, (F, k), S.dtype, 0.1, 1.0)
+    C = scale * jax.random.uniform(kc, (k, B), S.dtype, 0.1, 1.0)
+    prec = config.op_precision
+    epsd = jnp.asarray(eps, S.dtype)
+
+    def step(_, state):
+        A, C = state
+        mm = lambda X, Y: jnp.matmul(X, Y, precision=prec)
+        A = A * mm(S, C.T) / (mm(A, mm(C, C.T)) + epsd)
+        C = C * mm(A.T, S) / (mm(mm(A.T, A), C) + epsd)
+        return A, C
+
+    A, C = jax.lax.fori_loop(0, n_iter, step, (A, C))
+    return A, C

@@ -159,3 +159,48 @@ def fourier_ellipsoid(x, size, n: int = -1, axis: int = -1,
             )
     rdtype = jnp.real(x).dtype
     return x * jnp.asarray(ker, rdtype)
+
+
+def _box_sum(x: Array, size: int, axis: int) -> Array:
+    """Sliding-window sum with zero edges via one cumsum (scipy's
+    correlate-with-ones semantics for odd ``size``)."""
+    n = x.shape[axis]
+    half = size // 2
+    xm = jnp.moveaxis(x, axis, -1)
+    pad = [(0, 0)] * (xm.ndim - 1) + [(half + 1, half)]
+    cs = jnp.cumsum(jnp.pad(xm, pad), axis=-1)
+    out = cs[..., size:] - cs[..., :-size]
+    return jnp.moveaxis(out[..., :n], -1, axis)
+
+
+def wiener(x, mysize=3, noise=None,
+           *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """Adaptive local Wiener filter (scipy.signal.wiener semantics, n-D):
+    out = μ + max(σ²−ν, 0)/max(σ², ν)·(x−μ) with μ/σ² the local window
+    statistics and ν the noise power (mean local variance when None).
+
+    TPU shape: the box statistics are one cumsum-difference per axis —
+    no gather windows, no sorting."""
+    x = jnp.asarray(x)
+    if x.ndim < 1:
+        raise ValueError("x must have at least one dimension")
+    if np.ndim(mysize) == 0:
+        sizes = (int(mysize),) * x.ndim
+    else:
+        sizes = tuple(int(s) for s in mysize)
+    if len(sizes) != x.ndim or any(s < 1 or s % 2 == 0 for s in sizes):
+        raise ValueError("mysize must be odd and match the input rank")
+    rdt = jnp.result_type(x.dtype, jnp.float32)
+    xw = x.astype(rdt)
+    cnt = float(np.prod(sizes))
+    s1 = xw
+    s2 = xw * xw
+    for ax, sz in enumerate(sizes):
+        s1 = _box_sum(s1, sz, ax)
+        s2 = _box_sum(s2, sz, ax)
+    mu = s1 / cnt
+    var = s2 / cnt - mu * mu
+    nu = jnp.mean(var) if noise is None else jnp.asarray(noise, rdt)
+    out = mu + jnp.maximum(var - nu, 0.0) / jnp.maximum(var, nu) * (xw - mu)
+    return out.astype(x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) \
+        else out

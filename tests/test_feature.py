@@ -179,3 +179,23 @@ class TestBeatTrack:
 def test_beat_track_silence_no_phantom_beat():
     bpm, beats = sp.beat_track(np.zeros(88200, np.float32), SR)
     assert not np.asarray(beats).any()
+
+
+class TestDecompose:
+    def test_recovers_two_sources(self, rng):
+        F, B, k = 80, 64, 2
+        comp = np.zeros((k, B))
+        comp[0, 5:15] = 1.0
+        comp[1, 35:50] = np.hanning(15)
+        act = np.abs(np.stack([np.sin(np.linspace(0, 6, F)) + 1.1,
+                               (np.arange(F) % 17 < 3) * 2.0], -1))
+        S = (act @ comp).astype(np.float32)
+        A, C = sp.decompose(S, n_components=2, n_iter=400)
+        rec = np.asarray(A) @ np.asarray(C)
+        err = np.linalg.norm(rec - S) / np.linalg.norm(S)
+        assert err < 0.03, err
+        assert (np.asarray(A) >= 0).all() and (np.asarray(C) >= 0).all()
+        with pytest.raises(ValueError):
+            sp.decompose(S[None])
+        with pytest.raises(ValueError):
+            sp.decompose(S, n_components=0)

@@ -67,3 +67,23 @@ class TestFourierFilters:
         with pytest.raises(ValueError):
             # wrong bin count for the declared real length
             sp.fourier_uniform(np.zeros((8, 8), np.complex64), 3.0, n=20)
+
+
+class TestWiener:
+    def test_vs_scipy(self, rng):
+        import scipy.signal as ss
+
+        x1 = rng.standard_normal(200)
+        x2 = rng.standard_normal((24, 30))
+        for x, size in ((x1, 5), (x2, 3), (x2, (3, 5))):
+            got = np.asarray(sp.wiener(x.astype(np.float32), size))
+            want = ss.wiener(x, size)
+            assert np.max(np.abs(got - want)) < 1e-4, size
+        # explicit noise power
+        got = np.asarray(sp.wiener(x2.astype(np.float32), 3, noise=0.5))
+        want = ss.wiener(x2, 3, noise=0.5)
+        assert np.max(np.abs(got - want)) < 1e-4
+        with pytest.raises(ValueError):
+            sp.wiener(x2, 4)
+        with pytest.raises(ValueError):
+            sp.wiener(x2, (3, 3, 3))
