@@ -513,3 +513,83 @@ def decompose(
 
     A, C = jax.lax.fori_loop(0, n_iter, step, (A, C))
     return A, C
+
+
+def _frame_db(x: np.ndarray, frame_length: int, hop: int) -> np.ndarray:
+    """Host per-frame RMS in dB relative to the signal peak."""
+    x = np.asarray(x, np.float64)
+    n = x.shape[-1]
+    if n < frame_length:
+        x = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, frame_length - n)])
+        n = frame_length
+    n_frames = 1 + (n - frame_length) // hop
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(frame_length)
+    frames = x[..., idx]
+    rms_ = np.sqrt(np.mean(frames * frames, axis=-1))
+    peak = np.maximum(rms_.max(axis=-1, keepdims=True), 1e-30)
+    return 20.0 * np.log10(np.maximum(rms_, 1e-30) / peak)
+
+
+def trim(x, top_db: float = 60.0, frame_length: int = 2048,
+         hop: int = 512):
+    """Trim leading/trailing silence (librosa.effects.trim): returns
+    ``(trimmed, (start, end))`` sample indices.  HOST function (numpy in,
+    numpy out) — the output length is data-dependent, so this cannot jit;
+    use it in the input pipeline, not inside a compiled step."""
+    x = np.asarray(x)
+    if x.ndim != 1:
+        raise ValueError("trim takes a single 1-D signal")
+    if top_db <= 0:
+        raise ValueError(f"top_db must be > 0, got {top_db}")
+    db = _frame_db(x, frame_length, hop)
+    loud = np.where(db > -top_db)[0]
+    if loud.size == 0:
+        return x[:0], (0, 0)
+    start = int(loud[0] * hop)
+    end = int(min((loud[-1] + 1) * hop + frame_length, x.shape[-1]))
+    return x[start:end], (start, end)
+
+
+def split(x, top_db: float = 60.0, frame_length: int = 2048,
+          hop: int = 512) -> np.ndarray:
+    """Split on silence (librosa.effects.split): (n_intervals, 2) array of
+    [start, end) sample indices of non-silent runs.  HOST function — see
+    :func:`trim`."""
+    x = np.asarray(x)
+    if x.ndim != 1:
+        raise ValueError("split takes a single 1-D signal")
+    if top_db <= 0:
+        raise ValueError(f"top_db must be > 0, got {top_db}")
+    db = _frame_db(x, frame_length, hop)
+    loud = db > -top_db
+    padded = np.concatenate([[False], loud, [False]])
+    d = np.diff(padded.astype(np.int8))
+    run_starts = np.flatnonzero(d == 1)
+    run_ends = np.flatnonzero(d == -1)
+    out = []
+    for s, e in zip(run_starts, run_ends):
+        out.append([int(s * hop),
+                    int(min(e * hop + frame_length, x.shape[-1]))])
+    return np.asarray(out, np.int64).reshape(-1, 2)
+
+
+def mu_law_encode(x, quantization_channels: int = 256) -> Array:
+    """μ-law companding to integer classes (torchaudio conventions):
+    float in [−1, 1] -> int32 in [0, Q−1]."""
+    q = int(quantization_channels)
+    if q < 2:
+        raise ValueError(f"quantization_channels must be >= 2, got {q}")
+    x = jnp.clip(jnp.asarray(x), -1.0, 1.0)
+    mu = q - 1.0
+    y = jnp.sign(x) * jnp.log1p(mu * jnp.abs(x)) / np.log1p(mu)
+    return ((y + 1.0) / 2.0 * mu + 0.5).astype(jnp.int32)
+
+
+def mu_law_decode(y, quantization_channels: int = 256) -> Array:
+    """Inverse of :func:`mu_law_encode`: classes -> float in [−1, 1]."""
+    q = int(quantization_channels)
+    if q < 2:
+        raise ValueError(f"quantization_channels must be >= 2, got {q}")
+    mu = q - 1.0
+    yf = jnp.asarray(y).astype(jnp.float32) * 2.0 / mu - 1.0
+    return jnp.sign(yf) * (jnp.expm1(jnp.abs(yf) * np.log1p(mu))) / mu

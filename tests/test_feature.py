@@ -199,3 +199,44 @@ class TestDecompose:
             sp.decompose(S[None])
         with pytest.raises(ValueError):
             sp.decompose(S, n_components=0)
+
+
+class TestEffectsHelpers:
+    def test_trim_and_split(self):
+        sr = 22050.0
+        t = np.arange(11025) / sr
+        tone = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        x = np.concatenate([np.zeros(8000, np.float32), tone,
+                            np.zeros(6000, np.float32), tone,
+                            np.zeros(9000, np.float32)])
+        y, (s, e) = sp.trim(x, top_db=40)
+        assert s <= 8000 + 2048 and s > 4000
+        assert e >= len(x) - 9000 - 2048
+        assert np.array_equal(y, x[s:e])
+        iv = sp.split(x, top_db=40)
+        assert iv.shape == (2, 2)
+        # each interval covers one tone burst
+        assert iv[0, 0] < 8000 + 2048 and iv[0, 1] > 8000 + 10000
+        # silence trims to empty
+        y0, span = sp.trim(np.zeros(4096, np.float32) + 1e-9, top_db=60)
+        # constant signal is all "loud" relative to its own peak;
+        # a genuinely structured case: impulse at known position
+        z = np.zeros(32768, np.float32)
+        z[20000:21000] = 1.0
+        _, (s2, e2) = sp.trim(z, top_db=30)
+        assert s2 <= 20000 < 21000 <= e2
+
+    def test_mu_law_roundtrip(self, rng):
+        x = np.clip(rng.standard_normal(4096) * 0.3, -1, 1).astype(np.float32)
+        enc = np.asarray(sp.mu_law_encode(x))
+        assert enc.dtype == np.int32 and enc.min() >= 0 and enc.max() <= 255
+        dec = np.asarray(sp.mu_law_decode(enc))
+        assert np.max(np.abs(dec - x)) < 0.03  # 8-bit companding error
+        # companding beats uniform 8-bit for small amplitudes
+        small = 0.01 * np.sin(np.linspace(0, 20, 1000)).astype(np.float32)
+        dmu = np.max(np.abs(np.asarray(
+            sp.mu_law_decode(sp.mu_law_encode(small))) - small))
+        duni = 2.0 / 255
+        assert dmu < duni / 4
+        with pytest.raises(ValueError):
+            sp.mu_law_encode(x, 1)
