@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.mel import melspectrogram
+from ..ops.mel import melspectrogram, pcen
 from ..utils.config import DEFAULT_CONFIG, SpectralConfig
 
 Array = jax.Array
@@ -68,21 +68,16 @@ def apply_frontend(
     hop = n_fft // 4 if hop is None else int(hop)
     M = melspectrogram(x, sr, n_fft=n_fft, hop=hop, n_mels=n_mels,
                        config=config)
-    gain = jnp.exp(params["log_gain"])
-    bias = jnp.exp(params["log_bias"])
-    power = jnp.exp(params["log_power"])
-    b = jax.nn.sigmoid(params["smooth_logit"])  # (n_mels,)
-    steps = jnp.moveaxis(M, -2, 0)
-
-    def smooth(m, s):
-        m2 = (1.0 - b) * m + b * s
-        return m2, m2
-
-    _, Msm = jax.lax.scan(smooth, steps[0], steps)
-    Msm = jnp.moveaxis(Msm, 0, -2)
-    epsd = jnp.asarray(eps, M.dtype)
-    agc = jnp.exp(-gain * jnp.log(epsd + Msm))
-    return (M * agc + bias) ** power - bias**power
+    # the shared ops/mel.pcen kernel with learned per-band coefficients
+    return pcen(
+        M,
+        gain=jnp.exp(params["log_gain"]),
+        bias=jnp.exp(params["log_bias"]),
+        power=jnp.exp(params["log_power"]),
+        b=jax.nn.sigmoid(params["smooth_logit"]),
+        eps=eps,
+        config=config,
+    )
 
 
 def apply(params: Dict[str, Params], x, sr: float = 16000.0,

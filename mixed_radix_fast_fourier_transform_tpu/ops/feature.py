@@ -515,8 +515,11 @@ def decompose(
     return A, C
 
 
-def _frame_db(x: np.ndarray, frame_length: int, hop: int) -> np.ndarray:
-    """Host per-frame RMS in dB relative to the signal peak."""
+def _frame_loud(x: np.ndarray, top_db: float, frame_length: int,
+                hop: int) -> np.ndarray:
+    """Host per-frame loudness mask: frame RMS STRICTLY above the
+    peak-relative threshold (so an all-zero signal is all-silent, the
+    librosa convention)."""
     x = np.asarray(x, np.float64)
     n = x.shape[-1]
     if n < frame_length:
@@ -526,8 +529,7 @@ def _frame_db(x: np.ndarray, frame_length: int, hop: int) -> np.ndarray:
     idx = np.arange(n_frames)[:, None] * hop + np.arange(frame_length)
     frames = x[..., idx]
     rms_ = np.sqrt(np.mean(frames * frames, axis=-1))
-    peak = np.maximum(rms_.max(axis=-1, keepdims=True), 1e-30)
-    return 20.0 * np.log10(np.maximum(rms_, 1e-30) / peak)
+    return rms_ > rms_.max() * 10.0 ** (-top_db / 20.0)
 
 
 def trim(x, top_db: float = 60.0, frame_length: int = 2048,
@@ -541,35 +543,36 @@ def trim(x, top_db: float = 60.0, frame_length: int = 2048,
         raise ValueError("trim takes a single 1-D signal")
     if top_db <= 0:
         raise ValueError(f"top_db must be > 0, got {top_db}")
-    db = _frame_db(x, frame_length, hop)
-    loud = np.where(db > -top_db)[0]
+    loud = np.where(_frame_loud(x, top_db, frame_length, hop))[0]
     if loud.size == 0:
         return x[:0], (0, 0)
     start = int(loud[0] * hop)
-    end = int(min((loud[-1] + 1) * hop + frame_length, x.shape[-1]))
+    # the last loud frame covers [loud[-1]·hop, loud[-1]·hop + frame_length)
+    end = int(min(loud[-1] * hop + frame_length, x.shape[-1]))
     return x[start:end], (start, end)
 
 
 def split(x, top_db: float = 60.0, frame_length: int = 2048,
           hop: int = 512) -> np.ndarray:
     """Split on silence (librosa.effects.split): (n_intervals, 2) array of
-    [start, end) sample indices of non-silent runs.  HOST function — see
-    :func:`trim`."""
+    non-overlapping [start, end) sample indices of non-silent runs.
+    HOST function — see :func:`trim`."""
     x = np.asarray(x)
     if x.ndim != 1:
         raise ValueError("split takes a single 1-D signal")
     if top_db <= 0:
         raise ValueError(f"top_db must be > 0, got {top_db}")
-    db = _frame_db(x, frame_length, hop)
-    loud = db > -top_db
+    loud = _frame_loud(x, top_db, frame_length, hop)
     padded = np.concatenate([[False], loud, [False]])
     d = np.diff(padded.astype(np.int8))
     run_starts = np.flatnonzero(d == 1)
-    run_ends = np.flatnonzero(d == -1)
+    run_ends = np.flatnonzero(d == -1)  # one past the last loud frame
     out = []
-    for s, e in zip(run_starts, run_ends):
-        out.append([int(s * hop),
-                    int(min(e * hop + frame_length, x.shape[-1]))])
+    for i, (s, e) in enumerate(zip(run_starts, run_ends)):
+        end = min((e - 1) * hop + frame_length, x.shape[-1])
+        if i + 1 < len(run_starts):  # short gaps must not overlap the next run
+            end = min(end, run_starts[i + 1] * hop)
+        out.append([int(s * hop), int(end)])
     return np.asarray(out, np.int64).reshape(-1, 2)
 
 

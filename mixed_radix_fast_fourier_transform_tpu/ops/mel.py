@@ -608,11 +608,12 @@ def pcen(
     S,
     sr: float = 22050.0,
     hop: int = 512,
-    gain: float = 0.98,
-    bias: float = 2.0,
-    power: float = 0.5,
+    gain=0.98,
+    bias=2.0,
+    power=0.5,
     time_constant: float = 0.4,
     eps: float = 1e-6,
+    b=None,
     *,
     config: SpectralConfig = DEFAULT_CONFIG,
 ) -> Array:
@@ -621,21 +622,25 @@ def pcen(
 
         PCEN = (S / (eps + M)^gain + bias)^power − bias^power,
 
-    with M the per-band IIR-smoothed energy (one-pole, coefficient b
-    from ``time_constant`` seconds at the given frame rate) — the
-    learnable-frontend alternative to log-mel.  The smoother is one
-    lax.scan over frames of pure elementwise work; everything else
-    fuses."""
+    with M the per-band IIR-smoothed energy (one-pole, coefficient ``b``
+    from ``time_constant`` seconds at the given frame rate, or passed
+    directly) — the learnable-frontend alternative to log-mel.  The
+    smoother is one lax.scan over frames of pure elementwise work;
+    everything else fuses.  ``gain``/``bias``/``power``/``b`` accept
+    scalars OR per-band (traced) arrays, so the trainable frontend
+    (models/audio_frontend) calls this same kernel with learned
+    coefficients."""
     S = jnp.asarray(S)
     if S.ndim < 2:
         raise ValueError("S must be (…, frames, bands)")
     if jnp.issubdtype(S.dtype, jnp.complexfloating):
         raise ValueError("pcen takes a magnitude/power spectrogram")
-    if time_constant <= 0 or hop < 1:
-        raise ValueError("need time_constant > 0 and hop >= 1")
-    t_frames = time_constant * sr / float(hop)
-    # librosa: b from the equivalent-width of the one-pole smoother
-    b = (np.sqrt(1.0 + 4.0 * t_frames**2) - 1.0) / (2.0 * t_frames**2)
+    if b is None:
+        if time_constant <= 0 or hop < 1:
+            raise ValueError("need time_constant > 0 and hop >= 1")
+        t_frames = time_constant * sr / float(hop)
+        # librosa: b from the equivalent-width of the one-pole smoother
+        b = (np.sqrt(1.0 + 4.0 * t_frames**2) - 1.0) / (2.0 * t_frames**2)
     bd = jnp.asarray(b, S.dtype)
     steps = jnp.moveaxis(S, -2, 0)
 
@@ -646,8 +651,10 @@ def pcen(
     _, M = jax.lax.scan(smooth, steps[0], steps)
     M = jnp.moveaxis(M, 0, -2)
     epsd = jnp.asarray(eps, S.dtype)
-    smooth_gain = jnp.exp(-gain * jnp.log(epsd + M))
-    return (S * smooth_gain + bias) ** power - bias**power
+    smooth_gain = jnp.exp(-jnp.asarray(gain, S.dtype) * jnp.log(epsd + M))
+    biasd = jnp.asarray(bias, S.dtype)
+    powerd = jnp.asarray(power, S.dtype)
+    return (S * smooth_gain + biasd) ** powerd - biasd**powerd
 
 
 def A_weighting(frequencies) -> np.ndarray:

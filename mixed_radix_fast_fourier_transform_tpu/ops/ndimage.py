@@ -161,16 +161,13 @@ def fourier_ellipsoid(x, size, n: int = -1, axis: int = -1,
     return x * jnp.asarray(ker, rdtype)
 
 
-def _box_sum(x: Array, size: int, axis: int) -> Array:
-    """Sliding-window sum with zero edges via one cumsum (scipy's
-    correlate-with-ones semantics for odd ``size``)."""
-    n = x.shape[axis]
-    half = size // 2
+def _box_sum_valid(x: Array, size: int, axis: int) -> Array:
+    """Valid-mode sliding-window sum via one cumsum (length n−size+1)."""
     xm = jnp.moveaxis(x, axis, -1)
-    pad = [(0, 0)] * (xm.ndim - 1) + [(half + 1, half)]
+    pad = [(0, 0)] * (xm.ndim - 1) + [(1, 0)]
     cs = jnp.cumsum(jnp.pad(xm, pad), axis=-1)
     out = cs[..., size:] - cs[..., :-size]
-    return jnp.moveaxis(out[..., :n], -1, axis)
+    return jnp.moveaxis(out, -1, axis)
 
 
 def wiener(x, mysize=3, noise=None,
@@ -193,13 +190,22 @@ def wiener(x, mysize=3, noise=None,
     rdt = jnp.result_type(x.dtype, jnp.float32)
     xw = x.astype(rdt)
     cnt = float(np.prod(sizes))
-    s1 = xw
-    s2 = xw * xw
+    # center on the global mean before the box sums: E[x²]−μ² cancels
+    # catastrophically in fp32 for offset data, and zero-mean values keep
+    # the long cumsums' partial sums (hence their rounding) O(√n).
+    # scipy's zero edge padding is applied to the RAW signal first, so
+    # the pads become exactly −mean in centered space.
+    gmean = jnp.mean(xw)
+    halo = [(s // 2, s // 2) for s in sizes]
+    xc = jnp.pad(xw, halo) - gmean
+    s1 = xc
+    s2 = xc * xc
     for ax, sz in enumerate(sizes):
-        s1 = _box_sum(s1, sz, ax)
-        s2 = _box_sum(s2, sz, ax)
-    mu = s1 / cnt
-    var = s2 / cnt - mu * mu
+        s1 = _box_sum_valid(s1, sz, ax)
+        s2 = _box_sum_valid(s2, sz, ax)
+    mu_c = s1 / cnt
+    var = s2 / cnt - mu_c * mu_c
+    mu = mu_c + gmean
     nu = jnp.mean(var) if noise is None else jnp.asarray(noise, rdt)
     out = mu + jnp.maximum(var - nu, 0.0) / jnp.maximum(var, nu) * (xw - mu)
     return out.astype(x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) \

@@ -217,14 +217,29 @@ class TestEffectsHelpers:
         assert iv.shape == (2, 2)
         # each interval covers one tone burst
         assert iv[0, 0] < 8000 + 2048 and iv[0, 1] > 8000 + 10000
-        # silence trims to empty
-        y0, span = sp.trim(np.zeros(4096, np.float32) + 1e-9, top_db=60)
-        # constant signal is all "loud" relative to its own peak;
-        # a genuinely structured case: impulse at known position
+        # all-zero input is all-silent: empty trim, no split intervals
+        y0, span = sp.trim(np.zeros(4096, np.float32), top_db=60)
+        assert y0.size == 0 and span == (0, 0)
+        assert sp.split(np.zeros(4096, np.float32)).shape == (0, 2)
+        # impulse at a known position
         z = np.zeros(32768, np.float32)
         z[20000:21000] = 1.0
         _, (s2, e2) = sp.trim(z, top_db=30)
         assert s2 <= 20000 < 21000 <= e2
+
+    def test_split_never_overlaps(self):
+        # short silent gaps must not produce overlapping intervals
+        sr = 22050.0
+        t = np.arange(8000) / sr
+        tone = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        for gap in (2560, 3072, 3584, 8000):
+            x = np.concatenate([tone, np.zeros(gap, np.float32), tone])
+            iv = sp.split(x, top_db=40)
+            for a, b in zip(iv[:-1], iv[1:]):
+                assert a[1] <= b[0], (gap, iv)
+            # concatenating intervals never duplicates samples
+            total = sum(e - s for s, e in iv)
+            assert total <= len(x)
 
     def test_mu_law_roundtrip(self, rng):
         x = np.clip(rng.standard_normal(4096) * 0.3, -1, 1).astype(np.float32)

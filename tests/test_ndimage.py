@@ -83,6 +83,12 @@ class TestWiener:
         got = np.asarray(sp.wiener(x2.astype(np.float32), 3, noise=0.5))
         want = ss.wiener(x2, 3, noise=0.5)
         assert np.max(np.abs(got - want)) < 1e-4
+        # review-9 regression: large offset + long axis (fp32 cumsum
+        # cancellation) must stay accurate
+        xl = (50.0 + rng.standard_normal(100_000)).astype(np.float64)
+        got = np.asarray(sp.wiener(xl.astype(np.float32), 7))
+        want = ss.wiener(xl, 7)
+        assert np.max(np.abs(got - want)) < 5e-3, np.max(np.abs(got - want))
         with pytest.raises(ValueError):
             sp.wiener(x2, 4)
         with pytest.raises(ValueError):
