@@ -215,3 +215,49 @@ def ifht(
             np.exp(-bias * (j - j_c) * dln), dtype=out.dtype
         )
     return out
+
+
+def fwht(x, axis: int = -1, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """Fast Walsh-Hadamard transform (natural/Hadamard ordering,
+    unnormalized: H @ x with H the ±1 Hadamard matrix of size 2^k).
+
+    TPU shape: the same trace-time stage recursion as the FFT engine, but
+    with the 2×2 ±1 butterfly — log2(n) reshape/add passes XLA fuses;
+    for n <= 128 one dense ±1 matmul (MXU) wins and is used instead.
+    Involution up to n: ``fwht(fwht(x)) == n·x`` (see :func:`ifwht`).
+    Capability extension (scipy has no WHT; classic sibling of the FFT
+    used in compressed sensing and locality-sensitive hashing)."""
+    x = jnp.asarray(x)
+    axis = axis % x.ndim
+    n = x.shape[axis]
+    if n < 1 or (n & (n - 1)) != 0:
+        raise ValueError(f"fwht needs a power-of-two length, got {n}")
+    xm = jnp.moveaxis(x, axis, -1)
+    if n <= 128:
+        # dense ±1 Hadamard matmul (host-built, Sylvester construction)
+        H = np.array([[1.0]])
+        while H.shape[0] < n:
+            H = np.block([[H, H], [H, -H]])
+        out = jnp.matmul(
+            xm, jnp.asarray(H, jnp.real(xm).dtype),
+            precision=config.op_precision,
+        )
+        return jnp.moveaxis(out, -1, axis)
+    lead = xm.shape[:-1]
+    y = xm
+    h = 1
+    while h < n:
+        y = y.reshape(lead + (n // (2 * h), 2, h))
+        a = y[..., 0, :]
+        b = y[..., 1, :]
+        y = jnp.concatenate([a + b, a - b], axis=-1)
+        y = y.reshape(lead + (n,))
+        h *= 2
+    return jnp.moveaxis(y, -1, axis)
+
+
+def ifwht(x, axis: int = -1, *, config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """Inverse WHT: H⁻¹ = H/n, so one :func:`fwht` divided by n."""
+    x = jnp.asarray(x)
+    n = x.shape[axis % x.ndim]
+    return fwht(x, axis, config=config) / n

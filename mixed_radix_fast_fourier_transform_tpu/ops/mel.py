@@ -173,6 +173,7 @@ def mfcc(
     fmin: float = 0.0,
     fmax: Optional[float] = None,
     top_db: float = 80.0,
+    lifter: float = 0.0,
     *,
     config: SpectralConfig = DEFAULT_CONFIG,
 ) -> Array:
@@ -180,11 +181,14 @@ def mfcc(
 
     log-power mel spectrogram (dB, floored ``top_db`` below the per-signal
     peak like librosa's power_to_db) followed by an orthonormal type-II DCT
-    over the mel axis."""
+    over the mel axis.  ``lifter`` > 0 applies librosa's sinusoidal
+    cepstral liftering 1 + (L/2)·sin(π(k+1)/L)."""
     if n_mfcc < 1:
         raise ValueError(f"n_mfcc must be >= 1, got {n_mfcc}")
     if n_mfcc > n_mels:
         raise ValueError(f"n_mfcc={n_mfcc} > n_mels={n_mels}")
+    if lifter < 0:
+        raise ValueError(f"lifter must be >= 0, got {lifter}")
     m = melspectrogram(
         x, sr, n_fft, hop, n_mels=n_mels, fmin=fmin, fmax=fmax, config=config
     )
@@ -193,7 +197,70 @@ def mfcc(
     if top_db is not None:
         peak = jnp.max(db, axis=(-2, -1), keepdims=True)
         db = jnp.maximum(db, peak - top_db)
-    return _dct(db, type=2, norm="ortho", config=config)[..., :n_mfcc]
+    C = _dct(db, type=2, norm="ortho", config=config)[..., :n_mfcc]
+    if lifter > 0:
+        lif = 1.0 + (lifter / 2.0) * np.sin(
+            np.pi * np.arange(1, n_mfcc + 1) / lifter
+        )
+        C = C * jnp.asarray(lif, C.dtype)
+    return C
+
+
+def mfcc_to_mel(
+    C,
+    n_mels: int = 128,
+    top_db: Optional[float] = None,
+    lifter: float = 0.0,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Invert MFCCs to a mel POWER spectrogram
+    (librosa.feature.inverse.mfcc_to_mel): unlifter, zero-pad the cepstrum
+    to ``n_mels``, inverse orthonormal DCT-II, and undo the dB scaling.
+    Exact when n_mfcc == n_mels and no floor was hit; a smoothed (cepstral
+    low-pass) estimate otherwise."""
+    from .dct import idct as _idct
+
+    C = jnp.asarray(C)
+    if C.ndim < 2:
+        raise ValueError("C must be (…, frames, n_mfcc)")
+    n_mfcc = C.shape[-1]
+    if n_mfcc > n_mels:
+        raise ValueError(f"n_mfcc={n_mfcc} > n_mels={n_mels}")
+    if lifter < 0:
+        raise ValueError(f"lifter must be >= 0, got {lifter}")
+    if lifter > 0:
+        lif = 1.0 + (lifter / 2.0) * np.sin(
+            np.pi * np.arange(1, n_mfcc + 1) / lifter
+        )
+        C = C / jnp.asarray(lif, C.dtype)
+    pad = [(0, 0)] * (C.ndim - 1) + [(0, n_mels - n_mfcc)]
+    full = jnp.pad(C, pad)
+    db = _idct(full, type=2, norm="ortho", config=config)
+    return jnp.power(10.0, db / 10.0)
+
+
+def mfcc_to_audio(
+    C,
+    sr: float = 22050.0,
+    n_fft: int = 2048,
+    hop: Optional[int] = None,
+    n_mels: int = 128,
+    n_iter_nnls: int = 32,
+    n_iter_gl: int = 32,
+    lifter: float = 0.0,
+    length: Optional[int] = None,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """MFCCs all the way back to a waveform: :func:`mfcc_to_mel` ->
+    :func:`mel_to_audio` (NNLS + Griffin-Lim) — librosa
+    feature.inverse.mfcc_to_audio, one jittable pipeline."""
+    M = mfcc_to_mel(C, n_mels=n_mels, lifter=lifter, config=config)
+    return mel_to_audio(
+        M, sr, n_fft, hop, n_iter_nnls=n_iter_nnls, n_iter_gl=n_iter_gl,
+        length=length, config=config,
+    )
 
 
 def mel_to_stft(

@@ -96,3 +96,31 @@ class TestTransform:
             sp.fht(np.zeros(8, np.complex64), 0.1, 0.0)
         with pytest.raises(ValueError):
             sp.ifht(np.zeros(8, np.complex64), 0.1, 0.0)
+
+
+class TestFWHT:
+    def test_involution_and_parseval(self, rng):
+        for n in (8, 64, 128, 256, 1024):
+            x = rng.standard_normal((3, n)).astype(np.float32)
+            y = np.asarray(sp.fwht(x))
+            back = np.asarray(sp.ifwht(y))
+            assert np.max(np.abs(back - x)) < 1e-4, n
+            # Parseval: ||Hx||² = n·||x||²
+            assert abs(np.sum(y * y) / (n * np.sum(x * x)) - 1) < 1e-5
+
+    def test_matches_dense_hadamard(self, rng):
+        for n in (16, 256):
+            H = np.array([[1.0]])
+            while H.shape[0] < n:
+                H = np.block([[H, H], [H, -H]])
+            x = rng.standard_normal(n).astype(np.float32)
+            got = np.asarray(sp.fwht(x))
+            want = H @ x
+            assert np.max(np.abs(got - want)) < 1e-3, n
+
+    def test_axis_and_errors(self, rng):
+        x = rng.standard_normal((8, 5)).astype(np.float32)
+        y = np.asarray(sp.fwht(x, axis=0))
+        assert y.shape == x.shape
+        with pytest.raises(ValueError):
+            sp.fwht(np.zeros(12, np.float32))

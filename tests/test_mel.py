@@ -338,3 +338,36 @@ def test_pyin_high_pitch_resolution():
     f0, voiced, _ = sp.pyin(x, 200.0, 880.0, sr)
     f0 = np.asarray(f0)[4:-4]
     assert np.nanmedian(np.abs(f0 - f_true)) / f_true < 0.005
+
+
+class TestMfccInversion:
+    def test_mfcc_to_mel_full_rank_exact(self, rng):
+        sr = 22050.0
+        x = rng.standard_normal(8192).astype(np.float32)
+        # with n_mfcc == n_mels and no dB floor the chain is exact
+        M = np.asarray(sp.melspectrogram(x, sr, n_fft=512, n_mels=40))
+        C = sp.mfcc(x, sr, n_mfcc=40, n_fft=512, n_mels=40, top_db=None)
+        M2 = np.asarray(sp.mfcc_to_mel(C, n_mels=40))
+        assert np.max(np.abs(M2 - M)) / M.max() < 1e-4
+
+    def test_lifter_roundtrip_and_audio(self):
+        sr = 22050.0
+        t = np.arange(8192) / sr
+        x = np.sin(2 * np.pi * 1000 * t).astype(np.float32)
+        C = sp.mfcc(x, sr, n_mfcc=20, n_fft=512, n_mels=64, lifter=22.0)
+        Cn = sp.mfcc(x, sr, n_mfcc=20, n_fft=512, n_mels=64)
+        # unliftering inside mfcc_to_mel cancels the liftering
+        Ma = np.asarray(sp.mfcc_to_mel(C, n_mels=64, lifter=22.0))
+        Mb = np.asarray(sp.mfcc_to_mel(Cn, n_mels=64))
+        assert np.max(np.abs(Ma - Mb)) / Mb.max() < 1e-4
+        y = np.asarray(sp.mfcc_to_audio(Cn, sr, n_fft=512, n_mels=64,
+                                        n_iter_gl=8, length=len(x)))
+        Y = np.abs(np.fft.rfft(y * np.hanning(len(y))))
+        f_rec = np.argmax(Y) * sr / len(y)
+        assert abs(f_rec - 1000.0) < 60.0, f_rec
+
+    def test_errors(self):
+        with pytest.raises(ValueError):
+            sp.mfcc_to_mel(np.zeros((4, 50), np.float32), n_mels=40)
+        with pytest.raises(ValueError):
+            sp.mfcc(np.zeros(4096, np.float32), lifter=-1.0)
