@@ -852,3 +852,49 @@ def wprec(
             for i in range(0, len(bands), 2)
         ]
     return bands[0]
+
+
+def wpdec2(
+    x, wavelet: str = "db2", level: int = 1, *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> list:
+    """2-D wavelet packet decomposition (full quad tree, periodization):
+    (…, H, W) -> nested list [rows][cols] of 2^level × 2^level subbands,
+    each (…, H/2^level, W/2^level), natural (Paley) order per axis —
+    the separable product of :func:`wpdec` over rows and columns.
+    2^level must divide both H and W."""
+    x = jnp.asarray(x)
+    if x.ndim < 2:
+        raise ValueError("wpdec2 needs (…, H, W)")
+    if level < 1:
+        raise ValueError(f"level must be >= 1, got {level}")
+    if x.shape[-2] % (1 << level) or x.shape[-1] % (1 << level):
+        raise ValueError(
+            f"shape {x.shape[-2:]} not divisible by 2^level = {1 << level}"
+        )
+    # packet split along columns (last axis), then along rows per band
+    col_bands = wpdec(x, wavelet, level, config=config)
+    out = None
+    for j, cb in enumerate(col_bands):
+        swapped = jnp.swapaxes(cb, -1, -2)
+        row_bands = wpdec(swapped, wavelet, level, config=config)
+        if out is None:
+            out = [[None] * len(col_bands) for _ in range(len(row_bands))]
+        for i, rb in enumerate(row_bands):
+            out[i][j] = jnp.swapaxes(rb, -1, -2)
+    return out
+
+
+def wprec2(
+    bands, wavelet: str = "db2", *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Inverse of :func:`wpdec2` (nested [rows][cols] grid of subbands)."""
+    n_rows = len(bands)
+    if n_rows < 2 or n_rows & (n_rows - 1):
+        raise ValueError(f"need a power-of-two band grid, got {n_rows} rows")
+    cols = []
+    for j in range(len(bands[0])):
+        col = [jnp.swapaxes(bands[i][j], -1, -2) for i in range(n_rows)]
+        cols.append(jnp.swapaxes(wprec(col, wavelet, config=config), -1, -2))
+    return wprec(cols, wavelet, config=config)

@@ -373,3 +373,29 @@ class TestCoiflets:
         coeffs = sp.wavedec(x, w, level=3)
         xr = np.asarray(sp.waverec(coeffs, w))[..., :96]
         assert np.max(np.abs(xr - x)) < 1e-5
+
+
+class TestWaveletPackets2D:
+    @pytest.mark.parametrize("wavelet", ["db2", "coif2"])
+    def test_roundtrip_and_shapes(self, wavelet, rng):
+        img = rng.standard_normal((2, 32, 48)).astype(np.float32)
+        bands = sp.wpdec2(img, wavelet, level=2)
+        assert len(bands) == 4 and len(bands[0]) == 4
+        assert np.asarray(bands[0][0]).shape == (2, 8, 12)
+        rec = np.asarray(sp.wprec2(bands, wavelet))
+        assert np.max(np.abs(rec - img)) < 1e-4
+
+    def test_band_00_is_wavedec2_approx(self, rng):
+        # the [0][0] packet band equals the level-2 separable approximation
+        img = rng.standard_normal((16, 16)).astype(np.float32)
+        bands = sp.wpdec2(img, "db2", level=1)
+        ll, _ = sp.dwt2(img, "db2")
+        assert np.max(np.abs(np.asarray(bands[0][0]) - np.asarray(ll))) < 1e-5
+
+    def test_errors(self):
+        with pytest.raises(ValueError):
+            sp.wpdec2(np.zeros(16, np.float32))
+        with pytest.raises(ValueError):
+            sp.wpdec2(np.zeros((10, 16), np.float32), level=2)
+        with pytest.raises(ValueError):
+            sp.wprec2([[np.zeros((4, 4), np.float32)] * 3] * 3)
