@@ -1,0 +1,116 @@
+"""1-D wavelet scattering transform (Mallat 2012; Kymatio conventions).
+
+The translation-invariant, deformation-stable feature cascade:
+
+    S0 = x ⋆ φ,   S1[λ1] = |x ⋆ ψ_{λ1}| ⋆ φ,
+    S2[λ1, λ2] = ||x ⋆ ψ_{λ1}| ⋆ ψ_{λ2}| ⋆ φ   (ξ2 < ξ1 only),
+
+with ψ an analytic Morlet bank (Q wavelets per octave over J octaves for
+the first order, 1 per octave for the second — the standard economy: the
+modulus envelope of a bandpass signal is lowpass, so fine second-order
+resolution buys nothing) and φ a Gaussian lowpass at scale 2^J.
+
+TPU shape: ONE signal FFT; every filter is a host fp64 spectral window
+applied as a broadcast multiply; each order is a batched engine ifft;
+the invariant averaging is one more spectral multiply and a static
+stride.  No loops over wavelets — the bank is one (n_filters, T)
+constant.  The modulus nonlinearity between orders is the only thing
+XLA can't fuse through, so the cascade is 3 FFT rounds total.
+
+Capability extension: the scattering transform is the classic
+"designed deep network" — stable texture/audio features with no
+training; the reference C library has nothing of the kind.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.config import DEFAULT_CONFIG, SpectralConfig
+from .fft import fft, ifft
+from .tfr import _morlet_hat
+
+Array = jax.Array
+
+
+def _scattering_bank(T: int, J: int, Q: int, w: float):
+    """Host filters: (first-order (n1, T), second-order (n2, T), φ (T,),
+    center frequencies xi1 (n1,), xi2 (n2,)) — all real spectral windows."""
+    xi_grid = 2.0 * np.pi * np.fft.fftfreq(T)  # rad/sample
+    fmax = 0.35  # below Nyquist; Morlet bandwidth needs headroom
+    fmin = fmax * 2.0 ** (-float(J))
+    n1 = J * Q + 1
+    xi1 = fmax * 2.0 ** (-np.arange(n1) / Q)
+    xi1 = xi1[xi1 >= fmin * 0.999]
+    psi1 = np.stack([
+        _morlet_hat(w / (2.0 * np.pi * f) * xi_grid, w) for f in xi1
+    ])
+    xi2 = fmax * 2.0 ** (-np.arange(J + 1, dtype=np.float64))
+    xi2 = xi2[xi2 >= fmin * 0.999]
+    psi2 = np.stack([
+        _morlet_hat(w / (2.0 * np.pi * f) * xi_grid, w) for f in xi2
+    ])
+    # Gaussian lowpass at scale 2^J: cutoff ~ fmin
+    sigma_f = fmin / 2.0  # std in cycles/sample
+    phi = np.exp(-0.5 * (xi_grid / (2.0 * np.pi * sigma_f)) ** 2)
+    return psi1, psi2, phi, xi1, xi2
+
+
+def scattering1d(
+    x,
+    J: int = 6,
+    Q: int = 8,
+    w: float = 6.0,
+    stride: Optional[int] = None,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+):
+    """Wavelet scattering of a real signal: (…, T) ->
+    ``(S0, S1, S2, meta)`` with S0 (…, T'), S1 (…, n1, T'),
+    S2 (…, n_pairs, T'), T' = T/stride (stride defaults to 2^(J-1) —
+    half the invariance scale, the standard anti-aliased rate) and
+    ``meta = (xi1, xi2, pairs)`` the center frequencies (cycles/sample)
+    and the (j1, j2) index pairs of the second order."""
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("scattering1d takes real signals")
+    if x.ndim < 1:
+        raise ValueError("x must be (…, T)")
+    T = x.shape[-1]
+    if J < 1 or Q < 1:
+        raise ValueError(f"need J >= 1 and Q >= 1, got J={J}, Q={Q}")
+    if T < 2 ** (J + 1):
+        raise ValueError(f"signal length {T} < 2^(J+1) = {2 ** (J + 1)}")
+    stride = 1 << (J - 1) if stride is None else int(stride)
+    if stride < 1 or T % stride:
+        raise ValueError(f"stride {stride} must divide T={T}")
+    psi1, psi2, phi, xi1, xi2 = _scattering_bank(T, J, Q, w)
+    rdt = jnp.result_type(x.dtype, jnp.float32)
+    cdt = jnp.result_type(rdt, jnp.complex64)
+    phid = jnp.asarray(phi, rdt)
+    psi1d = jnp.asarray(psi1, rdt)
+    psi2d = jnp.asarray(psi2, rdt)
+
+    X = fft(x.astype(cdt), config=config)  # (…, T)
+    # zeroth order: invariant average of the signal itself
+    s0 = jnp.real(ifft(X * phid, config=config))[..., ::stride]
+    # first order: modulus envelopes of the analytic band passes
+    U1 = jnp.abs(ifft(X[..., None, :] * psi1d, config=config))  # (…, n1, T)
+    U1f = fft(U1.astype(cdt), config=config)
+    s1 = jnp.real(ifft(U1f * phid, config=config))[..., ::stride]
+    # second order: only pairs with xi2 < xi1 (decreasing frequency path)
+    pairs = [(j1, j2) for j1 in range(len(xi1)) for j2 in range(len(xi2))
+             if xi2[j2] < 0.5 * xi1[j1]]
+    if pairs:
+        p1 = np.array([p[0] for p in pairs])
+        p2 = np.array([p[1] for p in pairs])
+        U2 = jnp.abs(ifft(U1f[..., p1, :] * psi2d[p2], config=config))
+        U2f = fft(U2.astype(cdt), config=config)
+        s2 = jnp.real(ifft(U2f * phid, config=config))[..., ::stride]
+    else:
+        s2 = jnp.zeros(s1.shape[:-2] + (0, s1.shape[-1]), rdt)
+    return s0, s1, s2, (xi1, xi2, pairs)
