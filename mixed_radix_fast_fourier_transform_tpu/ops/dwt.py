@@ -872,17 +872,18 @@ def wpdec2(
         raise ValueError(
             f"shape {x.shape[-2:]} not divisible by 2^level = {1 << level}"
         )
-    # packet split along columns (last axis), then along rows per band
+    # packet split along columns (last axis), then ONE batched split along
+    # rows for all column bands at once (they share a shape, so stacking
+    # keeps the traced cascade 2^level-fold smaller than a per-band loop)
     col_bands = wpdec(x, wavelet, level, config=config)
-    out = None
-    for j, cb in enumerate(col_bands):
-        swapped = jnp.swapaxes(cb, -1, -2)
-        row_bands = wpdec(swapped, wavelet, level, config=config)
-        if out is None:
-            out = [[None] * len(col_bands) for _ in range(len(row_bands))]
-        for i, rb in enumerate(row_bands):
-            out[i][j] = jnp.swapaxes(rb, -1, -2)
-    return out
+    stacked = jnp.stack(
+        [jnp.swapaxes(cb, -1, -2) for cb in col_bands], axis=0
+    )  # (n_cols, …, W', H)
+    row_bands = wpdec(stacked, wavelet, level, config=config)
+    return [
+        [jnp.swapaxes(rb[j], -1, -2) for j in range(len(col_bands))]
+        for rb in row_bands
+    ]
 
 
 def wprec2(
@@ -893,8 +894,20 @@ def wprec2(
     n_rows = len(bands)
     if n_rows < 2 or n_rows & (n_rows - 1):
         raise ValueError(f"need a power-of-two band grid, got {n_rows} rows")
-    cols = []
-    for j in range(len(bands[0])):
-        col = [jnp.swapaxes(bands[i][j], -1, -2) for i in range(n_rows)]
-        cols.append(jnp.swapaxes(wprec(col, wavelet, config=config), -1, -2))
+    n_cols = len(bands[0])
+    if n_cols < 2 or n_cols & (n_cols - 1) or any(
+        len(row) != n_cols for row in bands
+    ):
+        raise ValueError(
+            "bands must be a rectangular power-of-two grid; got row "
+            f"lengths {[len(r) for r in bands]}"
+        )
+    # one batched row-merge for every column at once (cols stacked axis 0)
+    stacked_rows = [
+        jnp.stack([jnp.swapaxes(bands[i][j], -1, -2) for j in range(n_cols)],
+                  axis=0)
+        for i in range(n_rows)
+    ]
+    merged = wprec(stacked_rows, wavelet, config=config)  # (n_cols, …)
+    cols = [jnp.swapaxes(merged[j], -1, -2) for j in range(n_cols)]
     return wprec(cols, wavelet, config=config)

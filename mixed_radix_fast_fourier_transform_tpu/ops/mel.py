@@ -209,7 +209,6 @@ def mfcc(
 def mfcc_to_mel(
     C,
     n_mels: int = 128,
-    top_db: Optional[float] = None,
     lifter: float = 0.0,
     *,
     config: SpectralConfig = DEFAULT_CONFIG,
@@ -233,7 +232,9 @@ def mfcc_to_mel(
         lif = 1.0 + (lifter / 2.0) * np.sin(
             np.pi * np.arange(1, n_mfcc + 1) / lifter
         )
-        C = C / jnp.asarray(lif, C.dtype)
+        # librosa adds tiny() so an exactly-zero lifter entry (which zeroed
+        # the forward coefficient) inverts to 0 instead of NaN
+        C = C / jnp.asarray(lif + np.sign(lif + 1e-300) * 1e-30, C.dtype)
     pad = [(0, 0)] * (C.ndim - 1) + [(0, n_mels - n_mfcc)]
     full = jnp.pad(C, pad)
     db = _idct(full, type=2, norm="ortho", config=config)
@@ -249,17 +250,21 @@ def mfcc_to_audio(
     n_iter_nnls: int = 32,
     n_iter_gl: int = 32,
     lifter: float = 0.0,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
     length: Optional[int] = None,
     *,
     config: SpectralConfig = DEFAULT_CONFIG,
 ) -> Array:
     """MFCCs all the way back to a waveform: :func:`mfcc_to_mel` ->
     :func:`mel_to_audio` (NNLS + Griffin-Lim) — librosa
-    feature.inverse.mfcc_to_audio, one jittable pipeline."""
+    feature.inverse.mfcc_to_audio, one jittable pipeline.  Pass the SAME
+    ``fmin``/``fmax`` used at :func:`mfcc` time so the NNLS inverts the
+    matching filterbank."""
     M = mfcc_to_mel(C, n_mels=n_mels, lifter=lifter, config=config)
     return mel_to_audio(
         M, sr, n_fft, hop, n_iter_nnls=n_iter_nnls, n_iter_gl=n_iter_gl,
-        length=length, config=config,
+        fmin=fmin, fmax=fmax, length=length, config=config,
     )
 
 

@@ -24,6 +24,7 @@ training; the reference C library has nothing of the kind.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -37,22 +38,34 @@ from .tfr import _morlet_hat
 Array = jax.Array
 
 
-def _scattering_bank(T: int, J: int, Q: int, w: float):
+def _morlet_w_for_spacing(r: float) -> float:
+    """Morlet center parameter whose bandwidth matches a geometric filter
+    spacing r: adjacent filters cross near half power at the midpoint
+    (w·(√r − 1) ≈ 1.18 ⇒ ~-3 dB at √r·ξc).  Without this, octave-spaced
+    banks at w=6 leave ~-27 dB gaps between centers."""
+    return max(1.18 / (np.sqrt(r) - 1.0), 2.5)
+
+
+@functools.lru_cache(maxsize=8)
+def _scattering_bank(T: int, J: int, Q: int, w):
     """Host filters: (first-order (n1, T), second-order (n2, T), φ (T,),
-    center frequencies xi1 (n1,), xi2 (n2,)) — all real spectral windows."""
+    center frequencies xi1 (n1,), xi2 (n2,)) — all real spectral windows,
+    lru-cached (same pattern as the mel/chroma filterbanks)."""
     xi_grid = 2.0 * np.pi * np.fft.fftfreq(T)  # rad/sample
     fmax = 0.35  # below Nyquist; Morlet bandwidth needs headroom
     fmin = fmax * 2.0 ** (-float(J))
+    w1 = float(w) if w is not None else _morlet_w_for_spacing(2.0 ** (1.0 / Q))
+    w2 = _morlet_w_for_spacing(2.0)  # second order is octave-spaced
     n1 = J * Q + 1
     xi1 = fmax * 2.0 ** (-np.arange(n1) / Q)
     xi1 = xi1[xi1 >= fmin * 0.999]
     psi1 = np.stack([
-        _morlet_hat(w / (2.0 * np.pi * f) * xi_grid, w) for f in xi1
+        _morlet_hat(w1 / (2.0 * np.pi * f) * xi_grid, w1) for f in xi1
     ])
     xi2 = fmax * 2.0 ** (-np.arange(J + 1, dtype=np.float64))
     xi2 = xi2[xi2 >= fmin * 0.999]
     psi2 = np.stack([
-        _morlet_hat(w / (2.0 * np.pi * f) * xi_grid, w) for f in xi2
+        _morlet_hat(w2 / (2.0 * np.pi * f) * xi_grid, w2) for f in xi2
     ])
     # Gaussian lowpass at scale 2^J: cutoff ~ fmin
     sigma_f = fmin / 2.0  # std in cycles/sample
@@ -64,7 +77,7 @@ def scattering1d(
     x,
     J: int = 6,
     Q: int = 8,
-    w: float = 6.0,
+    w: Optional[float] = None,
     stride: Optional[int] = None,
     *,
     config: SpectralConfig = DEFAULT_CONFIG,
@@ -74,7 +87,10 @@ def scattering1d(
     S2 (…, n_pairs, T'), T' = T/stride (stride defaults to 2^(J-1) —
     half the invariance scale, the standard anti-aliased rate) and
     ``meta = (xi1, xi2, pairs)`` the center frequencies (cycles/sample)
-    and the (j1, j2) index pairs of the second order."""
+    and the (j1, j2) index pairs of the second order.  ``w`` (the Morlet
+    center parameter) defaults to a bandwidth MATCHED to the 2^{1/Q}
+    filter spacing so the bank tiles the axis without inter-filter gaps
+    (the second-order octave bank always uses its own matched width)."""
     x = jnp.asarray(x)
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
         raise ValueError("scattering1d takes real signals")

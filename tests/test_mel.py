@@ -371,3 +371,14 @@ class TestMfccInversion:
             sp.mfcc_to_mel(np.zeros((4, 50), np.float32), n_mels=40)
         with pytest.raises(ValueError):
             sp.mfcc(np.zeros(4096, np.float32), lifter=-1.0)
+
+
+def test_mfcc_to_mel_lifter2_finite():
+    # review-10 regression: lifter=2 zeroes a lifter entry; inversion must
+    # stay finite and round-trip the forward transform
+    sr = 22050.0
+    x = np.sin(2 * np.pi * 700 * np.arange(8192) / sr).astype(np.float32)
+    C = sp.mfcc(x, sr, n_mfcc=20, n_fft=512, n_mels=40, lifter=2.0,
+                top_db=None)
+    M = np.asarray(sp.mfcc_to_mel(C, n_mels=40, lifter=2.0))
+    assert np.isfinite(M).all()
