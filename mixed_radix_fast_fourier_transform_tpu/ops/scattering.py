@@ -130,3 +130,93 @@ def scattering1d(
     else:
         s2 = jnp.zeros(s1.shape[:-2] + (0, s1.shape[-1]), rdt)
     return s0, s1, s2, (xi1, xi2, pairs)
+
+
+@functools.lru_cache(maxsize=4)
+def _scattering_bank_2d(H: int, W: int, J: int, L: int):
+    """Host 2-D filters: oriented Gabor-Morlet bank (J·L, H, W) real
+    spectral windows with zero DC, the per-scale index grids, and the
+    Gaussian lowpass at scale 2^J."""
+    wy = 2.0 * np.pi * np.fft.fftfreq(H)[:, None]
+    wx = 2.0 * np.pi * np.fft.fftfreq(W)[None, :]
+    xi0 = 3.0 * np.pi / 4.0  # standard Kymatio center frequency
+    psis = []
+    meta = []
+    for j in range(J):
+        xi = xi0 * 2.0 ** (-j)
+        sigma = 0.8 * 2.0 ** j  # spatial std; spectral std = 1/sigma
+        s_inv = sigma
+        for l in range(L):
+            th = np.pi * l / L
+            cy, cx = xi * np.sin(th), xi * np.cos(th)
+            g = np.exp(-0.5 * s_inv**2 * ((wy - cy) ** 2 + (wx - cx) ** 2))
+            g0 = np.exp(-0.5 * s_inv**2 * (wy**2 + wx**2))
+            # Morlet DC correction: subtract K·gaussian so psi_hat(0) = 0
+            k = g[0, 0] / g0[0, 0]
+            psis.append(g - k * g0)
+            meta.append((j, l))
+    # lowpass at the full invariance scale: spatial std = 2^J pixels
+    phi = np.exp(-0.5 * (2.0 ** J) ** 2 * (wy**2 + wx**2))
+    return np.stack(psis), phi, tuple(meta)
+
+
+def scattering2d(
+    x,
+    J: int = 3,
+    L: int = 6,
+    stride: Optional[int] = None,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+):
+    """2-D wavelet scattering (Bruna & Mallat 2013; Kymatio layout):
+    (…, H, W) -> ``(S0, S1, S2, meta)`` with S0 (…, H', W'),
+    S1 (…, J·L, H', W'), S2 (…, n_pairs, H', W'),
+    H' = H/stride (stride defaults to 2^(J-1)); ``meta = (meta1, pairs)``
+    carries each channel's (scale j, orientation l) and the second-order
+    (idx1, idx2) pairs (j2 > j1, all orientation combinations).
+
+    The rotation-covariant, translation-invariant texture descriptor:
+    oriented Gabor-Morlet bank applied as ONE broadcast spectral multiply
+    per order (three fft2 rounds total), modulus between orders, Gaussian
+    averaging at scale 2^J."""
+    from .fft import fft2, ifft2
+
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("scattering2d takes real images")
+    if x.ndim < 2:
+        raise ValueError("x must be (…, H, W)")
+    H, W = x.shape[-2], x.shape[-1]
+    if J < 1 or L < 1:
+        raise ValueError(f"need J >= 1 and L >= 1, got J={J}, L={L}")
+    if min(H, W) < 2 ** (J + 1):
+        raise ValueError(f"image {H}x{W} too small for J={J}")
+    stride = 1 << (J - 1) if stride is None else int(stride)
+    if stride < 1 or H % stride or W % stride:
+        raise ValueError(f"stride {stride} must divide both {H} and {W}")
+    psis, phi, meta1 = _scattering_bank_2d(H, W, J, L)
+    rdt = jnp.result_type(x.dtype, jnp.float32)
+    cdt = jnp.result_type(rdt, jnp.complex64)
+    phid = jnp.asarray(phi, rdt)
+    psid = jnp.asarray(psis, rdt)
+
+    X = fft2(x.astype(cdt), config=config)
+    s0 = jnp.real(ifft2(X * phid, config=config))[..., ::stride, ::stride]
+    U1 = jnp.abs(ifft2(X[..., None, :, :] * psid, config=config))
+    U1f = fft2(U1.astype(cdt), config=config)
+    s1 = jnp.real(
+        ifft2(U1f * phid, config=config)
+    )[..., ::stride, ::stride]
+    pairs = [(i1, i2) for i1, (j1, _) in enumerate(meta1)
+             for i2, (j2, _) in enumerate(meta1) if j2 > j1]
+    if pairs:
+        p1 = np.array([p[0] for p in pairs])
+        p2 = np.array([p[1] for p in pairs])
+        U2 = jnp.abs(ifft2(U1f[..., p1, :, :] * psid[p2], config=config))
+        U2f = fft2(U2.astype(cdt), config=config)
+        s2 = jnp.real(
+            ifft2(U2f * phid, config=config)
+        )[..., ::stride, ::stride]
+    else:
+        s2 = jnp.zeros(s1.shape[:-3] + (0,) + s1.shape[-2:], rdt)
+    return s0, s1, s2, (meta1, pairs)

@@ -66,3 +66,56 @@ class TestScattering:
             sp.scattering1d(np.zeros(1024, np.complex64))
         with pytest.raises(ValueError):
             sp.scattering1d(np.zeros(1000, np.float32), J=4, stride=16)
+
+
+class TestScattering2D:
+    def test_shapes_and_invariance(self, rng):
+        img = rng.standard_normal((64, 64)).astype(np.float32)
+        s0, s1, s2, (meta1, pairs) = sp.scattering2d(img, J=3, L=4)
+        st = 4
+        assert np.asarray(s0).shape == (16, 16)
+        assert np.asarray(s1).shape == (12, 16, 16)
+        assert np.asarray(s2).shape == (len(pairs), 16, 16)
+        # translation invariance: a 3-pixel shift barely moves features
+        f0 = np.concatenate([np.asarray(v).ravel() for v in (s0, s1, s2)])
+        sh = np.roll(np.roll(img, 3, 0), 2, 1)
+        a0, a1, a2, _ = sp.scattering2d(sh, J=3, L=4)
+        f1 = np.concatenate([np.asarray(v).ravel() for v in (a0, a1, a2)])
+        assert np.linalg.norm(f0 - f1) / np.linalg.norm(f0) < 0.1
+
+    def test_rotation_permutes_orientations(self, rng):
+        # rotating the image 90° permutes the L orientation channels
+        img = rng.standard_normal((64, 64)).astype(np.float32)
+        _, s1, _, (meta1, _) = sp.scattering2d(img, J=2, L=4)
+        _, s1r, _, _ = sp.scattering2d(np.rot90(img).copy(), J=2, L=4)
+        m1 = np.asarray(s1).mean((-2, -1))   # (J*L,) channel means
+        m1r = np.asarray(s1r).mean((-2, -1))
+        # orientation l maps to (l + L/2) mod L under 90° rotation
+        L = 4
+        for ch, (j, l) in enumerate(meta1):
+            partner = [i for i, (jj, ll) in enumerate(meta1)
+                       if jj == j and ll == (l + L // 2) % L][0]
+            assert abs(m1r[ch] - m1[partner]) / (abs(m1[partner]) + 1e-9) \
+                < 0.05, (ch, partner)
+
+    def test_oriented_texture_discrimination(self):
+        # vertical vs horizontal stripes: same power, different orientation
+        y, x = np.mgrid[:64, :64]
+        v = np.sin(2 * np.pi * x / 8).astype(np.float32)
+        h = np.sin(2 * np.pi * y / 8).astype(np.float32)
+        _, s1v, _, (meta1, _) = sp.scattering2d(v, J=3, L=4)
+        _, s1h, _, _ = sp.scattering2d(h, J=3, L=4)
+        mv = np.asarray(s1v).mean((-2, -1))
+        mh = np.asarray(s1h).mean((-2, -1))
+        # the dominant channel differs and has different orientation index
+        lv = meta1[int(np.argmax(mv))][1]
+        lh = meta1[int(np.argmax(mh))][1]
+        assert lv != lh
+
+    def test_errors(self, rng):
+        with pytest.raises(ValueError):
+            sp.scattering2d(np.zeros(64, np.float32))
+        with pytest.raises(ValueError):
+            sp.scattering2d(np.zeros((8, 8), np.float32), J=3)
+        with pytest.raises(ValueError):
+            sp.scattering2d(np.zeros((64, 64), np.complex64))
