@@ -596,3 +596,48 @@ def mu_law_decode(y, quantization_channels: int = 256) -> Array:
     mu = q - 1.0
     yf = jnp.asarray(y).astype(jnp.float32) * 2.0 / mu - 1.0
     return jnp.sign(yf) * (jnp.expm1(jnp.abs(yf) * np.log1p(mu))) / mu
+
+
+def power_to_db(S, ref=1.0, amin: float = 1e-10,
+                top_db: Optional[float] = 80.0) -> Array:
+    """Power -> decibels, 10·log10(S/ref), floored ``top_db`` below the
+    per-array peak (librosa.power_to_db; ``ref`` a scalar or 'max')."""
+    S = jnp.asarray(S)
+    if amin <= 0:
+        raise ValueError(f"amin must be > 0, got {amin}")
+    if top_db is not None and top_db < 0:
+        raise ValueError(f"top_db must be >= 0, got {top_db}")
+    amind = jnp.asarray(amin, jnp.real(S).dtype)
+    mag = jnp.maximum(S, amind)
+    if isinstance(ref, str):
+        if ref != "max":
+            raise ValueError(f"ref must be a scalar or 'max', got {ref!r}")
+        refv = jnp.maximum(jnp.max(mag), amind)
+    else:
+        refv = jnp.maximum(jnp.asarray(abs(ref), mag.dtype), amind)
+    db = 10.0 * (jnp.log10(mag) - jnp.log10(refv))
+    if top_db is not None:
+        db = jnp.maximum(db, jnp.max(db) - top_db)
+    return db
+
+
+def db_to_power(db, ref: float = 1.0) -> Array:
+    """Inverse of :func:`power_to_db`: ref·10^(db/10)."""
+    db = jnp.asarray(db)
+    return ref * jnp.power(10.0, db / 10.0)
+
+
+def amplitude_to_db(S, ref=1.0, amin: float = 1e-5,
+                    top_db: Optional[float] = 80.0) -> Array:
+    """Amplitude -> decibels: power_to_db on |S|² with matched refs
+    (librosa.amplitude_to_db)."""
+    S = jnp.asarray(S)
+    mag = jnp.abs(S) if jnp.issubdtype(S.dtype, jnp.complexfloating) else S
+    refv = ref if isinstance(ref, str) else abs(ref) ** 2
+    return power_to_db(mag * mag, ref=refv, amin=amin * amin, top_db=top_db)
+
+
+def db_to_amplitude(db, ref: float = 1.0) -> Array:
+    """Inverse of :func:`amplitude_to_db`: ref·10^(db/20)."""
+    db = jnp.asarray(db)
+    return ref * jnp.power(10.0, db / 20.0)

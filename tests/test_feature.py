@@ -255,3 +255,29 @@ class TestEffectsHelpers:
         assert dmu < duni / 4
         with pytest.raises(ValueError):
             sp.mu_law_encode(x, 1)
+
+
+class TestDbConversions:
+    def test_roundtrips_and_anchors(self, rng):
+        p = np.abs(rng.standard_normal((8, 16))).astype(np.float32) + 0.01
+        db = np.asarray(sp.power_to_db(p, top_db=None))
+        back = np.asarray(sp.db_to_power(db))
+        assert np.max(np.abs(back - p)) / p.max() < 1e-5
+        assert abs(float(np.asarray(sp.power_to_db(np.float32(100.0),
+                                                   top_db=None))) - 20.0) < 1e-5
+        a = np.abs(rng.standard_normal(64)).astype(np.float32) + 0.01
+        dba = np.asarray(sp.amplitude_to_db(a, top_db=None))
+        backa = np.asarray(sp.db_to_amplitude(dba))
+        assert np.max(np.abs(backa - a)) / a.max() < 1e-4
+
+    def test_ref_max_and_topdb(self, rng):
+        p = np.abs(rng.standard_normal(128)).astype(np.float32)
+        db = np.asarray(sp.power_to_db(p, ref="max", top_db=30.0))
+        assert abs(db.max()) < 1e-5  # peak pinned at 0 dB
+        assert db.min() >= -30.0 - 1e-5
+        with pytest.raises(ValueError):
+            sp.power_to_db(p, ref="min")
+        with pytest.raises(ValueError):
+            sp.power_to_db(p, amin=0.0)
+        with pytest.raises(ValueError):
+            sp.power_to_db(p, top_db=-3.0)
