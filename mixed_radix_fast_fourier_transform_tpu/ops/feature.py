@@ -641,3 +641,119 @@ def db_to_amplitude(db, ref: float = 1.0) -> Array:
     """Inverse of :func:`amplitude_to_db`: ref·10^(db/20)."""
     db = jnp.asarray(db)
     return ref * jnp.power(10.0, db / 20.0)
+
+
+def chroma_cqt(
+    x, sr: float = 22050.0, hop: int = 512, n_chroma: int = 12,
+    n_octaves: int = 6, fmin: float = 32.703195662574764,
+    bins_per_octave: int = 36,
+    *, config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Constant-Q chromagram (librosa.feature.chroma_cqt's recipe):
+    (…, T) -> (…, frames, n_chroma) — CQT magnitudes folded onto pitch
+    classes (bin k of B-per-octave maps to class (k·n_chroma/B) mod
+    n_chroma; with B a multiple of n_chroma the fold is an exact static
+    one-hot matmul).  Sharper pitch-class profiles than the STFT chroma
+    at low frequencies (the CQT ladder is log-spaced)."""
+    from .cqt import cqt as _cqt
+
+    if n_chroma < 2 or n_octaves < 1:
+        raise ValueError("need n_chroma >= 2 and n_octaves >= 1")
+    if bins_per_octave % n_chroma:
+        raise ValueError(
+            f"bins_per_octave ({bins_per_octave}) must be a multiple of "
+            f"n_chroma ({n_chroma})"
+        )
+    n_bins = n_octaves * bins_per_octave
+    C = jnp.abs(_cqt(x, fs=sr, fmin=fmin, n_bins=n_bins,
+                     bins_per_octave=bins_per_octave, hop=hop,
+                     config=config))
+    cls = (np.arange(n_bins) * n_chroma // bins_per_octave) % n_chroma
+    onehot = jnp.asarray(
+        cls[:, None] == np.arange(n_chroma)[None, :], C.dtype
+    )
+    ch = jnp.einsum("...tb,bc->...tc", C, onehot,
+                    precision=config.op_precision)
+    peak = jnp.max(ch, axis=-1, keepdims=True)
+    return ch / jnp.maximum(peak, jnp.asarray(1e-30, ch.dtype))
+
+
+def tonnetz(
+    x=None, sr: float = 22050.0, chroma=None,
+    *, config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Tonal centroid features (Harte et al. 2006;
+    librosa.feature.tonnetz): project an L1-normalized chromagram onto
+    the 6-D circle-of-fifths / minor-third / major-third basis —
+    (…, frames, 12) -> (…, frames, 6), one static matmul."""
+    if chroma is None:
+        chroma = chroma_cqt(x, sr, config=config)
+    c = jnp.asarray(chroma)
+    if c.ndim < 2 or c.shape[-1] != 12:
+        raise ValueError("chroma must be (…, frames, 12)")
+    d = np.arange(12)
+    r = np.array([1.0, 1.0, 1.0])
+    phi = np.stack([
+        r[0] * np.sin(d * 7 * np.pi / 6), r[0] * np.cos(d * 7 * np.pi / 6),
+        r[1] * np.sin(d * 3 * np.pi / 2), r[1] * np.cos(d * 3 * np.pi / 2),
+        r[2] * np.sin(d * 2 * np.pi / 3), r[2] * np.cos(d * 2 * np.pi / 3),
+    ])  # (6, 12)
+    norm = jnp.maximum(jnp.sum(jnp.abs(c), -1, keepdims=True),
+                       jnp.asarray(1e-30, c.dtype))
+    return jnp.einsum("...tc,dc->...td", c / norm,
+                      jnp.asarray(phi, c.dtype),
+                      precision=config.op_precision)
+
+
+def gcc_phat(
+    x, y, max_lag: Optional[int] = None, interp: bool = True,
+    *, config: SpectralConfig = DEFAULT_CONFIG,
+):
+    """Generalized cross-correlation with phase transform (GCC-PHAT):
+    estimate the delay of ``y`` relative to ``x`` in (fractional)
+    samples — the standard TDOA estimator, robust to reverberation
+    because only PHASE information survives the |X·Y*| whitening.
+
+    Returns ``(lag, cc)``: the (…,) delay estimate and the whitened
+    cross-correlation (…, 2·max_lag+1) on the lag grid
+    −max_lag..max_lag.  One engine rfft/irfft round; the peak pick and
+    parabolic refinement are argmax/gather, so it jits."""
+    from .rfft import rfft as _rfft, irfft as _irfft
+
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    if x.shape[-1] != y.shape[-1]:
+        raise ValueError("x and y must share the last-axis length")
+    if jnp.issubdtype(x.dtype, jnp.complexfloating) or \
+            jnp.issubdtype(y.dtype, jnp.complexfloating):
+        raise ValueError("gcc_phat takes real signals")
+    n = x.shape[-1]
+    if max_lag is None:
+        max_lag = n // 2 - 1
+    max_lag = int(max_lag)
+    if not 1 <= max_lag < n:
+        raise ValueError(f"need 1 <= max_lag < {n}, got {max_lag}")
+    nfft = int(2 ** np.ceil(np.log2(2 * n)))
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, nfft - n)]
+    X = _rfft(jnp.pad(x.astype(jnp.float32), pad), config=config)
+    Y = _rfft(jnp.pad(y.astype(jnp.float32), pad), config=config)
+    S = Y * jnp.conj(X)
+    S = S / jnp.maximum(jnp.abs(S), jnp.asarray(1e-12, jnp.float32))
+    cc_full = _irfft(S, n=nfft, config=config)
+    # lags -max_lag..max_lag via the circular layout
+    neg = cc_full[..., nfft - max_lag:]
+    pos = cc_full[..., : max_lag + 1]
+    cc = jnp.concatenate([neg, pos], axis=-1)
+    k = jnp.argmax(cc, axis=-1)
+    if interp:
+        km = jnp.clip(k, 1, 2 * max_lag - 1)
+        p0 = jnp.take_along_axis(cc, km[..., None] - 1, -1)[..., 0]
+        p1 = jnp.take_along_axis(cc, km[..., None], -1)[..., 0]
+        p2 = jnp.take_along_axis(cc, km[..., None] + 1, -1)[..., 0]
+        denom = p0 + p2 - 2.0 * p1
+        shift = jnp.where(jnp.abs(denom) > 1e-12,
+                          0.5 * (p0 - p2) / denom, 0.0)
+        lag = km.astype(cc.dtype) + jnp.clip(shift, -0.5, 0.5) - max_lag
+    else:
+        lag = k.astype(cc.dtype) - max_lag
+    return lag, cc

@@ -281,3 +281,51 @@ class TestDbConversions:
             sp.power_to_db(p, amin=0.0)
         with pytest.raises(ValueError):
             sp.power_to_db(p, top_db=-3.0)
+
+
+class TestChromaCqtTonnetzGcc:
+    def test_chroma_cqt_notes(self):
+        for f0, pc in ((130.81, 0), (164.81, 4), (196.0, 7)):  # C3, E3, G3
+            x = np.sin(2 * np.pi * f0 * np.arange(44100) / SR).astype(np.float32)
+            C = np.asarray(sp.chroma_cqt(x, SR))
+            prof = C[6:-6].mean(0)
+            assert np.argmax(prof) == pc, (f0, np.argmax(prof))
+        with pytest.raises(ValueError):
+            sp.chroma_cqt(np.zeros(44100, np.float32), SR,
+                          bins_per_octave=35)
+
+    def test_tonnetz_fifth_geometry(self):
+        # C and G (a fifth apart) are adjacent on the circle of fifths:
+        # their tonnetz vectors are closer than C and F# (tritone)
+        def tz_of(pc):
+            c = np.zeros((8, 12), np.float32)
+            c[:, pc] = 1.0
+            return np.asarray(sp.tonnetz(chroma=c))[0]
+
+        tC, tG, tFs = tz_of(0), tz_of(7), tz_of(6)
+        assert np.linalg.norm(tC - tG) < np.linalg.norm(tC - tFs)
+        assert np.asarray(sp.tonnetz(chroma=np.ones((4, 12), np.float32))).shape == (4, 6)
+        with pytest.raises(ValueError):
+            sp.tonnetz(chroma=np.ones((4, 11), np.float32))
+
+    def test_gcc_phat_delay(self, rng):
+        n = 4096
+        s = rng.standard_normal(n).astype(np.float32)
+        for d in (7, -12, 150):
+            y = np.roll(s, d)
+            lag, cc = sp.gcc_phat(s, y, max_lag=256)
+            assert abs(float(np.asarray(lag)) - d) < 0.51, (d, float(np.asarray(lag)))
+        # fractional delay via band-limited shift
+        spec = np.fft.rfft(s)
+        frac = 3.4
+        yf = np.fft.irfft(spec * np.exp(-2j * np.pi * np.fft.rfftfreq(n) * frac), n)
+        lag, _ = sp.gcc_phat(s, yf.astype(np.float32), max_lag=64)
+        assert abs(float(np.asarray(lag)) - frac) < 0.25
+        # reverberant robustness: add a strong echo to y; PHAT still wins
+        ye = y + 0.8 * np.roll(y, 40)
+        lag, _ = sp.gcc_phat(s, ye.astype(np.float32), max_lag=256)
+        assert abs(float(np.asarray(lag)) - 150) < 1.0
+        with pytest.raises(ValueError):
+            sp.gcc_phat(s, s[:100])
+        with pytest.raises(ValueError):
+            sp.gcc_phat(s, y, max_lag=0)

@@ -19,7 +19,7 @@ groups = {
     "Chirp-z / zoom / Hankel": ["czt","zoom_fft","czt_points","fht","ifht","fhtoffset","fwht","ifwht","frft","ifrft","frft2"],
     "Non-uniform FFT": ["nufft1","nufft2","nufft3","nufft3_2d","nufft3_3d","nufft_lsq","nufft_lsq_2d","nufft_lsq_3d","nudft1","nudft2","nufft1_2d","nufft2_2d","nudft1_2d","nudft2_2d","nufft1_3d","nufft2_3d","nudft1_3d","nudft2_3d","radon","iradon"],
     "Convolution / correlation": ["fft_convolve","fft_convolve2","fft_convolven","fft_oaconvolve","fft_correlate","phase_cross_correlation","fourier_shift","unwrap_phase_2d","fourier_gaussian","fourier_uniform","fourier_ellipsoid","wiener"],
-    "Time-frequency": ["stft","istft","spectrogram","get_window","griffinlim","phase_vocoder","time_stretch","pitch_shift","mdct","imdct","mdct_window","cwt","ricker","morlet2","dwt","idwt","dwt2","idwt2","wavedec","waverec","wavedec2","waverec2","swt","iswt","swt2","iswt2","wpdec","wprec","wpdec2","wprec2","dwt_max_level","dtcwt","idtcwt","dtcwt2","idtcwt2","wigner_ville","ssq_cwt","ssq_stft","issq_cwt","issq_stft","reassigned_spectrogram","stockwell","istockwell","ambiguity","scattering1d","scattering2d","cqt","icqt","cqt_frequencies","dpss","mel_filterbank","mel_frequencies","melspectrogram","mfcc","hz_to_mel","mel_to_hz","mel_to_stft","mel_to_audio","mfcc_to_mel","mfcc_to_audio","hpss","yin","pyin","pcen","A_weighting","spectral_centroid","spectral_bandwidth","spectral_rolloff","spectral_flatness","spectral_contrast","zero_crossing_rate","rms","specaugment","chroma_filterbank","chroma_stft","onset_strength","tempo","delta","beat_track","decompose","trim","split","mu_law_encode","mu_law_decode","power_to_db","db_to_power","amplitude_to_db","db_to_amplitude"],
+    "Time-frequency": ["stft","istft","spectrogram","get_window","griffinlim","phase_vocoder","time_stretch","pitch_shift","mdct","imdct","mdct_window","cwt","ricker","morlet2","dwt","idwt","dwt2","idwt2","wavedec","waverec","wavedec2","waverec2","swt","iswt","swt2","iswt2","wpdec","wprec","wpdec2","wprec2","dwt_max_level","dtcwt","idtcwt","dtcwt2","idtcwt2","wigner_ville","ssq_cwt","ssq_stft","issq_cwt","issq_stft","reassigned_spectrogram","stockwell","istockwell","ambiguity","scattering1d","scattering2d","cqt","icqt","cqt_frequencies","dpss","mel_filterbank","mel_frequencies","melspectrogram","mfcc","hz_to_mel","mel_to_hz","mel_to_stft","mel_to_audio","mfcc_to_mel","mfcc_to_audio","hpss","yin","pyin","pcen","A_weighting","spectral_centroid","spectral_bandwidth","spectral_rolloff","spectral_flatness","spectral_contrast","zero_crossing_rate","rms","specaugment","chroma_filterbank","chroma_stft","onset_strength","tempo","delta","beat_track","decompose","trim","split","mu_law_encode","mu_law_decode","power_to_db","db_to_power","amplitude_to_db","db_to_amplitude","chroma_cqt","tonnetz","gcc_phat"],
     "Signal analysis": ["hilbert","periodogram","welch","csd","coherence","resample","resample_poly","upfirdn","lombscargle","multitaper","rceps","cceps","icceps","minimum_phase","firwin","freqz","kaiser_atten","kaiser_beta","remez","detrend","decimate","savgol_coeffs","savgol_filter","group_delay","deconvolve","hilbert2","chirp","sweep_poly","gausspulse","sawtooth","square","unit_impulse"],
     "PDE toolbox": ["spectral_diff","poisson_solve"],
     "Spherical harmonics": ["sht","isht","sht_grid","sphere_laplacian","poisson_solve_sphere","sphere_convolve","sphere_grad","sphere_div","sphere_vort","sphere_helmholtz","vsht","ivsht","sht_recurrence","isht_recurrence","rotate_sht"],
