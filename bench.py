@@ -272,7 +272,53 @@ def bench_cqt(batch: int, n: int, iters: int, seed: int = 0):
     return dt / batch, ok
 
 
+def _probe_backend(timeout_s: float = 180.0):
+    """Probe device-backend init in a SUBPROCESS and return (platform, error).
+
+    The axon TPU tunnel can make backend init either raise (BENCH_r03: rc=1)
+    or HANG indefinitely (observed 2026-08-18) — an in-process try/except
+    cannot survive the hang, so the first touch of ``jax.devices()`` happens
+    in a throwaway child with a hard timeout.  On success the parent's own
+    backend init is safe; on failure the parent never touches it.
+    """
+    import subprocess
+    import sys
+
+    code = "import jax; print('PLATFORM=' + jax.devices()[0].platform)"
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"backend init hung > {timeout_s:.0f}s (axon tunnel down?)"
+    out = proc.stdout.decode(errors="replace")
+    for line in out.splitlines():
+        if line.startswith("PLATFORM="):
+            return line.split("=", 1)[1].strip(), None
+    return None, out[-500:]
+
+
 def main():
+    # The one unguarded backend touch took the whole round-3 record down
+    # (BENCH_r03 rc=1, parsed: null — VERDICT r3 weak #2).  Probe first;
+    # if the backend is unreachable, still emit ONE parseable JSON line
+    # and exit 0 so the driver always records an artifact.
+    platform, tpu_error = _probe_backend()
+    if platform is None:
+        print(json.dumps({
+            "metric": "batched_fft_gflops_n1024_fp32",
+            "value": 0.0,
+            "unit": "GFLOP/s",
+            "vs_baseline": 0.0,
+            "platform": "unavailable",
+            "tpu_error": tpu_error,
+            "configs": {},
+        }))
+        return
+
     from mixed_radix_fast_fourier_transform_tpu.utils.cache import (
         enable_persistent_cache,
     )
@@ -281,7 +327,6 @@ def main():
         enable_persistent_cache()  # warm reruns skip the 20-40 s TPU compiles
     except Exception:
         pass
-    platform = jax.devices()[0].platform
     # Chain lengths sized so the measured T_long - T_short difference is
     # tens of milliseconds: round-1 chains (diff ~2-8 ms) were inside the
     # tunnel's noise floor and produced non-reproducible ratios.

@@ -607,6 +607,9 @@ def power_to_db(S, ref=1.0, amin: float = 1e-10,
         raise ValueError(f"amin must be > 0, got {amin}")
     if top_db is not None and top_db < 0:
         raise ValueError(f"top_db must be >= 0, got {top_db}")
+    if jnp.issubdtype(S.dtype, jnp.complexfloating):
+        # librosa warns and proceeds on |S|; jnp.maximum on complex raises
+        S = jnp.abs(S)
     amind = jnp.asarray(amin, jnp.real(S).dtype)
     mag = jnp.maximum(S, amind)
     if isinstance(ref, str):
@@ -669,6 +672,10 @@ def chroma_cqt(
                      bins_per_octave=bins_per_octave, hop=hop,
                      config=config))
     cls = (np.arange(n_bins) * n_chroma // bins_per_octave) % n_chroma
+    # librosa cq_to_chroma (base_c): roll so class 0 is always C, whatever
+    # pitch class fmin sits on — midi(f) = 12·log2(f/440) + 69
+    midi_fmin = 12.0 * np.log2(fmin / 440.0) + 69.0
+    cls = (cls + int(round((midi_fmin % 12.0) * n_chroma / 12.0))) % n_chroma
     onehot = jnp.asarray(
         cls[:, None] == np.arange(n_chroma)[None, :], C.dtype
     )
@@ -692,7 +699,9 @@ def tonnetz(
     if c.ndim < 2 or c.shape[-1] != 12:
         raise ValueError("chroma must be (…, frames, 12)")
     d = np.arange(12)
-    r = np.array([1.0, 1.0, 1.0])
+    # Harte et al. 2006 radii R = [1, 1, 1, 1, 0.5, 0.5]: fifths and minor
+    # thirds at radius 1, the major-third circle at radius 0.5
+    r = np.array([1.0, 1.0, 0.5])
     phi = np.stack([
         r[0] * np.sin(d * 7 * np.pi / 6), r[0] * np.cos(d * 7 * np.pi / 6),
         r[1] * np.sin(d * 3 * np.pi / 2), r[1] * np.cos(d * 3 * np.pi / 2),
@@ -753,7 +762,10 @@ def gcc_phat(
         denom = p0 + p2 - 2.0 * p1
         shift = jnp.where(jnp.abs(denom) > 1e-12,
                           0.5 * (p0 - p2) / denom, 0.0)
-        lag = km.astype(cc.dtype) + jnp.clip(shift, -0.5, 0.5) - max_lag
+        # a peak AT ±max_lag has no valid 3-point neighborhood: the fit
+        # around the clipped center biases the lag, so return the integer
+        shift = jnp.where(k == km, jnp.clip(shift, -0.5, 0.5), 0.0)
+        lag = k.astype(cc.dtype) + shift - max_lag
     else:
         lag = k.astype(cc.dtype) - max_lag
     return lag, cc

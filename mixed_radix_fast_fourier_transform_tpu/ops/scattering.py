@@ -140,6 +140,17 @@ def _scattering_bank_2d(H: int, W: int, J: int, L: int):
     wy = 2.0 * np.pi * np.fft.fftfreq(H)[:, None]
     wx = 2.0 * np.pi * np.fft.fftfreq(W)[None, :]
     xi0 = 3.0 * np.pi / 4.0  # standard Kymatio center frequency
+
+    def pgauss(w, c, s_inv):
+        # periodized 1-D Gaussian factor: sum over ±2π aliases so the j=0
+        # tail (spectral std 1.25 rad at 3π/4) wraps instead of truncating
+        # (Kymatio/Morlet construction); the 2-D window is separable, so
+        # periodizing each factor periodizes the product
+        return sum(
+            np.exp(-0.5 * s_inv**2 * (w - c + 2.0 * np.pi * m) ** 2)
+            for m in range(-2, 3)
+        )
+
     psis = []
     meta = []
     for j in range(J):
@@ -149,14 +160,14 @@ def _scattering_bank_2d(H: int, W: int, J: int, L: int):
         for l in range(L):
             th = np.pi * l / L
             cy, cx = xi * np.sin(th), xi * np.cos(th)
-            g = np.exp(-0.5 * s_inv**2 * ((wy - cy) ** 2 + (wx - cx) ** 2))
-            g0 = np.exp(-0.5 * s_inv**2 * (wy**2 + wx**2))
+            g = pgauss(wy, cy, s_inv) * pgauss(wx, cx, s_inv)
+            g0 = pgauss(wy, 0.0, s_inv) * pgauss(wx, 0.0, s_inv)
             # Morlet DC correction: subtract K·gaussian so psi_hat(0) = 0
             k = g[0, 0] / g0[0, 0]
             psis.append(g - k * g0)
             meta.append((j, l))
     # lowpass at the full invariance scale: spatial std = 2^J pixels
-    phi = np.exp(-0.5 * (2.0 ** J) ** 2 * (wy**2 + wx**2))
+    phi = pgauss(wy, 0.0, 2.0 ** J) * pgauss(wx, 0.0, 2.0 ** J)
     return np.stack(psis), phi, tuple(meta)
 
 

@@ -294,6 +294,36 @@ class TestChromaCqtTonnetzGcc:
             sp.chroma_cqt(np.zeros(44100, np.float32), SR,
                           bins_per_octave=35)
 
+    def test_chroma_cqt_non_c_fmin_rolls_to_base_c(self):
+        # librosa cq_to_chroma base_c: class 0 is always C — an E3 tone
+        # must land on class 4 whether fmin is C1 or E1 (ADVICE r3)
+        f_e3 = 164.81
+        x = np.sin(2 * np.pi * f_e3 * np.arange(44100) / SR).astype(np.float32)
+        f_e1 = 41.203444614108754
+        C = np.asarray(sp.chroma_cqt(x, SR, fmin=f_e1))
+        assert np.argmax(C[6:-6].mean(0)) == 4
+
+    def test_power_to_db_complex_uses_magnitude(self):
+        z = np.array([3 + 4j, 10 + 0j], np.complex64)  # |z| = 5, 10
+        db = np.asarray(sp.power_to_db(z, top_db=None))
+        exp = 10.0 * np.log10([5.0, 10.0])
+        np.testing.assert_allclose(db, exp, atol=1e-5)
+
+    def test_tonnetz_harte_basis_anchor(self):
+        # one-hot C chroma → exactly the Harte/librosa basis column for C:
+        # R = [1, 1, 1, 1, 0.5, 0.5] — dims 4-5 (major third) at radius 0.5
+        c = np.zeros((1, 12), np.float32)
+        c[:, 0] = 1.0
+        t = np.asarray(sp.tonnetz(chroma=c))[0]
+        np.testing.assert_allclose(t, [0.0, 1.0, 0.0, 1.0, 0.0, 0.5],
+                                   atol=1e-6)
+        c2 = np.zeros((1, 12), np.float32)
+        c2[:, 1] = 1.0
+        t2 = np.asarray(sp.tonnetz(chroma=c2))[0]
+        r3 = np.sqrt(3.0)
+        np.testing.assert_allclose(
+            t2, [-0.5, -r3 / 2, -1.0, 0.0, r3 / 4, -0.25], atol=1e-6)
+
     def test_tonnetz_fifth_geometry(self):
         # C and G (a fifth apart) are adjacent on the circle of fifths:
         # their tonnetz vectors are closer than C and F# (tritone)
@@ -329,3 +359,12 @@ class TestChromaCqtTonnetzGcc:
             sp.gcc_phat(s, s[:100])
         with pytest.raises(ValueError):
             sp.gcc_phat(s, y, max_lag=0)
+
+    def test_gcc_phat_peak_at_endpoint_skips_refinement(self, rng):
+        # a true peak AT ±max_lag must return the integer lag, not a
+        # parabolic fit around the clipped neighbor (ADVICE r3)
+        s = rng.standard_normal(4096).astype(np.float32)
+        for d in (16, -16):
+            y = np.roll(s, d)
+            lag, _ = sp.gcc_phat(s, y, max_lag=16)
+            assert float(np.asarray(lag)) == float(d)

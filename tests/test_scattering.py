@@ -112,6 +112,21 @@ class TestScattering2D:
         lh = meta1[int(np.argmax(mh))][1]
         assert lv != lh
 
+    def test_bank_periodized(self):
+        # j=0 filter (center 3π/4, spectral std 1.25 rad): at ω_x = -π the
+        # wrapped alias sits π/4 away (≈0.82 of peak) while the truncated
+        # principal-grid Gaussian is ~6e-5 — periodization must carry the
+        # tail across the wrap (ADVICE r3)
+        from mixed_radix_fast_fourier_transform_tpu.ops.scattering import (
+            _scattering_bank_2d,
+        )
+
+        psis, phi, meta = _scattering_bank_2d(64, 64, 1, 1)
+        assert meta[0] == (0, 0)  # l=0: center on the +x axis
+        assert psis[0][0, 32] > 0.5  # value at (ω_y=0, ω_x=-π)
+        # DC correction survives periodization
+        assert abs(psis[0][0, 0]) < 1e-12
+
     def test_errors(self, rng):
         with pytest.raises(ValueError):
             sp.scattering2d(np.zeros(64, np.float32))
