@@ -97,10 +97,12 @@ from .ops.nufft import (
 from .plan import (
     BluesteinPlan,
     MixedRadixPlan,
+    RaderPlan,
     RealPlan,
     build_bluestein_plan,
     build_complex_plan,
     build_mixed_radix_plan,
+    build_rader_plan,
     build_real_plan,
     clear_plan_cache,
     get_plan,
@@ -133,8 +135,8 @@ __all__ = [
     "cheb_points", "cheb_transform", "icheb_transform", "cheb_diff",
     "cheb_diff_coef", "cheb_eval",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift", "prev_fast_len", "dht", "idht",
-    "MixedRadixPlan", "BluesteinPlan", "RealPlan",
-    "build_mixed_radix_plan", "build_bluestein_plan",
+    "MixedRadixPlan", "BluesteinPlan", "RaderPlan", "RealPlan",
+    "build_mixed_radix_plan", "build_bluestein_plan", "build_rader_plan",
     "build_complex_plan", "build_real_plan", "get_plan", "clear_plan_cache",
     "SpectralConfig", "DEFAULT_CONFIG",
     "prime_factors", "plan_stages", "dividebyN", "next_pow2", "next_fast_len",

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..plan import BluesteinPlan, MixedRadixPlan
+from ..plan import BluesteinPlan, MixedRadixPlan, RaderPlan
 from ..utils.numerics import cmul
 
 Array = jax.Array
@@ -221,11 +221,42 @@ def exec_bluestein(plan: BluesteinPlan, xr: Array, xi: Array) -> Tuple[Array, Ar
     return cmul(gr[..., :n], -gi[..., :n], plan.chirp_re, plan.chirp_im)
 
 
+def exec_rader(plan: RaderPlan, xr: Array, xi: Array) -> Tuple[Array, Array]:
+    """Prime-length transform as one length-(n−1) cyclic convolution
+    (see plan.RaderPlan).  Gathers are static permutations over the last
+    axis (one layout pass each); the heavy work is the two smooth inner
+    FFTs, which reuse the stage-matmul engine unchanged.  The reference has
+    no prime fast path — this replaces its Bluestein-for-everything branch
+    (src/highSpeedFFT.c:236-265) where n−1 is smooth."""
+    n = plan.n
+    x0r, x0i = xr[..., 0], xi[..., 0]
+    ar = jnp.take(xr, plan.perm_in, axis=-1)
+    ai = jnp.take(xi, plan.perm_in, axis=-1)
+    fr, fi = exec_mixed_radix(plan.inner, ar, ai)
+    # DC bin: X[0] = x[0] + Σ_{j≠0} x[j] = x[0] + Â[0]
+    dr, di = x0r + fr[..., 0], x0i + fi[..., 0]
+    # cyclic convolution with the planned kernel spectrum (1/L folded in);
+    # inverse inner FFT via the conjugation identity
+    br, bi = cmul(fr, fi, plan.spec_re, plan.spec_im)
+    gr, gi = exec_mixed_radix(plan.inner, br, -bi)
+    tr = x0r[..., None] + gr
+    ti = x0i[..., None] - gi
+    outr = jnp.concatenate(
+        [dr[..., None], jnp.take(tr, plan.perm_out, axis=-1)], axis=-1
+    )
+    outi = jnp.concatenate(
+        [di[..., None], jnp.take(ti, plan.perm_out, axis=-1)], axis=-1
+    )
+    return outr, outi
+
+
 def exec_complex(plan, xr: Array, xi: Array) -> Tuple[Array, Array]:
     """Dispatch on plan type (reference: fft_exec's lt branch,
     src/highSpeedFFT.c:1928-1941)."""
     if isinstance(plan, BluesteinPlan):
         return exec_bluestein(plan, xr, xi)
+    if isinstance(plan, RaderPlan):
+        return exec_rader(plan, xr, xi)
     return exec_mixed_radix(plan, xr, xi)
 
 

@@ -90,6 +90,34 @@ class BluesteinPlan:
 
 
 @dataclasses.dataclass(frozen=True)
+class RaderPlan:
+    """Rader plan for a prime length ``n`` whose ``n−1`` is stage-smooth.
+
+    With g a primitive root mod n, the nonzero output bins become ONE cyclic
+    convolution of length L = n−1:
+
+        X[g^{−m} mod n] = x[0] + (a ⊛ b)[m],   a[q] = x[g^q mod n],
+        b[r] = W^{g^{−r} mod n},               X[0] = x[0] + Â[0]
+
+    so the prime transform costs two smooth length-(n−1) inner FFTs — vs
+    Bluestein's two length-(m ≈ 2.4n) chirp-padded FFTs.  The kernel spectrum
+    ``spec = fft_L(b)/L`` (Gauss-sum flat, |·| = √n) is a plan constant, and
+    the inverse inner FFT rides the conjugation identity, so ONE forward
+    inner plan serves the whole transform.  The reference has no prime-length
+    fast path at all — every non-smooth length takes its per-exec-rechirped
+    Bluestein (src/highSpeedFFT.c:1735-1907).
+    """
+
+    n: int = dataclasses.field(metadata=dict(static=True))
+    sign: int = dataclasses.field(metadata=dict(static=True))
+    inner: MixedRadixPlan = None  # forward plan of length n−1
+    perm_in: Array = None   # q -> g^q mod n (input gather)
+    perm_out: Array = None  # output bin k (1..n−1) -> conv index m
+    spec_re: Array = None
+    spec_im: Array = None
+
+
+@dataclasses.dataclass(frozen=True)
 class RealPlan:
     """Packed real FFT plan: one half-length complex plan + split twiddles
     (reference: fft_real_init, src/real.c:26-76).  n must be even — same
@@ -111,7 +139,7 @@ class RealPlan:
     q_im: Array = None
 
 
-for _cls in (MixedRadixPlan, BluesteinPlan, RealPlan):
+for _cls in (MixedRadixPlan, BluesteinPlan, RaderPlan, RealPlan):
     _fields = dataclasses.fields(_cls)
     jax.tree_util.register_dataclass(
         _cls,
@@ -119,7 +147,7 @@ for _cls in (MixedRadixPlan, BluesteinPlan, RealPlan):
         meta_fields=[f.name for f in _fields if f.metadata.get("static")],
     )
 
-ComplexPlan = (MixedRadixPlan, BluesteinPlan)
+ComplexPlan = (MixedRadixPlan, BluesteinPlan, RaderPlan)
 
 
 def _precision_str(p) -> "str | Tuple[str, ...]":
@@ -237,14 +265,70 @@ def build_bluestein_plan(
     )
 
 
+def build_rader_plan(
+    n: int, sign: int, config: SpectralConfig = DEFAULT_CONFIG
+) -> RaderPlan:
+    """Rader plan for a prime ``n`` with stage-smooth ``n−1`` (see RaderPlan).
+    Permutations and the Gauss-sum kernel spectrum are fp64 host constants;
+    the inner length-(n−1) forward plan comes from the shared cache."""
+    from .utils.factorize import is_prime, primitive_root
+
+    if sign not in (-1, 1):
+        raise ValueError(f"sign must be -1 or +1, got {sign}")
+    if not is_prime(n):
+        raise ValueError(f"Rader requires a prime length, got {n}")
+    L = n - 1
+    g = primitive_root(n)
+    ginv = pow(g, n - 2, n)
+    # q -> g^q and m -> g^{−m}, both mod n (exact integer arithmetic)
+    perm_in = np.empty(L, np.int64)
+    ipow = np.empty(L, np.int64)
+    cur_f, cur_i = 1, 1
+    for q in range(L):
+        perm_in[q] = cur_f
+        ipow[q] = cur_i
+        cur_f = cur_f * g % n
+        cur_i = cur_i * ginv % n
+    inv = np.zeros(n, np.int64)
+    inv[ipow] = np.arange(L)
+    perm_out = inv[1:]  # output bin k (1..n−1) -> conv index m
+    # b[r] = W^{g^{−r}}, W = e^(sign·2πi/n) — exact integer phase mod n
+    phase = 2.0 * np.pi * ipow.astype(np.float64) / n
+    b = np.cos(phase) + 1j * (sign * np.sin(phase))
+    # kernel spectrum with the inverse inner FFT's 1/L folded in
+    spec = np.fft.fft(b) / L
+    inner = get_plan(L, -1, "complex", config)
+    assert isinstance(inner, MixedRadixPlan), (n, L)  # eligibility guarantee
+    dtype = config.dtype
+    return RaderPlan(
+        n=n,
+        sign=sign,
+        inner=inner,
+        perm_in=perm_in.astype(np.int32),
+        perm_out=perm_out.astype(np.int32),
+        spec_re=np.asarray(spec.real, dtype=dtype),
+        spec_im=np.asarray(spec.imag, dtype=dtype),
+    )
+
+
 def build_complex_plan(n: int, sign: int, config: SpectralConfig = DEFAULT_CONFIG):
-    """Dispatch: mixed-radix when every prime factor fits in a dense stage,
+    """Dispatch: mixed-radix when every prime factor fits in a dense stage;
+    Rader for primes whose n−1 is stage-smooth (two inner FFTs of n−1 points);
     Bluestein otherwise (reference: fft_init's dividebyN branch,
-    src/highSpeedFFT.c:214-265 — but with a complete prime predicate)."""
+    src/highSpeedFFT.c:214-265 — but with a complete prime predicate and the
+    prime fast path the reference lacks)."""
     if n < 1:
         raise ValueError(f"length must be >= 1, got {n}")
     if n <= config.direct_dft_max or is_smooth(n, config.max_stage):
         return build_mixed_radix_plan(n, sign, config)
+    from .utils.factorize import is_prime
+
+    if (
+        config.rader == "auto"
+        and is_prime(n)
+        and is_smooth(n - 1, config.max_stage)
+    ):
+        return build_rader_plan(n, sign, config)
     return build_bluestein_plan(n, sign, config)
 
 
@@ -288,6 +372,7 @@ def _cfg_key(config: SpectralConfig):
         str(config.precision),
         config.pad_mode,
         config.stage_strategy,
+        config.rader,
     )
 
 

@@ -45,6 +45,15 @@ class SpectralConfig:
     # same ~1e-7 accuracy.  "pow2" mirrors the reference (src/convolve.c:20-25);
     # "fast" (2·3·5·7-smooth) measured slower than both (odd stage shapes).
     pad_mode: str = "pow23"
+    # Rader's algorithm for prime lengths whose n−1 is max_stage-smooth:
+    # "auto" (default) converts the prime DFT into ONE length-(n−1) cyclic
+    # convolution — two smooth inner FFTs of n−1 points instead of
+    # Bluestein's two FFTs of m ≈ 2.4n chirp-padded points (~4.8x less
+    # inner transform work where eligible, e.g. n=257 → inner 256,
+    # n=1009 → inner 1008).  "off" forces Bluestein for every non-smooth
+    # length (the A/B lever for tools/tune.py).  Primes whose n−1 is NOT
+    # smooth (e.g. 10007 = 2·5003 + 1) take Bluestein either way.
+    rader: str = "auto"
     # Fused Pallas kernel path for smooth lengths (ops/pallas_fft.py):
     # False (default) = always XLA; None = auto (kernel on TPU backends);
     # True = force (interpreter off-TPU).  Since the stacked/Karatsuba stage
@@ -74,6 +83,10 @@ class SpectralConfig:
         if self.pad_mode not in ("pow2", "pow23", "fast"):
             raise ValueError(
                 f"pad_mode must be 'pow2', 'pow23' or 'fast', got {self.pad_mode!r}"
+            )
+        if self.rader not in ("auto", "off"):
+            raise ValueError(
+                f"rader must be 'auto' or 'off', got {self.rader!r}"
             )
         if self.stage_strategy not in ("balanced", "greedy"):
             raise ValueError(

@@ -286,6 +286,30 @@ def is_smooth(n: int, max_prime: int) -> bool:
     return largest_prime_factor(n) <= max_prime
 
 
+def is_prime(n: int) -> bool:
+    """Deterministic primality (trial division — plan-time lengths only)."""
+    return n >= 2 and prime_factors(n) == [n]
+
+
+@functools.lru_cache(maxsize=256)
+def primitive_root(p: int) -> int:
+    """Smallest primitive root modulo prime ``p`` (the generator of the
+    multiplicative group Rader's permutation rides on).  For FFT-class
+    primes the smallest root is tiny (2..~20), so a linear search with the
+    standard order test over the distinct prime factors of p−1 is instant."""
+    if not is_prime(p):
+        raise ValueError(f"primitive_root needs a prime, got {p}")
+    if p == 2:
+        return 1
+    phi = p - 1
+    qs = sorted(set(prime_factors(phi)))
+    g = 2
+    while True:
+        if all(pow(g, phi // q, p) != 1 for q in qs):
+            return g
+        g += 1
+
+
 def next_splittable_len(n: int, parts: int, max_stage: int = 256) -> int:
     """Smallest convenient m >= n that splits as m = n1·n2 with parts | n1,
     parts | n2 and both factors ``max_stage``-smooth — the padded-length

@@ -64,10 +64,23 @@ def _mixed_radix_cost(plan, dtype_bytes: int = 4) -> PlanCost:
 
 def plan_cost(plan, dtype_bytes: int = 4) -> PlanCost:
     """Analytic roofline model for any plan type."""
-    from ..plan import BluesteinPlan, MixedRadixPlan, RealPlan  # lazy: avoid cycle
+    from ..plan import (  # lazy: avoid cycle
+        BluesteinPlan, MixedRadixPlan, RaderPlan, RealPlan,
+    )
 
     if isinstance(plan, MixedRadixPlan):
         return _mixed_radix_cost(plan, dtype_bytes)
+    if isinstance(plan, RaderPlan):
+        inner = _mixed_radix_cost(plan.inner, dtype_bytes)
+        # two inner (n−1) transforms + kernel multiply + x0 adds, and the
+        # two permutation gathers (one read+write pass over both planes each)
+        return PlanCost(
+            n=plan.n,
+            flops=2 * inner.flops + 6.0 * (plan.n - 1) + 4.0 * plan.n,
+            hbm_bytes=2 * inner.hbm_bytes
+            + 4.0 * (4.0 * plan.n) * dtype_bytes,
+            fft_model_flops=5.0 * plan.n * math.log2(plan.n),
+        )
     if isinstance(plan, BluesteinPlan):
         inner = _mixed_radix_cost(plan.inner, dtype_bytes)
         # two inner transforms + 3 pointwise passes over m, 1 over n

@@ -312,3 +312,85 @@ def test_split6_precision_form():
     )
     got = np.asarray(zr) + 1j * np.asarray(zi)
     assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 5e-6
+
+
+class TestRader:
+    """Prime lengths with smooth n−1 take Rader's algorithm: one length-(n−1)
+    cyclic convolution (two smooth inner FFTs) instead of Bluestein's
+    m ≈ 2.4n chirp-padded pair.  The reference has no prime fast path at all
+    (src/highSpeedFFT.c:236-265 routes every non-smooth n to Bluestein)."""
+
+    def test_dispatch(self):
+        from mixed_radix_fast_fourier_transform_tpu.plan import (
+            BluesteinPlan, RaderPlan,
+        )
+
+        for n in (257, 509, 1009, 8191):
+            assert isinstance(sp.get_plan(n, -1), RaderPlan), n
+        # 10007 − 1 = 2·5003 (5003 prime > max_stage) — stays Bluestein
+        assert isinstance(sp.get_plan(10007, -1), BluesteinPlan)
+        # composite non-smooth lengths stay Bluestein too
+        assert isinstance(sp.get_plan(2 * 1009, -1), BluesteinPlan)
+        # the off switch forces Bluestein everywhere
+        cfg = sp.SpectralConfig(rader="off")
+        assert isinstance(sp.get_plan(1009, -1, "complex", cfg), BluesteinPlan)
+        with pytest.raises(ValueError):
+            sp.SpectralConfig(rader="always")
+
+    @pytest.mark.parametrize("n", [257, 1009, 2003])
+    def test_matches_numpy_both_signs(self, rng, n):
+        x = _rand_complex(rng, (3, n))
+        assert _rel_err(sp.fft(x), np.fft.fft(x.astype(np.complex128))) < TOL
+        assert _rel_err(sp.ifft(x), np.fft.ifft(x.astype(np.complex128))) < TOL
+
+    def test_dc_bin_exact_sum(self, rng):
+        n = 1009
+        x = _rand_complex(rng, n)
+        got = np.asarray(sp.fft(x))[0]
+        want = np.sum(x.astype(np.complex128))
+        assert abs(got - want) / abs(want) < TOL
+
+    def test_rader_vs_bluestein_same_answer(self, rng):
+        n = 1009
+        x = _rand_complex(rng, n)
+        a = np.asarray(sp.fft(x))
+        b = np.asarray(sp.fft(x, config=sp.SpectralConfig(rader="off")))
+        assert _rel_err(a, b) < 2 * TOL
+
+    def test_build_rader_plan_validation(self):
+        with pytest.raises(ValueError):
+            sp.build_rader_plan(1008, -1)  # composite
+        with pytest.raises(ValueError):
+            sp.build_rader_plan(1009, 2)
+
+    def test_primitive_root(self):
+        from mixed_radix_fast_fourier_transform_tpu.utils.factorize import (
+            primitive_root,
+        )
+
+        for p in (3, 5, 7, 257, 1009):
+            g = primitive_root(p)
+            # g generates the full multiplicative group
+            seen = set()
+            cur = 1
+            for _ in range(p - 1):
+                seen.add(cur)
+                cur = cur * g % p
+            assert len(seen) == p - 1, p
+        with pytest.raises(ValueError):
+            primitive_root(1008)
+
+    def test_plan_cost_model(self):
+        from mixed_radix_fast_fourier_transform_tpu.utils.profiling import (
+            plan_cost,
+        )
+
+        plan = sp.get_plan(1009, -1)
+        cost = plan_cost(plan)
+        inner = plan_cost(plan.inner)
+        assert cost.n == 1009
+        assert cost.flops > 2 * inner.flops
+        # Rader does strictly less transform work than Bluestein here
+        blu = plan_cost(sp.get_plan(1009, -1, "complex",
+                                    sp.SpectralConfig(rader="off")))
+        assert cost.flops < blu.flops

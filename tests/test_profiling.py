@@ -25,9 +25,10 @@ class TestPlanCost:
         assert cost.arithmetic_intensity > 1.0
 
     def test_bluestein_model(self):
-        plan = get_plan(1009, -1, "complex")
+        # 10007 stays Bluestein (10006 = 2·5003 is not stage-smooth)
+        plan = get_plan(10007, -1, "complex")
         cost = plan_cost(plan)
-        assert cost.n == 1009
+        assert cost.n == 10007
         inner = plan_cost(plan.inner)
         assert cost.flops > 2 * inner.flops
 
