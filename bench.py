@@ -240,6 +240,149 @@ def bench_sht(L: int, batch: int, iters: int, seed: int = 0):
     return dt, err
 
 
+def bench_rader_vs_bluestein(n: int, batch: int, iters: int, seed: int = 0):
+    """Interleaved A/B: Bluestein time over Rader time for a prime ``n``
+    with smooth n−1 (>1 means Rader is faster).  Measures the round-4
+    prime-path flop cut (two (n−1)-point inner FFTs vs two ~2.4n ones)."""
+    from mixed_radix_fast_fourier_transform_tpu.utils.config import SpectralConfig
+    from mixed_radix_fast_fourier_transform_tpu.utils.profiling import ab_compare
+
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    xr = jax.device_put(x.real.astype(np.float32))
+    xi = jax.device_put(x.imag.astype(np.float32))
+    rader = get_plan(n, -1, "complex")
+    blue = get_plan(n, -1, "complex", SpectralConfig(rader="off"))
+    fn_r = lambda ar, ai: exec_complex(rader, ar, ai)
+    fn_b = lambda ar, ai: exec_complex(blue, ar, ai)
+    res = ab_compare(fn_b, fn_r, (xr, xi), short=iters, long=5 * iters,
+                     rounds=5)
+    return res["ratio_median"]
+
+
+def bench_nufft2(n: int, m: int, iters: int, seed: int = 0):
+    """(seconds-per-transform, rel err vs dense) for 1-D type-2 NUFFT
+    interpolation — the round-3 tap-matmul path (was gather-bound)."""
+    from mixed_radix_fast_fourier_transform_tpu.ops import nufft as nf
+    from mixed_radix_fast_fourier_transform_tpu.utils.profiling import marginal_time
+
+    rng = np.random.default_rng(seed)
+    x = jax.device_put(rng.uniform(0, 2 * math.pi, m).astype(np.float32))
+    fr = jax.device_put(rng.standard_normal(n).astype(np.float32))
+    fi = jax.device_put(rng.standard_normal(n).astype(np.float32))
+
+    def run(method):
+        def fn(ar, ai):
+            out = nf.nufft2(x, jax.lax.complex(ar, ai), method=method)
+            return jnp.real(out), jnp.imag(out)
+        return fn
+
+    g = jax.jit(run("grid"))(fr, fi)
+    w = jax.jit(run("dense"))(fr, fi)
+    g = np.asarray(g[0]) + 1j * np.asarray(g[1])
+    w = np.asarray(w[0]) + 1j * np.asarray(w[1])
+    err = float(np.max(np.abs(g - w)) / np.max(np.abs(w)))
+    dt = marginal_time(run("grid"), (fr, fi), short=iters, long=5 * iters)
+    return dt, err
+
+
+def bench_nufft3_2d(m: int, k: int, iters: int, seed: int = 0):
+    """(seconds-per-transform, rel err vs dense at 512²) for the 2-D type-3
+    NUFFT fast path — flagged "dispatch-heavy composite" in round 3; this
+    puts a driver-recorded number on it."""
+    from mixed_radix_fast_fourier_transform_tpu.ops import nufft as nf
+    from mixed_radix_fast_fourier_transform_tpu.utils.profiling import marginal_time
+
+    rng = np.random.default_rng(seed)
+
+    def make(mm, kk):
+        x = rng.uniform(-math.pi, math.pi, mm).astype(np.float32)
+        y = rng.uniform(-math.pi, math.pi, mm).astype(np.float32)
+        s = rng.uniform(-mm / 4, mm / 4, kk).astype(np.float32)
+        t = rng.uniform(-mm / 4, mm / 4, kk).astype(np.float32)
+        c = (rng.standard_normal(mm) + 1j * rng.standard_normal(mm))
+        return (jax.device_put(x), jax.device_put(y), jax.device_put(s),
+                jax.device_put(t), jax.device_put(c.astype(np.complex64)))
+
+    def ext(mm):
+        # static per-axis half-widths — required for "fast" under jit
+        return dict(x_extent=math.pi, y_extent=math.pi,
+                    s_extent=mm / 4, t_extent=mm / 4)
+
+    # accuracy at a dense-checkable size
+    xs, ys, ss, ts, cs = make(512, 512)
+    g = np.asarray(jax.jit(
+        lambda c: nf.nufft3_2d(xs, ys, c, ss, ts, method="fast",
+                               **ext(512)))(cs))
+    w = np.asarray(jax.jit(
+        lambda c: nf.nufft3_2d(xs, ys, c, ss, ts, method="dense"))(cs))
+    err = float(np.max(np.abs(g - w)) / np.max(np.abs(w)))
+    # throughput at the claimed size
+    x, y, s, t, c = make(m, k)
+    cr = jnp.real(c)
+    ci = jnp.imag(c)
+
+    def fn(ar, ai):
+        out = nf.nufft3_2d(x, y, jax.lax.complex(ar, ai), s, t,
+                           method="fast", **ext(m))
+        return jnp.real(out)[:m], jnp.imag(out)[:m]
+
+    dt = marginal_time(fn, (cr, ci), short=iters, long=5 * iters)
+    return dt, err
+
+
+def bench_resample_poly(n: int, batch: int, iters: int, seed: int = 0):
+    """(seconds-per-signal, rel err vs scipy fp64) for 3/2 polyphase
+    resampling — round-3 claim: 0.84 ms/signal at 65536 (window-gather)."""
+    import mixed_radix_fast_fourier_transform_tpu as sp
+    from mixed_radix_fast_fourier_transform_tpu.utils.profiling import marginal_time
+
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((batch, n)).astype(np.float32)
+    xd = jax.device_put(x)
+    up, down = 3, 2
+
+    def fn(a):
+        # marginal_time chains same-shaped carries; fold the (3/2-length)
+        # output back into the carry through a scalar (bench_cqt pattern)
+        y = sp.resample_poly(a, up, down)
+        return (a + jnp.asarray(1e-20, a.dtype) * jnp.sum(y).astype(a.dtype),)
+
+    got = np.asarray(jax.jit(lambda a: sp.resample_poly(a, up, down))(xd))
+    try:
+        from scipy.signal import resample_poly as sp_rp
+
+        want = sp_rp(x[:2].astype(np.float64), up, down, axis=-1)
+        err = float(np.max(np.abs(got[:2] - want)) / np.max(np.abs(want)))
+    except Exception:  # pragma: no cover — scipy optional at bench time
+        err = float("nan")
+    dt = marginal_time(fn, (xd,), short=iters, long=5 * iters)
+    return dt / batch, err
+
+
+def bench_multitaper(batch: int, n: int, k: int, iters: int, seed: int = 0):
+    """(seconds per batched PSD, white-noise flatness err) for the Thomson
+    multitaper estimator — round-3 claim: 0.17 ms for 16x8192, k=7."""
+    import mixed_radix_fast_fourier_transform_tpu as sp
+    from mixed_radix_fast_fourier_transform_tpu.utils.profiling import marginal_time
+
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((batch, n)).astype(np.float32)
+    xd = jax.device_put(x)
+
+    def fn(a):
+        f, p = sp.multitaper(a, nw=4.0, k=k)
+        return (a + jnp.asarray(1e-20, a.dtype) * jnp.sum(p).astype(a.dtype),)
+
+    _, psd = jax.jit(lambda a: sp.multitaper(a, nw=4.0, k=k))(xd)
+    psd = np.asarray(psd)
+    # unit-variance white noise → one-sided density flat at 2/fs = 2.0 away
+    # from the DC/Nyquist bins; coarse correctness check, not a 1e-5 budget
+    flat = float(abs(np.mean(psd[..., 1:-1]) - 2.0) / 2.0)
+    dt = marginal_time(fn, (xd,), short=iters, long=5 * iters)
+    return dt, flat
+
+
 def bench_cqt(batch: int, n: int, iters: int, seed: int = 0):
     """(seconds per signal, peak-band correctness flag) for the 84-band
     constant-Q transform at ``n`` samples — the audio front-end headline
@@ -428,6 +571,71 @@ def main():
         ext_ok = ext_ok and ok
     except Exception as e:  # pragma: no cover
         extras["sht_roundtrip_L128_b16"] = {"error": str(e)[:200]}
+        ext_ok = False
+    try:
+        # Rader (round 4): prime 1009 via one 1008-point cyclic convolution
+        stats, err = bench_config(1009, 64, 200)
+        extras["n1009_b64_rader"] = stats
+        worst_err = max(worst_err, err)
+        extras["speedup_rader_vs_bluestein_n1009"] = round(
+            bench_rader_vs_bluestein(1009, 64, 200), 3
+        )
+    except Exception as e:  # pragma: no cover
+        extras["n1009_b64_rader"] = {"error": str(e)[:200]}
+    try:
+        dt, err = bench_nufft2(4096, 4096, 100)
+        ok = err <= 2e-5
+        extras["nufft2_grid_n4096_m4096"] = {
+            "us_per_transform": round(dt * 1e6, 1),
+            "rel_err_vs_dense": float(f"{err:.3g}"), "budget_ok": bool(ok),
+        }
+        ext_ok = ext_ok and ok
+    except Exception as e:  # pragma: no cover
+        extras["nufft2_grid_n4096_m4096"] = {"error": str(e)[:200]}
+        ext_ok = False
+    try:
+        dt, err = bench_sht(256, 16, 20)
+        ok = err <= 1e-5
+        extras["sht_roundtrip_L256_b16"] = {
+            "us_per_field": round(dt * 1e6 / 16, 2),
+            "proj_err": float(f"{err:.3g}"), "budget_ok": bool(ok),
+        }
+        ext_ok = ext_ok and ok
+    except Exception as e:  # pragma: no cover
+        extras["sht_roundtrip_L256_b16"] = {"error": str(e)[:200]}
+        ext_ok = False
+    try:
+        dt, err = bench_nufft3_2d(4096, 4096, 10)
+        ok = err <= 1e-4  # type-3 chains two kernel truncations (eps~1e-6 each)
+        extras["nufft3_2d_fast_m4096_k4096"] = {
+            "ms_per_transform": round(dt * 1e3, 3),
+            "rel_err_vs_dense_512": float(f"{err:.3g}"), "budget_ok": bool(ok),
+        }
+        ext_ok = ext_ok and ok
+    except Exception as e:  # pragma: no cover
+        extras["nufft3_2d_fast_m4096_k4096"] = {"error": str(e)[:200]}
+        ext_ok = False
+    try:
+        dt, err = bench_resample_poly(65536, 16, 20)
+        ok = (err != err) or err <= 1e-5  # NaN = scipy absent, skip check
+        extras["resample_poly_3_2_n65536"] = {
+            "ms_per_signal": round(dt * 1e3, 3),
+            "rel_err_vs_scipy": float(f"{err:.3g}"), "budget_ok": bool(ok),
+        }
+        ext_ok = ext_ok and ok
+    except Exception as e:  # pragma: no cover
+        extras["resample_poly_3_2_n65536"] = {"error": str(e)[:200]}
+        ext_ok = False
+    try:
+        dt, flat = bench_multitaper(16, 8192, 7, 50)
+        ok = flat < 0.05  # white-noise PSD flatness (statistical, not fp)
+        extras["multitaper_k7_16x8192"] = {
+            "ms_per_batch": round(dt * 1e3, 3),
+            "psd_flatness_err": float(f"{flat:.3g}"), "budget_ok": bool(ok),
+        }
+        ext_ok = ext_ok and ok
+    except Exception as e:  # pragma: no cover
+        extras["multitaper_k7_16x8192"] = {"error": str(e)[:200]}
         ext_ok = False
     try:
         dt, ok = bench_cqt(4, 1 << 17, 3)

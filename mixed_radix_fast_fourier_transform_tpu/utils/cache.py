@@ -71,10 +71,31 @@ def save_plans(path: str) -> int:
 
 def load_plans(path: str, *, config: SpectralConfig = DEFAULT_CONFIG) -> int:
     """Rebuild every plan in a manifest saved by :func:`save_plans` into the
-    live cache.  Returns plan count loaded."""
-    with np.load(path) as z:
-        rows = z["manifest"]
+    live cache.  Returns plan count loaded.
+
+    Fails CLEANLY on a corrupt or foreign file: a missing path raises
+    ``FileNotFoundError``; anything unreadable or structurally wrong raises
+    ``ValueError`` naming the path, and the live cache is untouched (plans
+    are only built after the whole manifest validates)."""
+    try:
+        with np.load(path) as z:
+            rows = np.asarray(z["manifest"])
+    except FileNotFoundError:
+        raise
+    except Exception as e:
+        raise ValueError(f"corrupt plan manifest {path!r}: {e}") from e
     kinds = {0: "complex", 1: "real"}
+    if rows.ndim != 2 or (rows.size and rows.shape[1] != 3):
+        raise ValueError(
+            f"corrupt plan manifest {path!r}: expected (k, 3) rows, "
+            f"got shape {rows.shape}"
+        )
+    bad = [int(k) for k in np.unique(rows[:, 0]) if int(k) not in kinds]
+    if bad or (rows.size and int(rows[:, 1].min()) < 1):
+        raise ValueError(
+            f"corrupt plan manifest {path!r}: invalid kind ids {bad} "
+            f"or non-positive lengths"
+        )
     for kind_id, n, sign in rows:
         get_plan(int(n), int(sign), kinds[int(kind_id)], config)
     return len(rows)

@@ -81,6 +81,22 @@ def available() -> bool:
     return _load() is not None
 
 
+def reset() -> None:
+    """Drop the cached library handle and retry loading on next use.
+
+    The load is normally attempted once per process; this re-arms it so a
+    library that appeared (just built) or disappeared (deleted/replaced
+    mid-session) is picked up without restarting.  The factorize layer's
+    native-vs-Python dispatch memo is cleared too, so the pure-Python
+    fallback genuinely kicks in — not just at import time."""
+    global _lib, _load_attempted
+    _lib = None
+    _load_attempted = False
+    from . import factorize
+
+    factorize._use_native.cache_clear()
+
+
 def _dp(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 

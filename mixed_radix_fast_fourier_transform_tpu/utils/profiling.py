@@ -229,6 +229,36 @@ def estimate_four_step_hbm(
     }
 
 
+class HBMBudgetError(ValueError):
+    """A requested distributed transform exceeds the per-chip HBM budget.
+
+    The typed analogue of the reference suite's malloc-failure path
+    (test/test_mixedRadixFFT.cpp:243-259 fakes malloc to test
+    allocation-failure handling): resource exhaustion is a *checked*,
+    recoverable error at the API boundary, never an OOM mid-execution."""
+
+
+def require_four_step_hbm(
+    n: int, batch: int, parts: int, *, limit_gb: float = 15.0,
+    dtype_bytes: int = 4, copies: float = 6.0,
+) -> dict:
+    """Estimate the four-step working set and REJECT over-budget configs.
+
+    Returns the :func:`estimate_four_step_hbm` dict when the config fits in
+    ``limit_gb`` per chip; raises :class:`HBMBudgetError` otherwise, naming
+    the config and both numbers so callers can reshard instead of OOMing."""
+    est = estimate_four_step_hbm(
+        n, batch, parts, dtype_bytes=dtype_bytes, copies=copies
+    )
+    if est["total_gb"] > limit_gb:
+        raise HBMBudgetError(
+            f"distributed four-step n={n} batch={batch} over {parts} chips "
+            f"needs ~{est['total_gb']} GB/chip > budget {limit_gb} GB; "
+            f"shard the batch further or raise parts"
+        )
+    return est
+
+
 def roofline_summary(
     plan, measured_seconds: float, batch: int, *, dtype_bytes: int = 4
 ) -> dict:

@@ -133,12 +133,16 @@ def test_plan_is_immutable_pytree():
 
     import jax
 
-    p = sp.get_plan(1009, -1)
-    with pytest.raises(dataclasses.FrozenInstanceError):
-        p.n = 7
-    leaves, treedef = jax.tree_util.tree_flatten(p)
-    p2 = jax.tree_util.tree_unflatten(treedef, leaves)
-    assert p2.n == p.n and p2.m == p.m
+    # 1009 is a RaderPlan since round 4; 10007 stays Bluestein (padded m)
+    for n in (1009, 10007):
+        p = sp.get_plan(n, -1)
+        with pytest.raises(dataclasses.FrozenInstanceError):
+            p.n = 7
+        leaves, treedef = jax.tree_util.tree_flatten(p)
+        p2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        assert p2.n == p.n
+        assert getattr(p2, "m", None) == getattr(p, "m", None)
+        assert p2.inner.factors == p.inner.factors
 
 
 @pytest.mark.parametrize("n", [64, 360])
