@@ -59,3 +59,42 @@ if not os.path.exists(_so):
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# Lane-budget gate (round-4 audit): the default lane must stay fast enough to
+# iterate on.  Any non-slow test whose call phase exceeds PER_TEST_BUDGET_S
+# is reported at session end — and FAILS the session when
+# SPECTRAL_TEST_BUDGET_STRICT=1 (so budget regressions are caught on demand
+# without making CI flaky on a loaded box).
+# ---------------------------------------------------------------------------
+PER_TEST_BUDGET_S = 12.0
+_over_budget: list = []
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_makereport(item, call):
+    out = yield
+    rep = out.get_result()
+    if (
+        rep.when == "call"
+        and rep.duration > PER_TEST_BUDGET_S
+        and item.get_closest_marker("slow") is None
+    ):
+        _over_budget.append((item.nodeid, rep.duration))
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if not _over_budget:
+        return
+    lines = "\n".join(f"  {d:6.1f}s  {n}" for n, d in sorted(
+        _over_budget, key=lambda t: -t[1]))
+    msg = (
+        f"\n[lane budget] {len(_over_budget)} default-lane test(s) over "
+        f"{PER_TEST_BUDGET_S:.0f}s — mark slow, shrink, or dedup:\n{lines}\n"
+    )
+    import sys
+
+    sys.stderr.write(msg)
+    if os.environ.get("SPECTRAL_TEST_BUDGET_STRICT") == "1":
+        session.exitstatus = 1

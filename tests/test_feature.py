@@ -285,20 +285,22 @@ class TestDbConversions:
 
 class TestChromaCqtTonnetzGcc:
     def test_chroma_cqt_notes(self):
-        for f0, pc in ((130.81, 0), (164.81, 4), (196.0, 7)):  # C3, E3, G3
-            x = np.sin(2 * np.pi * f0 * np.arange(44100) / SR).astype(np.float32)
+        # two notes hit distinct pitch classes through one shared CQT kernel
+        # cache entry; 22050 samples ≈ 43 hops is plenty (lane audit)
+        for f0, pc in ((130.81, 0), (164.81, 4)):  # C3, E3
+            x = np.sin(2 * np.pi * f0 * np.arange(22050) / SR).astype(np.float32)
             C = np.asarray(sp.chroma_cqt(x, SR))
             prof = C[6:-6].mean(0)
             assert np.argmax(prof) == pc, (f0, np.argmax(prof))
         with pytest.raises(ValueError):
-            sp.chroma_cqt(np.zeros(44100, np.float32), SR,
+            sp.chroma_cqt(np.zeros(22050, np.float32), SR,
                           bins_per_octave=35)
 
     def test_chroma_cqt_non_c_fmin_rolls_to_base_c(self):
         # librosa cq_to_chroma base_c: class 0 is always C — an E3 tone
         # must land on class 4 whether fmin is C1 or E1 (ADVICE r3)
         f_e3 = 164.81
-        x = np.sin(2 * np.pi * f_e3 * np.arange(44100) / SR).astype(np.float32)
+        x = np.sin(2 * np.pi * f_e3 * np.arange(22050) / SR).astype(np.float32)
         f_e1 = 41.203444614108754
         C = np.asarray(sp.chroma_cqt(x, SR, fmin=f_e1))
         assert np.argmax(C[6:-6].mean(0)) == 4

@@ -527,6 +527,8 @@ def test_nufft_lsq_3d_recovers_modes(rng):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # sorted-spread engine: opt-in oracle path (measured
+# 0.05x the block path on v5e, auto-dispatch disabled) — slow-lane coverage
 def test_spread_sorted_1d_matches_block(rng):
     from mixed_radix_fast_fourier_transform_tpu.ops import nufft as nf
 
@@ -544,6 +546,8 @@ def test_spread_sorted_1d_matches_block(rng):
     assert np.max(np.abs(g_block - g_sorted)) / scale < 5e-6
 
 
+@pytest.mark.slow  # sorted-spread engine: opt-in oracle path (measured
+# 0.05x the block path on v5e, auto-dispatch disabled) — slow-lane coverage
 def test_spread_sorted_batched_strengths(rng):
     from mixed_radix_fast_fourier_transform_tpu.ops import nufft as nf
 
@@ -557,6 +561,8 @@ def test_spread_sorted_batched_strengths(rng):
     np.testing.assert_allclose(g[1], g0, rtol=0, atol=1e-5 * np.abs(g0).max())
 
 
+@pytest.mark.slow  # sorted-spread engine: opt-in oracle path (measured
+# 0.05x the block path on v5e, auto-dispatch disabled) — slow-lane coverage
 def test_nufft1_sorted_dispatch_matches_oracle(rng, monkeypatch):
     from mixed_radix_fast_fourier_transform_tpu.ops import nufft as nf
 
@@ -570,6 +576,8 @@ def test_nufft1_sorted_dispatch_matches_oracle(rng, monkeypatch):
     assert np.max(np.abs(got - ref)) / scale < 1e-5
 
 
+@pytest.mark.slow  # sorted-spread engine: opt-in oracle path (measured
+# 0.05x the block path on v5e, auto-dispatch disabled) — slow-lane coverage
 def test_nufft1_2d_sorted_dispatch_matches_dense(rng, monkeypatch):
     from mixed_radix_fast_fourier_transform_tpu.ops import nufft as nf
 
@@ -583,6 +591,8 @@ def test_nufft1_2d_sorted_dispatch_matches_dense(rng, monkeypatch):
     assert np.max(np.abs(got - ref)) / scale < 1e-5
 
 
+@pytest.mark.slow  # sorted-spread engine: opt-in oracle path (measured
+# 0.05x the block path on v5e, auto-dispatch disabled) — slow-lane coverage
 def test_seg_sum_sorted_compensated_accuracy(rng):
     """The double-word prefix carry keeps segment sums near fp64 accuracy
     even when prefix magnitudes are ~M x the per-segment results."""

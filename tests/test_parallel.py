@@ -108,7 +108,9 @@ class TestFourStep:
         want = np.fft.fft(x, norm="ortho")
         assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-5
 
-    @pytest.mark.parametrize("chunks", [2, 4])
+    @pytest.mark.parametrize(
+        "chunks", [2, pytest.param(4, marks=pytest.mark.slow)]
+    )
     def test_overlap_chunks_matches(self, rng, chunks):
         """Batch-chunked comm/compute overlap pipelines are numerically
         identical to the monolithic body (SURVEY §7 hard part (d))."""
@@ -550,6 +552,8 @@ class TestShtSharded:
             sht_sharded(np.zeros((12, 24), np.float32), mesh, "seq")
 
 
+@pytest.mark.slow  # lane budget: five separately-traced sharded programs;
+# the 1-D point-sharded NUFFT pair covers the machinery in the default lane
 def test_nufft_2d_sharded_matches_local():
     """Point-sharded 2-D NUFFT == the local op (types 1 and 2)."""
     from mixed_radix_fast_fourier_transform_tpu.ops.nufft import (
@@ -597,6 +601,8 @@ def test_sht_sharded_complex_field_matches():
     assert np.max(np.abs(got - want)) < 1e-5 * max(1.0, np.abs(want).max())
 
 
+@pytest.mark.slow  # lane budget: the table-path sht_sharded test keeps the
+# latitude-sharded machinery in the default lane; recurrence scans trace slowly
 def test_sht_recurrence_sharded_matches_local():
     """Latitude-sharded recurrence SHT == the local recurrence/table paths
     (real and complex fields; synthesis both variants)."""
@@ -625,6 +631,7 @@ def test_sht_recurrence_sharded_matches_local():
     assert np.max(np.abs(gotc - wantc)) < 1e-5 * max(1.0, np.abs(wantc).max())
 
 
+@pytest.mark.slow  # see test_sht_recurrence_sharded_matches_local
 def test_sht_recurrence_sharded_compensated():
     """compensated=True plumbs through the latitude-sharded recurrence
     pair: matches the local compensated path to psum-reorder tolerance."""
@@ -647,6 +654,8 @@ def test_sht_recurrence_sharded_compensated():
     assert np.max(np.abs(back - ref)) < 1e-6 * max(1.0, np.abs(ref).max())
 
 
+@pytest.mark.slow  # lane budget: Gauss-grid sht_sharded stays default; the
+# equiangular variant differs only in quadrature constants
 def test_sht_sharded_equiangular():
     """Latitude-sharded analysis/synthesis on the equiangular grid."""
     import mixed_radix_fast_fourier_transform_tpu as sp

@@ -42,6 +42,8 @@ def test_training_reduces_loss(rng):
     assert float(loss) < float(l0) * 0.75, (float(l0), float(loss))
 
 
+@pytest.mark.slow  # lane budget: equivariance is the deep check; shapes +
+# training (which differentiates the same path) stay in the default lane
 def test_azimuthal_equivariance(rng):
     """Rolling the longitude axis by k cells is an exact rotation of the
     grid; the spectral path (R depends on l only) and pointwise ops commute
@@ -56,6 +58,8 @@ def test_azimuthal_equivariance(rng):
     assert np.max(np.abs(lhs - rhs)) < 1e-4 * max(1.0, np.abs(rhs).max())
 
 
+@pytest.mark.slow  # train_step in test_training_reduces_loss already
+# differentiates the full SFNO; this grad-tree audit is the slow-lane extra
 def test_grad_finite(rng):
     lmax = 4
     L = lmax + 1

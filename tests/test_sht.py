@@ -24,7 +24,7 @@ def _rand_alm(rng, L):
     return alm
 
 
-@pytest.mark.parametrize("L", [1, 2, 8, 16, 32])
+@pytest.mark.parametrize("L", [1, 16, 32])  # 2/8 ride the L=16 path (lane audit)
 def test_roundtrip_exact(rng, L):
     alm = _rand_alm(rng, L)
     f = np.asarray(sp.isht(alm))
@@ -295,7 +295,8 @@ def test_isht_real_output_fast_path(rng):
     assert np.max(np.abs(fast - full)) < 1e-6 * max(1.0, np.abs(full).max())
 
 
-@pytest.mark.parametrize("L", [8, 32])
+@pytest.mark.parametrize("L", [32])  # one L: cost is scan trace time, and
+# L=8 rides the identical code path (lane-budget audit, round 4)
 def test_recurrence_path_matches_tables(rng, L):
     """On-device Legendre recurrence == chunked-table path (both ways,
     complex and real-output variants)."""
@@ -317,7 +318,9 @@ def test_recurrence_path_matches_tables(rng, L):
     assert np.max(np.abs(g_r - np.real(g_tab))) / gs < 1e-5
 
 
-@pytest.mark.parametrize("L", [16, 64])
+@pytest.mark.parametrize(
+    "L", [16, pytest.param(64, marks=pytest.mark.slow)]
+)
 def test_recurrence_compensated_matches_tables_exactly(rng, L):
     """The double-word (compensated=True) recurrence carry reproduces the
     fp64-generated chunked-table path to fp32 exactness — the plain fp32

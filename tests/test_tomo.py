@@ -72,6 +72,8 @@ class TestIradon:
         corr = np.corrcoef(rec.ravel(), img.ravel())[0, 1]
         assert corr > 0.93, (filter_name, corr)
 
+    @pytest.mark.slow  # 180-angle FBP at n=96; the default lane keeps the
+    # ramp roundtrip + batch_jit correlation checks
     def test_quantitative_interior(self):
         n = 96
         img = _disk(n, r=20.0)
