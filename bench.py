@@ -323,9 +323,13 @@ def bench_nufft3_2d(m: int, k: int, iters: int, seed: int = 0):
     ci = jnp.imag(c)
 
     def fn(ar, ai):
+        # carrier pattern: out has k entries, the chain carry has m — fold
+        # the result back through a scalar so (m, k) can vary independently
         out = nf.nufft3_2d(x, y, jax.lax.complex(ar, ai), s, t,
                            method="fast", **ext(m))
-        return jnp.real(out)[:m], jnp.imag(out)[:m]
+        eps = jnp.asarray(1e-20, ar.dtype)
+        return (ar + eps * jnp.sum(jnp.real(out)).astype(ar.dtype),
+                ai + eps * jnp.sum(jnp.imag(out)).astype(ai.dtype))
 
     dt = marginal_time(fn, (cr, ci), short=iters, long=5 * iters)
     return dt, err
@@ -458,6 +462,10 @@ def main():
             "vs_baseline": 0.0,
             "platform": "unavailable",
             "tpu_error": tpu_error,
+            # carry every key the success line carries so degraded-artifact
+            # consumers never KeyError (the parsed-null failure mode again)
+            "max_rel_err": None,
+            "error_budget_ok": False,
             "configs": {},
         }))
         return
@@ -582,6 +590,7 @@ def main():
         )
     except Exception as e:  # pragma: no cover
         extras["n1009_b64_rader"] = {"error": str(e)[:200]}
+        ext_ok = False  # a broken prime-path config must not fail open
     try:
         dt, err = bench_nufft2(4096, 4096, 100)
         ok = err <= 2e-5

@@ -126,7 +126,7 @@ class RealPlan:
 
     n: int = dataclasses.field(metadata=dict(static=True))
     sign: int = dataclasses.field(metadata=dict(static=True))
-    inner: object = None  # MixedRadixPlan | BluesteinPlan for n//2
+    inner: object = None  # any ComplexPlan (MixedRadix/Bluestein/Rader) for n//2
     split_re: Array = None
     split_im: Array = None
     # fused split/merge coefficients: X[k] = P[k]·Z[k mod h] + Q[k]·conj(Z[(h-k) mod h])

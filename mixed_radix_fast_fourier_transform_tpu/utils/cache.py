@@ -96,6 +96,18 @@ def load_plans(path: str, *, config: SpectralConfig = DEFAULT_CONFIG) -> int:
             f"corrupt plan manifest {path!r}: invalid kind ids {bad} "
             f"or non-positive lengths"
         )
+    if rows.size:
+        bad_sign = [int(s) for s in np.unique(rows[:, 2]) if int(s) not in (-1, 1)]
+        if bad_sign:
+            raise ValueError(
+                f"corrupt plan manifest {path!r}: invalid signs {bad_sign}"
+            )
+        odd_real = rows[(rows[:, 0] == 1) & (rows[:, 1] % 2 == 1)]
+        if len(odd_real):
+            raise ValueError(
+                f"corrupt plan manifest {path!r}: odd lengths for real-kind "
+                f"plans {sorted(set(int(n) for n in odd_real[:, 1]))}"
+            )
     for kind_id, n, sign in rows:
         get_plan(int(n), int(sign), kinds[int(kind_id)], config)
     return len(rows)

@@ -93,6 +93,23 @@ class TestPlanManifestFaults:
         with pytest.raises(ValueError, match="corrupt plan manifest"):
             load_plans(p)
 
+    def test_invalid_sign_and_odd_real_rows(self, tmp_path):
+        # review finding (round 4): a sign outside {-1,1} or an odd-length
+        # real-kind row must fail VALIDATION — before any plan is built —
+        # with an error naming the manifest path
+        before = len(_CACHE)
+        p = str(tmp_path / "badsign.npz")
+        np.savez_compressed(p, manifest=np.array([[0, 512, 7]], np.int64))
+        with pytest.raises(ValueError, match="invalid signs"):
+            load_plans(p)
+        p2 = str(tmp_path / "oddreal.npz")
+        np.savez_compressed(
+            p2, manifest=np.array([[0, 360, -1], [1, 361, -1]], np.int64)
+        )
+        with pytest.raises(ValueError, match="odd lengths for real-kind"):
+            load_plans(p2)
+        assert len(_CACHE) == before  # nothing was built from either file
+
     def test_invalid_rows_leave_cache_untouched(self, tmp_path):
         p = str(tmp_path / "badrows.npz")
         rows = np.array([[7, 360, -1], [0, 1024, -1]], np.int64)
