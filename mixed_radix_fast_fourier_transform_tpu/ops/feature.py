@@ -646,6 +646,54 @@ def db_to_amplitude(db, ref: float = 1.0) -> Array:
     return ref * jnp.power(10.0, db / 20.0)
 
 
+def lpc(y, order: int, axis: int = -1) -> Array:
+    """Linear prediction coefficients via Burg's method (librosa.lpc
+    conventions): (…, N) -> (…, order+1) with ``a[0] = 1``, minimizing the
+    summed forward+backward prediction error.  The all-pole spectral
+    envelope is ``1/|A(e^{jw})|²`` (evaluate with :func:`freqz`).
+
+    TPU shape: ``order`` is static and small, so the Burg recursion
+    unrolls at trace time — each step is batched elementwise VPU work over
+    the signal axis (two AXPYs + three reductions); there is no per-sample
+    sequential scan.  A zero signal returns a[1:] = 0 instead of raising
+    (librosa propagates a FloatingPointError from the 0/0)."""
+    y = jnp.asarray(y)
+    if jnp.issubdtype(y.dtype, jnp.complexfloating):
+        raise ValueError("lpc takes real signals")
+    order = int(order)
+    if order < 1:
+        raise ValueError(f"order must be >= 1, got {order}")
+    y = jnp.moveaxis(y, axis, -1)
+    n = y.shape[-1]
+    if n <= order:
+        raise ValueError(f"signal length {n} must exceed order {order}")
+    dt = jnp.result_type(y.dtype, jnp.float32)
+    y = y.astype(dt)
+    tiny = jnp.asarray(np.finfo(np.float32).tiny, dt)
+    fwd = y[..., 1:]
+    bwd = y[..., :-1]
+    den = jnp.sum(fwd * fwd, -1) + jnp.sum(bwd * bwd, -1)
+    ar = jnp.zeros(y.shape[:-1] + (order + 1,), dt)
+    ar = ar.at[..., 0].set(1.0)
+    for i in range(order):
+        reflect = -2.0 * jnp.sum(bwd * fwd, -1) / jnp.maximum(den, tiny)
+        # a_new[j] = a[j] + k·a[i+1−j] over the active head j = 0..i+1
+        # (a[0] stays 1 because a[i+1] is still 0 on entry)
+        head = ar[..., : i + 2]
+        ar = jnp.concatenate(
+            [head + reflect[..., None] * head[..., ::-1], ar[..., i + 2:]],
+            axis=-1,
+        )
+        fwd_prev = fwd
+        fwd = fwd + reflect[..., None] * bwd
+        bwd = bwd + reflect[..., None] * fwd_prev
+        den = (1.0 - reflect * reflect) * den \
+            - fwd[..., 0] ** 2 - bwd[..., -1] ** 2
+        fwd = fwd[..., 1:]
+        bwd = bwd[..., :-1]
+    return ar
+
+
 def chroma_cqt(
     x, sr: float = 22050.0, hop: int = 512, n_chroma: int = 12,
     n_octaves: int = 6, fmin: float = 32.703195662574764,

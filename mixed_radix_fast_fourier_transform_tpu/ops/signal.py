@@ -278,6 +278,26 @@ def coherence(
     return f, mag2 / denom
 
 
+def tfestimate(
+    x,
+    y,
+    fs: float = 1.0,
+    window: str = "hann",
+    nperseg: int = 256,
+    noverlap: Optional[int] = None,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Tuple[Array, Array]:
+    """H1 transfer-function estimate (MATLAB ``tfestimate``):
+    ``H(f) = P_xy / P_xx`` with P_xy this library's :func:`csd` convention
+    (conjugate on x), so for y = h * x + noise the estimate converges to
+    the frequency response of ``h``.  Welch-averaged; returns
+    ``(freqs, H)`` with H complex at the one-sided welch bins."""
+    f, pxy = csd(x, y, fs, window, nperseg, noverlap, config=config)
+    _, pxx = welch(x, fs, window, nperseg, noverlap, config=config)
+    return f, pxy / jnp.maximum(pxx, jnp.asarray(1e-30, jnp.real(pxy).dtype))
+
+
 def welch(
     x,
     fs: float = 1.0,

@@ -93,3 +93,65 @@ def test_cwt_errors(rng):
         sp.ricker(0, 1.0)
     with pytest.raises(ValueError):
         sp.morlet2(0, 1.0)
+
+
+class TestTorrenceCompo:
+    """Frequency-domain Morlet CWT + cross-wavelet analysis (pycwt surface)."""
+
+    def test_cwt_tc_tone_ridge(self):
+        t = np.arange(2048)
+        f0 = 0.03
+        x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+        scales = sp.tc_scales(2048)
+        W = np.asarray(sp.cwt_tc(x, scales))
+        freqs = (6.0 + np.sqrt(38.0)) / (4.0 * np.pi * scales)
+        power = np.abs(W[:, 256:-256]).mean(-1)
+        k = int(np.argmax(power))
+        assert abs(freqs[k] - f0) / f0 < 0.08  # ridge at the tone, one dj bin
+
+    def test_wct_shared_tone(self):
+        rng = np.random.default_rng(3)
+        t = np.arange(2048)
+        shared = np.sin(2 * np.pi * 0.02 * t)
+        x = (shared + 0.5 * rng.standard_normal(2048)).astype(np.float32)
+        y = (shared + 0.5 * rng.standard_normal(2048)).astype(np.float32)
+        R2, scales, freqs = sp.wct(x, y)
+        R2 = np.asarray(R2)
+        assert R2.shape == (len(scales), 2048)
+        assert R2.min() >= 0.0 and R2.max() <= 1.0
+        core = slice(256, -256)
+        k = int(np.argmin(np.abs(freqs - 0.02)))
+        far = int(np.argmin(np.abs(freqs - 0.2)))
+        assert R2[k, core].mean() > 0.95
+        assert R2[far, core].mean() < 0.6
+        # identical signals: R² == 1 wherever the smoothed power is sane
+        R2i, _, _ = sp.wct(x, x)
+        strong = np.abs(np.asarray(sp.cwt_tc(x, scales)))[:, core] ** 2
+        mask = strong.mean(-1) > 1e-3 * strong.mean()
+        assert np.asarray(R2i)[mask][:, core].min() > 0.98
+
+    def test_xwt_phase_of_lag(self):
+        # y = quarter-period-delayed copy of x at f0 → relative phase π/2
+        t = np.arange(4096)
+        f0 = 1.0 / 64.0
+        x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+        y = np.sin(2 * np.pi * f0 * (t - 16)).astype(np.float32)
+        W, scales, freqs = sp.xwt(x, y)
+        k = int(np.argmin(np.abs(freqs - f0)))
+        ph = np.angle(np.asarray(W)[k, 512:-512]).mean()
+        assert abs(ph - np.pi / 2) < 0.1, ph
+
+    def test_jit_batch_and_errors(self):
+        import jax
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 512)).astype(np.float32)
+        scales = sp.tc_scales(512)
+        W = np.asarray(jax.jit(lambda v: sp.cwt_tc(v, scales))(x))
+        assert W.shape == (2, len(scales), 512)
+        with pytest.raises(ValueError):
+            sp.cwt_tc(x, [-1.0])
+        with pytest.raises(ValueError):
+            sp.wct(x[0], np.zeros(100, np.float32))
+        with pytest.raises(ValueError):
+            sp.tc_scales(4, s0=100.0)

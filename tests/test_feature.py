@@ -370,3 +370,66 @@ class TestChromaCqtTonnetzGcc:
             y = np.roll(s, d)
             lag, _ = sp.gcc_phat(s, y, max_lag=16)
             assert float(np.asarray(lag)) == float(d)
+
+
+class TestLPC:
+    """Burg-method linear prediction (librosa.lpc conventions)."""
+
+    @staticmethod
+    def _burg_oracle(y, order):
+        # fp64 reference implementation (librosa's Burg recursion)
+        y = np.asarray(y, np.float64)
+        ar = np.zeros(order + 1)
+        ar[0] = 1.0
+        fwd, bwd = y[1:].copy(), y[:-1].copy()
+        den = np.dot(fwd, fwd) + np.dot(bwd, bwd)
+        for i in range(order):
+            k = -2.0 * np.dot(bwd, fwd) / den
+            prev = ar.copy()
+            for j in range(1, i + 2):
+                ar[j] = prev[j] + k * prev[i + 1 - j]
+            fwd_prev = fwd.copy()
+            fwd = fwd + k * bwd
+            bwd = bwd + k * fwd_prev
+            den = (1.0 - k * k) * den - fwd[0] ** 2 - bwd[-1] ** 2
+            fwd, bwd = fwd[1:], bwd[:-1]
+        return ar
+
+    def test_matches_fp64_oracle(self, rng):
+        y = rng.standard_normal(512).astype(np.float32)
+        for order in (2, 8, 16):
+            got = np.asarray(sp.lpc(y, order))
+            want = self._burg_oracle(y, order)
+            np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_recovers_ar2_process(self, rng):
+        # y[n] = 0.75 y[n-1] − 0.5 y[n-2] + e[n]  →  a ≈ [1, −0.75, 0.5]
+        n = 16384
+        e = rng.standard_normal(n)
+        y = np.zeros(n)
+        for t in range(2, n):
+            y[t] = 0.75 * y[t - 1] - 0.5 * y[t - 2] + e[t]
+        a = np.asarray(sp.lpc(y.astype(np.float32), 2))
+        np.testing.assert_allclose(a, [1.0, -0.75, 0.5], atol=0.03)
+
+    def test_batched_jit_axis(self, rng):
+        import jax
+
+        y = rng.standard_normal((3, 256)).astype(np.float32)
+        a = np.asarray(jax.jit(lambda v: sp.lpc(v, 4))(y))
+        assert a.shape == (3, 5)
+        for b in range(3):
+            np.testing.assert_allclose(
+                a[b], self._burg_oracle(y[b], 4), atol=2e-4)
+        at = np.asarray(sp.lpc(y.T, 4, axis=0))
+        np.testing.assert_allclose(at, a, atol=1e-6)
+
+    def test_zero_signal_and_errors(self):
+        a = np.asarray(sp.lpc(np.zeros(64, np.float32), 3))
+        np.testing.assert_allclose(a, [1.0, 0.0, 0.0, 0.0])
+        with pytest.raises(ValueError):
+            sp.lpc(np.zeros(64, np.complex64), 2)
+        with pytest.raises(ValueError):
+            sp.lpc(np.zeros(64, np.float32), 0)
+        with pytest.raises(ValueError):
+            sp.lpc(np.zeros(4, np.float32), 8)

@@ -816,3 +816,74 @@ class TestSignalUtilities:
         assert np.max(np.abs(r - r0)) < 1e-10
         with pytest.raises(ValueError):
             sp.deconvolve(sig, [0.0, 1.0])
+
+
+class TestTfestimate:
+    def test_recovers_fir_response(self, rng):
+        # y = h * x (causal FIR) → H1 estimate ≈ DFT of h at the welch bins
+        n = 1 << 15
+        x = rng.standard_normal(n).astype(np.float32)
+        h = np.array([0.5, 1.0, -0.3, 0.2], np.float64)
+        y = np.convolve(x.astype(np.float64), h)[:n].astype(np.float32)
+        nperseg = 256
+        f, H = sp.tfestimate(x, y, nperseg=nperseg)
+        H = np.asarray(H)
+        want = np.fft.rfft(h, nperseg)
+        # welch-averaged estimate: loose statistical tolerance
+        assert np.max(np.abs(H - want)) / np.max(np.abs(want)) < 0.05
+        assert np.asarray(f).shape == H.shape
+
+    def test_identity_system(self, rng):
+        x = rng.standard_normal(8192).astype(np.float32)
+        _, H = sp.tfestimate(x, x, nperseg=128)
+        np.testing.assert_allclose(np.asarray(H), 1.0, atol=1e-4)
+
+
+class TestPFB:
+    def test_tone_isolation_and_gain(self):
+        K, P = 64, 8
+        t = np.arange(K * 64)
+        k0 = 13
+        x = np.cos(2 * np.pi * k0 / K * t).astype(np.float32)
+        Y = np.asarray(sp.pfb_analysis(x, K, P))
+        assert Y.shape == (64 - P + 1, K)
+        # unit cosine at a channel center: |y| = 1/2 at ±k0
+        np.testing.assert_allclose(np.abs(Y[:, k0]), 0.5, atol=1e-3)
+        pw = (np.abs(Y) ** 2).mean(0)
+        others = np.delete(pw, [k0, K - k0])
+        # prototype stopband: leakage under -60 dB of the channel power
+        assert others.max() < pw[k0] * 1e-6
+
+    def test_flat_inband_response(self):
+        # a PFB channel is ~flat across its band (a bare FFT scallops ~4 dB)
+        K, P = 32, 12
+        t = np.arange(K * 96)
+        k0 = 5
+        gains = []
+        for off in (0.0, 0.25, 0.45):
+            x = np.exp(2j * np.pi * (k0 + off) / K * t).astype(np.complex64)
+            Y = np.asarray(sp.pfb_analysis(x, K, P))
+            gains.append(np.abs(Y[:, k0]).mean())
+        assert gains[0] > 0.99
+        assert gains[1] / gains[0] > 0.85
+        # band edge (off=0.45): response already rolling off but nonzero
+        assert 0.2 < gains[2] / gains[0] < 0.9
+
+    def test_custom_prototype_jit_errors(self, rng):
+        import jax
+
+        K, P = 16, 4
+        h = sp.pfb_prototype(K, P, window="hann")
+        x = rng.standard_normal((2, K * 32)).astype(np.float32)
+        Y = np.asarray(jax.jit(
+            lambda v: sp.pfb_analysis(v, K, h=h)
+        )(x))
+        assert Y.shape == (2, 32 - P + 1, K)
+        f = sp.pfb_frequencies(K, fs=1000.0)
+        assert f.shape == (K,) and abs(f[1] - 1000.0 / K) < 1e-9
+        with pytest.raises(ValueError):
+            sp.pfb_analysis(x, K, h=np.ones(K * 4 + 3))
+        with pytest.raises(ValueError):
+            sp.pfb_analysis(np.zeros(8, np.float32), K, P)
+        with pytest.raises(ValueError):
+            sp.pfb_prototype(1, 4)
