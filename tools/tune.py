@@ -15,6 +15,8 @@ Usage (on the TPU host):
     python tools/tune.py prec 1024 256 highest,high    # per-stage schemes
     python tools/tune.py nufft 4096 4096     # dense vs grid NUFFT at (n, M)
     python tools/tune.py sht 256 16          # Hermitian vs full SHT paths
+    python tools/tune.py rader 1009 64       # Rader vs Bluestein (round 4)
+    python tools/tune.py nufft3i 4096 4096   # type-3 interp: matmul vs gather
 """
 
 from __future__ import annotations
@@ -26,7 +28,14 @@ import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+import os  # noqa: E402
+
 import jax  # noqa: E402
+
+if os.environ.get("SPECTRAL_TUNE_CPU") == "1":
+    # syntax/correctness smoke off-chip — ratios are NOT meaningful on CPU
+    # (and with the tunnel down, the default axon platform HANGS at init)
+    jax.config.update("jax_platforms", "cpu")
 
 from mixed_radix_fast_fourier_transform_tpu.ops.stockham import exec_complex  # noqa: E402
 from mixed_radix_fast_fourier_transform_tpu.plan import build_complex_plan  # noqa: E402
@@ -350,6 +359,88 @@ def tune_matmul_form(n: int, b: int):
     _report("stacked", "karatsuba", res)
 
 
+def tune_rader(n: int, b: int):
+    """Rader vs Bluestein at a prime n with smooth n-1 (round-4 A/B)."""
+    from mixed_radix_fast_fourier_transform_tpu.utils.config import SpectralConfig
+
+    (xr, xi), _ = _planes(n, b)
+    rader = build_complex_plan(n, -1, DEFAULT_CONFIG)
+    blue = build_complex_plan(n, -1, SpectralConfig(rader="off"))
+    print(f"rader inner={getattr(rader.inner, 'factors', None)}  "
+          f"bluestein m={getattr(blue, 'm', None)}")
+    res = ab_compare(lambda a, c: exec_complex(blue, a, c),
+                     lambda a, c: exec_complex(rader, a, c),
+                     (xr, xi), short=200, long=1000, rounds=5)
+    _report("bluestein", "rader", res)
+
+
+def tune_nufft3i(m: int, k: int):
+    """nufft3_2d fast-path target interp: _interp_2d block matmuls (current)
+    vs the pre-round-4 dynamic tap gather (reconstructed inline)."""
+    import math
+
+    import jax.numpy as jnp
+
+    from mixed_radix_fast_fourier_transform_tpu.ops import nufft as nf
+
+    rng = np.random.default_rng(0)
+    x = jax.device_put(rng.uniform(-math.pi, math.pi, m).astype(np.float32))
+    y = jax.device_put(rng.uniform(-math.pi, math.pi, m).astype(np.float32))
+    s = jax.device_put(rng.uniform(-m / 4, m / 4, k).astype(np.float32))
+    t = jax.device_put(rng.uniform(-m / 4, m / 4, k).astype(np.float32))
+    cr = jax.device_put(rng.standard_normal(m).astype(np.float32))
+    ci = jax.device_put(rng.standard_normal(m).astype(np.float32))
+    ext = dict(x_extent=math.pi, y_extent=math.pi,
+               s_extent=m / 4, t_extent=m / 4)
+
+    def current(ar, ai):
+        out = nf.nufft3_2d(x, y, jax.lax.complex(ar, ai), s, t,
+                           method="fast", **ext)
+        eps = jnp.asarray(1e-20, ar.dtype)
+        return (ar + eps * jnp.sum(jnp.real(out)).astype(ar.dtype),
+                ai + eps * jnp.sum(jnp.imag(out)).astype(ai.dtype))
+
+    # pre-round-4 shape: same inner type-1, then a dynamic (K, P, P) gather
+    def gather(ar, ai):
+        sigma = 2.0
+        msp = nf._msp(1e-6)
+        h1 = math.pi / (sigma * math.pi)
+        h2 = h1
+        rho1 = msp * h1 * h1 / (3.0 * math.pi)
+        rho2 = rho1
+        k1 = int(math.ceil((m / 4 + msp * h1) / h1)) + 2
+        n1 = 2 * k1 + 1
+        c = jax.lax.complex(ar, ai)
+        beta = c * jnp.exp(rho1 * x * x + rho2 * y * y) / (
+            4.0 * math.pi * math.sqrt(rho1 * rho2))
+        B = nf.nufft1_2d(h1 * x, h2 * y, beta, (n1, n1))
+        taps = np.arange(-msp + 1, msp + 1, dtype=np.int32)
+        i1 = jnp.round(s / h1).astype(jnp.int32)
+        i2 = jnp.round(t / h2).astype(jnp.int32)
+        idx1 = i1[:, None] + taps[None, :]
+        idx2 = i2[:, None] + taps[None, :]
+        d1 = s[:, None] - idx1.astype(s.dtype) * h1
+        d2 = t[:, None] - idx2.astype(t.dtype) * h2
+        w1 = jnp.exp(-(d1 * d1) / (4.0 * rho1)) * h1
+        w2 = jnp.exp(-(d2 * d2) / (4.0 * rho2)) * h2
+        g1 = jnp.clip(idx1 + k1, 0, n1 - 1)
+        g2 = jnp.clip(idx2 + k1, 0, n1 - 1)
+        flat = B.reshape(-1)
+        lin = (g1[:, :, None] * n1 + g2[:, None, :]).reshape(-1)
+        vals = jnp.take(flat, lin, axis=-1).reshape(k, len(taps), len(taps))
+        fr = jnp.einsum("kpq,kp,kq->k", jnp.real(vals), w1, w2,
+                        precision="highest")
+        fi = jnp.einsum("kpq,kp,kq->k", jnp.imag(vals), w1, w2,
+                        precision="highest")
+        eps = jnp.asarray(1e-20, ar.dtype)
+        return (ar + eps * jnp.sum(fr).astype(ar.dtype),
+                ai + eps * jnp.sum(fi).astype(ai.dtype))
+
+    res = ab_compare(gather, current, (cr, ci), short=20, long=100, rounds=5)
+    _report("tap-gather", "interp2d-matmul", res)
+
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "stages"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
@@ -364,4 +455,5 @@ if __name__ == "__main__":
         {"stages": tune_stages, "pad": tune_pad, "builtin": tune_builtin,
          "pallas": tune_pallas, "precision": tune_precision,
          "matmul_form": tune_matmul_form, "nufft": tune_nufft,
+         "rader": tune_rader, "nufft3i": tune_nufft3i,
          "sht": tune_sht}[which](n, b)
