@@ -58,6 +58,16 @@ from .ops.czt import czt, zoom_fft, czt_points
 from .ops.fht import fht, ifht, fhtoffset, fwht, ifwht
 from .ops.dct import dct, idct, dst, idst, dctn, idctn, dstn, idstn
 from .ops.signal import hilbert, periodogram, welch, csd, coherence, tfestimate, spectral_diff, poisson_solve, resample, resample_poly, upfirdn, lombscargle, multitaper, rceps, cceps, icceps, minimum_phase, firwin, freqz, kaiser_atten, kaiser_beta, hilbert2, remez, detrend, decimate, savgol_coeffs, savgol_filter, group_delay, deconvolve
+from .ops.iir import (
+    butter, cheby1, cheby2, ellip, bessel, iirfilter,
+    buttap, cheb1ap, cheb2ap, ellipap, besselap,
+    buttord, cheb1ord, cheb2ord, ellipord,
+    iirnotch, iirpeak, iircomb,
+    bilinear_zpk, lp2lp_zpk, lp2hp_zpk, lp2bp_zpk, lp2bs_zpk,
+    zpk2tf, tf2zpk, zpk2sos, sos2zpk, tf2sos, sos2tf,
+    lfilter, sosfilt, filtfilt, sosfiltfilt, lfilter_zi, sosfilt_zi,
+    freqs, freqs_zpk, sosfreqz,
+)
 from .ops.mdct import mdct, imdct, mdct_window
 from .ops.pfb import pfb_analysis, pfb_prototype, pfb_frequencies
 from .ops.cwt import cwt, ricker, morlet2, cwt_tc, tc_scales, xwt, wct
