@@ -5,7 +5,7 @@ the demo pattern is promoted to a trainable flagship model (spectral filter)
 plus the signal/metric utilities the demo used.
 """
 
-from . import afno, audio_frontend, fnet, fno, sfno
+from . import afno, audio_frontend, fnet, fno, s4d, sfno
 from .checkpoint import load_checkpoint, save_checkpoint
 from .spectral_filter import (
     apply,
@@ -20,5 +20,5 @@ from .spectral_filter import (
 __all__ = [
     "init_params", "init_params_complex", "apply", "apply_distributed",
     "loss_fn", "train_step", "train_step_distributed",
-    "afno", "audio_frontend", "fnet", "fno", "sfno", "save_checkpoint", "load_checkpoint",
+    "afno", "audio_frontend", "fnet", "fno", "s4d", "sfno", "save_checkpoint", "load_checkpoint",
 ]
