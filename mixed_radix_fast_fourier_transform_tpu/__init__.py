@@ -67,6 +67,13 @@ from .ops.iir import (
     zpk2tf, tf2zpk, zpk2sos, sos2zpk, tf2sos, sos2tf,
     lfilter, sosfilt, filtfilt, sosfiltfilt, lfilter_zi, sosfilt_zi,
     freqs, freqs_zpk, sosfreqz,
+    normalize, bilinear, lp2lp, lp2hp, lp2bp, lp2bs,
+    freqz_zpk, freqz_sos, iirdesign, lfiltic,
+    unique_roots, residue, residuez, invres, invresz,
+)
+from .ops.signal import (
+    kaiserord, firwin2, firls, gammatone,
+    max_len_seq, correlation_lags, vectorstrength,
 )
 from .ops.mdct import mdct, imdct, mdct_window
 from .ops.pfb import pfb_analysis, pfb_prototype, pfb_frequencies

@@ -1142,3 +1142,297 @@ def sosfiltfilt(sos, x, axis: int = -1, padtype: Optional[str] = "odd",
     if edge:
         y = y[..., edge:-edge]
     return jnp.moveaxis(y, -1, axis)
+
+
+# ---------------------------------------------------------------------------
+# ba-form conveniences, iirdesign, initial conditions, partial fractions
+# (host fp64 — scipy.signal parity glue around the zpk core above)
+# ---------------------------------------------------------------------------
+
+
+def normalize(b, a):
+    """Normalize (b, a) so a[0] = 1, trimming leading numerator zeros
+    (scipy.signal.normalize without the BadCoefficients warning)."""
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    if a[0] == 0:
+        raise ValueError("a[0] must be nonzero")
+    b, a = b / a[0], a / a[0]
+    while len(b) > 1 and b[0] == 0.0:
+        b = b[1:]
+    return b, a
+
+
+def bilinear(b, a, fs: float = 1.0):
+    """Analog (b, a) → digital (b, a) via the bilinear transform
+    (scipy.signal.bilinear), routed through the zpk core."""
+    z, p, k = tf2zpk(b, a)
+    return zpk2tf(*bilinear_zpk(z, p, k, fs=fs))
+
+
+def lp2lp(b, a, wo: float = 1.0):
+    """Lowpass→lowpass in ba form (scipy.signal.lp2lp)."""
+    return zpk2tf(*lp2lp_zpk(*tf2zpk(b, a), wo=wo))
+
+
+def lp2hp(b, a, wo: float = 1.0):
+    """Lowpass→highpass in ba form (scipy.signal.lp2hp)."""
+    return zpk2tf(*lp2hp_zpk(*tf2zpk(b, a), wo=wo))
+
+
+def lp2bp(b, a, wo: float = 1.0, bw: float = 1.0):
+    """Lowpass→bandpass in ba form (scipy.signal.lp2bp)."""
+    return zpk2tf(*lp2bp_zpk(*tf2zpk(b, a), wo=wo, bw=bw))
+
+
+def lp2bs(b, a, wo: float = 1.0, bw: float = 1.0):
+    """Lowpass→bandstop in ba form (scipy.signal.lp2bs)."""
+    return zpk2tf(*lp2bs_zpk(*tf2zpk(b, a), wo=wo, bw=bw))
+
+
+def freqz_zpk(z, p, k, worN=512, whole: bool = False, fs: float = 2.0 * np.pi):
+    """Digital frequency response from zpk factors — numerically robust for
+    high orders (products of first-order factors, no polynomial blow-up)."""
+    z, p, k = _as_zpk(z, p, k)
+    if isinstance(worN, (int, np.integer)):
+        span = fs if whole else fs / 2.0
+        w = np.arange(int(worN)) * (span / int(worN))
+    else:
+        w = np.asarray(worN, np.float64)
+    zd = np.exp(1j * 2.0 * np.pi * w / fs)
+    num = np.prod(zd[:, None] - z[None, :], axis=1) if len(z) else 1.0
+    den = np.prod(zd[:, None] - p[None, :], axis=1)
+    return w, k * num / den
+
+
+def freqz_sos(sos, worN=512, whole: bool = False, fs: float = 2.0 * np.pi,
+              *, config: SpectralConfig = DEFAULT_CONFIG):
+    """Alias of :func:`sosfreqz` (scipy 1.12+ name)."""
+    return sosfreqz(sos, worN=worN, whole=whole, fs=fs, config=config)
+
+
+_ORD_FNS = {
+    "butter": (buttord, "butter"), "butterworth": (buttord, "butter"),
+    "cheby1": (cheb1ord, "cheby1"), "cheby2": (cheb2ord, "cheby2"),
+    "ellip": (ellipord, "ellip"), "elliptic": (ellipord, "ellip"),
+    "cauer": (ellipord, "ellip"),
+}
+
+
+def iirdesign(wp, ws, gpass: float, gstop: float, analog: bool = False,
+              ftype: str = "ellip", output: str = "ba",
+              fs: Optional[float] = None):
+    """Complete design from band specs (scipy.signal.iirdesign): order
+    selection + filter design in one call."""
+    sel = _ORD_FNS.get(ftype.lower())
+    if sel is None:
+        raise ValueError(f"iirdesign supports butter/cheby1/cheby2/ellip, "
+                         f"got {ftype!r}")
+    ordfn, design = sel
+    N, Wn = ordfn(wp, ws, gpass, gstop, analog=analog, fs=fs)
+    wp_arr = np.atleast_1d(np.asarray(wp, np.float64))
+    btype = ("lowpass" if wp_arr.size == 1 and np.all(
+        np.atleast_1d(wp) < np.atleast_1d(ws)) else
+        "highpass" if wp_arr.size == 1 else
+        "bandpass" if wp_arr[0] > np.atleast_1d(ws)[0] else "bandstop")
+    return iirfilter(N, Wn, rp=gpass, rs=gstop, btype=btype, analog=analog,
+                     ftype=design, output=output, fs=fs)
+
+
+def lfiltic(b, a, y, x=None) -> np.ndarray:
+    """Initial conditions ``zi`` for :func:`lfilter` given past outputs
+    ``y = [y[-1], y[-2], …]`` and inputs ``x = [x[-1], …]``
+    (scipy.signal.lfiltic, transposed direct-form II)."""
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    n = max(len(a), len(b))
+    bb = np.zeros(n)
+    bb[: len(b)] = b
+    aa = np.zeros(n)
+    aa[: len(a)] = a
+    bb, aa = bb / aa[0], aa / aa[0]
+    y = np.asarray(y, np.float64)
+    x = np.zeros(0) if x is None else np.asarray(x, np.float64)
+    zi = np.zeros(n - 1)
+    for m in range(n - 1):
+        # z_m[-1] accumulates the taps the delayed samples already passed
+        acc = 0.0
+        for k in range(m + 1, n):
+            j = k - m - 1
+            if j < len(x):
+                acc += bb[k] * x[j]
+            if j < len(y):
+                acc -= aa[k] * y[j]
+        zi[m] = acc
+    return zi
+
+
+def unique_roots(p, tol: float = 1e-3, rtype: str = "min"):
+    """Cluster near-equal roots and return (unique, multiplicity)
+    (scipy.signal.unique_roots semantics)."""
+    if rtype not in ("max", "min", "avg", "maximum", "minimum", "mean"):
+        raise ValueError(f"unknown rtype {rtype!r}")
+    p = np.atleast_1d(np.asarray(p, np.complex128))
+    pool = list(p)
+    uniq, mult = [], []
+    while pool:
+        r = pool.pop(0)
+        group = [r]
+        rest = []
+        for q in pool:
+            if abs(q - r) < tol:
+                group.append(q)
+            else:
+                rest.append(q)
+        pool = rest
+        g = np.asarray(group)
+        if rtype in ("max", "maximum"):
+            rep = g[np.argmax(np.abs(g))]
+        elif rtype in ("min", "minimum"):
+            rep = g[np.argmin(np.abs(g))]
+        else:
+            rep = np.mean(g)
+        uniq.append(rep)
+        mult.append(len(group))
+    return np.asarray(uniq), np.asarray(mult, np.int64)
+
+
+def _poly_deriv_at(c: np.ndarray, r: complex, order: int) -> complex:
+    """order-th derivative of the polynomial with coefficients c at r."""
+    d = np.asarray(c, np.complex128)
+    for _ in range(order):
+        d = np.polyder(d)
+    return np.polyval(d, r)
+
+
+def residue(b, a, tol: float = 1e-3, rtype: str = "avg"):
+    """Partial-fraction expansion of b(s)/a(s) (scipy.signal.residue):
+    returns (r, p, k) with residues at each pole (repeated poles get
+    ascending-power terms) and polynomial part k."""
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    b, a = b / a[0], a / a[0]
+    k = np.array([])
+    if len(b) >= len(a):
+        k, b = np.polydiv(b, a)
+    poles = np.roots(a)
+    uniq, mult = unique_roots(poles, tol=tol, rtype=rtype)
+    r_out, p_out = [], []
+    for i_p, (pr, m) in enumerate(zip(uniq, mult)):
+        # divide out (s − pr)^m; the residues are Taylor coefficients of
+        # g = b/rest around pr: term j gets r_j = g^{(m−j)}(pr)/(m−j)!
+        rest = np.array([1.0 + 0j])
+        for i_q, (qr, qm) in enumerate(zip(uniq, mult)):
+            if i_q == i_p:
+                continue
+            for _ in range(qm):
+                rest = np.convolve(rest, [1.0, -qr])
+        for j in range(1, m + 1):
+            order = m - j
+            # exact Taylor coefficients of b and rest at pr, then series
+            # division g = bt/rt up to the needed order
+            bt = np.array([
+                _poly_deriv_at(b, pr, i) / math.factorial(i)
+                for i in range(order + 1)
+            ])
+            rt = np.array([
+                _poly_deriv_at(rest, pr, i) / math.factorial(i)
+                for i in range(order + 1)
+            ])
+            g = np.zeros(order + 1, np.complex128)
+            for i in range(order + 1):
+                s = bt[i] - sum(g[u] * rt[i - u] for u in range(i))
+                g[i] = s / rt[0]
+            r_out.append(g[order])
+            p_out.append(pr)
+    return np.asarray(r_out), np.asarray(p_out), np.real_if_close(k)
+
+
+def residuez(b, a, tol: float = 1e-3, rtype: str = "avg"):
+    """Partial fractions in z⁻¹ (scipy.signal.residuez): b(z⁻¹)/a(z⁻¹) =
+    Σ r_i/(1 − p_i z⁻¹)^j + Σ k_i z⁻ⁱ."""
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    b, a = b / a[0], a / a[0]
+    # substitute u = z⁻¹: reverse coefficient order and reuse the s-plane
+    # machinery on b(u)/a(u), whose poles are 1/p_i
+    br, ar = b[::-1], a[::-1]
+    k = np.array([])
+    if len(br) >= len(ar):
+        # polynomial part in z⁻¹ comes from deg_b >= deg_a in u
+        k_u, br = np.polydiv(br, ar)
+        k = k_u[::-1]
+    r_u, p_u, _ = residue(br, ar, tol=tol, rtype=rtype)
+    # map u-plane terms r_u/(u − u0)^j back to z⁻¹ form: with p = 1/u0,
+    # (u − u0)^j = (−u0)^j·(1 − p·z⁻¹)^j, so r = r_u·(−p)^j
+    r_out, p_out = [], []
+    uniq, mult = unique_roots(p_u, tol=tol, rtype=rtype)
+    idx = 0
+    for u0, m in zip(uniq, mult):
+        p = 1.0 / u0
+        for j in range(1, m + 1):
+            r_out.append(r_u[idx] * (-p) ** j)
+            p_out.append(p)
+            idx += 1
+    return np.asarray(r_out), np.asarray(p_out), np.real_if_close(k)
+
+
+def invres(r, p, k, tol: float = 1e-3, rtype: str = "avg"):
+    """Inverse of :func:`residue`: assemble (b, a) from partial fractions."""
+    r = np.atleast_1d(np.asarray(r, np.complex128))
+    p = np.atleast_1d(np.asarray(p, np.complex128))
+    uniq, mult = unique_roots(p, tol=tol, rtype=rtype)
+    a = np.array([1.0 + 0j])
+    for pr, m in zip(uniq, mult):
+        for _ in range(m):
+            a = np.convolve(a, [1.0, -pr])
+    b = np.zeros(1, np.complex128)
+    idx = 0
+    for i_p, (pr, m) in enumerate(zip(uniq, mult)):
+        for j in range(1, m + 1):
+            # term r/(s − pr)^j: numerator = r · a(s)/(s − pr)^j
+            term = np.array([1.0 + 0j])
+            for i_q, (qr, qm) in enumerate(zip(uniq, mult)):
+                reps = qm - (j if i_q == i_p else 0)
+                for _ in range(max(0, reps)):
+                    term = np.convolve(term, [1.0, -qr])
+            b = np.polyadd(b, r[idx] * term)
+            idx += 1
+    if len(np.atleast_1d(k)) and np.any(np.atleast_1d(k) != 0):
+        b = np.polyadd(b, np.convolve(np.atleast_1d(k), a))
+    return np.real_if_close(b), np.real_if_close(a)
+
+
+def invresz(r, p, k, tol: float = 1e-3, rtype: str = "avg"):
+    """Inverse of :func:`residuez` (z⁻¹ form)."""
+    r = np.atleast_1d(np.asarray(r, np.complex128))
+    p = np.atleast_1d(np.asarray(p, np.complex128))
+    uniq, mult = unique_roots(p, tol=tol, rtype=rtype)
+
+    def add_asc(x, y):
+        # arrays here are ASCENDING powers of z⁻¹ (index = delay), so
+        # addition left-aligns at z⁰ (np.polyadd would right-align)
+        n = max(len(x), len(y))
+        out = np.zeros(n, np.complex128)
+        out[: len(x)] += x
+        out[: len(y)] += y
+        return out
+
+    a = np.array([1.0 + 0j])
+    for pr, m in zip(uniq, mult):
+        for _ in range(m):
+            a = np.convolve(a, [1.0, -pr])  # [1, −pr] reads 1 − pr·z⁻¹
+    b = np.zeros(1, np.complex128)
+    idx = 0
+    for i_p, (pr, m) in enumerate(zip(uniq, mult)):
+        for j in range(1, m + 1):
+            term = np.array([1.0 + 0j])
+            for i_q, (qr, qm) in enumerate(zip(uniq, mult)):
+                reps = qm - (j if i_q == i_p else 0)
+                for _ in range(max(0, reps)):
+                    term = np.convolve(term, [1.0, -qr])
+            b = add_asc(b, r[idx] * term)
+            idx += 1
+    if len(np.atleast_1d(k)) and np.any(np.atleast_1d(k) != 0):
+        b = add_asc(b, np.convolve(np.atleast_1d(k).astype(np.complex128), a))
+    return np.real_if_close(b), np.real_if_close(a)

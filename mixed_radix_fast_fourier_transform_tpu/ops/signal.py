@@ -1529,3 +1529,270 @@ def deconvolve(signal, divisor):
         quot[i] = rem[i] / den[0]
         rem[i : i + den.size] -= quot[i] * den
     return quot, rem
+
+
+def kaiserord(ripple: float, width: float) -> Tuple[int, float]:
+    """Kaiser-window FIR order estimate (scipy.signal.kaiserord):
+    ``ripple`` dB of allowed deviation, ``width`` transition width as a
+    fraction of Nyquist.  Returns (numtaps, beta) for ``firwin``."""
+    A = abs(ripple)
+    if A < 8:
+        raise ValueError(
+            "ripple attenuation too small for the Kaiser formula (need >= 8 dB)"
+        )
+    beta = kaiser_beta(A)
+    numtaps = (A - 7.95) / 2.285 / (np.pi * width) + 1
+    return int(math.ceil(numtaps)), beta
+
+
+def firwin2(numtaps: int, freq, gain, nfreqs: Optional[int] = None,
+            window: str = "hamming", antisymmetric: bool = False,
+            fs: float = 2.0, *, config: SpectralConfig = DEFAULT_CONFIG
+            ) -> np.ndarray:
+    """Frequency-sampling FIR design (scipy.signal.firwin2): interpolate the
+    (freq, gain) samples onto a fine grid, impose linear phase, inverse-rFFT
+    (host fp64 — taps are plan constants), window, truncate."""
+    freq = np.asarray(freq, np.float64)
+    gain = np.asarray(gain, np.float64)
+    nyq = 0.5 * fs
+    if freq.ndim != 1 or freq.shape != gain.shape:
+        raise ValueError("freq and gain must be 1-D arrays of equal length")
+    if freq[0] != 0 or freq[-1] != nyq:
+        raise ValueError(f"freq must start at 0 and end at fs/2 = {nyq}")
+    if np.any(np.diff(freq) < 0):
+        raise ValueError("freq must be nondecreasing")
+    if numtaps % 2 == 0 and not antisymmetric and gain[-1] != 0:
+        raise ValueError("even-numtaps type-II filters need zero gain at Nyquist")
+    if antisymmetric:
+        if numtaps % 2 == 1 and (gain[0] != 0 or gain[-1] != 0):
+            raise ValueError("type-III filters need zero gain at 0 and Nyquist")
+        if numtaps % 2 == 0 and gain[0] != 0:
+            raise ValueError("type-IV filters need zero gain at 0")
+    if nfreqs is None:
+        nfreqs = 1 + 2 ** int(math.ceil(math.log2(numtaps)))
+    if numtaps > nfreqs:
+        raise ValueError("nfreqs must be >= numtaps")
+    # break point duplicates (step edges) apart by a tiny eps so np.interp
+    # keeps both sides (scipy does the same nudge)
+    eps = np.finfo(np.float64).eps * nyq
+    f = freq.copy()
+    for i in range(1, len(f)):
+        if f[i] <= f[i - 1]:
+            f[i] = f[i - 1] + eps
+    x = np.linspace(0.0, nyq, nfreqs)
+    fx = np.interp(x, f, gain)
+    shift = np.exp(-(numtaps - 1) / 2.0 * 1j * np.pi * x / nyq)
+    if antisymmetric:
+        shift *= 1j
+    fx2 = fx * shift
+    out_full = np.fft.irfft(fx2)  # host fp64 design-time transform
+    win = np.asarray(get_window(window, numtaps, sym=True), np.float64) \
+        if window is not None else np.ones(numtaps)
+    out = out_full[:numtaps] * win
+    if antisymmetric and numtaps % 2 == 1:
+        out[numtaps // 2] = 0.0
+    return out
+
+
+def firls(numtaps: int, bands, desired, weight=None, fs: float = 2.0
+          ) -> np.ndarray:
+    """Least-squares linear-phase FIR design (scipy.signal.firls, type I):
+    minimizes the weighted integrated squared error against a piecewise-
+    linear target.  Host fp64: the normal equations are a Toeplitz+Hankel
+    system of closed-form cosine integrals."""
+    numtaps = int(numtaps)
+    if numtaps % 2 == 0 or numtaps < 1:
+        raise ValueError("firls needs an odd number of taps (type-I filter)")
+    bands = np.asarray(bands, np.float64).reshape(-1, 2) * (2.0 / fs)
+    desired = np.asarray(desired, np.float64).reshape(-1, 2)
+    if bands.shape[0] != desired.shape[0]:
+        raise ValueError("desired must give a value at each band edge")
+    if np.any(bands < 0) or np.any(bands > 1) or np.any(np.diff(bands.ravel()) < 0):
+        raise ValueError("bands must be nondecreasing within [0, fs/2]")
+    w = np.ones(bands.shape[0]) if weight is None else np.asarray(weight, np.float64)
+    if w.shape != (bands.shape[0],):
+        raise ValueError("weight must have one entry per band")
+    M = (numtaps - 1) // 2
+
+    def int_cos(j: np.ndarray, w1: float, w2: float) -> np.ndarray:
+        """∫_{w1}^{w2} cos(jω) dω for an integer vector j (ω in rad)."""
+        j = np.asarray(j, np.float64)
+        out = np.where(j == 0, w2 - w1, 0.0)
+        nz = j != 0
+        jn = np.where(nz, j, 1.0)
+        out = np.where(nz, (np.sin(jn * w2) - np.sin(jn * w1)) / jn, out)
+        return out
+
+    def int_lin_cos(j: np.ndarray, w1: float, w2: float,
+                    d1: float, d2: float) -> np.ndarray:
+        """∫ (α + βω) cos(jω) dω with the line through (w1,d1)-(w2,d2)."""
+        j = np.asarray(j, np.float64)
+        beta = (d2 - d1) / (w2 - w1) if w2 > w1 else 0.0
+        alpha = d1 - beta * w1
+        out = np.where(
+            j == 0, alpha * (w2 - w1) + 0.5 * beta * (w2**2 - w1**2), 0.0
+        )
+        nz = j != 0
+        jn = np.where(nz, j, 1.0)
+        s2, s1 = np.sin(jn * w2), np.sin(jn * w1)
+        c2, c1 = np.cos(jn * w2), np.cos(jn * w1)
+        lin = alpha * (s2 - s1) / jn + beta * (
+            (c2 - c1) / jn**2 + (w2 * s2 - w1 * s1) / jn
+        )
+        return np.where(nz, lin, out)
+
+    k = np.arange(M + 1)
+    q_idx = np.arange(2 * M + 1)
+    q = np.zeros(2 * M + 1)
+    bvec = np.zeros(M + 1)
+    for (f1, f2), (d1, d2), wt in zip(bands, desired, w):
+        w1, w2 = f1 * np.pi, f2 * np.pi
+        q += wt * int_cos(q_idx, w1, w2)
+        bvec += wt * int_lin_cos(k, w1, w2, d1, d2)
+    Q1 = q[np.abs(k[:, None] - k[None, :])]          # Toeplitz
+    Q2 = q[k[:, None] + k[None, :]]                  # Hankel
+    Q = 0.5 * (Q1 + Q2)
+    c = np.linalg.solve(Q, bvec)
+    # A(ω) = c0 + Σ c_k cos(kω) ⇒ h symmetric with h[M] = c0, h[M±k] = c_k/2
+    h = np.concatenate([c[:0:-1] / 2.0, [c[0]], c[1:] / 2.0])
+    return h
+
+
+def gammatone(freq: float, ftype: str, order: Optional[int] = None,
+              numtaps: Optional[int] = None, fs: Optional[float] = None):
+    """Gammatone auditory filter (scipy.signal.gammatone): 'fir' samples the
+    t^{n−1}e^{−2πbt}cos(2πft) envelope; 'iir' is Slaney's 4th-order cascade
+    collapsed to (b, a) — the standard cochlear front-end component."""
+    if fs is None:
+        fs = 2.0
+    fs = float(fs)
+    if not 0 < freq < fs / 2:
+        raise ValueError(f"freq must be in (0, fs/2), got {freq} at fs={fs}")
+    if ftype == "fir":
+        if order is None:
+            order = 4
+        if not 0 < order <= 24:
+            raise ValueError(f"order must be in 1..24, got {order}")
+        if numtaps is None:
+            numtaps = max(int(fs * 0.015), 15)
+        t = np.arange(numtaps) / fs
+        bw = 1.019 * (freq / 9.26449 + 24.7)  # 1.019 ERB(f), Glasberg-Moore
+        h = t ** (order - 1) * np.exp(-2 * np.pi * bw * t) * np.cos(
+            2 * np.pi * freq * t
+        )
+        # scipy's analytic continuous-time peak-gain normalization
+        scale = 2 * (2 * np.pi * bw) ** order / math.factorial(order - 1) / fs
+        return h * scale, np.ones(1)
+    if ftype != "iir":
+        raise ValueError(f"ftype must be 'fir' or 'iir', got {ftype!r}")
+    # Slaney (1993) 4th-order gammatone as a single (b, a) pair
+    T = 1.0 / fs
+    bw = 2 * np.pi * 1.019 * (freq / 9.26449 + 24.7)
+    fr = 2 * np.pi * freq
+    bwT, frT = bw * T, fr * T
+    e = np.exp(bwT)
+    c, s = np.cos(frT), np.sin(frT)
+    sq_p = math.sqrt(3 + 2 ** 1.5)
+    sq_m = math.sqrt(3 - 2 ** 1.5)
+    a1 = [
+        -(2 * T * c / e + 2 * sq_p * T * s / e) / 2,
+        -(2 * T * c / e - 2 * sq_p * T * s / e) / 2,
+        -(2 * T * c / e + 2 * sq_m * T * s / e) / 2,
+        -(2 * T * c / e - 2 * sq_m * T * s / e) / 2,
+    ]
+    z = np.exp(1j * frT)  # e^{j2πfT}: Slaney's gain rides z and z²
+    ez = np.exp(-bwT) * z
+    gain = abs(
+        (-2 * z * z * T + 2 * ez * T * (c - sq_m * s))
+        * (-2 * z * z * T + 2 * ez * T * (c + sq_m * s))
+        * (-2 * z * z * T + 2 * ez * T * (c - sq_p * s))
+        * (-2 * z * z * T + 2 * ez * T * (c + sq_p * s))
+        / (-2 / np.exp(2 * bwT) - 2 * z * z + 2 * (1 + z * z) / e) ** 4
+    )
+    b = np.array([T])
+    for a1i in a1:
+        b = np.convolve(b, [1.0, a1i / T])
+    b = b * (T ** 3) / gain
+    sect = [1.0, -2 * c / e, np.exp(-2 * bwT)]
+    a = np.array([1.0])
+    for _ in range(4):
+        a = np.convolve(a, sect)
+    return b, a
+
+
+def max_len_seq(nbits: int, state=None, length: Optional[int] = None,
+                taps=None):
+    """Maximum-length LFSR sequence (scipy.signal.max_len_seq): returns
+    (seq, final_state) of ±-balanced binary values — the standard broadband
+    excitation for transfer-function measurement (host uint8)."""
+    _MLS_TAPS = {
+        2: [1], 3: [2], 4: [3], 5: [3], 6: [5], 7: [6], 8: [7, 6, 1],
+        9: [5], 10: [7], 11: [9], 12: [11, 10, 4], 13: [12, 11, 8],
+        14: [13, 12, 2], 15: [14], 16: [15, 13, 4], 17: [14], 18: [11],
+        19: [18, 17, 14], 20: [17], 21: [19], 22: [21], 23: [18],
+        24: [23, 22, 17], 25: [22], 26: [25, 24, 20], 27: [26, 25, 22],
+        28: [25], 29: [27], 30: [29, 28, 7], 31: [28], 32: [31, 30, 10],
+    }
+    if taps is None:
+        if nbits not in _MLS_TAPS:
+            raise ValueError(f"nbits must be in 2..32 without taps, got {nbits}")
+        taps = _MLS_TAPS[nbits]
+    taps = sorted(set(int(t) for t in taps), reverse=True)
+    if any(t >= nbits or t < 1 for t in taps):
+        raise ValueError("taps must be in [1, nbits)")
+    if length is None:
+        length = (1 << nbits) - 1
+    if state is None:
+        st = np.ones(nbits, np.int8)
+    else:
+        st = (np.asarray(state) != 0).astype(np.int8)
+        if st.shape != (nbits,) or not st.any():
+            raise ValueError("state must be nbits long and not all-zero")
+    # scipy's circular-buffer Fibonacci LFSR: output the current cell, XOR
+    # the tap cells into it, advance
+    seq = np.empty(length, np.int8)
+    idx = 0
+    st = st.copy()
+    for i in range(length):
+        fb = st[idx]
+        seq[i] = fb
+        for t in taps:
+            fb ^= st[(t + idx) % nbits]
+        st[idx] = fb
+        idx = (idx + 1) % nbits
+    return seq, np.roll(st, -idx)
+
+
+def correlation_lags(in1_len: int, in2_len: int, mode: str = "full"
+                     ) -> np.ndarray:
+    """Lag axis for a cross-correlation (scipy.signal.correlation_lags)."""
+    if mode == "full":
+        return np.arange(-in2_len + 1, in1_len)
+    if mode == "same":
+        lags = np.arange(-in2_len + 1, in1_len)
+        mid = lags.size // 2
+        h = in1_len // 2
+        if in1_len % 2 == 0:
+            return lags[mid - h: mid + h]
+        return lags[mid - h: mid + h + 1]
+    if mode == "valid":
+        bound = in1_len - in2_len
+        return np.arange(bound + 1) if bound >= 0 else np.arange(bound, 1)
+    raise ValueError(f"mode must be full/same/valid, got {mode!r}")
+
+
+def vectorstrength(events, period):
+    """Vector strength of events against periods (scipy.signal.vectorstrength):
+    resultant length + angle of events mapped onto the unit circle."""
+    events = np.asarray(events, np.float64)
+    period = np.asarray(period, np.float64)
+    scalar = period.ndim == 0
+    period = np.atleast_1d(period)
+    if np.any(period <= 0):
+        raise ValueError("periods must be positive")
+    ang = 2.0 * np.pi * events[None, :] / period[:, None]
+    vec = np.exp(1j * ang).mean(axis=1)
+    strength, angle = np.abs(vec), np.angle(vec)
+    if scalar:
+        return float(strength[0]), float(angle[0])
+    return strength, angle
