@@ -75,6 +75,13 @@ from .ops.signal import (
     kaiserord, firwin2, firls, gammatone,
     max_len_seq, correlation_lags, vectorstrength,
 )
+from .ops.peaks import (
+    find_peaks, peak_prominences, peak_widths,
+    argrelmin, argrelmax, argrelextrema,
+    medfilt, medfilt2d, order_filter,
+)
+from .ops.czt import CZT, ZoomFFT
+from .ops.convolve import choose_conv_method
 from .ops.mdct import mdct, imdct, mdct_window
 from .ops.pfb import pfb_analysis, pfb_prototype, pfb_frequencies
 from .ops.cwt import cwt, ricker, morlet2, cwt_tc, tc_scales, xwt, wct

@@ -333,3 +333,15 @@ def fft_correlate(
     if jnp.issubdtype(in2.dtype, jnp.complexfloating):
         rev = jnp.conj(rev)
     return fft_convolve(in1, rev, mode=mode, axis=axis, config=config)
+
+
+def choose_conv_method(in1, in2, mode: str = "full") -> str:
+    """'fft' or 'direct' (scipy.signal.choose_conv_method semantics, sans
+    timing): on TPU the FFT path wins long before it does on CPU — both
+    routes are MXU matmuls, but direct convolution scales as n·k while the
+    padded-FFT path is n·log n — so the crossover is a small tap count."""
+    s1 = np.shape(in1)[-1] if np.ndim(in1) else 1
+    s2 = np.shape(in2)[-1] if np.ndim(in2) else 1
+    if mode not in ("full", "same", "valid"):
+        raise ValueError(f"mode must be full/same/valid, got {mode!r}")
+    return "direct" if min(s1, s2) <= 16 else "fft"

@@ -166,3 +166,56 @@ def czt_points(m: int, w: Optional[complex] = None,
     return np.asarray(a, np.complex128) * np.asarray(w, np.complex128) ** (
         -np.arange(m)
     )
+
+
+class CZT:
+    """Pre-specified chirp-z transform callable (scipy.signal.CZT parity).
+
+    The heavy per-shape work (chirp spectrum, inner plan) is cached by the
+    plan layer, so this class is API parity plus argument pinning: build
+    once with (n, m, w, a), then apply to many signals."""
+
+    def __init__(self, n: int, m: Optional[int] = None,
+                 w: Optional[complex] = None, a: complex = 1.0 + 0.0j):
+        if int(n) < 1:
+            raise ValueError(f"n must be >= 1, got {n}")
+        self.n = int(n)
+        self.m = int(m) if m is not None else self.n
+        if self.m < 1:
+            raise ValueError(f"m must be >= 1, got {m}")
+        self.w = complex(w) if w is not None else np.exp(-2j * np.pi / self.m)
+        self.a = complex(a)
+
+    def __call__(self, x, *, axis: int = -1,
+                 config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+        x = jnp.asarray(x)
+        if x.shape[axis % x.ndim] != self.n:
+            raise ValueError(
+                f"CZT built for n={self.n}, got length "
+                f"{x.shape[axis % x.ndim]} along axis {axis}"
+            )
+        return czt(x, m=self.m, w=self.w, a=self.a, axis=axis, config=config)
+
+    def points(self) -> np.ndarray:
+        """The z-plane evaluation points (scipy.signal.CZT.points)."""
+        return czt_points(self.m, self.w, self.a)
+
+
+class ZoomFFT(CZT):
+    """Pre-specified zoomed DFT over a band (scipy.signal.ZoomFFT parity)."""
+
+    def __init__(self, n: int, fn, m: Optional[int] = None, *,
+                 fs: float = 2.0):
+        if np.isscalar(fn):
+            f1, f2 = 0.0, float(fn)
+        else:
+            f1, f2 = (float(v) for v in fn)
+        n = int(n)
+        m = int(m) if m is not None else n
+        step = (f2 - f1) / m
+        super().__init__(
+            n, m,
+            w=np.exp(-2j * np.pi * step / fs),
+            a=np.exp(2j * np.pi * f1 / fs),
+        )
+        self.f1, self.f2, self.fs = f1, f2, fs
