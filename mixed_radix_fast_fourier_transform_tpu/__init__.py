@@ -82,6 +82,11 @@ from .ops.peaks import (
 )
 from .ops.czt import CZT, ZoomFFT
 from .ops.convolve import choose_conv_method
+from .ops.ltisys import (
+    tf2ss, ss2tf, zpk2ss, ss2zpk, abcd_normalize, cont2discrete,
+    dlsim, dstep, dimpulse, dfreqresp, dbode,
+    lsim, step, impulse, freqresp, bode,
+)
 from .ops.mdct import mdct, imdct, mdct_window
 from .ops.pfb import pfb_analysis, pfb_prototype, pfb_frequencies
 from .ops.cwt import cwt, ricker, morlet2, cwt_tc, tc_scales, xwt, wct
