@@ -419,6 +419,33 @@ def bench_cqt(batch: int, n: int, iters: int, seed: int = 0):
     return dt / batch, ok
 
 
+def bench_sosfilt(batch: int, n: int, iters: int, seed: int = 0):
+    """(seconds-per-signal, rel err vs scipy fp64) for a 6th-order
+    Butterworth sos cascade — the round-4 associative-scan IIR path
+    (log-depth recurrence; the classical form is serial)."""
+    from mixed_radix_fast_fourier_transform_tpu.ops.iir import butter, sosfilt
+    from mixed_radix_fast_fourier_transform_tpu.utils.profiling import marginal_time
+
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((batch, n)).astype(np.float32)
+    xd = jax.device_put(x)
+    sos = butter(6, 0.2, output="sos")
+
+    def fn(a):
+        return (sosfilt(sos, a),)
+
+    got = np.asarray(jax.jit(fn)(xd)[0])
+    try:
+        from scipy.signal import sosfilt as sp_sosfilt
+
+        want = sp_sosfilt(np.asarray(sos), x[:2].astype(np.float64), axis=-1)
+        err = float(np.max(np.abs(got[:2] - want)) / np.max(np.abs(want)))
+    except Exception:  # pragma: no cover — scipy optional at bench time
+        err = float("nan")
+    dt = marginal_time(fn, (xd,), short=iters, long=5 * iters)
+    return dt / batch, err
+
+
 def _probe_backend(timeout_s: float = 180.0):
     """Probe device-backend init in a SUBPROCESS and return (platform, error).
 
@@ -645,6 +672,17 @@ def main():
         ext_ok = ext_ok and ok
     except Exception as e:  # pragma: no cover
         extras["multitaper_k7_16x8192"] = {"error": str(e)[:200]}
+        ext_ok = False
+    try:
+        dt, err = bench_sosfilt(16, 65536, 20)
+        ok = (err != err) or err <= 1e-4  # fp32 recurrence class (NaN = no scipy)
+        extras["sosfilt_butter6_16x65536"] = {
+            "ms_per_signal": round(dt * 1e3, 3),
+            "rel_err_vs_scipy": float(f"{err:.3g}"), "budget_ok": bool(ok),
+        }
+        ext_ok = ext_ok and ok
+    except Exception as e:  # pragma: no cover
+        extras["sosfilt_butter6_16x65536"] = {"error": str(e)[:200]}
         ext_ok = False
     try:
         dt, ok = bench_cqt(4, 1 << 17, 3)

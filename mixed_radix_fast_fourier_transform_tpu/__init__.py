@@ -74,6 +74,7 @@ from .ops.iir import (
 from .ops.signal import (
     kaiserord, firwin2, firls, gammatone,
     max_len_seq, correlation_lags, vectorstrength,
+    envelope, firwin_2d,
 )
 from .ops.peaks import (
     find_peaks, peak_prominences, peak_widths,
@@ -82,6 +83,10 @@ from .ops.peaks import (
 )
 from .ops.czt import CZT, ZoomFFT
 from .ops.convolve import choose_conv_method
+from .ops.splines import (
+    gauss_spline, cspline1d, qspline1d, cspline1d_eval, qspline1d_eval,
+    cspline2d, qspline2d, symiirorder1, symiirorder2, sepfir2d, spline_filter,
+)
 from .ops.ltisys import (
     tf2ss, ss2tf, zpk2ss, ss2zpk, abcd_normalize, cont2discrete,
     dlsim, dstep, dimpulse, dfreqresp, dbode,

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.config import DEFAULT_CONFIG, SpectralConfig
-from .fft import fft, ifft, rfftfreq
+from .fft import fft, fftshift, ifft, rfftfreq
 from .rfft import irfft, rfft
 from .stft import _frame, get_window
 
@@ -1796,3 +1796,125 @@ def vectorstrength(events, period):
     if scalar:
         return float(strength[0]), float(angle[0])
     return strength, angle
+
+
+def envelope(z, bp_in: Tuple[Optional[int], Optional[int]] = (1, None), *,
+             n_out: Optional[int] = None, squared: bool = False,
+             residual: Optional[str] = "lowpass", axis: int = -1,
+             config: SpectralConfig = DEFAULT_CONFIG):
+    """Bandpass envelope + residual of a real/complex signal
+    (scipy.signal.envelope, scipy 1.16): restrict the (analytic, for real
+    input) spectrum to the fftfreq bin band ``bp_in``, take the magnitude
+    of its inverse transform — one engine FFT each way, resampled to
+    ``n_out`` by spectral truncation/padding."""
+    z = jnp.asarray(z)
+    axis = axis % z.ndim
+    n = z.shape[axis]
+    if n < 1:
+        raise ValueError("envelope needs at least one sample")
+    if len(bp_in) != 2 or not all(
+            b is None or isinstance(b, (int, np.integer)) for b in bp_in):
+        raise ValueError(f"bp_in={bp_in!r} isn't (int | None, int | None)")
+    if residual not in ("lowpass", "all", None):
+        raise ValueError(f"residual must be 'lowpass', 'all' or None, "
+                         f"got {residual!r}")
+    n_out = int(n_out) if n_out is not None else n
+    if n_out < 1:
+        raise ValueError(f"n_out must be positive, got {n_out}")
+    fak = n_out / n
+    bp0 = int(bp_in[0]) if bp_in[0] is not None else -(n // 2)
+    bp1 = int(bp_in[1]) if bp_in[1] is not None else (n + 1) // 2
+    if not (-(n // 2) <= bp0 < bp1 <= (n + 1) // 2):
+        raise ValueError(
+            f"need -n//2 <= bp_in[0] < bp_in[1] <= (n+1)//2 for n={n}, "
+            f"got {bp_in}"
+        )
+    zm = jnp.moveaxis(z, axis, -1)
+    complex_in = jnp.issubdtype(zm.dtype, jnp.complexfloating)
+    if complex_in:
+        Z = fft(zm, config=config)
+    else:
+        X = rfft(zm.astype(config.dtype), config=config)
+        # real input: analytic-signal spectrum (positive band doubled);
+        # negative-frequency band components are ignored by construction
+        pos = np.ones(n // 2 + 1, np.float64)
+        if bp0 > 0:
+            pos[bp0:bp1] = 2.0
+        elif bp1 > 0:
+            pos[1:bp1] = 2.0
+        X = X * jnp.asarray(pos, jnp.real(X).dtype)
+        pad = [(0, 0)] * (X.ndim - 1) + [(0, n - (n // 2 + 1))]
+        Z = jnp.pad(X, pad)
+    # envelope: inverse transform of the band (shift-invariant, so the band
+    # is taken in place; a zero-straddling band is fftshifted first)
+    if not (bp0 <= 0 < bp1):
+        band = Z[..., bp0:bp1]
+    else:
+        band = fftshift(Z, axes=-1)[..., bp0 + n // 2: bp1 + n // 2]
+    z_bb = ifft(band, n=n_out, config=config) * jnp.asarray(
+        fak, jnp.real(Z).dtype)
+    if squared:
+        z_env = jnp.real(z_bb) ** 2 + jnp.imag(z_bb) ** 2
+    else:
+        z_env = jnp.abs(z_bb)
+    z_env = jnp.moveaxis(z_env, -1, axis)
+    if residual is None:
+        return z_env
+    # residual: zero the band (and everything above it for 'lowpass')
+    mask = np.ones(n, np.float64)
+    idx = np.arange(n)
+    if not (bp0 <= 0 < bp1):
+        mask[bp0 % n if bp0 < 0 else bp0:
+             (bp1 - 1) % n + 1 if bp1 <= 0 else bp1] = 0.0
+    else:
+        mask[:bp1] = 0.0
+        mask[bp0 % n if bp0 < 0 else bp0:] = 0.0
+    if residual == "lowpass":
+        if bp1 > 0:
+            mask[bp1:(n + 1) // 2] = 0.0
+        else:
+            mask[bp0 % n if bp0 < 0 else bp0:] = 0.0
+            mask[0:(n + 1) // 2] = 0.0
+    Z = Z * jnp.asarray(mask, jnp.real(Z).dtype)
+    if complex_in:
+        z_res = resample(Z, n_out, axis=-1, domain="freq", config=config)
+    else:
+        # unpaired Nyquist-class bin correction before the real inverse
+        m = min(n, n_out)
+        if n_out != n and m % 2 == 0:
+            corr = 2.0 if n_out < n else 0.5
+            Z = Z.at[..., m // 2].multiply(corr)
+        z_res = irfft(Z[..., : n // 2 + 1], n=n_out, config=config) * \
+            jnp.asarray(fak, jnp.real(Z).dtype)
+        z_res = z_res.astype(zm.dtype) if not complex_in else z_res
+    return jnp.stack((z_env, jnp.moveaxis(z_res, -1, axis)), axis=0)
+
+
+def firwin_2d(hsize, window, *, fc=None, fs: float = 2.0,
+              circular: bool = False, pass_zero=True,
+              scale: bool = True) -> np.ndarray:
+    """2-D windowed FIR design (scipy.signal.firwin_2d): separable outer
+    product of two 1-D :func:`firwin` designs, or an approximately
+    circularly-symmetric kernel by radial interpolation of an 8x-
+    oversampled 1-D design.  Host fp64 taps; apply with
+    :func:`fft_convolve2`."""
+    if len(hsize) != 2:
+        raise ValueError("hsize must be a 2-element tuple or list")
+    if circular:
+        if fc is None:
+            raise ValueError("fc is required when circular=True")
+        n_r = max(hsize[0], hsize[1]) * 8  # radial profile, 8x oversampled
+        win_r = firwin(n_r, fc, window=window, pass_zero=pass_zero,
+                       scale=scale, fs=fs)
+        f1, f2 = np.meshgrid(np.linspace(-1, 1, hsize[0]),
+                             np.linspace(-1, 1, hsize[1]))
+        r = np.sqrt(f1**2 + f2**2)
+        return np.interp(r, np.linspace(0, 1, n_r), win_r)
+    if len(window) != 2 or isinstance(window, str):
+        raise ValueError("window must be a 2-element tuple or list when "
+                         "circular=False")
+    row = firwin(hsize[0], fc, window=window[0], pass_zero=pass_zero,
+                 scale=scale, fs=fs)
+    col = firwin(hsize[1], fc, window=window[1], pass_zero=pass_zero,
+                 scale=scale, fs=fs)
+    return np.outer(row, col)

@@ -766,8 +766,13 @@ class TestSignalUtilities:
             want = ss.decimate(x, q, ftype="fir", zero_phase=True)
             assert got.shape == want.shape
             assert np.max(np.abs(got - want)) < 1e-4, q
+        # round-4: the IIR path rides the associative-scan sosfiltfilt
+        got = np.asarray(sp.decimate(x.astype(np.float32), 4, ftype="iir"))
+        want = ss.decimate(x, 4, ftype="iir", zero_phase=True)
+        assert got.shape == want.shape
+        assert np.max(np.abs(got - want)) < 1e-3
         with pytest.raises(ValueError):
-            sp.decimate(x, 2, ftype="iir")
+            sp.decimate(x, 2, ftype="nope")
 
     def test_savgol_vs_scipy(self, rng):
         import scipy.signal as ss
