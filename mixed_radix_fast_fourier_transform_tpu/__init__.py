@@ -68,7 +68,7 @@ from .ops.iir import (
     lfilter, sosfilt, filtfilt, sosfiltfilt, lfilter_zi, sosfilt_zi,
     freqs, freqs_zpk, sosfreqz,
     normalize, bilinear, lp2lp, lp2hp, lp2bp, lp2bs,
-    freqz_zpk, freqz_sos, iirdesign, lfiltic,
+    freqz_zpk, freqz_sos, iirdesign, lfiltic, findfreqs,
     unique_roots, residue, residuez, invres, invresz,
 )
 from .ops.signal import (
@@ -77,7 +77,7 @@ from .ops.signal import (
     envelope, firwin_2d,
 )
 from .ops.peaks import (
-    find_peaks, peak_prominences, peak_widths,
+    find_peaks, find_peaks_cwt, peak_prominences, peak_widths,
     argrelmin, argrelmax, argrelextrema,
     medfilt, medfilt2d, order_filter,
 )

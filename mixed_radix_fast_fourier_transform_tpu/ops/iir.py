@@ -1436,3 +1436,26 @@ def invresz(r, p, k, tol: float = 1e-3, rtype: str = "avg"):
     if len(np.atleast_1d(k)) and np.any(np.atleast_1d(k) != 0):
         b = add_asc(b, np.convolve(np.atleast_1d(k).astype(np.complex128), a))
     return np.real_if_close(b), np.real_if_close(a)
+
+
+def findfreqs(num, den, N: int, kind: str = "ba") -> np.ndarray:
+    """Log-spaced frequency grid covering a filter's interesting range
+    (scipy.signal.findfreqs): decades bracketing the pole/zero magnitudes."""
+    if kind == "ba":
+        ep = np.atleast_1d(np.roots(np.asarray(den, np.float64)))
+        tz = np.atleast_1d(np.roots(np.asarray(num, np.float64)))
+    elif kind == "zp":
+        ep = np.atleast_1d(np.asarray(den, np.complex128))
+        tz = np.atleast_1d(np.asarray(num, np.complex128))
+    else:
+        raise ValueError(f"kind must be 'ba' or 'zp', got {kind!r}")
+    if len(ep) == 0:
+        ep = np.atleast_1d(-1000.0 + 0j)
+    ez = np.r_[ep[ep.imag >= 0],
+               tz[(np.abs(tz) < 1e5) & (tz.imag >= 0)]]
+    integ = np.abs(ez) < 1e-10
+    hfreq = np.around(
+        np.log10(np.max(3 * np.abs(ez.real + integ) + 1.5 * ez.imag)) + 0.5)
+    lfreq = np.around(
+        np.log10(0.1 * np.min(np.abs((ez + integ).real) + 2 * ez.imag)) - 0.5)
+    return np.logspace(lfreq, hfreq, int(N))

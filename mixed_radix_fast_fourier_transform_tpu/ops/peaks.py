@@ -25,7 +25,7 @@ Array = jax.Array
 
 __all__ = [
     "argrelmin", "argrelmax", "argrelextrema",
-    "find_peaks", "peak_prominences", "peak_widths",
+    "find_peaks", "find_peaks_cwt", "peak_prominences", "peak_widths",
     "medfilt", "medfilt2d", "order_filter",
 ]
 
@@ -330,3 +330,101 @@ def medfilt2d(x, kernel_size=3) -> Array:
     if x.ndim != 2:
         raise ValueError("medfilt2d expects a 2-D input")
     return medfilt(x, kernel_size)
+
+
+def _ridge_lines(mat: np.ndarray, max_distances: np.ndarray,
+                 gap_thresh: float):
+    """Connect per-row relative maxima of a CWT matrix into ridge lines
+    (scipy's wavelet ridge-line tracker, top scale downward)."""
+    relmax = np.zeros(mat.shape, bool)
+    interior = (mat[:, 1:-1] > mat[:, :-2]) & (mat[:, 1:-1] > mat[:, 2:])
+    relmax[:, 1:-1] = interior
+    rows_with = np.nonzero(relmax.any(axis=1))[0]
+    if len(rows_with) == 0:
+        return []
+    start = rows_with[-1]
+    active = [[[start], [c], 0] for c in np.nonzero(relmax[start])[0]]
+    finished = []
+    for row in range(start - 1, -1, -1):
+        cols_here = np.nonzero(relmax[row])[0]
+        for line in active:
+            line[2] += 1
+        prev_cols = np.array([line[1][-1] for line in active])
+        for c in cols_here:
+            line = None
+            if len(prev_cols):
+                d = np.abs(c - prev_cols)
+                j = int(np.argmin(d))
+                if d[j] <= max_distances[row]:
+                    line = active[j]
+            if line is not None:
+                line[0].append(row)
+                line[1].append(c)
+                line[2] = 0
+            else:
+                active.append([[row], [c], 0])
+        for i in range(len(active) - 1, -1, -1):
+            if active[i][2] > gap_thresh:
+                finished.append(active.pop(i))
+    out = []
+    for rows, cols, _ in finished + active:
+        order = np.argsort(rows)
+        out.append((np.asarray(rows)[order], np.asarray(cols)[order]))
+    return out
+
+
+def find_peaks_cwt(vector, widths, wavelet=None, max_distances=None,
+                   gap_thresh: Optional[float] = None,
+                   min_length: Optional[int] = None,
+                   min_snr: float = 1.0, noise_perc: float = 10.0,
+                   window_size: Optional[int] = None) -> np.ndarray:
+    """Wavelet-ridge peak detection (scipy.signal.find_peaks_cwt): ricker
+    CWT over ``widths``, ridge lines tracked from coarse to fine scale,
+    filtered by length and by SNR against a windowed noise percentile of
+    the finest scale.
+
+    This is a host-side ANALYSIS function (data-dependent output size);
+    its ridge matrix is a host fp64 correlation so that strict relative-
+    maxima comparisons are meaningful even on noiseless signals — the
+    device :func:`..cwt.cwt` op stays the fp32 compute path."""
+    from .cwt import ricker
+
+    vector = np.asarray(vector, np.float64)
+    widths = np.atleast_1d(np.asarray(widths, np.float64))
+    if gap_thresh is None:
+        gap_thresh = float(np.ceil(widths[0]))
+    if max_distances is None:
+        max_distances = widths / 4.0
+    max_distances = np.asarray(max_distances, np.float64)
+    if wavelet is None:
+        wavelet = ricker
+    n = len(vector)
+    mat = np.empty((len(widths), n))
+    for i, wd in enumerate(widths):
+        points = min(10 * wd, n)
+        w = np.conj(np.asarray(wavelet(points, wd), np.float64)[::-1])
+        mat[i] = np.convolve(vector, w, mode="same")
+    lines = _ridge_lines(mat, max_distances, gap_thresh)
+
+    n = mat.shape[1]
+    if min_length is None:
+        min_length = int(np.ceil(mat.shape[0] / 4))
+    if window_size is None:
+        window_size = int(np.ceil(n / 20))
+    half, odd = divmod(int(window_size), 2)
+    row0 = mat[0]
+    noise = np.array([
+        np.percentile(row0[max(i - half, 0): min(i + half + odd, n)],
+                      noise_perc)
+        for i in range(n)
+    ])
+    locs = []
+    for rows, cols in lines:
+        if len(rows) < min_length:
+            continue
+        denom = noise[cols[0]]
+        snr = abs(mat[rows[0], cols[0]] / denom) if denom != 0 else np.inf
+        if snr < min_snr:
+            continue
+        locs.append(cols[0])
+    return np.sort(np.asarray(locs, np.intp))

@@ -121,3 +121,36 @@ class TestCZTClasses:
         assert sp.choose_conv_method(np.zeros(4096), np.zeros(129)) == "fft"
         with pytest.raises(ValueError):
             sp.choose_conv_method(np.zeros(8), np.zeros(8), mode="nope")
+
+
+class TestFindPeaksCWT:
+    def test_noisy_vs_scipy(self):
+        rng = np.random.default_rng(0)
+        t = np.linspace(0, 10, 1000)
+        x = np.sin(2 * np.pi * 0.7 * t) + 0.3 * rng.standard_normal(1000)
+        for kwargs in ({}, {"min_snr": 2}, {"window_size": 40}):
+            got = sp.find_peaks_cwt(x, np.arange(10, 40), **kwargs)
+            want = scipy_signal.find_peaks_cwt(x, np.arange(10, 40), **kwargs)
+            assert np.array_equal(got, want), kwargs
+
+    def test_clean_vs_scipy(self):
+        # fp64 host ridge matrix: noiseless signals must not produce
+        # machine-noise ridge lines (the fp32 device cwt would)
+        y = np.zeros(600)
+        for c in (100, 280, 480):
+            y += np.exp(-(((np.arange(600) - c) / 12.0) ** 2))
+        got = sp.find_peaks_cwt(y, np.arange(5, 30))
+        want = scipy_signal.find_peaks_cwt(y, np.arange(5, 30))
+        assert np.array_equal(got, want)
+
+
+class TestFindfreqs:
+    def test_vs_scipy(self):
+        b, a = scipy_signal.butter(4, 10.0, analog=True)
+        assert np.allclose(sp.findfreqs(b, a, 15),
+                           scipy_signal.findfreqs(b, a, 15))
+        z, p, k = scipy_signal.cheby1(3, 1, 5.0, analog=True, output="zpk")
+        assert np.allclose(sp.findfreqs(z, p, 10, kind="zp"),
+                           scipy_signal.findfreqs(z, p, 10, kind="zp"))
+        with pytest.raises(ValueError):
+            sp.findfreqs(b, a, 10, kind="nope")
