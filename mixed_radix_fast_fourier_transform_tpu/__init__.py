@@ -34,6 +34,8 @@ from .ops.fft import (
 )
 from .ops.rfft import rfft, irfft, rfftn, irfftn, rfft2, irfft2, hfft, ihfft
 from .ops.convolve import fft_convolve, fft_convolve2, fft_convolven, fft_correlate, fft_oaconvolve
+from .ops.convolve import convolve, correlate, fftconvolve, oaconvolve, convolve2d, correlate2d
+from .ops.shorttime import ShortTimeFFT, check_COLA, check_NOLA, closest_STFT_dual_window
 from .ops.stft import stft, istft, spectrogram, get_window, dpss, griffinlim, phase_vocoder, time_stretch, pitch_shift
 from .ops.cqt import cqt, cqt_frequencies, icqt
 from .ops.tfr import (
@@ -158,6 +160,8 @@ __all__ = [
     "fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
     "rfft", "rfft2", "irfft2", "hfft", "ihfft", "irfft", "rfftn", "irfftn",
     "fft_convolve", "fft_convolve2", "fft_convolven", "fft_correlate", "fft_oaconvolve",
+    "convolve", "correlate", "fftconvolve", "oaconvolve", "convolve2d", "correlate2d",
+    "ShortTimeFFT", "check_COLA", "check_NOLA", "closest_STFT_dual_window",
     "stft", "istft", "spectrogram", "get_window", "dpss", "griffinlim", "phase_vocoder", "time_stretch", "pitch_shift", "cqt", "cqt_frequencies", "icqt", "mel_filterbank", "mel_frequencies", "melspectrogram", "mfcc", "hz_to_mel", "mel_to_hz", "mel_to_stft", "mel_to_audio", "hpss", "yin", "pyin", "pcen", "A_weighting", "mfcc_to_mel", "mfcc_to_audio", "hilbert2",
     "spectral_centroid", "spectral_bandwidth", "spectral_rolloff", "spectral_flatness", "spectral_contrast", "zero_crossing_rate", "rms", "specaugment", "chroma_filterbank", "chroma_stft", "onset_strength", "tempo", "delta", "beat_track", "decompose", "trim", "split", "mu_law_encode", "mu_law_decode", "power_to_db", "db_to_power", "amplitude_to_db", "db_to_amplitude", "chroma_cqt", "tonnetz", "gcc_phat", "lpc",
     "chirp", "sweep_poly", "gausspulse", "sawtooth", "square", "unit_impulse", "phase_cross_correlation", "fourier_shift", "unwrap_phase_2d", "fourier_gaussian", "fourier_uniform", "fourier_ellipsoid", "wiener", "radon", "iradon", "wigner_ville", "ssq_cwt", "ssq_stft", "issq_cwt", "issq_stft", "reassigned_spectrogram", "stockwell", "istockwell", "ambiguity", "scattering1d", "scattering2d",

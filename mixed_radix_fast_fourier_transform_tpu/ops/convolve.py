@@ -335,6 +335,238 @@ def fft_correlate(
     return fft_convolve(in1, rev, mode=mode, axis=axis, config=config)
 
 
+def _direct_convolve_nd(in1: Array, in2: Array, axes) -> Array:
+    """Full-mode direct convolution over ``axes`` via XLA's convolution op.
+
+    ``lax.conv_general_dilated`` computes cross-correlation, so the kernel is
+    flipped; complex inputs expand into real-part convolutions (the MXU has no
+    complex path).  Supports 1-3 transform axes (XLA's spatial-dim limit)."""
+    ax = tuple(axes)
+    nd = len(ax)
+    if nd > 3:
+        raise ValueError("direct method supports at most 3 transform axes")
+    # move transform axes last, collapse the rest into a batch dim
+    rest = [d for d in range(in1.ndim) if d not in ax]
+    x = jnp.transpose(in1, rest + list(ax))
+    k = jnp.transpose(in2, [d for d in range(in2.ndim) if d not in ax]
+                      + [d for d in ax])
+    if any(s != 1 for s in k.shape[:-nd]) and k.shape[:-nd] != x.shape[:-nd]:
+        raise ValueError("direct method needs matching or size-1 batch dims")
+    bshape = x.shape[:-nd]
+    x = x.reshape((-1, 1) + x.shape[-nd:])          # (B, C=1, *spatial)
+    kern = k.reshape((-1,) + k.shape[-nd:])
+
+    def conv_real(xr, kr):
+        pads = [(kr.shape[1 + d], kr.shape[1 + d]) for d in range(nd)]
+        pads = [(p[0] - 1, p[1] - 1) for p in pads]
+        kr = jnp.flip(kr.reshape((1, 1) + kr.shape[1:]),
+                      axis=tuple(range(2, 2 + nd)))
+        dn = jax.lax.conv_dimension_numbers(xr.shape, kr.shape,
+                                            ("NC" + "HWD"[:nd],
+                                             "OI" + "HWD"[:nd],
+                                             "NC" + "HWD"[:nd]))
+        return jax.lax.conv_general_dilated(
+            xr, kr, window_strides=(1,) * nd, padding=pads,
+            dimension_numbers=dn,
+            precision=jax.lax.Precision.HIGHEST)
+
+    c1 = jnp.issubdtype(x.dtype, jnp.complexfloating)
+    c2 = jnp.issubdtype(kern.dtype, jnp.complexfloating)
+    if kern.shape[0] == 1:
+        kq = kern[0]
+    else:
+        if kern.shape[0] != x.shape[0]:
+            raise ValueError("direct method needs matching or size-1 batch dims")
+        # per-batch kernels: fall back to a vmap over the batch axis
+        f = lambda xr, kr: _direct_convolve_nd(xr, kr, tuple(range(nd)))
+        out = jax.vmap(f)(x[:, 0], kern)
+        return out.reshape(bshape + out.shape[1:])
+    if not c1 and not c2:
+        out = conv_real(x.real.astype(jnp.float32),
+                        kq.real.astype(jnp.float32)[None])[:, 0]
+    else:
+        xr, xi = jnp.real(x), jnp.imag(x)
+        kr, ki = jnp.real(kq)[None], jnp.imag(kq)[None]
+        rr = conv_real(xr, kr) - conv_real(xi, ki)
+        ii = conv_real(xr, ki) + conv_real(xi, kr)
+        out = jax.lax.complex(rr, ii)[:, 0]
+    out = out.reshape(bshape + out.shape[1:])
+    # restore original axis order
+    inv = np.argsort(rest + list(ax))
+    return jnp.transpose(out, inv)
+
+
+def convolve(
+    in1,
+    in2,
+    mode: str = "full",
+    method: str = "auto",
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """N-D convolution with scipy.signal.convolve semantics (``same`` returns
+    the shape of ``in1``; ``valid`` needs one input at least as large on every
+    axis).  ``method``: "auto" | "fft" | "direct" — direct runs the MXU
+    convolution op (≤3-D), fft runs the engine's padded transforms.  Output is
+    fp32/complex64 (scipy preserves int dtypes; this library is float-native).
+    Capability extension of the reference's 1-D ``fft_convolve``
+    (src/convolve.c:74-214)."""
+    in1 = jnp.asarray(in1)
+    in2 = jnp.asarray(in2)
+    if method == "auto":
+        method = choose_conv_method(in1, in2, mode)
+    if method == "fft" or in1.ndim > 3:
+        return fft_convolven(in1, in2, mode=mode, config=config)
+    if method != "direct":
+        raise ValueError(f"method must be auto/fft/direct, got {method!r}")
+    if in1.ndim != in2.ndim:
+        raise ValueError("convolve needs in1.ndim == in2.ndim")
+    if mode == "valid":
+        ge1 = all(a >= b for a, b in zip(in1.shape, in2.shape))
+        ge2 = all(b >= a for a, b in zip(in1.shape, in2.shape))
+        if not (ge1 or ge2):
+            raise ValueError("valid mode needs one input at least as large as "
+                             "the other on every axis")
+    out = _direct_convolve_nd(in1, in2, tuple(range(in1.ndim)))
+    idx = []
+    for a in range(in1.ndim):
+        full = in1.shape[a] + in2.shape[a] - 1
+        if mode == "full":
+            start, length = 0, full
+        elif mode == "same":
+            start, length = (full - in1.shape[a]) // 2, in1.shape[a]
+        elif mode == "valid":
+            smaller = min(in1.shape[a], in2.shape[a])
+            start, length = smaller - 1, abs(in1.shape[a] - in2.shape[a]) + 1
+        else:
+            raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
+        idx.append(slice(start, start + length))
+    return out[tuple(idx)]
+
+
+def correlate(
+    in1,
+    in2,
+    mode: str = "full",
+    method: str = "auto",
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """N-D cross-correlation, scipy.signal.correlate semantics: convolution of
+    ``in1`` with the fully reversed, conjugated ``in2``."""
+    in2 = jnp.asarray(in2)
+    rev = jnp.flip(jnp.conj(in2), axis=tuple(range(in2.ndim)))
+    return convolve(in1, rev, mode=mode, method=method, config=config)
+
+
+def fftconvolve(in1, in2, mode: str = "full", axes=None, *,
+                config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """scipy.signal.fftconvolve — alias of :func:`fft_convolven`."""
+    return fft_convolven(in1, in2, mode=mode, axes=axes, config=config)
+
+
+def oaconvolve(in1, in2, mode: str = "full", axes=None, *,
+               config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """scipy.signal.oaconvolve.  The 1-D case runs the batched overlap-add
+    pipeline (:func:`fft_oaconvolve`); multi-axis cases return the identical
+    result via the padded full-length transforms (the overlap-add block
+    decomposition only pays along one long axis)."""
+    in1a = jnp.asarray(in1)
+    in2a = jnp.asarray(in2)
+    one_axis = (axes is not None and np.ndim(axes) == 0) or (
+        axes is None and in1a.ndim == 1 and in2a.ndim == 1)
+    if one_axis:
+        axis = -1 if axes is None else int(axes)
+        if in2a.ndim == 1 or all(s == 1 for i, s in enumerate(in2a.shape)
+                                 if i != axis % in2a.ndim):
+            return fft_oaconvolve(in1a, in2a, mode=mode, axis=axis,
+                                  config=config)
+    return fft_convolven(in1, in2, mode=mode, axes=axes, config=config)
+
+
+def _pad_2d(x: Array, p0: int, p1: int, boundary: str, fillvalue) -> Array:
+    pads = [(0, 0)] * (x.ndim - 2) + [(p0, p0), (p1, p1)]
+    if boundary == "fill":
+        return jnp.pad(x, pads, constant_values=fillvalue)
+    if boundary == "wrap":
+        return jnp.pad(x, pads, mode="wrap")
+    if boundary == "symm":
+        return jnp.pad(x, pads, mode="symmetric")
+    raise ValueError(f"boundary must be fill/wrap/symm, got {boundary!r}")
+
+
+def convolve2d(
+    in1,
+    in2,
+    mode: str = "full",
+    boundary: str = "fill",
+    fillvalue=0,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """2-D convolution with scipy.signal.convolve2d's boundary semantics
+    (fill/wrap/symm), batched over leading axes (extension; scipy is 2-D
+    only).  Implemented by materializing the boundary as an explicit pad of
+    ``in2.shape − 1`` per side, then slicing the padded full-mode FFT
+    convolution — one fused rfft/fft pipeline either way."""
+    in1 = jnp.asarray(in1)
+    in2 = jnp.asarray(in2)
+    if in1.ndim < 2 or in2.ndim != 2:
+        raise ValueError("convolve2d needs a >=2-D in1 and a 2-D kernel")
+    k0, k1 = in2.shape
+    n0, n1 = in1.shape[-2:]
+    if mode not in _MODES:
+        raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
+    if mode == "valid" and not ((n0 >= k0 and n1 >= k1) or
+                                (k0 >= n0 and k1 >= n1)):
+        raise ValueError("valid mode needs one input at least as large as "
+                         "the other on every axis")
+    trivial_fill = boundary == "fill" and (
+        not isinstance(fillvalue, (int, float, complex)) or fillvalue == 0)
+    if trivial_fill:
+        full = fft_convolve2(in1, in2[(None,) * (in1.ndim - 2)], mode="full",
+                             config=config)
+    else:
+        p0, p1 = k0 - 1, k1 - 1
+        xp = _pad_2d(in1, p0, p1, boundary, fillvalue)
+        fullp = fft_convolve2(xp, in2[(None,) * (in1.ndim - 2)], mode="full",
+                              config=config)
+        # interior full-mode window of the padded result
+        full = fullp[..., p0: p0 + n0 + k0 - 1, p1: p1 + n1 + k1 - 1]
+
+    def _slice(o, axis, n, k):
+        fl = n + k - 1
+        if mode == "full":
+            start, length = 0, fl
+        elif mode == "same":
+            start, length = (fl - n) // 2, n  # scipy: shape of in1
+        else:
+            smaller = min(n, k)
+            start, length = smaller - 1, abs(n - k) + 1
+        idx = [slice(None)] * o.ndim
+        idx[axis] = slice(start, start + length)
+        return o[tuple(idx)]
+
+    return _slice(_slice(full, -2, n0, k0), -1, n1, k1)
+
+
+def correlate2d(
+    in1,
+    in2,
+    mode: str = "full",
+    boundary: str = "fill",
+    fillvalue=0,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """2-D cross-correlation with boundary handling
+    (scipy.signal.correlate2d)."""
+    in2 = jnp.asarray(in2)
+    rev = jnp.flip(jnp.conj(in2), axis=(0, 1))
+    return convolve2d(in1, rev, mode=mode, boundary=boundary,
+                      fillvalue=fillvalue, config=config)
+
+
 def choose_conv_method(in1, in2, mode: str = "full") -> str:
     """'fft' or 'direct' (scipy.signal.choose_conv_method semantics, sans
     timing): on TPU the FFT path wins long before it does on CPU — both
