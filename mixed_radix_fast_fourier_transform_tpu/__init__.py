@@ -71,7 +71,10 @@ from .ops.iir import (
     freqs, freqs_zpk, sosfreqz,
     normalize, bilinear, lp2lp, lp2hp, lp2bp, lp2bs,
     freqz_zpk, freqz_sos, iirdesign, lfiltic, findfreqs,
-    unique_roots, residue, residuez, invres, invresz,
+    unique_roots, residue, residuez, invres, invresz, BadCoefficients,
+)
+from .ops.lticlasses import (
+    lti, dlti, TransferFunction, ZerosPolesGain, StateSpace, place_poles,
 )
 from .ops.signal import (
     kaiserord, firwin2, firls, gammatone,
@@ -179,5 +182,38 @@ __all__ = [
     "build_complex_plan", "build_real_plan", "get_plan", "clear_plan_cache",
     "SpectralConfig", "DEFAULT_CONFIG",
     "prime_factors", "plan_stages", "dividebyN", "next_pow2", "next_fast_len",
+    # filter design + application (scipy.signal parity wave)
+    "butter", "cheby1", "cheby2", "ellip", "bessel", "iirfilter",
+    "buttap", "cheb1ap", "cheb2ap", "ellipap", "besselap",
+    "buttord", "cheb1ord", "cheb2ord", "ellipord",
+    "iirnotch", "iirpeak", "iircomb",
+    "bilinear_zpk", "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk",
+    "zpk2tf", "tf2zpk", "zpk2sos", "sos2zpk", "tf2sos", "sos2tf",
+    "lfilter", "sosfilt", "filtfilt", "sosfiltfilt", "lfilter_zi", "sosfilt_zi",
+    "freqs", "freqs_zpk", "sosfreqz",
+    "normalize", "bilinear", "lp2lp", "lp2hp", "lp2bp", "lp2bs",
+    "freqz_zpk", "freqz_sos", "iirdesign", "lfiltic", "findfreqs",
+    "unique_roots", "residue", "residuez", "invres", "invresz",
+    "BadCoefficients",
+    # LTI classes + pole placement
+    "lti", "dlti", "TransferFunction", "ZerosPolesGain", "StateSpace",
+    "place_poles",
+    # FIR + measurement utilities
+    "kaiserord", "firwin2", "firls", "gammatone",
+    "max_len_seq", "correlation_lags", "vectorstrength",
+    "envelope", "firwin_2d",
+    # peak analysis + rank filters
+    "find_peaks", "find_peaks_cwt", "peak_prominences", "peak_widths",
+    "argrelmin", "argrelmax", "argrelextrema",
+    "medfilt", "medfilt2d", "order_filter",
+    "CZT", "ZoomFFT", "choose_conv_method",
+    # B-splines
+    "gauss_spline", "cspline1d", "qspline1d", "cspline1d_eval",
+    "qspline1d_eval", "cspline2d", "qspline2d", "symiirorder1",
+    "symiirorder2", "sepfir2d", "spline_filter",
+    # LTI toolbox (functional)
+    "tf2ss", "ss2tf", "zpk2ss", "ss2zpk", "abcd_normalize", "cont2discrete",
+    "dlsim", "dstep", "dimpulse", "dfreqresp", "dbode",
+    "lsim", "step", "impulse", "freqresp", "bode",
     "__version__",
 ]

@@ -1150,14 +1150,25 @@ def sosfiltfilt(sos, x, axis: int = -1, padtype: Optional[str] = "odd",
 # ---------------------------------------------------------------------------
 
 
+class BadCoefficients(UserWarning):
+    """Warning for badly conditioned filter coefficients
+    (scipy.signal.BadCoefficients)."""
+
+
 def normalize(b, a):
-    """Normalize (b, a) so a[0] = 1, trimming leading numerator zeros
-    (scipy.signal.normalize without the BadCoefficients warning)."""
+    """Normalize (b, a) so a[0] = 1, trimming leading numerator zeros with a
+    :class:`BadCoefficients` warning (scipy.signal.normalize)."""
     b = np.atleast_1d(np.asarray(b, np.float64))
     a = np.atleast_1d(np.asarray(a, np.float64))
     if a[0] == 0:
         raise ValueError("a[0] must be nonzero")
     b, a = b / a[0], a / a[0]
+    if len(b) > 1 and b[0] == 0.0:
+        import warnings
+
+        warnings.warn("Badly conditioned filter coefficients (numerator): "
+                      "the results may be meaningless", BadCoefficients,
+                      stacklevel=2)
     while len(b) > 1 and b[0] == 0.0:
         b = b[1:]
     return b, a
