@@ -72,6 +72,7 @@ from .ops.iir import (
     normalize, bilinear, lp2lp, lp2hp, lp2bp, lp2bs,
     freqz_zpk, freqz_sos, iirdesign, lfiltic, findfreqs,
     unique_roots, residue, residuez, invres, invresz, BadCoefficients,
+    band_stop_obj,
 )
 from .ops.lticlasses import (
     lti, dlti, TransferFunction, ZerosPolesGain, StateSpace, place_poles,
@@ -194,7 +195,7 @@ __all__ = [
     "normalize", "bilinear", "lp2lp", "lp2hp", "lp2bp", "lp2bs",
     "freqz_zpk", "freqz_sos", "iirdesign", "lfiltic", "findfreqs",
     "unique_roots", "residue", "residuez", "invres", "invresz",
-    "BadCoefficients",
+    "BadCoefficients", "band_stop_obj",
     # LTI classes + pole placement
     "lti", "dlti", "TransferFunction", "ZerosPolesGain", "StateSpace",
     "place_poles",

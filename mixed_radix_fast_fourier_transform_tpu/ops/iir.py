@@ -644,12 +644,76 @@ def _band_nat(wp, ws, btype: str, analog: bool):
         nat = np.min(np.abs(
             (stopb**2 - passb[0] * passb[1]) / (stopb * (passb[0] - passb[1]))
         ))
-    else:  # bandstop (scipy additionally nudges the passband edges; the
-        # un-nudged formula is conservative by design — never under-orders)
+    else:  # bandstop: callers re-optimize the passband edges via
+        # _bandstop_nudge (scipy's fminbound over band_stop_obj)
         nat = np.min(np.abs(
             (stopb * (passb[0] - passb[1])) / (stopb**2 - passb[0] * passb[1])
         ))
     return float(np.min(np.abs(nat))), passb, stopb
+
+
+def band_stop_obj(wp, ind: int, passb, stopb, gpass: float, gstop: float,
+                  type: str):
+    """Band-stop order objective (scipy.signal.band_stop_obj): the filter
+    order needed when passband edge ``ind`` is moved to ``wp`` — minimized
+    over the feasible edge range to find the most selective band-stop spec."""
+    passbC = np.asarray(passb, np.float64).copy()
+    passbC[ind] = wp
+    stopb = np.asarray(stopb, np.float64)
+    nat = np.min(np.abs(stopb * (passbC[0] - passbC[1])
+                        / (stopb ** 2 - passbC[0] * passbC[1])))
+    GSTOP = 10.0 ** (0.1 * abs(gstop))
+    GPASS = 10.0 ** (0.1 * abs(gpass))
+    if type == "butter":
+        return math.log10((GSTOP - 1.0) / (GPASS - 1.0)) \
+            / (2.0 * math.log10(nat))
+    if type == "cheby":
+        return math.acosh(math.sqrt((GSTOP - 1.0) / (GPASS - 1.0))) \
+            / math.acosh(nat)
+    if type == "ellip":
+        k = 1.0 / nat
+        k1 = math.sqrt((GPASS - 1.0) / (GSTOP - 1.0))
+        kp = math.sqrt(max(0.0, 1.0 - k * k))
+        k1p = math.sqrt(max(0.0, 1.0 - k1 * k1))
+        return _ellipk(k) * _ellipk(k1p) / (_ellipk(kp) * _ellipk(k1))
+    raise ValueError(f"incorrect type: {type!r}")
+
+
+def _golden_min(f, a: float, b: float, tol: float = 1e-12,
+                max_iter: int = 200) -> float:
+    """Bounded scalar minimization by golden-section (host design-time)."""
+    invphi = (math.sqrt(5.0) - 1.0) / 2.0
+    c, d = b - invphi * (b - a), a + invphi * (b - a)
+    fc, fd = f(c), f(d)
+    for _ in range(max_iter):
+        if b - a < tol * (abs(a) + abs(b) + 1.0):
+            break
+        if fc < fd:
+            b, d, fd = d, c, fc
+            c = b - invphi * (b - a)
+            fc = f(c)
+        else:
+            a, c, fc = c, d, fd
+            d = a + invphi * (b - a)
+            fd = f(d)
+    return (a + b) / 2.0
+
+
+def _bandstop_nudge(passb: np.ndarray, stopb: np.ndarray, gpass: float,
+                    gstop: float, ftype: str):
+    """scipy's band-stop edge optimization: pull each passband edge toward
+    the stopband to maximize selectivity (minimize the required order);
+    returns (nat, nudged passb)."""
+    passb = passb.copy()
+    passb[0] = _golden_min(
+        lambda w: band_stop_obj(w, 0, passb, stopb, gpass, gstop, ftype),
+        passb[0], stopb[0] - 1e-12)
+    passb[1] = _golden_min(
+        lambda w: band_stop_obj(w, 1, passb, stopb, gpass, gstop, ftype),
+        stopb[1] + 1e-12, passb[1])
+    nat = np.min(np.abs(stopb * (passb[0] - passb[1])
+                        / (stopb ** 2 - passb[0] * passb[1])))
+    return float(nat), passb
 
 
 def _infer_btype(wp, ws) -> str:
@@ -669,12 +733,13 @@ def _maybe_fs(w, fs):
 
 def buttord(wp, ws, gpass: float, gstop: float, analog: bool = False,
             fs: Optional[float] = None):
-    """Butterworth order selection (scipy.signal.buttord semantics for
-    lowpass/highpass/bandpass; bandstop uses the conservative un-nudged
-    selectivity).  Returns (N, Wn) with Wn meeting the stopband exactly."""
+    """Butterworth order selection (scipy.signal.buttord semantics, incl.
+    the band-stop passband-edge optimization).  Returns (N, Wn)."""
     wp_n, ws_n = _maybe_fs(wp, fs), _maybe_fs(ws, fs)
     btype = _infer_btype(wp_n, ws_n)
     nat, passb, stopb = _band_nat(wp_n, ws_n, btype, analog)
+    if btype == "bandstop":
+        nat, passb = _bandstop_nudge(passb, stopb, gpass, gstop, "butter")
     GSTOP = 10.0 ** (0.1 * abs(gstop))
     GPASS = 10.0 ** (0.1 * abs(gpass))
     N = int(math.ceil(
@@ -709,6 +774,12 @@ def _ord_wn_back(W0: float, btype: str, passb: np.ndarray, analog: bool,
         WN = np.sort(np.abs(np.array([
             (bw / W0 + disc) / 2.0, (bw / W0 - disc) / 2.0,
         ])))
+    return _unwarp_wn(WN, analog, fs)
+
+
+def _unwarp_wn(WN, analog: bool, fs: Optional[float]):
+    """Prewarped edge(s) → digital/analog critical frequency output."""
+    WN = np.atleast_1d(np.asarray(WN, np.float64))
     if not analog:
         WN = 2.0 / math.pi * np.arctan(WN)
     if fs is not None:
@@ -718,17 +789,19 @@ def _ord_wn_back(W0: float, btype: str, passb: np.ndarray, analog: bool,
 
 def cheb1ord(wp, ws, gpass: float, gstop: float, analog: bool = False,
              fs: Optional[float] = None):
-    """Chebyshev-I order selection; Wn is the passband edge (scipy parity)."""
+    """Chebyshev-I order selection; Wn is the (band-stop: selectivity-
+    optimized) passband edge (scipy parity)."""
     wp_n, ws_n = _maybe_fs(wp, fs), _maybe_fs(ws, fs)
     btype = _infer_btype(wp_n, ws_n)
-    nat, _, _ = _band_nat(wp_n, ws_n, btype, analog)
+    nat, passb, stopb = _band_nat(wp_n, ws_n, btype, analog)
+    if btype == "bandstop":
+        nat, passb = _bandstop_nudge(passb, stopb, gpass, gstop, "cheby")
     GSTOP = 10.0 ** (0.1 * abs(gstop))
     GPASS = 10.0 ** (0.1 * abs(gpass))
     N = int(math.ceil(
         math.acosh(math.sqrt((GSTOP - 1.0) / (GPASS - 1.0))) / math.acosh(nat)
     ))
-    wn = np.atleast_1d(np.asarray(wp, np.float64))
-    return N, float(wn[0]) if wn.size == 1 else wn
+    return N, _unwarp_wn(passb, analog, fs)
 
 
 def cheb2ord(wp, ws, gpass: float, gstop: float, analog: bool = False,
@@ -737,6 +810,8 @@ def cheb2ord(wp, ws, gpass: float, gstop: float, analog: bool = False,
     wp_n, ws_n = _maybe_fs(wp, fs), _maybe_fs(ws, fs)
     btype = _infer_btype(wp_n, ws_n)
     nat, passb, stopb = _band_nat(wp_n, ws_n, btype, analog)
+    if btype == "bandstop":
+        nat, passb = _bandstop_nudge(passb, stopb, gpass, gstop, "cheby")
     GSTOP = 10.0 ** (0.1 * abs(gstop))
     GPASS = 10.0 ** (0.1 * abs(gpass))
     N = int(math.ceil(
@@ -757,7 +832,9 @@ def ellipord(wp, ws, gpass: float, gstop: float, analog: bool = False,
     N = ⌈K(k)·K′(k₁) / (K′(k)·K(k₁))⌉; Wn is the passband edge."""
     wp_n, ws_n = _maybe_fs(wp, fs), _maybe_fs(ws, fs)
     btype = _infer_btype(wp_n, ws_n)
-    nat, _, _ = _band_nat(wp_n, ws_n, btype, analog)
+    nat, passb, stopb = _band_nat(wp_n, ws_n, btype, analog)
+    if btype == "bandstop":
+        nat, passb = _bandstop_nudge(passb, stopb, gpass, gstop, "ellip")
     GSTOP = 10.0 ** (0.1 * abs(gstop))
     GPASS = 10.0 ** (0.1 * abs(gpass))
     k = 1.0 / nat  # selectivity
@@ -765,8 +842,7 @@ def ellipord(wp, ws, gpass: float, gstop: float, analog: bool = False,
     kp = math.sqrt(max(0.0, 1.0 - k * k))
     k1p = math.sqrt(max(0.0, 1.0 - k1 * k1))
     N = int(math.ceil(_ellipk(k) * _ellipk(k1p) / (_ellipk(kp) * _ellipk(k1))))
-    wn = np.atleast_1d(np.asarray(wp, np.float64))
-    return N, float(wn[0]) if wn.size == 1 else wn
+    return N, _unwarp_wn(passb, analog, fs)
 
 
 # ---------------------------------------------------------------------------
