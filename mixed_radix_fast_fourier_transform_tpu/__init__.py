@@ -33,6 +33,7 @@ from .ops.fft import (
     idht,
 )
 from .ops.rfft import rfft, irfft, rfftn, irfftn, rfft2, irfft2, hfft, ihfft
+from .ops.rfft import hfft2, ihfft2, hfftn, ihfftn
 from .ops.convolve import fft_convolve, fft_convolve2, fft_convolven, fft_correlate, fft_oaconvolve
 from .ops.convolve import convolve, correlate, fftconvolve, oaconvolve, convolve2d, correlate2d
 from .ops.shorttime import ShortTimeFFT, check_COLA, check_NOLA, closest_STFT_dual_window
@@ -163,6 +164,7 @@ __version__ = "0.1.0"
 __all__ = [
     "fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
     "rfft", "rfft2", "irfft2", "hfft", "ihfft", "irfft", "rfftn", "irfftn",
+    "hfft2", "ihfft2", "hfftn", "ihfftn",
     "fft_convolve", "fft_convolve2", "fft_convolven", "fft_correlate", "fft_oaconvolve",
     "convolve", "correlate", "fftconvolve", "oaconvolve", "convolve2d", "correlate2d",
     "ShortTimeFFT", "check_COLA", "check_NOLA", "closest_STFT_dual_window",

@@ -249,6 +249,50 @@ def ihfft(x, n: Optional[int] = None, axis: int = -1, norm="backward",
     return jnp.conj(rfft(x, n=n, axis=axis, norm=inv_norm[norm], config=config))
 
 
+def hfftn(x, s=None, axes=None, norm="backward", *, config=DEFAULT_CONFIG):
+    """N-D FFT of an array with Hermitian symmetry in the last transform
+    axis → real output (scipy.fft.hfftn): hfftn(a, s) = irfftn(conj(a), s)
+    scaled by prod(s), with norms swapped per axis-count."""
+    from .fft import _axes_shape
+
+    x = jnp.asarray(x)
+    if axes is None:
+        axes = tuple(range(x.ndim))
+    axes = tuple(a % x.ndim for a in axes)
+    if s is None:
+        s = tuple(
+            x.shape[a] if a != axes[-1] else 2 * (x.shape[a] - 1) for a in axes
+        )
+    norm = norm or "backward"
+    if norm not in ("backward", "ortho", "forward"):
+        raise ValueError(f"unknown norm {norm!r}")
+    inv_norm = {"backward": "forward", "forward": "backward", "ortho": "ortho"}
+    return irfftn(jnp.conj(x), s=s, axes=axes, norm=inv_norm[norm],
+                  config=config)
+
+
+def ihfftn(x, s=None, axes=None, norm="backward", *, config=DEFAULT_CONFIG):
+    """Inverse of :func:`hfftn` (scipy.fft.ihfftn): real input → conjugated
+    half-spectrum over the last transform axis."""
+    norm = norm or "backward"
+    if norm not in ("backward", "ortho", "forward"):
+        raise ValueError(f"unknown norm {norm!r}")
+    inv_norm = {"backward": "forward", "forward": "backward", "ortho": "ortho"}
+    return jnp.conj(rfftn(x, s=s, axes=axes, norm=inv_norm[norm],
+                          config=config))
+
+
+def hfft2(x, s=None, axes=(-2, -1), norm="backward", *, config=DEFAULT_CONFIG):
+    """2-D Hermitian FFT (scipy.fft.hfft2)."""
+    return hfftn(x, s=s, axes=axes, norm=norm, config=config)
+
+
+def ihfft2(x, s=None, axes=(-2, -1), norm="backward", *,
+           config=DEFAULT_CONFIG):
+    """Inverse 2-D Hermitian FFT (scipy.fft.ihfft2)."""
+    return ihfftn(x, s=s, axes=axes, norm=norm, config=config)
+
+
 def rfftn(x, s=None, axes=None, norm="backward", *, config=DEFAULT_CONFIG):
     """N-D real FFT: rfft over the last requested axis, complex fft over the rest."""
     from .fft import fft, _axes_shape

@@ -144,3 +144,36 @@ def test_rfft2_irfft2_roundtrip(rng):
     assert np.max(np.abs(np.asarray(spec) - want)) / np.max(np.abs(want)) < 2e-5
     back = sp.irfft2(np.asarray(spec), s=(16, 24))
     assert np.max(np.abs(np.asarray(back) - img)) < 1e-4
+
+
+# -------------------------------------------------- Hermitian N-D (scipy.fft)
+
+@pytest.mark.parametrize("norm", ["backward", "ortho", "forward"])
+def test_hfft2_ihfft2_match_scipy(rng, norm):
+    import scipy.fft as sf
+    x = rng.standard_normal((6, 9)).astype(np.float32)
+    got = np.asarray(sp.ihfft2(x, norm=norm))
+    want = sf.ihfft2(x.astype(np.float64), norm=norm)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    back = np.asarray(sp.hfft2(got, s=x.shape, norm=norm))
+    np.testing.assert_allclose(back, sf.hfft2(want, s=x.shape, norm=norm),
+                               atol=1e-4)
+
+
+def test_hfftn_roundtrip_and_scipy(rng):
+    import scipy.fft as sf
+    x = rng.standard_normal((4, 5, 8)).astype(np.float32)
+    h = np.asarray(sp.ihfftn(x))
+    np.testing.assert_allclose(h, sf.ihfftn(x.astype(np.float64)), atol=1e-5)
+    rt = np.asarray(sp.hfftn(h, s=x.shape))
+    np.testing.assert_allclose(rt, x, atol=1e-4)
+
+
+def test_hfftn_axes_subset(rng):
+    import scipy.fft as sf
+    x = (rng.standard_normal((3, 10, 6))
+         + 1j * rng.standard_normal((3, 10, 6))).astype(np.complex64)
+    got = np.asarray(sp.hfftn(x, axes=(1, 2)))
+    want = sf.hfftn(x.astype(np.complex128), axes=(1, 2))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-3 * np.abs(want).max())

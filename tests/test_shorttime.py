@@ -259,3 +259,31 @@ def test_validation_errors():
         s.stft(np.zeros(100, np.float32), p0=0, p1=999)
     with pytest.raises(ValueError):
         s.istft(np.zeros((5, 5), np.complex64))  # wrong f_pts
+
+
+def test_istft_batched_and_negative_k0(rng):
+    x = rng.standard_normal((2, 3, 150))
+    ours, ref = _pair()
+    S_ref = ref.stft(x)                      # (2, 3, f, P)
+    got = np.asarray(ours.istft(S_ref.astype(np.complex64), k1=150))
+    want = ref.istft(S_ref, k1=150)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=_tol(want))
+    if ref.k_min < 0:
+        k0 = max(ref.k_min, -8)
+        got = np.asarray(ours.istft(S_ref.astype(np.complex64), k0=k0, k1=100))
+        want = ref.istft(S_ref, k0=k0, k1=100)
+        np.testing.assert_allclose(got, want, atol=_tol(want))
+
+
+def test_stft_istft_t_f_axes(rng):
+    x = rng.standard_normal((4, 120))
+    ours, ref = _pair(fft_mode="twosided")
+    S = ref.stft(x, axis=-1)
+    # move f/t: istft with explicit f_axis/t_axis on a permuted S
+    Sp = np.moveaxis(S, (-2, -1), (0, 1))    # (f, t, batch)
+    got = np.asarray(ours.istft(Sp.astype(np.complex64), k1=120,
+                                f_axis=0, t_axis=1))
+    want = ref.istft(Sp, k1=120, f_axis=0, t_axis=1)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=_tol(want))
