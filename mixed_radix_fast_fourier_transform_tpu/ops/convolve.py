@@ -341,7 +341,7 @@ def _direct_convolve_nd(in1: Array, in2: Array, axes) -> Array:
     ``lax.conv_general_dilated`` computes cross-correlation, so the kernel is
     flipped; complex inputs expand into real-part convolutions (the MXU has no
     complex path).  Supports 1-3 transform axes (XLA's spatial-dim limit)."""
-    ax = tuple(axes)
+    ax = tuple(a % in1.ndim for a in axes)
     nd = len(ax)
     if nd > 3:
         raise ValueError("direct method supports at most 3 transform axes")
@@ -374,22 +374,21 @@ def _direct_convolve_nd(in1: Array, in2: Array, axes) -> Array:
     c2 = jnp.issubdtype(kern.dtype, jnp.complexfloating)
     if kern.shape[0] == 1:
         kq = kern[0]
+        if not c1 and not c2:
+            out = conv_real(x.real.astype(jnp.float32),
+                            kq.real.astype(jnp.float32)[None])[:, 0]
+        else:
+            xr, xi = jnp.real(x), jnp.imag(x)
+            kr, ki = jnp.real(kq)[None], jnp.imag(kq)[None]
+            rr = conv_real(xr, kr) - conv_real(xi, ki)
+            ii = conv_real(xr, ki) + conv_real(xi, kr)
+            out = jax.lax.complex(rr, ii)[:, 0]
     else:
         if kern.shape[0] != x.shape[0]:
             raise ValueError("direct method needs matching or size-1 batch dims")
-        # per-batch kernels: fall back to a vmap over the batch axis
+        # per-batch kernels: vmap the all-axes case over the batch axis
         f = lambda xr, kr: _direct_convolve_nd(xr, kr, tuple(range(nd)))
         out = jax.vmap(f)(x[:, 0], kern)
-        return out.reshape(bshape + out.shape[1:])
-    if not c1 and not c2:
-        out = conv_real(x.real.astype(jnp.float32),
-                        kq.real.astype(jnp.float32)[None])[:, 0]
-    else:
-        xr, xi = jnp.real(x), jnp.imag(x)
-        kr, ki = jnp.real(kq)[None], jnp.imag(kq)[None]
-        rr = conv_real(xr, kr) - conv_real(xi, ki)
-        ii = conv_real(xr, ki) + conv_real(xi, kr)
-        out = jax.lax.complex(rr, ii)[:, 0]
     out = out.reshape(bshape + out.shape[1:])
     # restore original axis order
     inv = np.argsort(rest + list(ax))
@@ -413,14 +412,19 @@ def convolve(
     (src/convolve.c:74-214)."""
     in1 = jnp.asarray(in1)
     in2 = jnp.asarray(in2)
-    if method == "auto":
-        method = choose_conv_method(in1, in2, mode)
-    if method == "fft" or in1.ndim > 3:
-        return fft_convolven(in1, in2, mode=mode, config=config)
-    if method != "direct":
+    if method not in ("auto", "fft", "direct"):
         raise ValueError(f"method must be auto/fft/direct, got {method!r}")
+    if mode not in _MODES:
+        raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
     if in1.ndim != in2.ndim:
-        raise ValueError("convolve needs in1.ndim == in2.ndim")
+        raise ValueError("in1 and in2 must have the same dimensionality")
+    if method == "auto":
+        method = "fft" if in1.ndim > 3 else choose_conv_method(in1, in2, mode)
+    if method == "direct" and in1.ndim > 3:
+        raise ValueError("method='direct' supports at most 3 dimensions on "
+                         "TPU (XLA conv spatial limit); use method='fft'")
+    if method == "fft":
+        return fft_convolven(in1, in2, mode=mode, config=config)
     if mode == "valid":
         ge1 = all(a >= b for a, b in zip(in1.shape, in2.shape))
         ge2 = all(b >= a for a, b in zip(in1.shape, in2.shape))
@@ -521,8 +525,14 @@ def convolve2d(
                                 (k0 >= n0 and k1 >= n1)):
         raise ValueError("valid mode needs one input at least as large as "
                          "the other on every axis")
-    trivial_fill = boundary == "fill" and (
-        not isinstance(fillvalue, (int, float, complex)) or fillvalue == 0)
+    if boundary == "fill":
+        try:
+            fv = complex(fillvalue)
+        except (TypeError, ValueError):
+            raise ValueError(f"fillvalue must be a scalar, got {fillvalue!r}")
+        trivial_fill = fv == 0
+    else:
+        trivial_fill = False
     if trivial_fill:
         full = fft_convolve2(in1, in2[(None,) * (in1.ndim - 2)], mode="full",
                              config=config)

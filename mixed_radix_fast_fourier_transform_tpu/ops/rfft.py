@@ -253,8 +253,6 @@ def hfftn(x, s=None, axes=None, norm="backward", *, config=DEFAULT_CONFIG):
     """N-D FFT of an array with Hermitian symmetry in the last transform
     axis → real output (scipy.fft.hfftn): hfftn(a, s) = irfftn(conj(a), s)
     scaled by prod(s), with norms swapped per axis-count."""
-    from .fft import _axes_shape
-
     x = jnp.asarray(x)
     if axes is None:
         axes = tuple(range(x.ndim))

@@ -723,6 +723,7 @@ class ShortTimeFFT:
                              f"{n_min}")
 
         q0 = (k0 // self._hop + self.p_min if k0 >= 0 else k0 // self._hop)
+        q0 = max(q0, self.p_min)  # slices below p_min do not exist in S
         q1 = min(self.p_max(k1), q_max)
         k_q0 = self.nearest_k_p(k0)
         k_q1 = self.nearest_k_p(k1, left=False)

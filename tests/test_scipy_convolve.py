@@ -146,3 +146,32 @@ def test_convolve_valid_requires_domination(rng):
         sp.convolve(a, b, mode="valid", method="direct")
     with pytest.raises(ValueError):
         sp.convolve2d(a, b, mode="valid")
+
+
+def test_convolve2d_numpy_scalar_fillvalue(rng):
+    # review finding: np.float32 fillvalue was silently treated as zero
+    a = rng.standard_normal((8, 8)).astype(np.float32)
+    b = rng.standard_normal((3, 3)).astype(np.float32)
+    got = np.asarray(sp.convolve2d(a, b, boundary="fill",
+                                   fillvalue=np.float32(1.5)))
+    want = ss.convolve2d(a.astype(np.float64), b.astype(np.float64),
+                         boundary="fill", fillvalue=1.5)
+    np.testing.assert_allclose(got, want, atol=_tol(want))
+    with pytest.raises(ValueError):
+        sp.convolve2d(a, b, boundary="fill", fillvalue=np.ones(2))
+
+
+def test_convolve_method_validation(rng):
+    a = rng.standard_normal((2, 3, 4, 5)).astype(np.float32)
+    b = rng.standard_normal((1, 2, 2, 2)).astype(np.float32)
+    with pytest.raises(ValueError):
+        sp.convolve(a, b, method="bogus")
+    with pytest.raises(ValueError):
+        sp.convolve(a, b, method="direct")  # >3-D direct unsupported
+    with pytest.raises(ValueError):
+        sp.convolve(a[0], b, method="fft")  # ndim mismatch
+    # auto on >3-D routes to fft and works
+    got = np.asarray(sp.convolve(a, b, mode="same"))
+    want = ss.convolve(a.astype(np.float64), b.astype(np.float64),
+                       mode="same", method="fft")
+    np.testing.assert_allclose(got, want, atol=_tol(want))

@@ -287,3 +287,25 @@ def test_stft_istft_t_f_axes(rng):
     want = ref.istft(Sp, k1=120, f_axis=0, t_axis=1)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=_tol(want))
+
+
+def test_istft_negative_k0_sweep(rng):
+    # review finding: q0 must clamp to p_min for k0 < 0 (crash/wrap before)
+    x = rng.standard_normal(150)
+    for win, hop in ((ss.windows.hann(32, sym=False), 9),
+                     (ss.windows.hamming(16, sym=False), 16)):
+        ours = ShortTimeFFT(win, hop, 100.0)
+        ref = ss.ShortTimeFFT(win, hop, 100.0)
+        S = ref.stft(x)
+        for k0 in range(ref.k_min, 1, 3):
+            got = np.asarray(ours.istft(S.astype(np.complex64), k0=k0,
+                                        k1=120))
+            assert np.all(np.isfinite(got)) and got.shape == (120 - k0,)
+            try:
+                want = ref.istft(S, k0=k0, k1=120)
+            except ValueError:
+                # scipy 1.17 crashes on some hop==m_num negative-k0 cases
+                # (its own q0 is unclamped); ours is defined everywhere
+                continue
+            np.testing.assert_allclose(got, want, atol=_tol(want),
+                                       err_msg=f"hop={hop} k0={k0}")
