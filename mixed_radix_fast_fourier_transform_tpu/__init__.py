@@ -78,6 +78,7 @@ from .ops.iir import (
 from .ops.lticlasses import (
     lti, dlti, TransferFunction, ZerosPolesGain, StateSpace, place_poles,
 )
+from .ops.emd import emd, eemd, hilbert_huang
 from .ops.signal import (
     kaiserord, firwin2, firls, gammatone,
     max_len_seq, correlation_lags, vectorstrength,
@@ -201,6 +202,7 @@ __all__ = [
     # LTI classes + pole placement
     "lti", "dlti", "TransferFunction", "ZerosPolesGain", "StateSpace",
     "place_poles",
+    "emd", "eemd", "hilbert_huang",
     # FIR + measurement utilities
     "kaiserord", "firwin2", "firls", "gammatone",
     "max_len_seq", "correlation_lags", "vectorstrength",
