@@ -79,6 +79,7 @@ from .ops.lticlasses import (
     lti, dlti, TransferFunction, ZerosPolesGain, StateSpace, place_poles,
 )
 from .ops.emd import emd, eemd, hilbert_huang
+from .ops.hos import bispectrum, bicoherence
 from .ops.signal import (
     kaiserord, firwin2, firls, gammatone,
     max_len_seq, correlation_lags, vectorstrength,
@@ -202,7 +203,7 @@ __all__ = [
     # LTI classes + pole placement
     "lti", "dlti", "TransferFunction", "ZerosPolesGain", "StateSpace",
     "place_poles",
-    "emd", "eemd", "hilbert_huang",
+    "emd", "eemd", "hilbert_huang", "bispectrum", "bicoherence",
     # FIR + measurement utilities
     "kaiserord", "firwin2", "firls", "gammatone",
     "max_len_seq", "correlation_lags", "vectorstrength",
