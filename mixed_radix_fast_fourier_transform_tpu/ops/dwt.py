@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -911,3 +911,74 @@ def wprec2(
     merged = wprec(stacked_rows, wavelet, config=config)  # (n_cols, …)
     cols = [jnp.swapaxes(merged[j], -1, -2) for j in range(n_cols)]
     return wprec(cols, wavelet, config=config)
+
+
+# ---------------------------------------------------------------------------
+# Wavelet denoising
+# ---------------------------------------------------------------------------
+
+
+def _soft_hard(d: Array, t, mode: str) -> Array:
+    if mode == "soft":
+        return jnp.sign(d) * jnp.maximum(jnp.abs(d) - t, 0.0)
+    if mode == "hard":
+        return jnp.where(jnp.abs(d) > t, d, 0.0)
+    raise ValueError(f"mode must be 'soft' or 'hard', got {mode!r}")
+
+
+def wavelet_denoise(
+    x,
+    wavelet: str = "db4",
+    level: Optional[int] = None,
+    *,
+    mode: str = "soft",
+    method: str = "universal",
+    sigma: Optional[float] = None,
+    extension: str = "symmetric",
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Wavelet-shrinkage denoising (MATLAB wden / skimage
+    denoise_wavelet class): wavedec → per-level detail thresholding →
+    waverec, one jit-composed pipeline.
+
+    ``method``: "universal" (VisuShrink, Donoho-Johnstone σ·√(2·ln n), one
+    global threshold) or "bayes" (BayesShrink, per-level t = σ²/σ_x with
+    σ_x² = max(var(d) − σ², 0); a level whose detail energy is all noise is
+    zeroed).  ``sigma`` defaults to the MAD estimate of the finest detail
+    band (median |d₁| / 0.6745).  ``mode``: soft or hard thresholding.
+    Batched over leading axes.  Capability extension; oracle-tested by SNR
+    improvement and the t→0 identity.
+    """
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    if level is None:
+        level = max(1, min(4, dwt_max_level(n, wavelet)))
+        if extension == "periodization":
+            while level > 1 and n % (1 << level):
+                level -= 1
+    coeffs = wavedec(x, wavelet, level=level, mode=extension, config=config)
+    approx, details = coeffs[0], coeffs[1:]
+    d_fine = details[-1]
+    if sigma is None:
+        med = jnp.median(jnp.abs(d_fine), axis=-1, keepdims=True)
+        sigma_v = med / 0.6745
+    else:
+        sigma_v = jnp.asarray(sigma)
+    if method == "universal":
+        t = sigma_v * np.sqrt(2.0 * np.log(max(n, 2)))
+        new_details = [_soft_hard(d, t, mode) for d in details]
+    elif method == "bayes":
+        new_details = []
+        for d in details:
+            var_d = jnp.mean(d * d, axis=-1, keepdims=True)
+            sig_x = jnp.sqrt(jnp.maximum(var_d - sigma_v**2, 0.0))
+            # all-noise band: threshold above the band maximum kills it
+            t = jnp.where(sig_x > 0, sigma_v**2 / jnp.maximum(sig_x, 1e-30),
+                          jnp.max(jnp.abs(d), axis=-1, keepdims=True) + 1.0)
+            new_details.append(_soft_hard(d, t, mode))
+    else:
+        raise ValueError(f"method must be 'universal' or 'bayes', "
+                         f"got {method!r}")
+    out = waverec([approx] + new_details, wavelet, mode=extension,
+                  config=config)
+    return out[..., :n]

@@ -1918,3 +1918,42 @@ def firwin_2d(hsize, window, *, fc=None, fs: float = 2.0,
     col = firwin(hsize[1], fc, window=window[1], pass_zero=pass_zero,
                  scale=scale, fs=fs)
     return np.outer(row, col)
+
+
+def goertzel(x, freqs, *, fs: float = 1.0, axis: int = -1,
+             config: SpectralConfig = DEFAULT_CONFIG) -> Array:
+    """DFT evaluated at arbitrary (non-bin) frequencies — the Goertzel-class
+    single-bin analysis (DTMF detection, carrier probing) as one dense MXU
+    contraction instead of the textbook per-sample recurrence (which is
+    serial and VPU-bound; the contraction is exactly the same sum
+    Σ x[k]·e^{−2πi f k / fs}).
+
+    ``freqs``: scalar or 1-D array in the units of ``fs`` (cycles/sample for
+    the default fs=1).  Returns (..., len(freqs)) complex (scalar frequency
+    drops the last axis), matching an rfft bin exactly when f lands on one.
+    """
+    x = jnp.asarray(x)
+    axis = axis % x.ndim
+    n = x.shape[axis]
+    f_arr = np.atleast_1d(np.asarray(freqs, np.float64)) / float(fs)
+    if f_arr.ndim != 1:
+        raise ValueError("freqs must be a scalar or 1-D array")
+    # exact-as-possible phases: reduce f·k mod 1 in fp64 before the cos/sin
+    phase = -2.0 * np.pi * np.mod(f_arr[:, None] * np.arange(n)[None, :], 1.0)
+    tw_re = jnp.asarray(np.cos(phase), jnp.float32)     # (F, n)
+    tw_im = jnp.asarray(np.sin(phase), jnp.float32)
+    xm = jnp.moveaxis(x, axis, -1)
+    prec = jax.lax.Precision.HIGHEST
+    if jnp.issubdtype(xm.dtype, jnp.complexfloating):
+        xr, xi = jnp.real(xm), jnp.imag(xm)
+        mm = lambda a, b: jnp.matmul(a, b, precision=prec)
+        re = mm(xr, tw_re.T) - mm(xi, tw_im.T)
+        im = mm(xr, tw_im.T) + mm(xi, tw_re.T)
+    else:
+        xr = xm.astype(jnp.float32)
+        re = jnp.matmul(xr, tw_re.T, precision=prec)
+        im = jnp.matmul(xr, tw_im.T, precision=prec)
+    out = jax.lax.complex(re, im)
+    if np.isscalar(freqs) or np.ndim(freqs) == 0:
+        out = out[..., 0]
+    return out
