@@ -13,7 +13,7 @@ def doc1(obj):
     return line if len(line) < 110 else line[:107] + "..."
 
 groups = {
-    "Transforms (numpy.fft-style)": ["fft","ifft","fft2","ifft2","fftn","ifftn","rfft","irfft","rfft2","irfft2","rfftn","irfftn","hfft","ihfft","dht","idht"],
+    "Transforms (numpy.fft-style)": ["fft","ifft","fft2","ifft2","fftn","ifftn","rfft","irfft","rfft2","irfft2","rfftn","irfftn","hfft","ihfft","hfft2","ihfft2","hfftn","ihfftn","dht","idht"],
     "Helpers": ["fftfreq","rfftfreq","fftshift","ifftshift","next_fast_len","prev_fast_len","next_pow2","prime_factors","plan_stages","dividebyN"],
     "Cosine/sine transforms": ["dct","idct","dst","idst","dctn","idctn","dstn","idstn"],
     "Chirp-z / zoom / Hankel": ["czt","zoom_fft","czt_points","fht","ifht","fhtoffset","fwht","ifwht","frft","ifrft","frft2"],
@@ -28,7 +28,8 @@ groups = {
     "LTI systems": ["lti","dlti","TransferFunction","ZerosPolesGain","StateSpace","place_poles","tf2ss","ss2tf","zpk2ss","ss2zpk","abcd_normalize","cont2discrete","lsim","step","impulse","freqresp","bode","dlsim","dstep","dimpulse","dfreqresp","dbode"],
     "Peak analysis / rank filters": ["find_peaks","find_peaks_cwt","peak_prominences","peak_widths","argrelmin","argrelmax","argrelextrema","medfilt","medfilt2d","order_filter"],
     "B-splines": ["gauss_spline","cspline1d","qspline1d","cspline1d_eval","qspline1d_eval","cspline2d","qspline2d","symiirorder1","symiirorder2","sepfir2d","spline_filter"],
-    "Measurement utilities": ["max_len_seq","correlation_lags","vectorstrength","envelope","CZT","ZoomFFT","lpc","tfestimate","xwt","wct","cwt_tc","tc_scales","pfb_analysis","pfb_prototype","pfb_frequencies"],
+    "Measurement utilities": ["max_len_seq","correlation_lags","vectorstrength","envelope","CZT","ZoomFFT","lpc","tfestimate","xwt","wct","cwt_tc","tc_scales","pfb_analysis","pfb_prototype","pfb_frequencies","goertzel"],
+    "Nonstationary / nonlinear analysis": ["emd","eemd","hilbert_huang","bispectrum","bicoherence","cohen_class","choi_williams","wavelet_denoise"],
     "PDE toolbox": ["spectral_diff","poisson_solve"],
     "Spherical harmonics": ["sht","isht","sht_grid","sphere_laplacian","poisson_solve_sphere","sphere_convolve","sphere_grad","sphere_div","sphere_vort","sphere_helmholtz","vsht","ivsht","sht_recurrence","isht_recurrence","rotate_sht"],
     "Chebyshev (non-periodic spectral)": ["cheb_points","cheb_transform","icheb_transform","cheb_diff","cheb_diff_coef","cheb_eval"],
