@@ -81,7 +81,7 @@ from .ops.lticlasses import (
 )
 from .ops.emd import emd, eemd, hilbert_huang
 from .ops.hos import bispectrum, bicoherence
-from .ops.dwt import wavelet_denoise
+from .ops.dwt import wavelet_denoise, wavelet_denoise2
 from .ops.signal import goertzel
 from .ops.signal import (
     kaiserord, firwin2, firls, gammatone,
@@ -206,7 +206,7 @@ __all__ = [
     # LTI classes + pole placement
     "lti", "dlti", "TransferFunction", "ZerosPolesGain", "StateSpace",
     "place_poles",
-    "emd", "eemd", "hilbert_huang", "bispectrum", "bicoherence", "wavelet_denoise", "goertzel",
+    "emd", "eemd", "hilbert_huang", "bispectrum", "bicoherence", "wavelet_denoise", "wavelet_denoise2", "goertzel",
     # FIR + measurement utilities
     "kaiserord", "firwin2", "firls", "gammatone",
     "max_len_seq", "correlation_lags", "vectorstrength",

@@ -982,3 +982,63 @@ def wavelet_denoise(
     out = waverec([approx] + new_details, wavelet, mode=extension,
                   config=config)
     return out[..., :n]
+
+
+def wavelet_denoise2(
+    x,
+    wavelet: str = "db4",
+    level: Optional[int] = None,
+    *,
+    mode: str = "soft",
+    method: str = "bayes",
+    sigma: Optional[float] = None,
+    extension: str = "symmetric",
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """2-D wavelet-shrinkage denoising (skimage denoise_wavelet class) over
+    the last two axes, batched over the rest.
+
+    Same estimator family as :func:`wavelet_denoise`: σ from the MAD of the
+    finest diagonal band (HH₁ — the band most dominated by noise), then
+    VisuShrink ("universal") or per-subband BayesShrink ("bayes", the image
+    default) thresholds applied to every detail subband.
+    """
+    x = jnp.asarray(x)
+    if x.ndim < 2:
+        raise ValueError("wavelet_denoise2 needs a >= 2-D input")
+    h, w = x.shape[-2:]
+    if level is None:
+        level = max(1, min(4, dwt_max_level(min(h, w), wavelet)))
+        if extension == "periodization":
+            while level > 1 and (h % (1 << level) or w % (1 << level)):
+                level -= 1
+    coeffs = wavedec2(x, wavelet, level=level, mode=extension, config=config)
+    approx, detail_levels = coeffs[0], coeffs[1:]
+    hh1 = detail_levels[-1][2]
+    if sigma is None:
+        med = jnp.median(jnp.abs(hh1.reshape(*hh1.shape[:-2], -1)),
+                         axis=-1)[..., None, None]
+        sigma_v = med / 0.6745
+    else:
+        sigma_v = jnp.asarray(sigma)
+    n_pix = h * w
+    new_levels = []
+    for bands in detail_levels:
+        new_bands = []
+        for d in bands:
+            if method == "universal":
+                t = sigma_v * np.sqrt(2.0 * np.log(max(n_pix, 2)))
+            elif method == "bayes":
+                var_d = jnp.mean(d * d, axis=(-2, -1), keepdims=True)
+                sig_x = jnp.sqrt(jnp.maximum(var_d - sigma_v**2, 0.0))
+                t = jnp.where(
+                    sig_x > 0, sigma_v**2 / jnp.maximum(sig_x, 1e-30),
+                    jnp.max(jnp.abs(d), axis=(-2, -1), keepdims=True) + 1.0)
+            else:
+                raise ValueError(f"method must be 'universal' or 'bayes', "
+                                 f"got {method!r}")
+            new_bands.append(_soft_hard(d, t, mode))
+        new_levels.append(tuple(new_bands))
+    out = waverec2([approx] + new_levels, wavelet, mode=extension,
+                   config=config)
+    return out[..., :h, :w]

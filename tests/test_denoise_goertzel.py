@@ -89,3 +89,22 @@ def test_goertzel_dtmf_detection(rng):
     mags = np.abs(np.asarray(sp.goertzel(tone, np.array(rows + cols,
                                                         float), fs=fs)))
     assert np.argmax(mags[:4]) == 2 and np.argmax(mags[4:]) == 1
+
+
+@pytest.mark.parametrize("method", ["universal", "bayes"])
+def test_wavelet_denoise2_improves_psnr(rng, method):
+    yy, xx = np.mgrid[0:128, 0:128]
+    clean = (np.sin(2 * np.pi * yy / 32) * np.cos(2 * np.pi * xx / 24)
+             + (xx > 64).astype(float))
+    noisy = (clean + 0.4 * rng.standard_normal(clean.shape)).astype(np.float32)
+    den = np.asarray(sp.wavelet_denoise2(noisy, "db4", method=method))
+    assert den.shape == noisy.shape
+    assert _snr(clean, den) > _snr(clean, noisy) + 2.0
+
+
+def test_wavelet_denoise2_batched_and_identity(rng):
+    x = rng.standard_normal((2, 64, 64)).astype(np.float32)
+    out = np.asarray(sp.wavelet_denoise2(x, "db2", sigma=0.0))
+    np.testing.assert_allclose(out, x, atol=1e-4)
+    with pytest.raises(ValueError):
+        sp.wavelet_denoise2(x[0, 0])
