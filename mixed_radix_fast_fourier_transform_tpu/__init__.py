@@ -83,6 +83,7 @@ from .ops.emd import emd, eemd, hilbert_huang
 from .ops.hos import bispectrum, bicoherence
 from .ops.dwt import wavelet_denoise, wavelet_denoise2
 from .ops.signal import goertzel
+from .ops.subspace import corr_matrix, music, root_music, esprit, prony, pisarenko
 from .ops.signal import (
     kaiserord, firwin2, firls, gammatone,
     max_len_seq, correlation_lags, vectorstrength,
@@ -207,6 +208,7 @@ __all__ = [
     "lti", "dlti", "TransferFunction", "ZerosPolesGain", "StateSpace",
     "place_poles",
     "emd", "eemd", "hilbert_huang", "bispectrum", "bicoherence", "wavelet_denoise", "wavelet_denoise2", "goertzel",
+    "corr_matrix", "music", "root_music", "esprit", "prony", "pisarenko",
     # FIR + measurement utilities
     "kaiserord", "firwin2", "firls", "gammatone",
     "max_len_seq", "correlation_lags", "vectorstrength",
