@@ -88,6 +88,7 @@ from .ops.datadriven import ssa, dmd, dmd_reconstruct
 from .ops.kalman import kalman_filter, kalman_smoother
 from .ops.adaptive import lms_filter, nlms_filter, rls_filter
 from .ops.ar import levinson, aryule, arburg, ar_psd
+from .ops.signal import thd, sinad, sfdr, enob
 from .ops.signal import (
     kaiserord, firwin2, firls, gammatone,
     max_len_seq, correlation_lags, vectorstrength,
@@ -214,7 +215,7 @@ __all__ = [
     "emd", "eemd", "hilbert_huang", "bispectrum", "bicoherence", "wavelet_denoise", "wavelet_denoise2", "goertzel",
     "corr_matrix", "music", "root_music", "esprit", "prony", "pisarenko",
     "ssa", "dmd", "dmd_reconstruct", "kalman_filter", "kalman_smoother", "lms_filter", "nlms_filter", "rls_filter",
-    "levinson", "aryule", "arburg", "ar_psd",
+    "levinson", "aryule", "arburg", "ar_psd", "thd", "sinad", "sfdr", "enob",
     # FIR + measurement utilities
     "kaiserord", "firwin2", "firls", "gammatone",
     "max_len_seq", "correlation_lags", "vectorstrength",
