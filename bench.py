@@ -446,6 +446,45 @@ def bench_sosfilt(batch: int, n: int, iters: int, seed: int = 0):
     return dt / batch, err
 
 
+def bench_kalman(T: int, iters: int, seed: int = 0):
+    """(parallel seconds-per-step·1e6, speedup of the associative-scan form
+    over the sequential lax.scan, max abs mean diff) for a d=4 tracking
+    model over T steps — the round-4 parallel-in-time smoother subsystem."""
+    from mixed_radix_fast_fourier_transform_tpu.ops.kalman import kalman_filter
+    from mixed_radix_fast_fourier_transform_tpu.utils.profiling import (
+        ab_compare,
+    )
+
+    rng = np.random.default_rng(seed)
+    d, d_obs = 4, 2
+    F = np.eye(d) + 0.05 * rng.standard_normal((d, d))
+    F *= 0.97 / max(np.abs(np.linalg.eigvals(F)))
+    Q = 0.01 * np.eye(d)
+    H = rng.standard_normal((d_obs, d))
+    R = 0.1 * np.eye(d_obs)
+    m0, P0 = np.zeros(d), np.eye(d)
+    ys = jax.device_put(rng.standard_normal((T, d_obs)).astype(np.float32))
+
+    Ht = jnp.asarray(H.T, jnp.float32)
+
+    # marginal_time chains outputs into inputs, so return the predicted
+    # observations (same shape as ys) — also makes the chain data-dependent
+    def par(y):
+        m, P = kalman_filter(F, Q, H, R, m0, P0, y, parallel=True)
+        return (m @ Ht,)
+
+    def seq(y):
+        m, P = kalman_filter(F, Q, H, R, m0, P0, y, parallel=False)
+        return (m @ Ht,)
+
+    mp = np.asarray(jax.jit(par)(ys)[0])
+    ms = np.asarray(jax.jit(seq)(ys)[0])
+    diff = float(np.max(np.abs(mp - ms)))
+    ab = ab_compare(seq, par, (ys,), short=iters, long=5 * iters)
+    t_par = sorted(ab["b_seconds"])[len(ab["b_seconds"]) // 2]
+    return t_par / T * 1e6, ab["ratio_median"], diff
+
+
 def _probe_backend(timeout_s: float = 180.0):
     """Probe device-backend init in a SUBPROCESS and return (platform, error).
 
@@ -683,6 +722,18 @@ def main():
         ext_ok = ext_ok and ok
     except Exception as e:  # pragma: no cover
         extras["sosfilt_butter6_16x65536"] = {"error": str(e)[:200]}
+        ext_ok = False
+    try:
+        us_step, speedup, diff = bench_kalman(65536, 20)
+        ok = diff <= 1e-2  # fp32 scans, d=4 — parallel/sequential agree
+        extras["kalman_parallel_d4_T65536"] = {
+            "us_per_step": round(us_step, 4),
+            "speedup_vs_sequential_scan": round(speedup, 2),
+            "max_mean_diff": float(f"{diff:.3g}"), "budget_ok": bool(ok),
+        }
+        ext_ok = ext_ok and ok
+    except Exception as e:  # pragma: no cover
+        extras["kalman_parallel_d4_T65536"] = {"error": str(e)[:200]}
         ext_ok = False
     try:
         dt, ok = bench_cqt(4, 1 << 17, 3)

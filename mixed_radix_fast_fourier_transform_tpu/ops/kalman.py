@@ -36,8 +36,7 @@ __all__ = ["kalman_filter", "kalman_smoother"]
 
 
 def _as_f32(*mats):
-    return tuple(jnp.asarray(np.asarray(m, np.float64), jnp.float32)
-                 for m in mats)
+    return tuple(jnp.asarray(m).astype(jnp.float32) for m in mats)
 
 
 def _filter_elements(F, Q, H, R, m0, P0, ys):
@@ -108,7 +107,7 @@ def kalman_filter(F, Q, H, R, m0, P0, ys, *, parallel: bool = True,
     ``parallel=True`` runs the log-depth associative scan; ``False`` the
     sequential `lax.scan` (identical results — fp32 to ~1e-5)."""
     F, Q, H, R, m0, P0 = _as_f32(F, Q, H, R, m0, P0)
-    ys = jnp.asarray(np.asarray(ys, np.float64), jnp.float32)
+    ys = jnp.asarray(ys).astype(jnp.float32)  # tracer-safe cast
     if ys.ndim != 2 or ys.shape[0] < 1:
         raise ValueError("ys must be (T >= 1, d_obs)")
     d = F.shape[0]
