@@ -76,6 +76,7 @@ def arburg(x, order: int) -> Tuple[np.ndarray, float, np.ndarray]:
     n = len(x)
     if not 1 <= order < n:
         raise ValueError(f"need 1 <= order < len(x), got {order}")
+    x = x - x.mean()  # same convention as aryule: don't burn a pole on DC
     f = x.copy()  # forward errors
     b = x.copy()  # backward errors
     a = np.array([1.0])

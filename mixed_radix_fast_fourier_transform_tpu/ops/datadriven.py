@@ -66,9 +66,13 @@ def ssa(x, window: int, groups: Optional[Sequence[Sequence[int]]] = None,
     if groups is None:
         k = min(n_components if n_components is not None else 8, r)
         groups = [[i] for i in range(k)]
-    used = sorted({i for g in groups for i in g})
+    flat = [i for g in groups for i in g]
+    used = sorted(set(flat))
     if used and (used[0] < 0 or used[-1] >= r):
         raise ValueError(f"group indices must lie in [0, {r - 1}]")
+    if len(flat) != len(used):
+        raise ValueError("groups must be disjoint (an index counted twice "
+                         "would break the exact-additivity contract)")
     comps = []
     for g in groups:
         Mg = (U[:, g] * s[g]) @ Vt[g, :]

@@ -59,6 +59,21 @@ def _frame_ffts(x: Array, nperseg: int, noverlap: Optional[int],
     return rfft(frames * win, axis=-1, config=config)
 
 
+def _principal_domain(X: Array, nfreq: Optional[int]):
+    """(X1, Xs, valid): the truncated spectra, the sum-frequency gather
+    X(f1+f2), and the static principal-domain mask 0 <= f2 <= f1,
+    f1+f2 <= Nyquist — shared by both triple-product estimators."""
+    n_bins = X.shape[-1]
+    F = n_bins if nfreq is None else min(int(nfreq), n_bins)
+    f1 = np.arange(F)[:, None]
+    f2 = np.arange(F)[None, :]
+    valid = (f2 <= f1) & (f1 + f2 <= n_bins - 1)
+    fsum = np.where(valid, f1 + f2, 0)
+    X1 = X[..., :F]
+    Xs = X[..., fsum.reshape(-1)].reshape(*X.shape[:-1], F, F)
+    return X1, Xs, valid
+
+
 def bispectrum(x, nperseg: int = 128, noverlap: Optional[int] = None,
                window="hann", *, nfreq: Optional[int] = None,
                detrend: bool = True, return_freqs: bool = False,
@@ -71,21 +86,13 @@ def bispectrum(x, nperseg: int = 128, noverlap: Optional[int] = None,
     principal domain are zero.  ``return_freqs=True`` additionally returns
     the bin frequencies (cycles/sample).
     """
-    X = _frame_ffts(x, nperseg, noverlap, window, detrend, config)
-    n_bins = X.shape[-1]
-    F = n_bins if nfreq is None else min(int(nfreq), n_bins)
-    # static principal-domain mask and sum-frequency index map
-    f1 = np.arange(F)[:, None]
-    f2 = np.arange(F)[None, :]
-    valid = (f2 <= f1) & (f1 + f2 <= n_bins - 1)
-    fsum = np.where(valid, f1 + f2, 0)
-    X1 = X[..., :F]
+    X1, Xs, valid = _principal_domain(
+        _frame_ffts(x, nperseg, noverlap, window, detrend, config), nfreq)
     # triple product, frames averaged: (..., frames, F, F) -> (..., F, F)
-    Xs = X[..., fsum.reshape(-1)].reshape(*X.shape[:-1], F, F)
     prod = (X1[..., :, None] * X1[..., None, :]) * jnp.conj(Xs)
     B = jnp.mean(prod, axis=-3) * jnp.asarray(valid, prod.dtype)
     if return_freqs:
-        return B, np.arange(F) / nperseg
+        return B, np.arange(X1.shape[-1]) / nperseg
     return B
 
 
@@ -101,15 +108,8 @@ def bicoherence(x, nperseg: int = 128, noverlap: Optional[int] = None,
     → 1 for perfect quadratic phase coupling at (f1, f2), → 0 for
     independent phases.  Same principal-domain layout as :func:`bispectrum`.
     """
-    X = _frame_ffts(x, nperseg, noverlap, window, detrend, config)
-    n_bins = X.shape[-1]
-    F = n_bins if nfreq is None else min(int(nfreq), n_bins)
-    f1 = np.arange(F)[:, None]
-    f2 = np.arange(F)[None, :]
-    valid = (f2 <= f1) & (f1 + f2 <= n_bins - 1)
-    fsum = np.where(valid, f1 + f2, 0)
-    X1 = X[..., :F]
-    Xs = X[..., fsum.reshape(-1)].reshape(*X.shape[:-1], F, F)
+    X1, Xs, valid = _principal_domain(
+        _frame_ffts(x, nperseg, noverlap, window, detrend, config), nfreq)
     pair = X1[..., :, None] * X1[..., None, :]
     num = jnp.abs(jnp.mean(pair * jnp.conj(Xs), axis=-3)) ** 2
     den = (jnp.mean(jnp.abs(pair) ** 2, axis=-3)
@@ -117,5 +117,5 @@ def bicoherence(x, nperseg: int = 128, noverlap: Optional[int] = None,
     b2 = jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 0.0)
     b2 = b2 * jnp.asarray(valid, b2.dtype)
     if return_freqs:
-        return b2, np.arange(F) / nperseg
+        return b2, np.arange(X1.shape[-1]) / nperseg
     return b2

@@ -115,6 +115,9 @@ def kalman_filter(F, Q, H, R, m0, P0, ys, *, parallel: bool = True,
         raise ValueError("F, Q, P0 must all be (d, d)")
     if H.shape[1] != d or R.shape != (H.shape[0], H.shape[0]):
         raise ValueError("H must be (d_obs, d) and R (d_obs, d_obs)")
+    if ys.shape[1] != H.shape[0]:
+        raise ValueError(f"ys.shape[1]={ys.shape[1]} must equal "
+                         f"d_obs={H.shape[0]}")
     if parallel:
         elems = _filter_elements(F, Q, H, R, m0, P0, ys)
         _, b, C, _, _ = jax.lax.associative_scan(_filter_combine, elems)

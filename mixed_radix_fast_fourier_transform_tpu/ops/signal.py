@@ -1991,8 +1991,7 @@ def _purity_spectrum(x, nperseg: Optional[int], config) -> np.ndarray:
     return np.mean(np.abs(F) ** 2, axis=0)
 
 
-def thd(x, fs: float = 1.0, n_harmonics: int = 6,
-        nperseg: Optional[int] = None, *,
+def thd(x, *, n_harmonics: int = 6, nperseg: Optional[int] = None,
         config: SpectralConfig = DEFAULT_CONFIG) -> float:
     """Total harmonic distortion in dBc (MATLAB thd convention: power of
     harmonics 2..n_harmonics+1 relative to the fundamental; negative is
@@ -2012,7 +2011,7 @@ def thd(x, fs: float = 1.0, n_harmonics: int = 6,
     return 10.0 * np.log10(max(harm, 1e-300) / fund)
 
 
-def sinad(x, fs: float = 1.0, nperseg: Optional[int] = None, *,
+def sinad(x, *, nperseg: Optional[int] = None,
           config: SpectralConfig = DEFAULT_CONFIG) -> float:
     """Signal to noise-and-distortion ratio in dB (MATLAB sinad): the
     fundamental line against everything else except DC."""
@@ -2027,7 +2026,7 @@ def sinad(x, fs: float = 1.0, nperseg: Optional[int] = None, *,
     return 10.0 * np.log10(fund / max(rest, 1e-300))
 
 
-def sfdr(x, fs: float = 1.0, nperseg: Optional[int] = None, *,
+def sfdr(x, *, nperseg: Optional[int] = None,
          config: SpectralConfig = DEFAULT_CONFIG) -> float:
     """Spurious-free dynamic range in dBc: fundamental over the largest
     remaining spectral line (harmonic or not)."""
@@ -2043,8 +2042,8 @@ def sfdr(x, fs: float = 1.0, nperseg: Optional[int] = None, *,
     return 10.0 * np.log10(fund_peak / max(spur, 1e-300))
 
 
-def enob(x, fs: float = 1.0, nperseg: Optional[int] = None, *,
+def enob(x, *, nperseg: Optional[int] = None,
          config: SpectralConfig = DEFAULT_CONFIG) -> float:
     """Effective number of bits from SINAD: (SINAD − 1.76)/6.02 — the ADC
     figure of merit."""
-    return (sinad(x, fs, nperseg, config=config) - 1.76) / 6.02
+    return (sinad(x, nperseg=nperseg, config=config) - 1.76) / 6.02

@@ -82,8 +82,9 @@ def music(x, p: int, m: Optional[int] = None, nfreq: int = 512, *,
     else:
         freqs = np.linspace(-0.5, 0.5, nfreq, endpoint=False)
     a = np.exp(2j * np.pi * freqs[:, None] * np.arange(m)[None, :])
-    # ‖Enᴴ a‖² on the grid — dense (nfreq, m) @ (m, m-p)
-    proj = a @ En
+    # ‖Enᴴ a‖² on the grid — dense (nfreq, m) @ (m, m-p); the conjugate
+    # matters for complex input (aᵀEn would mirror the frequency axis)
+    proj = a.conj() @ En
     P = 1.0 / np.maximum(np.sum(np.abs(proj) ** 2, axis=1), 1e-30)
     return freqs * fs, P
 
@@ -106,7 +107,10 @@ def root_music(x, p: int, m: Optional[int] = None, *, fs: float = 1.0,
     coeffs = np.array([np.trace(G, offset=k) for k in
                        range(-(m - 1), m)])  # z^{-(m-1)} .. z^{m-1}
     roots = np.roots(coeffs[::-1])
-    roots = roots[np.abs(roots) < 1.0 + 1e-9]
+    # strictly inside: each conjugate-reciprocal pair (z, 1/conj(z)) must
+    # contribute exactly one member, or a split pair could fill two of the
+    # p slots with the same frequency
+    roots = roots[np.abs(roots) < 1.0]
     # keep the p roots nearest the unit circle
     order = np.argsort(np.abs(np.abs(roots) - 1.0))
     sel = roots[order[:p]]

@@ -100,7 +100,7 @@ def _windowed_lag_roll(prod: Array, nperseg: int, window) -> Array:
     h = np.concatenate([w, w[:1]])  # symmetric, centered at lag 0
     h = np.fft.ifftshift(h)  # reorder so index 0 is lag 0 after the roll
     prod = jnp.roll(prod, -half, axis=-1)
-    return prod * jnp.asarray(h, jnp.float32)
+    return prod * jnp.asarray(h, jnp.real(prod).dtype)
 
 
 _COHEN_KERNELS = ("wigner", "choi-williams", "born-jordan")
@@ -153,6 +153,11 @@ def cohen_class(
         z = hilbert(x, config=config)
     else:
         z = x.astype(jnp.result_type(x.dtype, jnp.complex64))
+    if kernel == "wigner":
+        # no doppler filtering: only the hop-decimated rows are needed
+        prod = _lag_products(z, T, nperseg, np.arange(0, T, hop))
+        return jnp.real(fft(_windowed_lag_roll(prod, nperseg, window),
+                            config=config))
     # the doppler filter needs the FULL time axis; subsample AFTER filtering
     prod = _lag_products(z, T, nperseg, np.arange(T))  # (..., T, nperseg)
     if kernel != "wigner":

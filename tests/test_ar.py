@@ -72,3 +72,13 @@ def test_ar_validation(rng):
         sp.levinson(np.array([0.0, 1.0]))
     with pytest.raises(ValueError):
         sp.levinson(np.ones(1))
+
+
+def test_arburg_dc_offset_consistent_with_aryule(rng):
+    # review finding: arburg burned a pole on an un-removed DC offset
+    k = np.arange(4000)
+    x = 5.0 + _ar_signal(rng, n=4000)
+    a_b, _, _ = sp.arburg(x, 4)
+    a_y, _, _ = sp.aryule(x, 4)
+    np.testing.assert_allclose(a_b, TRUE_A, atol=0.05)
+    np.testing.assert_allclose(a_y, TRUE_A, atol=0.05)

@@ -85,3 +85,10 @@ def test_dmd_rank_truncation_and_validation(rng):
         sp.dmd(X[:, :1])
     with pytest.raises(ValueError):
         sp.dmd(rng.standard_normal(30))
+
+
+def test_ssa_rejects_overlapping_groups(rng):
+    # review finding: double-counted indices silently broke additivity
+    x = rng.standard_normal(100)
+    with pytest.raises(ValueError):
+        sp.ssa(x, window=20, groups=[[0], [0, 1]])

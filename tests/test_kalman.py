@@ -131,3 +131,10 @@ def test_kalman_validation():
         sp.kalman_filter(F[:2], Q, H, R, m0, P0, np.zeros((5, 2)))
     with pytest.raises(ValueError):
         sp.kalman_filter(F, Q, H[:, :2], R, m0, P0, np.zeros((5, 2)))
+
+
+def test_kalman_obs_dim_validation():
+    # review finding: d_obs mismatch gave a cryptic dot_general error
+    F, Q, H, R, m0, P0 = _model()
+    with pytest.raises(ValueError):
+        sp.kalman_filter(F, Q, H, R, m0, P0, np.zeros((10, 3)))

@@ -95,3 +95,14 @@ def test_subspace_validation(rng):
         sp.prony(x, p=40)
     with pytest.raises(ValueError):
         sp.corr_matrix(np.zeros((2, 32)), 8)
+
+
+def test_music_complex_input_not_mirrored():
+    # review finding: aᵀEn (no conjugate) mirrored the frequency axis
+    k = np.arange(256)
+    x = (np.exp(2j * np.pi * 0.12 * k) + 0.5 * np.exp(-2j * np.pi * 0.31 * k))
+    freqs, P = sp.music(x, p=2, m=12, nfreq=2048)
+    locmax = np.where((P[1:-1] > P[:-2]) & (P[1:-1] > P[2:]))[0] + 1
+    top2 = locmax[np.argsort(P[locmax])[-2:]]
+    got = np.sort(freqs[top2])
+    np.testing.assert_allclose(got, [-0.31, 0.12], atol=2e-3)
