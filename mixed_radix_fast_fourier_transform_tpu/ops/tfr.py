@@ -77,9 +77,12 @@ def wigner_ville(
 
 
 def _lag_products(z: Array, T: int, nperseg: int,
-                  times: np.ndarray) -> Array:
-    """Instantaneous autocorrelation R[t, τ] = z[t+τ]·conj(z[t−τ]) over the
-    static (times × lags −half..half) grid, zero outside the signal."""
+                  times: np.ndarray, w: Optional[Array] = None) -> Array:
+    """Instantaneous (cross-)correlation R[t, τ] = z[t+τ]·conj(w[t−τ]) over
+    the static (times × lags −half..half) grid, zero outside the signal
+    (``w`` defaults to ``z`` — the auto case)."""
+    if w is None:
+        w = z
     half = nperseg // 2
     tau = np.arange(-half, half + 1)  # (nperseg,)
     ip = times[:, None] + tau[None, :]
@@ -88,7 +91,7 @@ def _lag_products(z: Array, T: int, nperseg: int,
     ipc = np.clip(ip, 0, T - 1)
     imc = np.clip(im, 0, T - 1)
     zp = z[..., ipc]
-    zm = jnp.conj(z[..., imc])
+    zm = jnp.conj(w[..., imc])
     return zp * zm * jnp.asarray(valid, jnp.real(z).dtype)
 
 
@@ -101,6 +104,48 @@ def _windowed_lag_roll(prod: Array, nperseg: int, window) -> Array:
     h = np.fft.ifftshift(h)  # reorder so index 0 is lag 0 after the roll
     prod = jnp.roll(prod, -half, axis=-1)
     return prod * jnp.asarray(h, jnp.real(prod).dtype)
+
+
+def xwigner_ville(
+    x,
+    y,
+    nperseg: Optional[int] = None,
+    hop: int = 1,
+    window="hann",
+    analytic: bool = True,
+    *,
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Cross-Wigner-Ville distribution of two equal-length signals:
+    complex (…, n_times, nperseg), W_xy(t, f) = FFT_τ{x(t+τ)·conj(y(t−τ))}
+    — time-frequency coherence/phase analysis between channels (its phase
+    carries the local delay; the auto case is :func:`wigner_ville`)."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    if x.shape != y.shape:
+        raise ValueError("x and y must have the same shape")
+    if x.ndim < 1 or x.shape[-1] < 3:
+        raise ValueError("xwigner_ville needs signals of length >= 3")
+    T = x.shape[-1]
+    if nperseg is None:
+        nperseg = min(257, T if T % 2 else T - 1)
+    nperseg = int(nperseg)
+    if nperseg < 3 or nperseg % 2 == 0:
+        raise ValueError(f"nperseg must be odd and >= 3, got {nperseg}")
+    if nperseg > T:
+        raise ValueError(f"nperseg={nperseg} > signal length {T}")
+    if hop < 1:
+        raise ValueError(f"hop must be >= 1, got {hop}")
+
+    def _prep(v):
+        if analytic and not jnp.issubdtype(v.dtype, jnp.complexfloating):
+            return hilbert(v, config=config)
+        return v.astype(jnp.result_type(v.dtype, jnp.complex64))
+
+    zx, zy = _prep(x), _prep(y)
+    times = np.arange(0, T, hop)
+    prod = _lag_products(zx, T, nperseg, times, w=zy)
+    return fft(_windowed_lag_roll(prod, nperseg, window), config=config)
 
 
 _COHEN_KERNELS = ("wigner", "choi-williams", "born-jordan")

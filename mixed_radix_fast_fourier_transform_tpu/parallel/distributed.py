@@ -1531,3 +1531,45 @@ def isht_recurrence_sharded(
         + lo_specs,
         out_specs=out_spec,
     )(jnp.asarray(mu), jnp.asarray(mant), jnp.asarray(k0), *lo_ops)
+
+
+def kalman_filter_sharded(
+    F,
+    Q,
+    H,
+    R,
+    m0,
+    P0,
+    ys,
+    mesh: Mesh,
+    axis_name: str = DATA_AXIS,
+    *,
+    smooth: bool = False,
+    config: SpectralConfig = DEFAULT_CONFIG,
+):
+    """Multi-target tracking: the parallel-in-time Kalman filter (or RTS
+    smoother with ``smooth=True``) vmapped over a BATCH of independent
+    observation sequences ``ys`` (B, T, d_obs), the batch sharded over the
+    mesh.  Zero collectives — each chip runs the log-depth associative
+    scans on its shard of tracks; the model (F, Q, H, R, m0, P0) is shared.
+    Returns (means (B, T, d), covs (B, T, d, d)) with the batch sharding
+    preserved.
+    """
+    from ..ops.kalman import kalman_filter, kalman_smoother
+
+    ys = jnp.asarray(ys)
+    if ys.ndim != 3:
+        raise ValueError("ys must be (batch, T, d_obs)")
+    ys = shard_batch(ys, mesh, axis_name)
+    fn = kalman_smoother if smooth else kalman_filter
+
+    def one(seq):
+        return fn(F, Q, H, R, m0, P0, seq, parallel=True, config=config)
+
+    ms, Ps = jax.vmap(one)(ys)
+    spec_m = P(axis_name, None, None)
+    spec_P = P(axis_name, None, None, None)
+    return (
+        jax.lax.with_sharding_constraint(ms, NamedSharding(mesh, spec_m)),
+        jax.lax.with_sharding_constraint(Ps, NamedSharding(mesh, spec_P)),
+    )

@@ -59,3 +59,30 @@ def test_cohen_validation(rng):
         sp.cohen_class(x, nperseg=10)  # even
     with pytest.raises(ValueError):
         sp.cohen_class(x, nperseg=129)  # > T
+
+
+def test_xwigner_ville_auto_equals_wvd(rng):
+    x = rng.standard_normal(200).astype(np.float32)
+    w = np.asarray(sp.wigner_ville(x, nperseg=65, hop=4))
+    xw = np.asarray(sp.xwigner_ville(x, x, nperseg=65, hop=4))
+    np.testing.assert_allclose(np.real(xw), w,
+                               atol=1e-3 * max(1, np.abs(w).max()))
+
+
+def test_xwigner_ville_delay_phase():
+    # a pure delay shows up as a linear phase in the cross-WVD at the tone
+    k = np.arange(600)
+    f0 = 0.1
+    x = np.cos(2 * np.pi * f0 * k).astype(np.float32)
+    delay = 3
+    y = np.cos(2 * np.pi * f0 * (k - delay)).astype(np.float32)
+    npg = 101
+    xw = np.asarray(sp.xwigner_ville(x, y, nperseg=npg, hop=8))
+    bin_f = round(f0 * 2 * npg)
+    mid = xw[xw.shape[0] // 2]
+    # phase at the common ridge equals 2π f0 · delay (cross-corr phase)
+    ph = np.angle(mid[bin_f])
+    want = 2 * np.pi * f0 * delay
+    assert abs((ph - want + np.pi) % (2 * np.pi) - np.pi) < 0.1
+    with pytest.raises(ValueError):
+        sp.xwigner_ville(x, y[:-1])

@@ -713,3 +713,34 @@ class TestBatchShardedAudioOps:
             lambda a, b: float(jnp.abs(a - b).max()), p1, p2
         )
         assert max(jax.tree_util.tree_leaves(d)) < 1e-5
+
+
+@pytest.mark.slow  # vmap-of-associative-scan over the 8-dev mesh: ~30 s compile
+def test_kalman_filter_sharded_matches_single(rng):
+    from mixed_radix_fast_fourier_transform_tpu.parallel import (
+        kalman_filter_sharded,
+    )
+    import mixed_radix_fast_fourier_transform_tpu as sp
+
+    mesh8 = make_mesh((8, 1))  # all devices on the data (batch) axis
+    d, d_obs, B, T = 2, 1, 8, 64
+    F = np.array([[1.0, 1.0], [0.0, 0.95]])
+    F *= 0.95 / max(np.abs(np.linalg.eigvals(F)))
+    Q = 0.01 * np.eye(d)
+    H = rng.standard_normal((d_obs, d))
+    R = 0.1 * np.eye(d_obs)
+    m0, P0 = np.zeros(d), np.eye(d)
+    ys = rng.standard_normal((B, T, d_obs)).astype(np.float32)
+    ms, Ps = kalman_filter_sharded(F, Q, H, R, m0, P0, ys, mesh8)
+    assert ms.shape == (B, T, d) and Ps.shape == (B, T, d, d)
+    # per-track equality with the single-sequence path
+    for b in (0, 3, 7):
+        want_m, want_P = sp.kalman_filter(F, Q, H, R, m0, P0, ys[b])
+        np.testing.assert_allclose(np.asarray(ms)[b], np.asarray(want_m),
+                                   atol=5e-5)
+        np.testing.assert_allclose(np.asarray(Ps)[b], np.asarray(want_P),
+                                   atol=5e-5)
+    # smoother path runs under the same sharding
+    sm, sP = kalman_filter_sharded(F, Q, H, R, m0, P0, ys, mesh8,
+                                   smooth=True)
+    assert sm.shape == (B, T, d)
