@@ -81,7 +81,7 @@ from .ops.lticlasses import (
 )
 from .ops.emd import emd, eemd, hilbert_huang
 from .ops.hos import bispectrum, bicoherence
-from .ops.dwt import wavelet_denoise, wavelet_denoise2
+from .ops.dwt import wavelet_denoise, wavelet_denoise2, cycle_spin
 from .ops.signal import goertzel
 from .ops.subspace import corr_matrix, music, root_music, esprit, prony, pisarenko
 from .ops.datadriven import ssa, dmd, dmd_reconstruct
@@ -212,7 +212,7 @@ __all__ = [
     # LTI classes + pole placement
     "lti", "dlti", "TransferFunction", "ZerosPolesGain", "StateSpace",
     "place_poles",
-    "emd", "eemd", "hilbert_huang", "bispectrum", "bicoherence", "wavelet_denoise", "wavelet_denoise2", "goertzel",
+    "emd", "eemd", "hilbert_huang", "bispectrum", "bicoherence", "wavelet_denoise", "wavelet_denoise2", "cycle_spin", "goertzel",
     "corr_matrix", "music", "root_music", "esprit", "prony", "pisarenko",
     "ssa", "dmd", "dmd_reconstruct", "kalman_filter", "kalman_smoother", "lms_filter", "nlms_filter", "rls_filter",
     "levinson", "aryule", "arburg", "ar_psd", "thd", "sinad", "sfdr", "enob",
