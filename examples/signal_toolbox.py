@@ -88,4 +88,22 @@ t_out, y = cl.step(T=np.linspace(0, 4, 120))
 print(f"[lti] closed-loop poles {np.round(res.computed_poles.real, 2)}, "
       f"step settles to {float(np.asarray(y)[-1]):.3f} (expect 1/6)")
 
+# --- 7. super-resolution: two tones one FFT bin apart ---------------------
+kk = np.arange(512)
+two = (np.cos(2 * np.pi * 0.102 * kk) + 0.8 * np.cos(2 * np.pi * 0.118 * kk)
+       + 0.05 * rng.standard_normal(512))
+f_est = sp.root_music(two, p=4, m=32)
+print(f"[subspace] root-MUSIC resolves {np.sort(f_est[f_est > 0])} "
+      "(0.016 apart — under the 32-tap window's FFT limit)")
+
+# --- 8. parallel-in-time Kalman smoothing of a noisy track ----------------
+F = np.array([[1.0, 1.0], [0.0, 1.0]])
+Qk, Hk, Rk = 0.01 * np.eye(2), np.array([[1.0, 0.0]]), np.array([[0.25]])
+truth = np.cumsum(0.05 * rng.standard_normal(256))
+meas = (truth + 0.5 * rng.standard_normal(256))[:, None].astype(np.float32)
+sm, _ = sp.kalman_smoother(F, Qk, Hk, Rk, np.zeros(2), np.eye(2), meas)
+mse = lambda y: float(np.mean((np.asarray(y) - truth) ** 2))
+print(f"[kalman] track MSE: raw {mse(meas[:, 0]):.3f} -> smoothed "
+      f"{mse(np.asarray(sm)[:, 0]):.3f} (log-depth associative scans)")
+
 print("signal_toolbox demo complete.")
