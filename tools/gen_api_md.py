@@ -50,12 +50,19 @@ for title, names in groups.items():
     lines.append("")
 # catch-all: any public symbol not yet grouped still gets documented
 leftovers = [n for n in sp.__all__
-             if n not in covered and n != "__version__"]
+             if n not in covered and n not in ("__version__", "windows")]
 if leftovers:
     lines += ["## Other public symbols", "", "| symbol | summary |", "|---|---|"]
     for n in sorted(leftovers):
         lines.append(f"| `{n}` | {doc1(getattr(sp, n))} |")
     lines.append("")
+from mixed_radix_fast_fourier_transform_tpu import windows as _winmod
+covered.add("windows")
+lines += ["## Windows (`.windows`, scipy.signal.windows surface)", "",
+          "| symbol | summary |", "|---|---|"]
+for n in _winmod.__all__:
+    lines.append(f"| `{n}` | {doc1(getattr(_winmod, n))} |")
+lines.append("")
 lines += ["## Distributed (`.parallel`)", "", "| symbol | summary |", "|---|---|"]
 for n in sorted(n for n in dir(parallel) if not n.startswith("_")):
     obj = getattr(parallel, n)
