@@ -5,7 +5,9 @@ the demo pattern is promoted to a trainable flagship model (spectral filter)
 plus the signal/metric utilities the demo used.
 """
 
-from . import afno, audio_frontend, fnet, fno, s4d, sfno
+from . import afno, audio_frontend, fnet, fno, koopman, s4d, sfno
+from .koopman import (init_koopman, koopman_encode, koopman_decode,
+                      koopman_rollout, koopman_loss, koopman_spectrum)
 from .checkpoint import load_checkpoint, save_checkpoint
 from .spectral_filter import (
     apply,
@@ -20,5 +22,6 @@ from .spectral_filter import (
 __all__ = [
     "init_params", "init_params_complex", "apply", "apply_distributed",
     "loss_fn", "train_step", "train_step_distributed",
-    "afno", "audio_frontend", "fnet", "fno", "s4d", "sfno", "save_checkpoint", "load_checkpoint",
+    "afno", "audio_frontend", "fnet", "fno", "koopman", "s4d", "sfno", "save_checkpoint", "load_checkpoint",
+    "init_koopman", "koopman_encode", "koopman_decode", "koopman_rollout", "koopman_loss", "koopman_spectrum",
 ]
