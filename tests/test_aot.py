@@ -59,3 +59,38 @@ def test_export_sfno_forward(rng):
     got = np.asarray(load_transform(blob)(x))
     want = np.asarray(fwd(x))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_export_shorttime_and_kalman(rng):
+    """The serving path covers the round-4 subsystems: ShortTimeFFT frames
+    and the parallel Kalman filter export to StableHLO and reload."""
+    import jax.numpy as jnp
+    import numpy as np
+    import scipy.signal as ss
+
+    from mixed_radix_fast_fourier_transform_tpu import ShortTimeFFT
+    from mixed_radix_fast_fourier_transform_tpu.ops.kalman import (
+        kalman_filter,
+    )
+    from mixed_radix_fast_fourier_transform_tpu.utils.aot import (
+        export_transform, load_transform,
+    )
+
+    S = ShortTimeFFT(ss.windows.hann(32, sym=False), 9, 100.0)
+    x = rng.standard_normal(150).astype(np.float32)
+    blob = export_transform(lambda v: jnp.abs(S.stft(v)), x)
+    fn = load_transform(blob)
+    np.testing.assert_allclose(np.asarray(fn(x)),
+                               np.abs(np.asarray(S.stft(x))), atol=1e-5)
+
+    F = np.array([[1.0, 1.0], [0.0, 0.9]], np.float32)
+    Q = 0.01 * np.eye(2, dtype=np.float32)
+    H = np.array([[1.0, 0.0]], np.float32)
+    R = np.array([[0.1]], np.float32)
+    ys = rng.standard_normal((64, 1)).astype(np.float32)
+    kf = lambda y: kalman_filter(F, Q, H, R, np.zeros(2, np.float32),
+                                 np.eye(2, dtype=np.float32), y)[0]
+    blob2 = export_transform(kf, ys)
+    fn2 = load_transform(blob2)
+    np.testing.assert_allclose(np.asarray(fn2(ys)), np.asarray(kf(ys)),
+                               atol=1e-5)
