@@ -90,6 +90,7 @@ from .ops.adaptive import lms_filter, nlms_filter, rls_filter
 from .ops.ar import levinson, aryule, arburg, ar_psd
 from .ops.signal import thd, sinad, sfdr, enob
 from .ops import windows
+from .ops.auditory import erb_space, gammatone_filterbank, gammatonegram, modulation_spectrum
 from .ops.signal import (
     kaiserord, firwin2, firls, gammatone,
     max_len_seq, correlation_lags, vectorstrength,
@@ -216,7 +217,7 @@ __all__ = [
     "emd", "eemd", "hilbert_huang", "bispectrum", "bicoherence", "wavelet_denoise", "wavelet_denoise2", "cycle_spin", "goertzel",
     "corr_matrix", "music", "root_music", "esprit", "prony", "pisarenko",
     "ssa", "dmd", "dmd_reconstruct", "kalman_filter", "kalman_smoother", "lms_filter", "nlms_filter", "rls_filter",
-    "levinson", "aryule", "arburg", "ar_psd", "thd", "sinad", "sfdr", "enob", "windows",
+    "levinson", "aryule", "arburg", "ar_psd", "thd", "sinad", "sfdr", "enob", "windows", "erb_space", "gammatone_filterbank", "gammatonegram", "modulation_spectrum",
     # FIR + measurement utilities
     "kaiserord", "firwin2", "firls", "gammatone",
     "max_len_seq", "correlation_lags", "vectorstrength",
