@@ -34,6 +34,15 @@ _EAR_Q = 9.26449      # Glasberg & Moore 1990 constants
 _MIN_BW = 24.7
 
 
+def _as_float(x: Array) -> Array:
+    """Integer PCM input would truncate the sub-unity filter taps to zero —
+    promote to float before the bank cast."""
+    if jnp.issubdtype(x.dtype, jnp.floating) or jnp.issubdtype(
+            x.dtype, jnp.complexfloating):
+        return x
+    return x.astype(jnp.float32)
+
+
 def erb_space(fmin: float, fmax: float, n: int) -> np.ndarray:
     """``n`` center frequencies equally spaced on the ERB-rate scale
     between ``fmin`` and ``fmax`` (descending-free: returned ascending)."""
@@ -57,10 +66,8 @@ def gammatone_filterbank(n_filters: int, fs: float, fmin: float = 50.0,
     if fmax is None:
         fmax = 0.45 * fs
     freqs = erb_space(fmin, fmax, n_filters)
-    if numtaps is None:
-        numtaps = max(int(fs * 0.015), 15)
     bank = np.stack([gammatone(f, "fir", numtaps=numtaps, fs=fs)[0]
-                     for f in freqs])
+                     for f in freqs])  # numtaps default lives in gammatone
     return bank.astype(np.float64), freqs
 
 
@@ -74,12 +81,13 @@ def gammatonegram(x, fs: float, n_filters: int = 64, hop: Optional[int] = None,
     broadcast against the signal), then per-band energies are averaged over
     ``hop``-sized frames (default 10 ms).  ``power``=2 gives energy, 1
     gives magnitude."""
-    x = jnp.asarray(x)
-    if x.shape[-1] < 8:
-        raise ValueError("signal too short")
+    x = _as_float(jnp.asarray(x))
     if hop is None:
         hop = max(int(0.010 * fs), 1)
     bank, freqs = gammatone_filterbank(n_filters, fs, fmin, fmax)
+    if x.shape[-1] < bank.shape[1]:
+        raise ValueError(f"signal length {x.shape[-1]} shorter than the "
+                         f"gammatone filters ({bank.shape[1]} taps)")
     # (..., 1, T) conv (..1.., bands, taps) -> (..., bands, T)
     bank_b = jnp.asarray(bank, x.dtype).reshape(
         (1,) * (x.ndim - 1) + bank.shape)
@@ -97,11 +105,16 @@ def modulation_spectrum(x, fs: float, n_filters: int = 32,
                         *, config: SpectralConfig = DEFAULT_CONFIG
                         ) -> Tuple[Array, np.ndarray, np.ndarray]:
     """Amplitude-modulation spectrum: (S, carrier_freqs, mod_freqs) with
-    S (..., n_filters, n_mod_bins) = |rFFT of each band's Hilbert
-    envelope|² — the syllable-rate (2-16 Hz) energy map of auditory and
-    intelligibility models.  The DC bin carries each band's mean level."""
-    x = jnp.asarray(x)
+    S (..., n_filters, n_mod_bins) = |rFFT of each band's mean-removed
+    Hilbert envelope|² — the syllable-rate (2-16 Hz) energy map of auditory
+    and intelligibility models.  Band mean levels are REMOVED before the
+    transform (the DC bin is ~0); normalize modulation depth against the
+    band energies from :func:`gammatonegram` if needed."""
+    x = _as_float(jnp.asarray(x))
     bank, freqs = gammatone_filterbank(n_filters, fs, fmin, fmax)
+    if x.shape[-1] < bank.shape[1]:
+        raise ValueError(f"signal length {x.shape[-1]} shorter than the "
+                         f"gammatone filters ({bank.shape[1]} taps)")
     bank_b = jnp.asarray(bank, x.dtype).reshape(
         (1,) * (x.ndim - 1) + bank.shape)
     y = fft_convolve(x[..., None, :], bank_b, mode="same", config=config)

@@ -134,6 +134,10 @@ def get_window(window, nperseg: int, dtype=np.float32, *, sym: bool = False) -> 
             return np.ones(nperseg, dtype)
         wp = get_window(window, nperseg - 1, np.float64)
         return np.concatenate([wp, wp[:1]]).astype(dtype)
+    if nperseg < 2 and isinstance(window, (str, tuple)):
+        # scipy's length guard: every named window degenerates to ones
+        # (the periodic formulas would return their left-edge sample)
+        return np.ones(max(nperseg, 0), dtype)
     if isinstance(window, tuple):
         name, *params = window
         if name == "exponential":

@@ -51,3 +51,15 @@ def test_modulation_spectrum_detects_am_rate(rng):
     sel = (mods > 1.0) & (mods < 30.0)
     peak_mod = mods[sel][np.argmax(row[sel])]
     assert abs(peak_mod - f_mod) < 0.6, peak_mod
+
+
+def test_auditory_review_regressions(rng):
+    fs = 8000.0
+    k = np.arange(4000)
+    # int16 PCM input must not zero the bank (review finding)
+    pcm = (3000 * np.sin(2 * np.pi * 500.0 * k / fs)).astype(np.int16)
+    G = np.asarray(sp.gammatonegram(pcm, fs, n_filters=8))
+    assert G.max() > 0
+    # too-short signals are rejected, not silently padded (review finding)
+    with pytest.raises(ValueError):
+        sp.gammatonegram(np.zeros(50, np.float32), 16000.0, n_filters=4)

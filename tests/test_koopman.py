@@ -25,6 +25,7 @@ def _duffing_trajs(rng, n_traj=24, T=40, dt=0.1):
     return trajs.astype(np.float32)
 
 
+@pytest.mark.slow  # 300-step Adam optimization loop (lane rule)
 def test_koopman_trains_and_forecasts(rng):
     import optax
 

@@ -75,3 +75,11 @@ def test_dpss_and_get_window_reexported():
     assert w.dpss is not None and w.get_window is not None
     np.testing.assert_allclose(np.asarray(w.dpss(64, 2.5, 3)),
                                sw.dpss(64, 2.5, 3), atol=1e-10)
+
+
+def test_length_one_periodic_is_ones():
+    # review finding: scipy's M=1 guard applies in the periodic branch too
+    for name in ("hann", "bartlett", "hamming", "triang"):
+        np.testing.assert_allclose(getattr(w, name)(1, sym=False), [1.0])
+    np.testing.assert_allclose(w.kaiser(1, 8.6, sym=False), [1.0])
+    np.testing.assert_allclose(w.exponential(1, tau=2.0, sym=False), [1.0])
