@@ -81,6 +81,7 @@ from .ops.lticlasses import (
 )
 from .ops.emd import emd, eemd, hilbert_huang
 from .ops.vmd import vmd
+from .ops.ewt import ewt, ewt_boundaries
 from .ops.hos import bispectrum, bicoherence
 from .ops.dwt import wavelet_denoise, wavelet_denoise2, cycle_spin
 from .ops.signal import goertzel
@@ -215,7 +216,7 @@ __all__ = [
     # LTI classes + pole placement
     "lti", "dlti", "TransferFunction", "ZerosPolesGain", "StateSpace",
     "place_poles",
-    "emd", "eemd", "hilbert_huang", "vmd", "bispectrum", "bicoherence", "wavelet_denoise", "wavelet_denoise2", "cycle_spin", "goertzel",
+    "emd", "eemd", "hilbert_huang", "vmd", "ewt", "ewt_boundaries", "bispectrum", "bicoherence", "wavelet_denoise", "wavelet_denoise2", "cycle_spin", "goertzel",
     "corr_matrix", "music", "root_music", "esprit", "prony", "pisarenko",
     "ssa", "dmd", "dmd_reconstruct", "kalman_filter", "kalman_smoother", "lms_filter", "nlms_filter", "rls_filter",
     "levinson", "aryule", "arburg", "ar_psd", "thd", "sinad", "sfdr", "enob", "windows", "erb_space", "gammatone_filterbank", "gammatonegram", "modulation_spectrum",
