@@ -29,7 +29,7 @@ groups = {
     "Peak analysis / rank filters": ["find_peaks","find_peaks_cwt","peak_prominences","peak_widths","argrelmin","argrelmax","argrelextrema","medfilt","medfilt2d","order_filter"],
     "B-splines": ["gauss_spline","cspline1d","qspline1d","cspline1d_eval","qspline1d_eval","cspline2d","qspline2d","symiirorder1","symiirorder2","sepfir2d","spline_filter"],
     "Measurement utilities": ["max_len_seq","correlation_lags","vectorstrength","envelope","CZT","ZoomFFT","lpc","tfestimate","xwt","wct","cwt_tc","tc_scales","pfb_analysis","pfb_prototype","pfb_frequencies","goertzel","thd","sinad","sfdr","enob"],
-    "Nonstationary / nonlinear analysis": ["emd","eemd","hilbert_huang","bispectrum","bicoherence","cohen_class","choi_williams","xwigner_ville","wavelet_denoise","wavelet_denoise2","cycle_spin"],
+    "Nonstationary / nonlinear analysis": ["emd","eemd","hilbert_huang","vmd","ewt","ewt_boundaries","bispectrum","bicoherence","cohen_class","choi_williams","xwigner_ville","wavelet_denoise","wavelet_denoise2","cycle_spin"],
     "Auditory analysis": ["erb_space","gammatone_filterbank","gammatonegram","modulation_spectrum"],
     "Estimation (parametric / subspace / state-space / adaptive)": ["music","root_music","esprit","pisarenko","prony","corr_matrix","ssa","dmd","dmd_reconstruct","kalman_filter","kalman_smoother","lms_filter","nlms_filter","rls_filter"],
     "PDE toolbox": ["spectral_diff","poisson_solve"],
