@@ -51,18 +51,20 @@ def ewt_boundaries(x, n_bands: int, *, smooth: int = 5) -> np.ndarray:
         raise ValueError(f"only {len(peaks)} spectral peaks found; cannot "
                          f"cut {n_bands} bands")
     top = np.sort(peaks[np.argsort(spec[peaks])[-n_bands:]])
+    n = len(x)
     bounds = []
     for a, b in zip(top[:-1], top[1:]):
         valley = a + int(np.argmin(spec[a: b + 1]))
-        bounds.append(valley / (2.0 * (n_bins - 1)))  # bin → cycles/sample
+        bounds.append(valley / n)  # bin k ↔ k/n cycles/sample exactly
     return np.asarray(bounds)
 
 
 def _partition_bank(n_bins: int, bounds: np.ndarray,
-                    gamma: float) -> np.ndarray:
+                    gamma: float, T: int) -> np.ndarray:
     """(n_bands, n_bins) raised-cosine amplitude partition of unity with
-    transition half-width γ·ωᵢ around each boundary."""
-    freqs = np.linspace(0.0, 0.5, n_bins)
+    transition half-width γ·ωᵢ around each boundary (exact k/T bin grid —
+    linspace(0, 0.5) is off by one part in T for odd lengths)."""
+    freqs = np.arange(n_bins) / T
     edges = np.concatenate([[0.0], bounds, [0.5]])
     K = len(edges) - 1
 
@@ -107,7 +109,7 @@ def ewt(x, n_bands: Optional[int] = None,
             (boundaries <= 0) | (boundaries >= 0.5)):
         raise ValueError("boundaries must be ascending within (0, 0.5)")
     n_bins = T // 2 + 1
-    bank = _partition_bank(n_bins, boundaries, gamma)
+    bank = _partition_bank(n_bins, boundaries, gamma, T)
     X = rfft(x, axis=-1, config=config)
     Xb = X[..., None, :] * jnp.asarray(bank, X.dtype)
     bands = irfft(Xb, n=T, axis=-1, config=config)

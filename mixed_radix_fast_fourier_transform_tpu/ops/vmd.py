@@ -30,7 +30,7 @@ __all__ = ["vmd"]
 
 
 def vmd(x, K: int, alpha: float = 2000.0, tau: float = 0.0,
-        n_iter: int = 300, tol: float = 1e-7,
+        n_iter: int = 300,
         init_omega: Optional[np.ndarray] = None, *,
         config: SpectralConfig = DEFAULT_CONFIG
         ) -> Tuple[Array, Array]:
@@ -39,15 +39,18 @@ def vmd(x, K: int, alpha: float = 2000.0, tau: float = 0.0,
     Returns (modes (..., K, T), center_freqs (..., K) in cycles/sample,
     sorted ascending).  ``alpha`` is the bandwidth penalty (larger =
     narrower modes), ``tau`` the dual ascent step (0 = no exact-recon
-    constraint, robust to noise).  ``n_iter`` is a fixed count (static for
-    jit); ``tol`` stops the dual update once mode movement stalls (cheap
-    elementwise guard, no data-dependent control flow).
+    constraint, robust to noise).  ``n_iter`` is a fixed count (static
+    for jit — VMD converges geometrically, so a fixed budget is the
+    compiler-friendly stopping rule).
     """
     x = jnp.asarray(x)
     if x.shape[-1] < 8:
         raise ValueError("vmd needs a signal of length >= 8")
     if not 1 <= K <= 32:
         raise ValueError(f"need 1 <= K <= 32, got {K}")
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("vmd expects a real signal (decompose the real "
+                         "and imaginary parts separately for IQ data)")
     if not jnp.issubdtype(x.dtype, jnp.floating):
         x = x.astype(config.dtype)
     T0 = x.shape[-1]
@@ -57,9 +60,10 @@ def vmd(x, K: int, alpha: float = 2000.0, tau: float = 0.0,
                           x[..., T0 - half:][..., ::-1]], axis=-1)
     T = xm.shape[-1]
     f_hat = fft(xm.astype(jnp.complex64), config=config)
-    # analytic one-sided spectrum: keep ω ∈ [0, 0.5), zero the rest
+    # analytic one-sided spectrum: bins 0..T//2 (incl. Nyquist for even T
+    # — fftfreq reports it as −0.5, so a freqs>=0 mask would drop it)
     freqs = np.fft.fftfreq(T)                       # cycles/sample
-    pos = jnp.asarray((freqs >= 0).astype(np.float32))
+    pos = jnp.asarray((np.arange(T) <= T // 2).astype(np.float32))
     f_pos = f_hat * pos
     w = jnp.asarray(np.abs(freqs).astype(np.float32))  # |ω| grid
 
@@ -97,8 +101,15 @@ def vmd(x, K: int, alpha: float = 2000.0, tau: float = 0.0,
     u, omega, _ = jax.lax.fori_loop(
         0, n_iter, body, (u_init, omega_init, lam_init))
 
-    # modes: Hermitian-complete the one-sided spectra, inverse, un-mirror
+    # modes: Hermitian-complete the one-sided spectra, inverse, un-mirror.
+    # The flip/roll maps bin m → conj(u[(T−m) mod T]); the self-conjugate
+    # bins (0 and, for even T, T/2) map onto themselves and would double —
+    # reset them to their (real) one-sided values.
     u_full = u + jnp.conj(jnp.flip(jnp.roll(u, -1, axis=-1), axis=-1))
+    u_full = u_full.at[..., 0].set(jnp.real(u[..., 0]).astype(u.dtype))
+    if T % 2 == 0:
+        u_full = u_full.at[..., T // 2].set(
+            jnp.real(u[..., T // 2]).astype(u.dtype))
     modes = jnp.real(ifft(u_full, config=config))[..., half: half + T0]
     order = jnp.argsort(omega, axis=-1)
     modes = jnp.take_along_axis(modes, order[..., None], axis=-2)

@@ -52,3 +52,15 @@ def test_ewt_validation(rng):
         sp.ewt(x, boundaries=np.array([0.6]))
     with pytest.raises(ValueError):
         sp.ewt_boundaries(x, 1)
+
+
+def test_ewt_odd_length_exact_bins(rng):
+    # review finding: boundary bin conversion must use k/n, not k/(n-1)
+    n = 1025
+    k = np.arange(n)
+    x = (np.cos(2 * np.pi * 0.06 * k)
+         + np.cos(2 * np.pi * 0.3 * k)).astype(np.float32)
+    bands, b = sp.ewt(x, n_bands=2)
+    bands = np.asarray(bands)
+    np.testing.assert_allclose(bands.sum(axis=0), x, atol=2e-5)
+    assert 0.06 < b[0] < 0.3

@@ -62,3 +62,20 @@ def test_vmd_jits(rng):
     m1, o1 = fn(x)
     m2, o2 = sp.vmd(x, K=2, n_iter=50)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-5)
+
+
+def test_vmd_review_regressions(rng):
+    k = np.arange(1024)
+    # DC must not double (review finding)
+    x = (3.0 + np.cos(2 * np.pi * 0.1 * k)).astype(np.float32)
+    modes, _ = sp.vmd(x, K=2, alpha=50.0)
+    recon = np.asarray(modes).sum(axis=0)
+    assert abs(recon.mean() - 3.0) < 0.05, recon.mean()
+    # Nyquist content is recoverable (review finding)
+    y = ((-1.0) ** k + 0.5 * np.cos(2 * np.pi * 0.1 * k)).astype(np.float32)
+    m2, om = sp.vmd(y, K=2, alpha=50.0)
+    r2 = np.asarray(m2).sum(axis=0)
+    assert np.max(np.abs(r2[64:-64] - y[64:-64])) < 0.1
+    # complex input is rejected, not silently truncated (review finding)
+    with pytest.raises(ValueError):
+        sp.vmd(np.zeros(64, np.complex64), K=2)
