@@ -106,4 +106,15 @@ mse = lambda y: float(np.mean((np.asarray(y) - truth) ** 2))
 print(f"[kalman] track MSE: raw {mse(meas[:, 0]):.3f} -> smoothed "
       f"{mse(np.asarray(sm)[:, 0]):.3f} (log-depth associative scans)")
 
+# --- 9. adaptive decompositions: EMD vs VMD vs EWT on the same mixture ---
+kk2 = np.arange(2048)
+mix = (np.cos(2 * np.pi * 0.04 * kk2)
+       + 0.7 * np.cos(2 * np.pi * 0.17 * kk2)).astype(np.float32)
+imfs = sp.emd(mix, max_imf=3)
+vm, vfreq = sp.vmd(mix, K=2)
+ew, ebound = sp.ewt(mix, n_bands=2)
+print(f"[adaptive] EMD {imfs.shape[0] - 1} IMFs; VMD centers "
+      f"{np.round(np.asarray(vfreq), 3)}; EWT boundary {ebound[0]:.3f} "
+      "(truth: tones at 0.040/0.170)")
+
 print("signal_toolbox demo complete.")
