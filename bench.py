@@ -485,6 +485,57 @@ def bench_kalman(T: int, iters: int, seed: int = 0):
     return t_par / T * 1e6, ab["ratio_median"], diff
 
 
+def bench_shorttime(batch: int, n: int, iters: int, seed: int = 0):
+    """(ms per signal for a full ShortTimeFFT stft→istft round trip, max
+    abs reconstruction err) — the round-4 frame-operator subsystem (one
+    static gather + batched rfft forward; scatter-add overlap-add back)."""
+    import scipy.signal as ss
+
+    from mixed_radix_fast_fourier_transform_tpu import ShortTimeFFT
+    from mixed_radix_fast_fourier_transform_tpu.utils.profiling import (
+        marginal_time,
+    )
+
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((batch, n)).astype(np.float32)
+    xd = jax.device_put(x)
+    S = ShortTimeFFT(ss.windows.hann(256, sym=False), hop=64, fs=1.0)
+
+    def fn(a):
+        spec = S.stft(a)
+        return (S.istft(spec, k1=n),)
+
+    got = np.asarray(jax.jit(fn)(xd)[0])
+    err = float(np.max(np.abs(got - x)))
+    dt = marginal_time(fn, (xd,), short=iters, long=5 * iters)
+    return dt / batch * 1e3, err
+
+
+def bench_vmd(n: int, K: int, iters: int, seed: int = 0):
+    """(ms per decomposition, center-frequency error vs truth) for the
+    jittable frequency-domain ADMM (round-4 adaptive decomposition)."""
+    from mixed_radix_fast_fourier_transform_tpu.ops.vmd import vmd
+    from mixed_radix_fast_fourier_transform_tpu.utils.profiling import (
+        marginal_time,
+    )
+
+    rng = np.random.default_rng(seed)
+    k = np.arange(n)
+    truth = np.array([0.05, 0.15, 0.31])[:K]
+    x = sum(np.cos(2 * np.pi * f * k + i) for i, f in enumerate(truth))
+    x = (x + 0.02 * rng.standard_normal(n)).astype(np.float32)
+    xd = jax.device_put(x)
+
+    def fn(a):
+        modes, om = vmd(a, K=K, n_iter=150)
+        return (jnp.sum(modes, axis=-2),)  # same shape as input: chainable
+
+    _, om = jax.jit(lambda a: vmd(a, K=K, n_iter=150))(xd)
+    err = float(np.max(np.abs(np.sort(np.asarray(om)) - np.sort(truth))))
+    dt = marginal_time(fn, (xd,), short=iters, long=5 * iters)
+    return dt * 1e3, err
+
+
 def _probe_backend(timeout_s: float = 180.0):
     """Probe device-backend init in a SUBPROCESS and return (platform, error).
 
@@ -722,6 +773,28 @@ def main():
         ext_ok = ext_ok and ok
     except Exception as e:  # pragma: no cover
         extras["sosfilt_butter6_16x65536"] = {"error": str(e)[:200]}
+        ext_ok = False
+    try:
+        ms_sig, err = bench_shorttime(8, 16384, 50)
+        ok = err <= 1e-4
+        extras["shorttime_roundtrip_8x16384"] = {
+            "ms_per_signal": round(ms_sig, 3),
+            "max_rel_err": float(f"{err:.3g}"), "budget_ok": bool(ok),
+        }
+        ext_ok = ext_ok and ok
+    except Exception as e:  # pragma: no cover
+        extras["shorttime_roundtrip_8x16384"] = {"error": str(e)[:200]}
+        ext_ok = False
+    try:
+        ms_dec, err = bench_vmd(4096, 3, 20)
+        ok = err <= 5e-3
+        extras["vmd_k3_n4096"] = {
+            "ms_per_decomposition": round(ms_dec, 3),
+            "center_freq_err": float(f"{err:.3g}"), "budget_ok": bool(ok),
+        }
+        ext_ok = ext_ok and ok
+    except Exception as e:  # pragma: no cover
+        extras["vmd_k3_n4096"] = {"error": str(e)[:200]}
         ext_ok = False
     try:
         us_step, speedup, diff = bench_kalman(65536, 20)
