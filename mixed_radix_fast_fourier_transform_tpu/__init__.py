@@ -115,7 +115,9 @@ from .ops.ltisys import (
     lsim, step, impulse, freqresp, bode,
 )
 from .ops.mdct import mdct, imdct, mdct_window
-from .ops.pfb import pfb_analysis, pfb_prototype, pfb_frequencies
+from .ops.pfb import (
+    pfb_analysis, pfb_synthesis, pfb_prototype, pfb_frequencies,
+)
 from .ops.cwt import cwt, ricker, morlet2, cwt_tc, tc_scales, xwt, wct
 from .ops.dwt import (dwt, dwt2, dwt_max_level, idwt, idwt2, iswt, iswt2,
                       swt, swt2, wavedec, wavedec2, waverec, waverec2,
@@ -187,7 +189,7 @@ __all__ = [
     "spectral_centroid", "spectral_bandwidth", "spectral_rolloff", "spectral_flatness", "spectral_contrast", "zero_crossing_rate", "rms", "specaugment", "chroma_filterbank", "chroma_stft", "onset_strength", "tempo", "delta", "beat_track", "decompose", "trim", "split", "mu_law_encode", "mu_law_decode", "power_to_db", "db_to_power", "amplitude_to_db", "db_to_amplitude", "chroma_cqt", "tonnetz", "gcc_phat", "lpc",
     "chirp", "sweep_poly", "gausspulse", "sawtooth", "square", "unit_impulse", "phase_cross_correlation", "fourier_shift", "unwrap_phase_2d", "fourier_gaussian", "fourier_uniform", "fourier_ellipsoid", "wiener", "radon", "iradon", "wigner_ville", "ssq_cwt", "ssq_stft", "issq_cwt", "issq_stft", "reassigned_spectrogram", "stockwell", "istockwell", "ambiguity", "cohen_class", "choi_williams", "xwigner_ville", "scattering1d", "scattering2d",
     "czt", "zoom_fft", "czt_points", "fht", "ifht", "fhtoffset", "fwht", "ifwht", "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn", "hilbert", "periodogram", "welch", "csd", "coherence", "tfestimate", "spectral_diff", "poisson_solve", "resample", "resample_poly", "upfirdn", "lombscargle", "multitaper", "rceps", "cceps", "icceps", "minimum_phase", "firwin", "freqz", "kaiser_atten", "kaiser_beta", "remez", "detrend", "decimate", "savgol_coeffs", "savgol_filter", "group_delay", "deconvolve",
-    "mdct", "imdct", "mdct_window", "pfb_analysis", "pfb_prototype", "pfb_frequencies", "cwt", "ricker", "morlet2", "cwt_tc", "tc_scales", "xwt", "wct", "dwt", "idwt", "dwt2", "idwt2", "wavedec", "waverec", "wavedec2", "waverec2", "swt", "iswt", "swt2", "iswt2", "wpdec", "wprec", "wpdec2", "wprec2", "dwt_max_level", "dtcwt", "idtcwt", "dtcwt2", "idtcwt2", "frft", "ifrft", "frft2",
+    "mdct", "imdct", "mdct_window", "pfb_analysis", "pfb_synthesis", "pfb_prototype", "pfb_frequencies", "cwt", "ricker", "morlet2", "cwt_tc", "tc_scales", "xwt", "wct", "dwt", "idwt", "dwt2", "idwt2", "wavedec", "waverec", "wavedec2", "waverec2", "swt", "iswt", "swt2", "iswt2", "wpdec", "wprec", "wpdec2", "wprec2", "dwt_max_level", "dtcwt", "idtcwt", "dtcwt2", "idtcwt2", "frft", "ifrft", "frft2",
     "nufft1", "nufft2", "nufft3", "nufft3_2d", "nufft3_3d", "nudft1", "nudft2", "nufft_lsq", "nufft_lsq_2d", "nufft_lsq_3d",
     "nufft1_2d", "nufft2_2d", "nudft1_2d", "nudft2_2d",
     "nufft1_3d", "nufft2_3d", "nudft1_3d", "nudft2_3d",

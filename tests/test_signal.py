@@ -892,3 +892,63 @@ class TestPFB:
             sp.pfb_analysis(np.zeros(8, np.float32), K, P)
         with pytest.raises(ValueError):
             sp.pfb_prototype(1, 4)
+
+    def test_synthesis_round_trip(self, rng):
+        K, P = 32, 8
+        for x in (
+            rng.standard_normal(K * 64).astype(np.float32),
+            (rng.standard_normal(K * 64)
+             + 1j * rng.standard_normal(K * 64)).astype(np.complex64),
+        ):
+            Y = sp.pfb_analysis(x, K, P, mode="full")
+            assert np.asarray(Y).shape == (64 + P - 1, K)
+            xr = np.asarray(sp.pfb_synthesis(Y, P))
+            assert xr.shape == (x.size,)
+            # full-mode frames deconvolve exactly; the branch-Nyquist dip
+            # amplifies fp32 round-off ~25x -> 1e-4-class
+            err = np.max(np.abs(xr - x))
+            assert err < 1e-3, err
+            if np.isrealobj(x):
+                assert np.max(np.abs(xr.imag)) < 1e-3
+
+    def test_synthesis_batched_custom_h(self, rng):
+        K, P = 16, 6
+        h = sp.pfb_prototype(K, P, window="hann")
+        x = rng.standard_normal((3, K * 48)).astype(np.float32)
+        Y = sp.pfb_analysis(x, K, h=h, mode="full")
+        xr = np.asarray(sp.pfb_synthesis(Y, h=h))
+        assert np.max(np.abs(xr.real - x)) < 1e-3
+        with pytest.raises(ValueError):
+            sp.pfb_synthesis(np.zeros(8, np.complex64))
+        with pytest.raises(ValueError):
+            sp.pfb_analysis(x, K, h=h, mode="same")
+
+    def test_oversampled_matches_critical_on_coincident_frames(self, rng):
+        # hop = 3K/4: oversampled frame 4j starts at sample 3jK, i.e.
+        # coincides with critically-sampled frame 3j — outputs must agree
+        # (the derotation makes channels true baseband)
+        K, P = 32, 8
+        x = (rng.standard_normal(K * 96)
+             + 1j * rng.standard_normal(K * 96)).astype(np.complex64)
+        Yc = np.asarray(sp.pfb_analysis(x, K, P))
+        Yo = np.asarray(sp.pfb_analysis(x, K, P, hop=3 * K // 4))
+        n = min(Yo.shape[0] // 4, Yc.shape[0] // 3)
+        np.testing.assert_allclose(
+            Yo[4 * np.arange(n)], Yc[3 * np.arange(n)], atol=1e-4
+        )
+        Yh = np.asarray(sp.pfb_analysis(x, K, P, hop=K // 2))
+        n2 = min(Yh[::2].shape[0], Yc.shape[0])
+        np.testing.assert_allclose(Yh[::2][:n2], Yc[:n2], atol=1e-4)
+
+    def test_oversampled_tone_is_dc_baseband(self):
+        # a channel-center tone must channelize to a CONSTANT sequence at
+        # any hop (derotation check) with the same unit gain
+        K, P, k0 = 64, 8, 13
+        t = np.arange(K * 64)
+        x = np.exp(2j * np.pi * k0 / K * t).astype(np.complex64)
+        Y = np.asarray(sp.pfb_analysis(x, K, P, hop=3 * K // 4))
+        ch = Y[:, k0]
+        np.testing.assert_allclose(np.abs(ch), 1.0, atol=2e-3)
+        np.testing.assert_allclose(ch, ch[0], atol=2e-3)
+        with pytest.raises(ValueError):
+            sp.pfb_analysis(x, K, P, hop=0)
