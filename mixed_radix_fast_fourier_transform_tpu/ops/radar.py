@@ -173,6 +173,29 @@ def _box_sum(p, half: int, axes):
     return s, cnt
 
 
+def _os_alpha(n: int, k: int, pfa: float) -> float:
+    """OS-CFAR threshold factor: the root of
+    ∏_{i=0}^{k−1} (n−i)/(n−i+α) = pfa (square-law noise, Rohling 1983) —
+    host-side bisection, plan-time scalar."""
+    idx = np.arange(k, dtype=np.float64)
+
+    def f(a):
+        return np.sum(np.log(n - idx) - np.log(n - idx + a)) - np.log(pfa)
+
+    lo, hi = 0.0, 4.0
+    while f(hi) > 0:
+        hi *= 2.0
+        if hi > 1e12:  # pragma: no cover - pfa astronomically small
+            break
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if f(mid) > 0:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
 def cfar(
     power,
     num_train: int = 8,
@@ -180,6 +203,7 @@ def cfar(
     pfa: float = 1e-4,
     method: str = "ca",
     axes: Optional[Tuple[int, ...]] = None,
+    rank: Optional[int] = None,
 ) -> Tuple[Array, Array]:
     """Constant-false-alarm-rate detection on a square-law ``power`` map.
 
@@ -191,9 +215,14 @@ def cfar(
     renormalizes over the cells that exist.
 
     ``method``: "ca" cell-averaging, "go" greatest-of, "so" smallest-of
-    (leading/lagging split — 1-D only).  The threshold factor is the
-    square-law calibration α = Nt·(pfa^(−1/Nt) − 1).  Returns
-    ``(detections, threshold)`` — a boolean map and the per-cell
+    (leading/lagging split — 1-D only), or "os" order-statistic (1-D:
+    the ``rank``-th smallest of the 2·num_train training cells, default
+    rank = ⌈3N/4⌉ — robust at clutter edges and in multi-target
+    neighborhoods; edges are reflect-padded so every cell sees a full
+    window, and the device work is one static-slice stack + sort).  The
+    threshold factor is the square-law calibration — α = Nt·(pfa^(−1/Nt)−1)
+    for the averaging methods, Rohling's product equation for "os".
+    Returns ``(detections, threshold)`` — a boolean map and the per-cell
     threshold.
     """
     p = jnp.asarray(power)
@@ -207,19 +236,44 @@ def cfar(
         raise ValueError(f"num_guard must be >= 0, got {g}")
     if not 0.0 < pfa < 1.0:
         raise ValueError(f"pfa must be in (0, 1), got {pfa}")
-    if method not in ("ca", "go", "so"):
-        raise ValueError(f"method must be 'ca', 'go' or 'so', got {method!r}")
+    if method not in ("ca", "go", "so", "os"):
+        raise ValueError(
+            f"method must be 'ca', 'go', 'so' or 'os', got {method!r}"
+        )
     axes = (-1,) if axes is None else tuple(int(a) for a in axes)
     if len(axes) not in (1, 2):
         raise ValueError("cfar supports 1-D or 2-D training regions")
     if len(axes) == 2 and method != "ca":
-        raise ValueError("go/so CFAR is 1-D only (leading/lagging split)")
+        raise ValueError("go/so/os CFAR is 1-D only")
     for a in axes:
         if p.shape[a] < 2 * (t + g) + 1:
             raise ValueError(
                 f"axis {a} ({p.shape[a]} cells) shorter than the CFAR "
                 f"window {2 * (t + g) + 1}"
             )
+
+    if method == "os":
+        ax = axes[0] % p.ndim
+        n_cells = 2 * t
+        k = int(rank) if rank is not None else max(
+            1, int(np.ceil(0.75 * n_cells))
+        )
+        if not 1 <= k <= n_cells:
+            raise ValueError(
+                f"rank must be in [1, {n_cells}], got {k}"
+            )
+        padw = [(0, 0)] * p.ndim
+        padw[ax] = (t + g, t + g)
+        pp = jnp.pad(p, padw, mode="reflect")
+        offs = list(range(0, t)) + list(range(t + 2 * g + 1, 2 * t + 2 * g + 1))
+        n = p.shape[ax]
+        win = jnp.stack(
+            [jax.lax.slice_in_dim(pp, o, o + n, axis=ax) for o in offs],
+            axis=-1,
+        )  # (…, 2t) training cells per CUT
+        noise = jnp.sort(win, axis=-1)[..., k - 1]
+        thresh = float(_os_alpha(n_cells, k, pfa)) * noise
+        return p > thresh, thresh
 
     if len(axes) == 1 and method in ("go", "so"):
         ax = axes[0] % p.ndim

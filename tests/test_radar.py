@@ -163,6 +163,34 @@ class TestCFAR:
         mask[15:26, 25:36] = False
         assert det[mask].mean() < 0.02
 
+    def test_os_matches_bruteforce(self, rng):
+        t, g, k, pfa = 8, 2, 12, 1e-3
+        p = rng.exponential(1.0, 200)
+        p[90] += 50.0
+        p[120:200] *= 10.0  # clutter edge: OS stays calibrated
+        det, th = sp.cfar(p.astype(np.float32), num_train=t, num_guard=g,
+                          pfa=pfa, method="os", rank=k)
+        pp = np.pad(p, t + g, mode="reflect")
+        # Rohling's alpha
+        from mixed_radix_fast_fourier_transform_tpu.ops.radar import _os_alpha
+        alpha = _os_alpha(2 * t, k, pfa)
+        pfa_chk = np.prod([(2 * t - i) / (2 * t - i + alpha)
+                           for i in range(k)])
+        assert abs(pfa_chk - pfa) / pfa < 1e-6
+        for i in (0, 5, 90, 119, 150, 199):
+            c = i + t + g
+            cells = np.r_[pp[c - t - g : c - g], pp[c + g + 1 : c + g + t + 1]]
+            noise = np.sort(cells)[k - 1]
+            np.testing.assert_allclose(np.asarray(th)[i], alpha * noise,
+                                       rtol=2e-5)
+        assert np.asarray(det)[90]
+        # default rank = 3N/4
+        det2, th2 = sp.cfar(p.astype(np.float32), num_train=t, num_guard=g,
+                            pfa=pfa, method="os")
+        assert np.asarray(th2).shape == p.shape
+        with pytest.raises(ValueError):
+            sp.cfar(p.astype(np.float32), num_train=t, method="os", rank=0)
+
     def test_batched_and_errors(self, rng):
         p = rng.exponential(1.0, (3, 96)).astype(np.float32)
         det, th = sp.cfar(p, num_train=6, num_guard=1, pfa=1e-2)
@@ -179,7 +207,7 @@ class TestCFAR:
         with pytest.raises(ValueError):
             sp.cfar(p, pfa=0.0)
         with pytest.raises(ValueError):
-            sp.cfar(p, method="os")
+            sp.cfar(p, method="tm")
         with pytest.raises(ValueError):
             sp.cfar(p, axes=(-2, -1), method="go")
         with pytest.raises(ValueError):
