@@ -48,6 +48,10 @@ from .ops.register import phase_cross_correlation, fourier_shift, unwrap_phase_2
 from .ops.ndimage import fourier_gaussian, fourier_uniform, fourier_ellipsoid, wiener
 from .ops.tomo import radon, iradon
 from .ops.radar import pulse_compression, range_doppler, cfar
+from .ops.beamform import (
+    steering_vector, spatial_covariance, bartlett_spectrum,
+    mvdr_spectrum, mvdr_weights, music_doa,
+)
 from .ops.scattering import scattering1d, scattering2d
 from .ops.waveforms import chirp, sweep_poly, gausspulse, sawtooth, square, unit_impulse
 from .ops.feature import (
@@ -188,7 +192,7 @@ __all__ = [
     "ShortTimeFFT", "check_COLA", "check_NOLA", "closest_STFT_dual_window",
     "stft", "istft", "spectrogram", "get_window", "dpss", "griffinlim", "phase_vocoder", "time_stretch", "pitch_shift", "cqt", "cqt_frequencies", "icqt", "mel_filterbank", "mel_frequencies", "melspectrogram", "mfcc", "hz_to_mel", "mel_to_hz", "mel_to_stft", "mel_to_audio", "hpss", "yin", "pyin", "pcen", "A_weighting", "mfcc_to_mel", "mfcc_to_audio", "hilbert2",
     "spectral_centroid", "spectral_bandwidth", "spectral_rolloff", "spectral_flatness", "spectral_contrast", "zero_crossing_rate", "rms", "specaugment", "chroma_filterbank", "chroma_stft", "onset_strength", "tempo", "delta", "beat_track", "decompose", "trim", "split", "mu_law_encode", "mu_law_decode", "power_to_db", "db_to_power", "amplitude_to_db", "db_to_amplitude", "chroma_cqt", "tonnetz", "gcc_phat", "lpc",
-    "chirp", "sweep_poly", "gausspulse", "sawtooth", "square", "unit_impulse", "phase_cross_correlation", "fourier_shift", "unwrap_phase_2d", "fourier_gaussian", "fourier_uniform", "fourier_ellipsoid", "wiener", "radon", "iradon", "pulse_compression", "range_doppler", "cfar", "wigner_ville", "ssq_cwt", "ssq_stft", "issq_cwt", "issq_stft", "reassigned_spectrogram", "stockwell", "istockwell", "ambiguity", "cohen_class", "choi_williams", "xwigner_ville", "scattering1d", "scattering2d",
+    "chirp", "sweep_poly", "gausspulse", "sawtooth", "square", "unit_impulse", "phase_cross_correlation", "fourier_shift", "unwrap_phase_2d", "fourier_gaussian", "fourier_uniform", "fourier_ellipsoid", "wiener", "radon", "iradon", "pulse_compression", "range_doppler", "cfar", "steering_vector", "spatial_covariance", "bartlett_spectrum", "mvdr_spectrum", "mvdr_weights", "music_doa", "wigner_ville", "ssq_cwt", "ssq_stft", "issq_cwt", "issq_stft", "reassigned_spectrogram", "stockwell", "istockwell", "ambiguity", "cohen_class", "choi_williams", "xwigner_ville", "scattering1d", "scattering2d",
     "czt", "zoom_fft", "czt_points", "fht", "ifht", "fhtoffset", "fwht", "ifwht", "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn", "hilbert", "periodogram", "welch", "csd", "coherence", "tfestimate", "spectral_diff", "poisson_solve", "resample", "resample_poly", "upfirdn", "lombscargle", "multitaper", "rceps", "cceps", "icceps", "minimum_phase", "firwin", "freqz", "kaiser_atten", "kaiser_beta", "remez", "detrend", "decimate", "savgol_coeffs", "savgol_filter", "group_delay", "deconvolve",
     "mdct", "imdct", "mdct_window", "pfb_analysis", "pfb_synthesis", "pfb_prototype", "pfb_frequencies", "cwt", "ricker", "morlet2", "cwt_tc", "tc_scales", "xwt", "wct", "dwt", "idwt", "dwt2", "idwt2", "wavedec", "waverec", "wavedec2", "waverec2", "swt", "iswt", "swt2", "iswt2", "wpdec", "wprec", "wpdec2", "wprec2", "dwt_max_level", "dtcwt", "idtcwt", "dtcwt2", "idtcwt2", "frft", "ifrft", "frft2",
     "nufft1", "nufft2", "nufft3", "nufft3_2d", "nufft3_3d", "nudft1", "nudft2", "nufft_lsq", "nufft_lsq_2d", "nufft_lsq_3d",
