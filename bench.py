@@ -536,6 +536,80 @@ def bench_vmd(n: int, K: int, iters: int, seed: int = 0):
     return dt * 1e3, err
 
 
+def bench_pfb(batch: int, n_channels: int, n_frames: int, iters: int,
+              seed: int = 0):
+    """(ms per signal for a full-mode PFB channelize + exact inverse, max
+    abs round-trip err) — the round-4 channelizer subsystem (polyphase
+    weighting + batched engine FFT forward; per-residue branch
+    deconvolution back)."""
+    from mixed_radix_fast_fourier_transform_tpu import (
+        pfb_analysis, pfb_synthesis,
+    )
+    from mixed_radix_fast_fourier_transform_tpu.utils.profiling import (
+        marginal_time,
+    )
+
+    K, P = n_channels, 8
+    rng = np.random.default_rng(seed)
+    x = (rng.standard_normal((batch, K * n_frames))
+         + 1j * rng.standard_normal((batch, K * n_frames))
+         ).astype(np.complex64)
+    def rt(a):
+        return pfb_synthesis(pfb_analysis(a, K, P, mode="full"), P)
+
+    def fn(re, im):
+        # chain fp32 planes: marginal_time needs real same-dtype outputs
+        out = rt(re + 1j * im)
+        return jnp.real(out), jnp.imag(out)
+
+    red = jax.device_put(x.real.copy())
+    imd = jax.device_put(x.imag.copy())
+    got_re, got_im = jax.jit(fn)(red, imd)
+    err = float(np.max(np.abs(np.asarray(got_re) + 1j * np.asarray(got_im)
+                              - x)))
+    dt = marginal_time(fn, (red, imd), short=iters, long=5 * iters)
+    return dt / batch * 1e3, err
+
+
+def bench_range_doppler(n_pulses: int, n: int, nt: int, iters: int,
+                        seed: int = 0):
+    """(ms per CPI for pulse compression + Doppler FFT + 2-D CA-CFAR,
+    peak-location correctness flag) — the round-4 radar chain."""
+    from mixed_radix_fast_fourier_transform_tpu import cfar, range_doppler
+    from mixed_radix_fast_fourier_transform_tpu.utils.profiling import (
+        marginal_time,
+    )
+
+    rng = np.random.default_rng(seed)
+    t = np.arange(nt)
+    tx = np.exp(1j * np.pi * 0.5 / nt * (t - nt / 2) ** 2)
+    m = np.arange(n_pulses)[:, None]
+    rx = 0.3 * (rng.standard_normal((n_pulses, n))
+                + 1j * rng.standard_normal((n_pulses, n)))
+    d0, fd = n // 2, 5
+    rx[:, d0: d0 + nt] += tx * np.exp(2j * np.pi * fd * m / n_pulses)
+    txd = jax.device_put(tx.astype(np.complex64))
+
+    def chain_fn(re, im):
+        # fp32 planes in, input-shaped fp32 out (marginal_time chains it)
+        Y = range_doppler(re + 1j * im, txd, window="hamming")
+        p = jnp.abs(Y) ** 2
+        det, th = cfar(p, num_train=6, num_guard=2, pfa=1e-4, axes=(-2, -1))
+        pad = ((0, 0), (0, nt - 1))
+        return (jnp.pad(p + det.astype(p.dtype), pad), jnp.pad(th, pad))
+
+    red = jax.device_put(rx.real.astype(np.float32))
+    imd = jax.device_put(rx.imag.astype(np.float32))
+    pe, the = jax.jit(chain_fn)(red, imd)
+    p = np.asarray(pe)[:, : n - nt + 1]
+    th = np.asarray(the)[:, : n - nt + 1]
+    pk = np.unravel_index(int(np.argmax(p)), p.shape)
+    # p+det at the peak exceeds the threshold by >1 iff CFAR fired there
+    ok = pk == (n_pulses // 2 + fd, d0) and (p[pk] - th[pk]) > 1.0
+    dt = marginal_time(chain_fn, (red, imd), short=iters, long=5 * iters)
+    return dt * 1e3, ok
+
+
 def _probe_backend(timeout_s: float = 180.0):
     """Probe device-backend init in a SUBPROCESS and return (platform, error).
 
@@ -807,6 +881,26 @@ def main():
         ext_ok = ext_ok and ok
     except Exception as e:  # pragma: no cover
         extras["kalman_parallel_d4_T65536"] = {"error": str(e)[:200]}
+        ext_ok = False
+    try:
+        ms_sig, err = bench_pfb(8, 64, 256, 20)
+        ok = err <= 1e-3
+        extras["pfb_roundtrip_8xK64F256"] = {
+            "ms_per_signal": round(ms_sig, 3),
+            "max_abs_err": float(f"{err:.3g}"), "budget_ok": bool(ok),
+        }
+        ext_ok = ext_ok and ok
+    except Exception as e:  # pragma: no cover
+        extras["pfb_roundtrip_8xK64F256"] = {"error": str(e)[:200]}
+        ext_ok = False
+    try:
+        ms_cpi, ok = bench_range_doppler(64, 4096, 128, 20)
+        extras["range_doppler_cfar_64x4096"] = {
+            "ms_per_cpi": round(ms_cpi, 3), "target_detected": bool(ok),
+        }
+        ext_ok = ext_ok and ok
+    except Exception as e:  # pragma: no cover
+        extras["range_doppler_cfar_64x4096"] = {"error": str(e)[:200]}
         ext_ok = False
     try:
         dt, ok = bench_cqt(4, 1 << 17, 3)
