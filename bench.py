@@ -639,25 +639,246 @@ def _probe_backend(timeout_s: float = 180.0):
     return None, out[-500:]
 
 
+
+# ---------------------------------------------------------------------------
+# Artifact layer (round 5).
+#
+# The driver captures only the LAST ~2000 characters of stdout; rounds 3 and 4
+# both lost their headline record because the single JSON line outgrew that
+# window (VERDICT r4 missing #1).  The contract now is:
+#   - ONE compact final line, guaranteed under COMPACT_LINE_BUDGET chars:
+#     headline keys + one short scalar per config (errors truncated to 40
+#     chars).  tests/test_bench_line.py asserts the worst-case length.
+#   - the verbose per-config dicts go to BENCH_DETAIL.json in the repo root.
+# Mid-run tunnel death (VERDICT r4 weak #2): any config failing with a
+# backend-class error triggers a cheap subprocess re-probe; if the backend is
+# gone, all remaining configs are marked "lost" immediately instead of each
+# burning its own timeout, and the line still prints.
+# ---------------------------------------------------------------------------
+
+COMPACT_LINE_BUDGET = 1500
+DETAIL_FILE = "BENCH_DETAIL.json"
+_BACKEND_ERROR_MARKERS = (
+    "UNAVAILABLE", "UNIMPLEMENTED", "DEADLINE_EXCEEDED", "backend",
+    "socket", "connection", "tunnel",
+)
+
+
+def _is_backend_error(msg: str) -> bool:
+    return any(m.lower() in msg.lower() for m in _BACKEND_ERROR_MARKERS)
+
+
+def compose_line(headline: dict, compact_configs: dict) -> str:
+    """The one driver-facing line.  Guaranteed under COMPACT_LINE_BUDGET:
+    if the full configs dict does not fit, configs are dropped from the END
+    (lowest-priority entries last in insertion order) with a marker count."""
+    line = json.dumps({**headline, "configs": compact_configs})
+    if len(line) <= COMPACT_LINE_BUDGET:
+        return line
+    keys = list(compact_configs)
+    while keys:
+        keys.pop()
+        trimmed = {k: compact_configs[k] for k in keys}
+        trimmed["_dropped"] = len(compact_configs) - len(keys)
+        line = json.dumps({**headline, "configs": trimmed})
+        if len(line) <= COMPACT_LINE_BUDGET:
+            return line
+    return json.dumps({**headline, "configs": {"_dropped": len(compact_configs)}})
+
+
+def _compact(value):
+    """Short scalar for the driver line: 4 significant digits."""
+    if isinstance(value, bool) or not isinstance(value, (int, float)):
+        return value
+    if value != value:  # NaN is not valid JSON
+        return None
+    return float(f"{value:.4g}")
+
+
+def _runners():
+    """Ordered (name, thunk) list.  Each thunk returns
+    (compact_scalar, detail_dict, err_or_None, budget_ok).
+
+    Order is the priority order for a dying tunnel (VERDICT r4 next #2):
+    core roofline configs first, then the op-level configs that have never
+    had a driver-recorded number, then the A/B and vs-builtin re-measurements.
+    """
+    R = []
+
+    def core(n, b, it):
+        def run():
+            stats, err = bench_config(n, b, it)
+            return stats["gflops"], stats, err, True
+        return run
+
+    # --- 1. core roofline configs (headline + BASELINE contract) ---------
+    R.append(("n1024_b256", core(1024, 256, 1000)))
+    R.append(("n4096_b64", core(4096, 64, 500)))
+    R.append(("n5040_b64", core(5040, 64, 300)))    # mixed radix 2/3/5/7
+    R.append(("n10007_b16", core(10007, 16, 100)))  # Bluestein prime
+    R.append(("n32768_b16", core(32768, 16, 100)))  # roofline contract size
+    R.append(("n65536_b16", core(65536, 16, 100)))  # roofline contract size
+
+    # --- 2. op-level configs with no driver record yet (r3/r4 losses) ----
+    def _nufft3():
+        dt, err = bench_nufft3_2d(4096, 4096, 10)
+        ok = err <= 1e-4   # two chained eps~1e-6 kernel truncations
+        d = {"ms_per_transform": round(dt * 1e3, 3),
+             "rel_err_vs_dense_512": float(f"{err:.3g}"), "budget_ok": ok}
+        return d["ms_per_transform"], d, None, ok
+    R.append(("nufft3_2d_fast_m4096_k4096", _nufft3))
+
+    def _resample():
+        dt, err = bench_resample_poly(65536, 16, 20)
+        ok = (err != err) or err <= 1e-5   # NaN = scipy absent
+        d = {"ms_per_signal": round(dt * 1e3, 3),
+             "rel_err_vs_scipy": float(f"{err:.3g}"), "budget_ok": ok}
+        return d["ms_per_signal"], d, None, ok
+    R.append(("resample_poly_3_2_n65536", _resample))
+
+    def _multitaper():
+        dt, flat = bench_multitaper(16, 8192, 7, 50)
+        ok = flat < 0.05
+        d = {"ms_per_batch": round(dt * 1e3, 3),
+             "psd_flatness_err": float(f"{flat:.3g}"), "budget_ok": ok}
+        return d["ms_per_batch"], d, None, ok
+    R.append(("multitaper_k7_16x8192", _multitaper))
+
+    def _sosfilt():
+        dt, err = bench_sosfilt(16, 65536, 20)
+        ok = (err != err) or err <= 1e-4   # fp32 recurrence class
+        d = {"ms_per_signal": round(dt * 1e3, 3),
+             "rel_err_vs_scipy": float(f"{err:.3g}"), "budget_ok": ok}
+        return d["ms_per_signal"], d, None, ok
+    R.append(("sosfilt_butter6_16x65536", _sosfilt))
+
+    def _shorttime():
+        ms_sig, err = bench_shorttime(8, 16384, 50)
+        ok = err <= 1e-4
+        d = {"ms_per_signal": round(ms_sig, 3),
+             "max_rel_err": float(f"{err:.3g}"), "budget_ok": ok}
+        return d["ms_per_signal"], d, None, ok
+    R.append(("shorttime_roundtrip_8x16384", _shorttime))
+
+    def _vmd():
+        ms_dec, err = bench_vmd(4096, 3, 20)
+        ok = err <= 5e-3
+        d = {"ms_per_decomposition": round(ms_dec, 3),
+             "center_freq_err": float(f"{err:.3g}"), "budget_ok": ok}
+        return d["ms_per_decomposition"], d, None, ok
+    R.append(("vmd_k3_n4096", _vmd))
+
+    def _kalman():
+        us_step, speedup, diff = bench_kalman(65536, 20)
+        ok = diff <= 1e-2
+        d = {"us_per_step": round(us_step, 4),
+             "speedup_vs_sequential_scan": round(speedup, 2),
+             "max_mean_diff": float(f"{diff:.3g}"), "budget_ok": ok}
+        return round(speedup, 2), d, None, ok
+    R.append(("kalman_parallel_d4_T65536", _kalman))
+
+    def _pfb():
+        ms_sig, err = bench_pfb(8, 64, 256, 20)
+        ok = err <= 1e-3
+        d = {"ms_per_signal": round(ms_sig, 3),
+             "max_abs_err": float(f"{err:.3g}"), "budget_ok": ok}
+        return d["ms_per_signal"], d, None, ok
+    R.append(("pfb_roundtrip_8xK64F256", _pfb))
+
+    def _rd():
+        ms_cpi, ok = bench_range_doppler(64, 4096, 128, 20)
+        d = {"ms_per_cpi": round(ms_cpi, 3), "target_detected": bool(ok)}
+        return d["ms_per_cpi"], d, None, bool(ok)
+    R.append(("range_doppler_cfar_64x4096", _rd))
+
+    def _cqt():
+        dt, ok = bench_cqt(4, 1 << 17, 3)
+        d = {"ms_per_signal": round(dt * 1e3, 3), "peak_band_ok": bool(ok)}
+        return d["ms_per_signal"], d, None, bool(ok)
+    R.append(("cqt_84bands_131072_b4", _cqt))
+
+    # --- 3. prime-path A/B + extension configs ---------------------------
+    def _rader_cfg():
+        stats, err = bench_config(1009, 64, 200)
+        return stats["gflops"], stats, err, True
+    R.append(("n1009_b64_rader", _rader_cfg))
+
+    def _rader_ab():
+        r = round(bench_rader_vs_bluestein(1009, 64, 200), 3)
+        return r, {"ratio": r}, None, True
+    R.append(("speedup_rader_vs_bluestein_n1009", _rader_ab))
+
+    def _nufft1():
+        dt, err = bench_nufft(4096, 4096, 100)
+        ok = err <= 2e-5
+        d = {"us_per_transform": round(dt * 1e6, 1),
+             "rel_err_vs_dense": float(f"{err:.3g}"), "budget_ok": ok}
+        return d["us_per_transform"], d, None, ok
+    R.append(("nufft1_grid_n4096_m4096", _nufft1))
+
+    def _nufft2():
+        dt, err = bench_nufft2(4096, 4096, 100)
+        ok = err <= 2e-5
+        d = {"us_per_transform": round(dt * 1e6, 1),
+             "rel_err_vs_dense": float(f"{err:.3g}"), "budget_ok": ok}
+        return d["us_per_transform"], d, None, ok
+    R.append(("nufft2_grid_n4096_m4096", _nufft2))
+
+    def _sht(L, b, it):
+        def run():
+            dt, err = bench_sht(L, b, it)
+            ok = err <= 1e-5
+            d = {"us_per_field": round(dt * 1e6 / b, 2),
+                 "proj_err": float(f"{err:.3g}"), "budget_ok": ok}
+            return d["us_per_field"], d, None, ok
+        return run
+    R.append(("sht_roundtrip_L128_b16", _sht(128, 16, 50)))
+    R.append(("sht_roundtrip_L256_b16", _sht(256, 16, 20)))
+
+    def _rfft_rt():
+        gf, err = bench_rfft_roundtrip(4096, 64, 300)
+        d = {"gflops": round(gf, 2), "max_rel_err": float(f"{err:.3g}")}
+        return d["gflops"], d, err, True
+    R.append(("rfft4096_roundtrip_b64", _rfft_rt))
+
+    def _conv(n_sig, n_ker, b, it):
+        def run():
+            gf, err = bench_convolve(n_sig, n_ker, b, it)
+            d = {"gflops": round(gf, 2), "max_rel_err": float(f"{err:.3g}")}
+            return d["gflops"], d, err, True
+        return run
+    R.append(("conv4000x129_same_b64", _conv(4000, 129, 64, 200)))
+    R.append(("conv65408x129_same_b256", _conv(65408, 129, 256, 20)))
+
+    # --- 4. vs-builtin sweep (re-measurements; every README-claimed size) -
+    def _vs(n, b, it):
+        def run():
+            r = round(bench_vs_xla_builtin(n, b, it), 3)
+            return r, {"ratio": r}, None, True
+        return run
+    for n_r, b_r, it_r in ((1024, 256, 1000), (2048, 128, 700),
+                           (4096, 64, 500), (8192, 32, 300),
+                           (16384, 32, 200), (32768, 16, 150),
+                           (65536, 16, 100), (10007, 16, 100)):
+        R.append((f"vs_builtin_n{n_r}", _vs(n_r, b_r, it_r)))
+
+    def _vs_rfft():
+        r = round(bench_rfft_vs_builtin(4096, 64, 300), 3)
+        return r, {"ratio": r}, None, True
+    R.append(("vs_builtin_rfft4096", _vs_rfft))
+
+    return R
+
+
 def main():
-    # The one unguarded backend touch took the whole round-3 record down
-    # (BENCH_r03 rc=1, parsed: null — VERDICT r3 weak #2).  Probe first;
-    # if the backend is unreachable, still emit ONE parseable JSON line
-    # and exit 0 so the driver always records an artifact.
     platform, tpu_error = _probe_backend()
     if platform is None:
         print(json.dumps({
             "metric": "batched_fft_gflops_n1024_fp32",
-            "value": 0.0,
-            "unit": "GFLOP/s",
-            "vs_baseline": 0.0,
+            "value": 0.0, "unit": "GFLOP/s", "vs_baseline": 0.0,
             "platform": "unavailable",
-            "tpu_error": tpu_error,
-            # carry every key the success line carries so degraded-artifact
-            # consumers never KeyError (the parsed-null failure mode again)
-            "max_rel_err": None,
-            "error_budget_ok": False,
-            "configs": {},
+            "tpu_error": (tpu_error or "")[:120],
+            "max_rel_err": None, "error_budget_ok": False, "configs": {},
         }))
         return
 
@@ -669,261 +890,59 @@ def main():
         enable_persistent_cache()  # warm reruns skip the 20-40 s TPU compiles
     except Exception:
         pass
-    # Chain lengths sized so the measured T_long - T_short difference is
-    # tens of milliseconds: round-1 chains (diff ~2-8 ms) were inside the
-    # tunnel's noise floor and produced non-reproducible ratios.
-    configs = {
-        "n1024_b256": (1024, 256, 1000),
-        "n4096_b64": (4096, 64, 500),
-        "n5040_b64": (5040, 64, 300),   # mixed radix 2/3/5/7 (reference wrong here)
-        "n10007_b16": (10007, 16, 100),  # Bluestein prime
-        "n65536_b16": (65536, 16, 100),
-    }
-    extras = {}
-    worst_err = 0.0
-    for name, (n, b, it) in configs.items():
+
+    compact, detail = {}, {}
+    worst_err, ext_ok = 0.0, True
+    backend_lost = None
+    for name, thunk in _runners():
+        if backend_lost is not None:
+            compact[name] = "lost"
+            detail[name] = {"error": f"backend lost at {backend_lost}"}
+            continue
+        t0 = time.time()
         try:
-            stats, err = bench_config(n, b, it)
-            extras[name] = stats
-            worst_err = max(worst_err, err)
-        except Exception as e:  # pragma: no cover — keep the bench line printable
-            extras[name] = {"error": str(e)[:200]}
-    try:
-        ratio = bench_vs_xla_builtin(1024, 256, 1000)
-        extras["speedup_vs_xla_builtin_n1024"] = round(ratio, 3)
-    except Exception as e:  # pragma: no cover
-        extras["speedup_vs_xla_builtin_n1024"] = {"error": str(e)[:200]}
-    try:
-        ratio = bench_vs_xla_builtin(65536, 16, 100)
-        extras["speedup_vs_xla_builtin_n65536"] = round(ratio, 3)
-    except Exception as e:  # pragma: no cover
-        extras["speedup_vs_xla_builtin_n65536"] = {"error": str(e)[:200]}
-    # Full vs-builtin sweep on the driver record (VERDICT r2 task 3): every
-    # size the README claims, plus the Bluestein prime (task 6).
-    for n_r, b_r, it_r in (
-        (2048, 128, 700), (8192, 32, 300), (16384, 32, 200),
-        (32768, 16, 150), (10007, 16, 100),
-    ):
-        key = f"speedup_vs_xla_builtin_n{n_r}"
-        try:
-            extras[key] = round(bench_vs_xla_builtin(n_r, b_r, it_r), 3)
-        except Exception as e:  # pragma: no cover
-            extras[key] = {"error": str(e)[:200]}
-    try:
-        ratio = bench_rfft_vs_builtin(4096, 64, 300)
-        extras["speedup_vs_xla_builtin_rfft4096"] = round(ratio, 3)
-    except Exception as e:  # pragma: no cover
-        extras["speedup_vs_xla_builtin_rfft4096"] = {"error": str(e)[:200]}
-    try:
-        gf, err = bench_rfft_roundtrip(4096, 64, 300)
-        extras["rfft4096_roundtrip_b64"] = {
-            "gflops": round(gf, 2), "max_rel_err": float(f"{err:.3g}")
-        }
-        worst_err = max(worst_err, err)
-    except Exception as e:  # pragma: no cover
-        extras["rfft4096_roundtrip_b64"] = {"error": str(e)[:200]}
-    try:
-        gf, err = bench_convolve(4000, 129, 64, 200)
-        extras["conv4000x129_same_b64"] = {
-            "gflops": round(gf, 2), "max_rel_err": float(f"{err:.3g}")
-        }
-        worst_err = max(worst_err, err)
-    except Exception as e:  # pragma: no cover
-        extras["conv4000x129_same_b64"] = {"error": str(e)[:200]}
-    try:
-        # BASELINE config 5's actual transform shape on one chip: 65536-point
-        # FFT convolution (signal 65408 + kernel 129 pads to exactly 65536).
-        # Batch 256 is the largest that keeps this config's share of the bench
-        # run to ~1 min; throughput is batch-flat from 16 up (CLAUDE.md).
-        gf, err = bench_convolve(65408, 129, 256, 20)
-        extras["conv65408x129_same_b256"] = {
-            "gflops": round(gf, 2), "max_rel_err": float(f"{err:.3g}")
-        }
-        worst_err = max(worst_err, err)
-    except Exception as e:  # pragma: no cover
-        extras["conv65408x129_same_b256"] = {"error": str(e)[:200]}
-    # Extension configs on the driver record (VERDICT r2 task 8).  Their
-    # error budgets are method-specific (Gaussian kernel truncation for
-    # NUFFT at eps=1e-6, fp32 engine floor for SHT projection) and fold
-    # into error_budget_ok via per-config ok flags.
-    ext_ok = True
-    try:
-        dt, err = bench_nufft(4096, 4096, 100)
-        # eps=1e-6 kernel + fp32 deconv; measured 4.25e-6 on v5e after the
-        # HIGHEST one-hot fix (was 2.24e-5 with HIGH-truncated operands)
-        ok = err <= 2e-5
-        extras["nufft1_grid_n4096_m4096"] = {
-            "us_per_transform": round(dt * 1e6, 1),
-            "rel_err_vs_dense": float(f"{err:.3g}"), "budget_ok": bool(ok),
-        }
-        ext_ok = ext_ok and ok
-    except Exception as e:  # pragma: no cover
-        extras["nufft1_grid_n4096_m4096"] = {"error": str(e)[:200]}
-        ext_ok = False
-    try:
-        dt, err = bench_sht(128, 16, 50)
-        ok = err <= 1e-5  # projection idempotence at the fp32 floor
-        extras["sht_roundtrip_L128_b16"] = {
-            "us_per_field": round(dt * 1e6 / 16, 2),
-            "proj_err": float(f"{err:.3g}"), "budget_ok": bool(ok),
-        }
-        ext_ok = ext_ok and ok
-    except Exception as e:  # pragma: no cover
-        extras["sht_roundtrip_L128_b16"] = {"error": str(e)[:200]}
-        ext_ok = False
-    try:
-        # Rader (round 4): prime 1009 via one 1008-point cyclic convolution
-        stats, err = bench_config(1009, 64, 200)
-        extras["n1009_b64_rader"] = stats
-        worst_err = max(worst_err, err)
-        extras["speedup_rader_vs_bluestein_n1009"] = round(
-            bench_rader_vs_bluestein(1009, 64, 200), 3
-        )
-    except Exception as e:  # pragma: no cover
-        extras["n1009_b64_rader"] = {"error": str(e)[:200]}
-        ext_ok = False  # a broken prime-path config must not fail open
-    try:
-        dt, err = bench_nufft2(4096, 4096, 100)
-        ok = err <= 2e-5
-        extras["nufft2_grid_n4096_m4096"] = {
-            "us_per_transform": round(dt * 1e6, 1),
-            "rel_err_vs_dense": float(f"{err:.3g}"), "budget_ok": bool(ok),
-        }
-        ext_ok = ext_ok and ok
-    except Exception as e:  # pragma: no cover
-        extras["nufft2_grid_n4096_m4096"] = {"error": str(e)[:200]}
-        ext_ok = False
-    try:
-        dt, err = bench_sht(256, 16, 20)
-        ok = err <= 1e-5
-        extras["sht_roundtrip_L256_b16"] = {
-            "us_per_field": round(dt * 1e6 / 16, 2),
-            "proj_err": float(f"{err:.3g}"), "budget_ok": bool(ok),
-        }
-        ext_ok = ext_ok and ok
-    except Exception as e:  # pragma: no cover
-        extras["sht_roundtrip_L256_b16"] = {"error": str(e)[:200]}
-        ext_ok = False
-    try:
-        dt, err = bench_nufft3_2d(4096, 4096, 10)
-        ok = err <= 1e-4  # type-3 chains two kernel truncations (eps~1e-6 each)
-        extras["nufft3_2d_fast_m4096_k4096"] = {
-            "ms_per_transform": round(dt * 1e3, 3),
-            "rel_err_vs_dense_512": float(f"{err:.3g}"), "budget_ok": bool(ok),
-        }
-        ext_ok = ext_ok and ok
-    except Exception as e:  # pragma: no cover
-        extras["nufft3_2d_fast_m4096_k4096"] = {"error": str(e)[:200]}
-        ext_ok = False
-    try:
-        dt, err = bench_resample_poly(65536, 16, 20)
-        ok = (err != err) or err <= 1e-5  # NaN = scipy absent, skip check
-        extras["resample_poly_3_2_n65536"] = {
-            "ms_per_signal": round(dt * 1e3, 3),
-            "rel_err_vs_scipy": float(f"{err:.3g}"), "budget_ok": bool(ok),
-        }
-        ext_ok = ext_ok and ok
-    except Exception as e:  # pragma: no cover
-        extras["resample_poly_3_2_n65536"] = {"error": str(e)[:200]}
-        ext_ok = False
-    try:
-        dt, flat = bench_multitaper(16, 8192, 7, 50)
-        ok = flat < 0.05  # white-noise PSD flatness (statistical, not fp)
-        extras["multitaper_k7_16x8192"] = {
-            "ms_per_batch": round(dt * 1e3, 3),
-            "psd_flatness_err": float(f"{flat:.3g}"), "budget_ok": bool(ok),
-        }
-        ext_ok = ext_ok and ok
-    except Exception as e:  # pragma: no cover
-        extras["multitaper_k7_16x8192"] = {"error": str(e)[:200]}
-        ext_ok = False
-    try:
-        dt, err = bench_sosfilt(16, 65536, 20)
-        ok = (err != err) or err <= 1e-4  # fp32 recurrence class (NaN = no scipy)
-        extras["sosfilt_butter6_16x65536"] = {
-            "ms_per_signal": round(dt * 1e3, 3),
-            "rel_err_vs_scipy": float(f"{err:.3g}"), "budget_ok": bool(ok),
-        }
-        ext_ok = ext_ok and ok
-    except Exception as e:  # pragma: no cover
-        extras["sosfilt_butter6_16x65536"] = {"error": str(e)[:200]}
-        ext_ok = False
-    try:
-        ms_sig, err = bench_shorttime(8, 16384, 50)
-        ok = err <= 1e-4
-        extras["shorttime_roundtrip_8x16384"] = {
-            "ms_per_signal": round(ms_sig, 3),
-            "max_rel_err": float(f"{err:.3g}"), "budget_ok": bool(ok),
-        }
-        ext_ok = ext_ok and ok
-    except Exception as e:  # pragma: no cover
-        extras["shorttime_roundtrip_8x16384"] = {"error": str(e)[:200]}
-        ext_ok = False
-    try:
-        ms_dec, err = bench_vmd(4096, 3, 20)
-        ok = err <= 5e-3
-        extras["vmd_k3_n4096"] = {
-            "ms_per_decomposition": round(ms_dec, 3),
-            "center_freq_err": float(f"{err:.3g}"), "budget_ok": bool(ok),
-        }
-        ext_ok = ext_ok and ok
-    except Exception as e:  # pragma: no cover
-        extras["vmd_k3_n4096"] = {"error": str(e)[:200]}
-        ext_ok = False
-    try:
-        us_step, speedup, diff = bench_kalman(65536, 20)
-        ok = diff <= 1e-2  # fp32 scans, d=4 — parallel/sequential agree
-        extras["kalman_parallel_d4_T65536"] = {
-            "us_per_step": round(us_step, 4),
-            "speedup_vs_sequential_scan": round(speedup, 2),
-            "max_mean_diff": float(f"{diff:.3g}"), "budget_ok": bool(ok),
-        }
-        ext_ok = ext_ok and ok
-    except Exception as e:  # pragma: no cover
-        extras["kalman_parallel_d4_T65536"] = {"error": str(e)[:200]}
-        ext_ok = False
-    try:
-        ms_sig, err = bench_pfb(8, 64, 256, 20)
-        ok = err <= 1e-3
-        extras["pfb_roundtrip_8xK64F256"] = {
-            "ms_per_signal": round(ms_sig, 3),
-            "max_abs_err": float(f"{err:.3g}"), "budget_ok": bool(ok),
-        }
-        ext_ok = ext_ok and ok
-    except Exception as e:  # pragma: no cover
-        extras["pfb_roundtrip_8xK64F256"] = {"error": str(e)[:200]}
-        ext_ok = False
-    try:
-        ms_cpi, ok = bench_range_doppler(64, 4096, 128, 20)
-        extras["range_doppler_cfar_64x4096"] = {
-            "ms_per_cpi": round(ms_cpi, 3), "target_detected": bool(ok),
-        }
-        ext_ok = ext_ok and ok
-    except Exception as e:  # pragma: no cover
-        extras["range_doppler_cfar_64x4096"] = {"error": str(e)[:200]}
-        ext_ok = False
-    try:
-        dt, ok = bench_cqt(4, 1 << 17, 3)
-        extras["cqt_84bands_131072_b4"] = {
-            "ms_per_signal": round(dt * 1e3, 3), "peak_band_ok": bool(ok),
-        }
-        ext_ok = ext_ok and ok
-    except Exception as e:  # pragma: no cover
-        extras["cqt_84bands_131072_b4"] = {"error": str(e)[:200]}
-        ext_ok = False
-    primary = extras.get("n1024_b256", {}).get("gflops", 0.0)
-    print(json.dumps({
+            value, d, err, ok = thunk()
+            compact[name] = _compact(value)
+            detail[name] = d
+            if err is not None:
+                worst_err = max(worst_err, err)
+            ext_ok = ext_ok and ok
+        except Exception as e:  # keep the line printable no matter what
+            msg = str(e)
+            compact[name] = "err:" + msg[:40]
+            detail[name] = {"error": msg[:500]}
+            ext_ok = False
+            if _is_backend_error(msg):
+                p, _ = _probe_backend(60.0)
+                if p is None or p == "cpu":
+                    backend_lost = name
+        detail.setdefault(name, {})["seconds"] = round(time.time() - t0, 1)
+
+    primary = detail.get("n1024_b256", {}).get("gflops", 0.0) or 0.0
+    headline = {
         "metric": "batched_fft_gflops_n1024_fp32",
         "value": primary,
         "unit": "GFLOP/s",
         "vs_baseline": round(primary / REFERENCE_GFLOPS, 3) if primary else 0.0,
         "platform": platform,
         "max_rel_err": float(f"{worst_err:.3g}"),
-        # BASELINE.md 1e-5 budget on the core transforms, AND the
-        # method-specific extension budgets (per-config ok flags above)
+        # BASELINE.md 1e-5 budget on the core transforms AND the
+        # method-specific extension budgets (per-config ok flags)
         "error_budget_ok": bool(worst_err <= 1e-5 and ext_ok),
-        "configs": extras,
-    }))
+        # the roofline-contract numbers, on the parsed record (VERDICT r4 #4)
+        "pct_mxu_n32768": detail.get("n32768_b16", {}).get(
+            "pct_mxu_fp32_roofline"),
+        "pct_mxu_n65536": detail.get("n65536_b16", {}).get(
+            "pct_mxu_fp32_roofline"),
+        "backend_lost_at": backend_lost,
+        "detail_file": DETAIL_FILE,
+    }
+    try:
+        with open(DETAIL_FILE, "w") as f:
+            json.dump({**headline, "configs": detail}, f, indent=1)
+    except Exception:
+        pass
+    print(compose_line(headline, compact))
 
 
 if __name__ == "__main__":

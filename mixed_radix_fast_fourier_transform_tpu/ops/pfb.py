@@ -81,10 +81,14 @@ def pfb_analysis(
     warm-up), channel k centered on frequency k/K cycles/sample (FFT bin
     order; real inputs give Hermitian channels).
 
-    ``mode="full"`` zero-pads (P−1)·K samples at both ends so every
-    window position overlapping the data is kept — per polyphase residue
-    the frames then hold the COMPLETE linear convolution with the branch
-    filter, which is what makes :func:`pfb_synthesis` an exact inverse.
+    ``mode="full"`` first right-pads the signal to a multiple of K (a
+    partial tail block would otherwise be truncated and its residues
+    would wrap in the synthesis deconvolution), then zero-pads (P−1)·K
+    samples at both ends so every window position overlapping the data
+    is kept — per polyphase residue the frames then hold the COMPLETE
+    linear convolution with the branch filter, which is what makes
+    :func:`pfb_synthesis` an exact inverse (of the padded length
+    ⌈T/K⌉·K; the trailing pad reconstructs as ~0).
 
     ``hop`` defaults to K (critically sampled).  ``hop < K`` gives the
     oversampled WOLA channelizer (e.g. ``hop=3*K//4`` for the 4/3-
@@ -106,7 +110,8 @@ def pfb_analysis(
     if mode not in ("valid", "full"):
         raise ValueError(f"mode must be 'valid' or 'full', got {mode!r}")
     if mode == "full":
-        pad = [(0, 0)] * (x.ndim - 1) + [((P - 1) * K, (P - 1) * K)]
+        tail = (-x.shape[-1]) % K  # complete the last block (ADVICE r4)
+        pad = [(0, 0)] * (x.ndim - 1) + [((P - 1) * K, (P - 1) * K + tail)]
         x = jnp.pad(x, pad)
     if x.shape[-1] < P * K + M:
         raise ValueError(
@@ -146,14 +151,25 @@ def pfb_analysis(
     if M != K:
         # the FFT phase-references each frame to its own start m·hop; a
         # baseband channel sequence needs e^{-2πi k (m·hop mod K)/K}.  The
-        # ramp cycles with period K/g along m — host fp64 table, tiled.
+        # ramp cycles with period K/g along m, so only the (period, K)
+        # table ships to device; full frame blocks broadcast against it
+        # and a remainder slice covers the tail (never a frames-length
+        # host constant — 1M frames × 64 ch would bake a 1 GB literal).
         period = K // g
         mM = (np.arange(period, dtype=np.int64) * M) % K
-        tab = np.exp(
-            -2j * np.pi * np.outer(mM, np.arange(K)) / K
+        tab = jnp.asarray(
+            np.exp(-2j * np.pi * np.outer(mM, np.arange(K)) / K), y.dtype
         )  # (period, K)
-        rot = tab[np.arange(n_frames) % period]
-        y = y * jnp.asarray(rot, y.dtype)
+        q, r = divmod(n_frames, period)
+        parts = []
+        if q:
+            head = y[..., : q * period, :].reshape(
+                y.shape[:-2] + (q, period, K)
+            ) * tab
+            parts.append(head.reshape(y.shape[:-2] + (q * period, K)))
+        if r:
+            parts.append(y[..., q * period :, :] * tab[:r])
+        y = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-2)
     return y
 
 

@@ -196,6 +196,43 @@ def _os_alpha(n: int, k: int, pfa: float) -> float:
     return 0.5 * (lo + hi)
 
 
+def _pfa_go_so(T: float, n: int, method: str) -> float:
+    """Exact square-law false-alarm probability of GO/SO-CFAR with two
+    half-windows of ``n`` exponential cells and threshold T·Z on the half
+    SUMS (Hansen 1980 / Trunk 1978):
+        Pfa_SO = 2 Σ_{k=0}^{n−1} C(n−1+k, k) (2+T)^{−(n+k)}
+        Pfa_GO = 2 (1+T)^{−n} − Pfa_SO
+    (their sum is the identity 2·Pfa_CA,half).  Log-space binomials keep
+    n up to thousands finite."""
+    k = np.arange(n, dtype=np.float64)
+    logc = np.zeros(n)
+    if n > 1:
+        logc[1:] = np.cumsum(np.log(n - 1 + k[1:]) - np.log(k[1:]))
+    so = 2.0 * float(np.sum(np.exp(logc - (n + k) * np.log(2.0 + T))))
+    if method == "so":
+        return so
+    return 2.0 * (1.0 + T) ** (-n) - so
+
+
+def _goso_alpha(n: int, pfa: float, method: str) -> float:
+    """GO/SO threshold factor on the half-window MEAN: the root T of
+    Pfa(T) = pfa (see :func:`_pfa_go_so`; monotone decreasing), scaled by
+    n — host-side bisection, plan-time scalar (same pattern as
+    :func:`_os_alpha`)."""
+    lo, hi = 0.0, 4.0
+    while _pfa_go_so(hi, n, method) > pfa:
+        hi *= 2.0
+        if hi > 1e12:  # pragma: no cover - pfa astronomically small
+            break
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if _pfa_go_so(mid, n, method) > pfa:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi) * n
+
+
 def cfar(
     power,
     num_train: int = 8,
@@ -220,8 +257,13 @@ def cfar(
     rank = ⌈3N/4⌉ — robust at clutter edges and in multi-target
     neighborhoods; edges are reflect-padded so every cell sees a full
     window, and the device work is one static-slice stack + sort).  The
-    threshold factor is the square-law calibration — α = Nt·(pfa^(−1/Nt)−1)
-    for the averaging methods, Rohling's product equation for "os".
+    threshold factor is the exact square-law calibration per method —
+    α = Nt·(pfa^(−1/Nt)−1) for "ca", the Hansen/Trunk GO/SO equations
+    solved by host bisection for "go"/"so" (so the ``pfa`` argument is
+    the ACTUAL false-alarm rate, not the CA approximation), Rohling's
+    product equation for "os".  Edge cells renormalize over the in-bounds
+    training cells, which keeps "ca" exact there but is approximate for
+    "go"/"so" (calibrated for the full ``num_train``-per-side window).
     Returns ``(detections, threshold)`` — a boolean map and the per-cell
     threshold.
     """
@@ -321,7 +363,8 @@ def cfar(
             jnp.maximum(m_lead, m_lag) if method == "go"
             else jnp.minimum(m_lead, m_lag)
         )
-        n_train = jnp.broadcast_to(jnp.maximum(c_lead + c_lag, 1.0), p.shape)
+        thresh = float(_goso_alpha(t, pfa, method)) * noise
+        return p > thresh, thresh
     else:
         # CA: full (train+guard) box sum minus the guard box sum
         outer_s, outer_c = _box_sum(p, t + g, axes)

@@ -1573,3 +1573,109 @@ def kalman_filter_sharded(
         jax.lax.with_sharding_constraint(ms, NamedSharding(mesh, spec_m)),
         jax.lax.with_sharding_constraint(Ps, NamedSharding(mesh, spec_P)),
     )
+
+
+def pfb_analysis_sharded(
+    x,
+    n_channels: int,
+    mesh: Mesh,
+    axis_name: str = DATA_AXIS,
+    *,
+    taps_per_branch: int = 8,
+    window: str = "hamming",
+    h: Optional[np.ndarray] = None,
+    hop: Optional[int] = None,
+    mode: str = "valid",
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Array:
+    """Batch-sharded K-channel PFB channelization: (batch, T) signals laid
+    out over the mesh, each chip channelizing its own shard (zero
+    collectives — the polyphase weighting and the length-K engine FFT are
+    independent per signal).  This is the multi-beam / multi-antenna
+    receiver layout: one chip per group of RF streams.  Returns
+    (batch, frames, K) with the batch sharding preserved."""
+    from ..ops.pfb import pfb_analysis
+
+    x = jnp.asarray(x)
+    if x.ndim != 2:
+        raise ValueError("pfb_analysis_sharded expects (batch, T) signals")
+    parts = mesh.shape[axis_name]
+    if x.shape[0] % parts != 0:
+        raise ValueError(
+            f"batch {x.shape[0]} must divide over mesh axis "
+            f"{axis_name!r} ({parts})"
+        )
+    x = shard_batch(x, mesh, axis_name)
+
+    def body(xl):
+        return pfb_analysis(
+            xl, n_channels, taps_per_branch, window, h=h, hop=hop,
+            mode=mode, config=config,
+        )
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=P(axis_name, None),
+        out_specs=P(axis_name, None, None),
+    )(x)
+
+
+def range_doppler_cfar_sharded(
+    rx,
+    tx,
+    mesh: Mesh,
+    axis_name: str = DATA_AXIS,
+    *,
+    window: Optional[str] = None,
+    doppler_window: Optional[str] = "hann",
+    normalize: bool = True,
+    num_train: int = 8,
+    num_guard: int = 2,
+    pfa: float = 1e-4,
+    method: str = "ca",
+    cfar_axes: Tuple[int, ...] = (-2, -1),
+    config: SpectralConfig = DEFAULT_CONFIG,
+) -> Tuple[Array, Array, Array]:
+    """Batch-sharded radar CPI chain: (batch, n_pulses, N) coherent
+    processing intervals laid out over the mesh, each chip running pulse
+    compression → Doppler FFT → CFAR on its own CPIs (zero collectives —
+    the chain is independent per CPI; the shared transmit replica is a
+    broadcast plan constant).  This is the multi-channel / multi-dwell
+    surveillance layout.  Returns (rd_map, detections, threshold), each
+    (batch, n_pulses, N−Nt+1) with the batch sharding preserved."""
+    from ..ops.radar import cfar as _cfar, range_doppler as _range_doppler
+
+    rx = jnp.asarray(rx)
+    if rx.ndim != 3:
+        raise ValueError(
+            "range_doppler_cfar_sharded expects (batch, n_pulses, n_samples)"
+        )
+    parts = mesh.shape[axis_name]
+    if rx.shape[0] % parts != 0:
+        raise ValueError(
+            f"batch {rx.shape[0]} must divide over mesh axis "
+            f"{axis_name!r} ({parts})"
+        )
+    rx = shard_batch(rx, mesh, axis_name)
+    axes = tuple(cfar_axes)  # shard_map keeps rank; axes mean the same
+
+    def body(rl):
+        Y = _range_doppler(
+            rl, tx, window=window, doppler_window=doppler_window,
+            normalize=normalize, config=config,
+        )
+        p = jnp.real(Y) ** 2 + jnp.imag(Y) ** 2
+        det, th = _cfar(
+            p, num_train=num_train, num_guard=num_guard, pfa=pfa,
+            method=method, axes=axes,
+        )
+        return Y, det, th
+
+    spec = P(axis_name, None, None)
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=spec,
+        out_specs=(spec, spec, spec),
+    )(rx)

@@ -62,14 +62,32 @@ def rng():
 
 
 # ---------------------------------------------------------------------------
-# Lane-budget gate (round-4 audit): the default lane must stay fast enough to
-# iterate on.  Any non-slow test whose call phase exceeds PER_TEST_BUDGET_S
-# is reported at session end — and FAILS the session when
-# SPECTRAL_TEST_BUDGET_STRICT=1 (so budget regressions are caught on demand
-# without making CI flaky on a loaded box).
+# Lane-budget gate (round-4 audit; ceiling frozen round 5 per VERDICT r4 #6):
+# the default lane must stay fast enough to iterate on.  Two budgets:
+#   - per test: any non-slow test whose call phase exceeds PER_TEST_BUDGET_S
+#     is reported at session end;
+#   - whole lane: a FULL default-lane run (>= LANE_GATE_MIN_TESTS collected)
+#     exceeding LANE_BUDGET_S total wall time is reported — new breadth waves
+#     must demote or merge an equal amount of test time.
+# Both FAIL the session when SPECTRAL_TEST_BUDGET_STRICT=1 (on demand, so CI
+# stays robust to a loaded box or a cold compile cache).
 # ---------------------------------------------------------------------------
 PER_TEST_BUDGET_S = 12.0
+LANE_BUDGET_S = 21 * 60.0  # r4's measured full-lane wall time; frozen ceiling
+LANE_GATE_MIN_TESTS = 1000  # partial runs don't trip the lane gate
 _over_budget: list = []
+_session_t0: list = []
+_n_collected: list = []
+
+
+def pytest_sessionstart(session):
+    import time
+
+    _session_t0.append(time.time())
+
+
+def pytest_collection_finish(session):
+    _n_collected.append(len(session.items))
 
 
 @pytest.hookimpl(hookwrapper=True)
@@ -85,16 +103,31 @@ def pytest_runtest_makereport(item, call):
 
 
 def pytest_sessionfinish(session, exitstatus):
-    if not _over_budget:
-        return
-    lines = "\n".join(f"  {d:6.1f}s  {n}" for n, d in sorted(
-        _over_budget, key=lambda t: -t[1]))
-    msg = (
-        f"\n[lane budget] {len(_over_budget)} default-lane test(s) over "
-        f"{PER_TEST_BUDGET_S:.0f}s — mark slow, shrink, or dedup:\n{lines}\n"
-    )
     import sys
+    import time
 
-    sys.stderr.write(msg)
-    if os.environ.get("SPECTRAL_TEST_BUDGET_STRICT") == "1":
-        session.exitstatus = 1
+    strict = os.environ.get("SPECTRAL_TEST_BUDGET_STRICT") == "1"
+    if _over_budget:
+        lines = "\n".join(f"  {d:6.1f}s  {n}" for n, d in sorted(
+            _over_budget, key=lambda t: -t[1]))
+        sys.stderr.write(
+            f"\n[lane budget] {len(_over_budget)} default-lane test(s) over "
+            f"{PER_TEST_BUDGET_S:.0f}s — mark slow, shrink, or dedup:\n"
+            f"{lines}\n"
+        )
+        if strict:
+            session.exitstatus = 1
+    if (
+        _session_t0
+        and _n_collected
+        and _n_collected[0] >= LANE_GATE_MIN_TESTS
+    ):
+        wall = time.time() - _session_t0[0]
+        if wall > LANE_BUDGET_S:
+            sys.stderr.write(
+                f"\n[lane budget] full default lane took {wall:.0f}s > "
+                f"{LANE_BUDGET_S:.0f}s ceiling (frozen round 5) — demote new "
+                f"heavies to the slow lane or merge cases\n"
+            )
+            if strict:
+                session.exitstatus = 1

@@ -744,3 +744,72 @@ def test_kalman_filter_sharded_matches_single(rng):
     sm, sP = kalman_filter_sharded(F, Q, H, R, m0, P0, ys, mesh8,
                                    smooth=True)
     assert sm.shape == (B, T, d)
+
+
+def test_pfb_analysis_sharded_matches_single(rng):
+    from mixed_radix_fast_fourier_transform_tpu.parallel import (
+        pfb_analysis_sharded,
+    )
+    import mixed_radix_fast_fourier_transform_tpu as sp
+
+    mesh8 = make_mesh((8, 1))
+    K, P_, B = 16, 4, 8
+    x = (rng.standard_normal((B, K * 32))
+         + 1j * rng.standard_normal((B, K * 32))).astype(np.complex64)
+    Y = pfb_analysis_sharded(x, K, mesh8, taps_per_branch=P_)
+    want = sp.pfb_analysis(x, K, P_)
+    assert Y.shape == want.shape
+    np.testing.assert_allclose(np.asarray(Y), np.asarray(want), atol=1e-5)
+    # oversampled + full-mode variants run under the same sharding
+    Yo = pfb_analysis_sharded(x, K, mesh8, taps_per_branch=P_,
+                              hop=3 * K // 4)
+    np.testing.assert_allclose(
+        np.asarray(Yo),
+        np.asarray(sp.pfb_analysis(x, K, P_, hop=3 * K // 4)), atol=1e-5)
+    Yf = pfb_analysis_sharded(x, K, mesh8, taps_per_branch=P_, mode="full")
+    np.testing.assert_allclose(
+        np.asarray(Yf),
+        np.asarray(sp.pfb_analysis(x, K, P_, mode="full")), atol=1e-5)
+    with pytest.raises(ValueError):
+        pfb_analysis_sharded(x[:5], K, mesh8)  # 5 % 8 != 0
+    with pytest.raises(ValueError):
+        pfb_analysis_sharded(x[0], K, mesh8)  # not (batch, T)
+
+
+def test_range_doppler_cfar_sharded_matches_single(rng):
+    from mixed_radix_fast_fourier_transform_tpu.parallel import (
+        range_doppler_cfar_sharded,
+    )
+    import mixed_radix_fast_fourier_transform_tpu as sp
+
+    mesh8 = make_mesh((8, 1))
+    B, n_pulses, n, nt = 8, 32, 256, 32
+    t = np.arange(nt)
+    tx = np.exp(1j * np.pi * 0.5 / nt * (t - nt / 2) ** 2)
+    rx = 0.3 * (rng.standard_normal((B, n_pulses, n))
+                + 1j * rng.standard_normal((B, n_pulses, n)))
+    d0, fd = n // 2, 3
+    m = np.arange(n_pulses)[:, None]
+    rx[:, :, d0: d0 + nt] += tx * np.exp(2j * np.pi * fd * m / n_pulses)
+    rx = rx.astype(np.complex64)
+    txd = tx.astype(np.complex64)
+    Y, det, th = range_doppler_cfar_sharded(
+        rx, txd, mesh8, window="hamming", num_train=6, num_guard=2,
+        pfa=1e-4)
+    assert Y.shape == det.shape == th.shape == (B, n_pulses, n - nt + 1)
+    # per-CPI equality with the single-chip chain
+    for b in (0, 7):
+        want = sp.range_doppler(rx[b], txd, window="hamming")
+        np.testing.assert_allclose(np.asarray(Y)[b], np.asarray(want),
+                                   atol=1e-4)
+        p = np.abs(np.asarray(want)) ** 2
+        want_det, want_th = sp.cfar(p, num_train=6, num_guard=2, pfa=1e-4,
+                                    axes=(-2, -1))
+        np.testing.assert_allclose(np.asarray(th)[b], np.asarray(want_th),
+                                   rtol=1e-3)
+    # every CPI detects its target at (center_row + fd, d0)
+    det = np.asarray(det)
+    for b in range(B):
+        assert det[b, n_pulses // 2 + fd, d0]
+    with pytest.raises(ValueError):
+        range_doppler_cfar_sharded(rx[0], txd, mesh8)

@@ -103,6 +103,8 @@ class TestRangeDoppler:
 
 
 def _cfar_oracle_1d(p, t, g, pfa, method):
+    from mixed_radix_fast_fourier_transform_tpu.ops.radar import _goso_alpha
+
     n = p.size
     det = np.zeros(n, bool)
     th = np.zeros(n)
@@ -112,6 +114,7 @@ def _cfar_oracle_1d(p, t, g, pfa, method):
         if method == "ca":
             cells = np.r_[lead, lag]
             nt_, noise = cells.size, cells.mean() if cells.size else 0.0
+            alpha = nt_ * (pfa ** (-1.0 / nt_) - 1) if nt_ else 0.0
         else:
             ml = lead.mean() if lead.size else None
             mg = lag.mean() if lag.size else None
@@ -120,8 +123,9 @@ def _cfar_oracle_1d(p, t, g, pfa, method):
             if mg is None:
                 mg = ml
             noise = max(ml, mg) if method == "go" else min(ml, mg)
-            nt_ = max(lead.size + lag.size, 1)
-        alpha = nt_ * (pfa ** (-1.0 / nt_) - 1) if nt_ else 0.0
+            # exact Hansen/Trunk calibration for the full window (the
+            # implementation applies it uniformly; edges are approximate)
+            alpha = _goso_alpha(t, pfa, method)
         th[i] = alpha * noise
         det[i] = p[i] > th[i]
     return det, th
@@ -190,6 +194,41 @@ class TestCFAR:
         assert np.asarray(th2).shape == p.shape
         with pytest.raises(ValueError):
             sp.cfar(p.astype(np.float32), num_train=t, method="os", rank=0)
+
+    def test_goso_pfa_calibration(self, rng):
+        # the exact Hansen/Trunk square-law equations (ADVICE r4): the
+        # pfa argument is the ACTUAL false-alarm rate for go/so
+        from mixed_radix_fast_fourier_transform_tpu.ops.radar import (
+            _goso_alpha, _pfa_go_so,
+        )
+
+        # n=1 closed forms: Pfa_GO = 2/(1+T) - 2/(2+T), SO = 2/(2+T)
+        for T in (0.5, 2.0, 7.0):
+            assert abs(_pfa_go_so(T, 1, "go")
+                       - (2 / (1 + T) - 2 / (2 + T))) < 1e-12
+            assert abs(_pfa_go_so(T, 1, "so") - 2 / (2 + T)) < 1e-12
+        # identity: Pfa_GO + Pfa_SO = 2 (1+T)^{-n} for every n
+        for n in (1, 4, 8, 16, 64):
+            for T in (0.3, 1.0, 3.0):
+                assert abs(_pfa_go_so(T, n, "go") + _pfa_go_so(T, n, "so")
+                           - 2 * (1 + T) ** (-n)) < 1e-12
+        # bisection inverts exactly
+        for method in ("go", "so"):
+            for n, pfa in ((4, 0.05), (8, 1e-3), (16, 1e-4)):
+                a = _goso_alpha(n, pfa, method)
+                assert abs(_pfa_go_so(a / n, n, method) - pfa) / pfa < 1e-8
+        # Monte Carlo: exponential noise, X > alpha*max/min(mean halves)
+        n, pfa = 4, 0.05
+        N = 400_000
+        z = rng.exponential(1.0, (N, 2, n)).mean(-1)
+        x = rng.exponential(1.0, N)
+        for method, agg in (("go", np.max), ("so", np.min)):
+            rate = np.mean(x > _goso_alpha(n, pfa, method) * agg(z, axis=-1))
+            assert abs(rate - pfa) < 4 * np.sqrt(pfa * (1 - pfa) / N)
+        # ordering sanity: alpha_so > alpha_ca-class > alpha_go
+        a_go = _goso_alpha(8, 1e-3, "go")
+        a_so = _goso_alpha(8, 1e-3, "so")
+        assert a_so > a_go
 
     def test_batched_and_errors(self, rng):
         p = rng.exponential(1.0, (3, 96)).astype(np.float32)

@@ -911,6 +911,21 @@ class TestPFB:
             if np.isrealobj(x):
                 assert np.max(np.abs(xr.imag)) < 1e-3
 
+    def test_synthesis_round_trip_non_multiple_of_k(self, rng):
+        # ADVICE r4 (medium): T % K != 0 used to truncate the tail block,
+        # wrapping ~1e-2 error over the WHOLE reconstruction.  full mode
+        # now right-pads to a multiple of K; the pad reconstructs as ~0.
+        K, P, T = 32, 8, 32 * 20 + 13
+        x = (rng.standard_normal(T)
+             + 1j * rng.standard_normal(T)).astype(np.complex64)
+        Y = sp.pfb_analysis(x, K, P, mode="full")
+        Tpad = ((T + K - 1) // K) * K
+        assert np.asarray(Y).shape == (Tpad // K + P - 1, K)
+        xr = np.asarray(sp.pfb_synthesis(Y, P))
+        assert xr.shape == (Tpad,)
+        assert np.max(np.abs(xr[:T] - x)) < 1e-3
+        assert np.max(np.abs(xr[T:])) < 1e-3
+
     def test_synthesis_batched_custom_h(self, rng):
         K, P = 16, 6
         h = sp.pfb_prototype(K, P, window="hann")
