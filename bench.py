@@ -251,7 +251,7 @@ def bench_rader_vs_bluestein(n: int, batch: int, iters: int, seed: int = 0):
     x = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
     xr = jax.device_put(x.real.astype(np.float32))
     xi = jax.device_put(x.imag.astype(np.float32))
-    rader = get_plan(n, -1, "complex")
+    rader = get_plan(n, -1, "complex", SpectralConfig(rader="auto"))
     blue = get_plan(n, -1, "complex", SpectralConfig(rader="off"))
     fn_r = lambda ar, ai: exec_complex(rader, ar, ai)
     fn_b = lambda ar, ai: exec_complex(blue, ar, ai)
@@ -309,14 +309,16 @@ def bench_nufft3_2d(m: int, k: int, iters: int, seed: int = 0):
         return dict(x_extent=math.pi, y_extent=math.pi,
                     s_extent=mm / 4, t_extent=mm / 4)
 
-    # accuracy at a dense-checkable size
+    # accuracy at a dense-checkable size; the error reduces ON DEVICE to a
+    # real scalar (axon cannot transfer complex64 device→host)
     xs, ys, ss, ts, cs = make(512, 512)
-    g = np.asarray(jax.jit(
-        lambda c: nf.nufft3_2d(xs, ys, c, ss, ts, method="fast",
-                               **ext(512)))(cs))
-    w = np.asarray(jax.jit(
-        lambda c: nf.nufft3_2d(xs, ys, c, ss, ts, method="dense"))(cs))
-    err = float(np.max(np.abs(g - w)) / np.max(np.abs(w)))
+
+    def acc(c):
+        g = nf.nufft3_2d(xs, ys, c, ss, ts, method="fast", **ext(512))
+        w = nf.nufft3_2d(xs, ys, c, ss, ts, method="dense")
+        return jnp.max(jnp.abs(g - w)) / jnp.max(jnp.abs(w))
+
+    err = float(jax.jit(acc)(cs))
     # throughput at the claimed size
     x, y, s, t, c = make(m, k)
     cr = jnp.real(c)
@@ -654,6 +656,16 @@ def _probe_backend(timeout_s: float = 180.0):
 # backend-class error triggers a cheap subprocess re-probe; if the backend is
 # gone, all remaining configs are marked "lost" immediately instead of each
 # burning its own timeout, and the line still prints.
+#
+# Per-config SUBPROCESS isolation (round-5 measurement): the axon client
+# session goes STALE after ~10 minutes of process lifetime — every device op
+# then raises "UNIMPLEMENTED: TPU backend error" instantly while a FRESH
+# process works fine (observed 2026-08-19: 6 configs succeeded, then 28
+# uniform 2-second failures while tools/tune.py ran happily in parallel;
+# r04's "strict suffix" of failures was the same cliff, not tunnel death).
+# So main() runs each config as `bench.py --one <name>` with its own backend
+# session and a hard timeout; the persistent compile cache keeps the
+# per-child cost to ~3 s of backend init after the first run.
 # ---------------------------------------------------------------------------
 
 COMPACT_LINE_BUDGET = 1500
@@ -799,12 +811,15 @@ def _runners():
 
     # --- 3. prime-path A/B + extension configs ---------------------------
     def _rader_cfg():
+        # default dispatch (Bluestein since r5: Rader measured 0.755-0.776x
+        # on chip twice; rader="auto" is the opt-in lever)
         stats, err = bench_config(1009, 64, 200)
         return stats["gflops"], stats, err, True
-    R.append(("n1009_b64_rader", _rader_cfg))
+    R.append(("n1009_b64", _rader_cfg))
 
     def _rader_ab():
         r = round(bench_rader_vs_bluestein(1009, 64, 200), 3)
+        # informational A/B of the opt-in path; not part of the error budget
         return r, {"ratio": r}, None, True
     R.append(("speedup_rader_vs_bluestein_n1009", _rader_ab))
 
@@ -870,6 +885,62 @@ def _runners():
     return R
 
 
+PER_CONFIG_TIMEOUT_S = 540.0  # under the ~10-min axon session cliff
+
+
+def run_one(name: str) -> int:
+    """Child mode: run ONE config in this process and print its result as
+    a single RESULT= line (the parent parses it).  Exceptions propagate as
+    a nonzero exit with the message on stderr."""
+    from mixed_radix_fast_fourier_transform_tpu.utils.cache import (
+        enable_persistent_cache,
+    )
+
+    try:
+        enable_persistent_cache()
+    except Exception:
+        pass
+    for cand, thunk in _runners():
+        if cand == name:
+            value, d, err, ok = thunk()
+            print("RESULT=" + json.dumps({
+                "value": _compact(value), "detail": d,
+                "err": None if err is None else float(err), "ok": bool(ok),
+            }))
+            return 0
+    print(f"unknown config {name!r}", file=__import__("sys").stderr)
+    return 2
+
+
+def _run_config_subprocess(name: str):
+    """(compact_value, detail, err, ok, failure_msg_or_None) for one config
+    run in a fresh process — its own axon session, hard timeout."""
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--one", name],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            timeout=PER_CONFIG_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        return None, None, None, False, f"timeout > {PER_CONFIG_TIMEOUT_S:.0f}s"
+    out = proc.stdout.decode(errors="replace")
+    for line in reversed(out.splitlines()):
+        if line.startswith("RESULT="):
+            r = json.loads(line[len("RESULT="):])
+            return r["value"], r["detail"], r["err"], r["ok"], None
+    tail = (proc.stderr.decode(errors="replace") + out)[-800:]
+    # the exception message is the last nonempty stderr line, typically
+    msg = ""
+    for line in reversed(tail.splitlines()):
+        if line.strip():
+            msg = line.strip()
+            break
+    return None, None, None, False, msg or f"rc={proc.returncode}"
+
+
 def main():
     platform, tpu_error = _probe_backend()
     if platform is None:
@@ -882,37 +953,27 @@ def main():
         }))
         return
 
-    from mixed_radix_fast_fourier_transform_tpu.utils.cache import (
-        enable_persistent_cache,
-    )
-
-    try:
-        enable_persistent_cache()  # warm reruns skip the 20-40 s TPU compiles
-    except Exception:
-        pass
-
     compact, detail = {}, {}
     worst_err, ext_ok = 0.0, True
     backend_lost = None
-    for name, thunk in _runners():
+    for name, _thunk in _runners():
         if backend_lost is not None:
             compact[name] = "lost"
             detail[name] = {"error": f"backend lost at {backend_lost}"}
             continue
         t0 = time.time()
-        try:
-            value, d, err, ok = thunk()
-            compact[name] = _compact(value)
+        value, d, err, ok, fail = _run_config_subprocess(name)
+        if fail is None:
+            compact[name] = value
             detail[name] = d
             if err is not None:
                 worst_err = max(worst_err, err)
             ext_ok = ext_ok and ok
-        except Exception as e:  # keep the line printable no matter what
-            msg = str(e)
-            compact[name] = "err:" + msg[:40]
-            detail[name] = {"error": msg[:500]}
+        else:
+            compact[name] = "err:" + fail[:40]
+            detail[name] = {"error": fail[:500]}
             ext_ok = False
-            if _is_backend_error(msg):
+            if _is_backend_error(fail):
                 p, _ = _probe_backend(60.0)
                 if p is None or p == "cpu":
                     backend_lost = name
@@ -946,4 +1007,8 @@ def main():
 
 
 if __name__ == "__main__":
+    import sys
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        sys.exit(run_one(sys.argv[2]))
     main()

@@ -46,14 +46,20 @@ class SpectralConfig:
     # "fast" (2·3·5·7-smooth) measured slower than both (odd stage shapes).
     pad_mode: str = "pow23"
     # Rader's algorithm for prime lengths whose n−1 is max_stage-smooth:
-    # "auto" (default) converts the prime DFT into ONE length-(n−1) cyclic
+    # "auto" converts the prime DFT into ONE length-(n−1) cyclic
     # convolution — two smooth inner FFTs of n−1 points instead of
-    # Bluestein's two FFTs of m ≈ 2.4n chirp-padded points (~4.8x less
-    # inner transform work where eligible, e.g. n=257 → inner 256,
-    # n=1009 → inner 1008).  "off" forces Bluestein for every non-smooth
-    # length (the A/B lever for tools/tune.py).  Primes whose n−1 is NOT
+    # Bluestein's two FFTs of m ≈ 2.4n chirp-padded points.  The flop model
+    # says ~2x less inner work, but ON CHIP Rader MEASURES SLOWER:
+    # 0.776x (BENCH_r04) and 0.755x (tools/tune.py rader 1009 64,
+    # 2026-08-19) vs Bluestein at n=1009 b=64 — the primitive-root
+    # permutations are gathers (VPU/HBM-bound) and the (36,28)-class inner
+    # stages utilize the MXU worse than Bluestein's measured-optimal
+    # (128,16) m=2048 plan; a better 1008 split can't recover 30%+ when
+    # halving the inner size already didn't.  Default is therefore "off"
+    # (measured-decision discipline); "auto" remains the opt-in lever and
+    # the plan type keeps its oracle tests.  Primes whose n−1 is NOT
     # smooth (e.g. 10007 = 2·5003 + 1) take Bluestein either way.
-    rader: str = "auto"
+    rader: str = "off"
     # Fused Pallas kernel path for smooth lengths (ops/pallas_fft.py):
     # False (default) = always XLA; None = auto (kernel on TPU backends);
     # True = force (interpreter off-TPU).  Since the stacked/Karatsuba stage
