@@ -296,13 +296,18 @@ def bench_nufft3_2d(m: int, k: int, iters: int, seed: int = 0):
     rng = np.random.default_rng(seed)
 
     def make(mm, kk):
+        # planes only: a complex64 device_put POISONS the axon client — the
+        # put errors UNIMPLEMENTED and every later op in the process fails
+        # (measured 2026-08-19; this was the r03/r04 "suffix" failure)
         x = rng.uniform(-math.pi, math.pi, mm).astype(np.float32)
         y = rng.uniform(-math.pi, math.pi, mm).astype(np.float32)
         s = rng.uniform(-mm / 4, mm / 4, kk).astype(np.float32)
         t = rng.uniform(-mm / 4, mm / 4, kk).astype(np.float32)
         c = (rng.standard_normal(mm) + 1j * rng.standard_normal(mm))
         return (jax.device_put(x), jax.device_put(y), jax.device_put(s),
-                jax.device_put(t), jax.device_put(c.astype(np.complex64)))
+                jax.device_put(t),
+                jax.device_put(c.real.astype(np.float32)),
+                jax.device_put(c.imag.astype(np.float32)))
 
     def ext(mm):
         # static per-axis half-widths — required for "fast" under jit
@@ -310,19 +315,18 @@ def bench_nufft3_2d(m: int, k: int, iters: int, seed: int = 0):
                     s_extent=mm / 4, t_extent=mm / 4)
 
     # accuracy at a dense-checkable size; the error reduces ON DEVICE to a
-    # real scalar (axon cannot transfer complex64 device→host)
-    xs, ys, ss, ts, cs = make(512, 512)
+    # real scalar (axon cannot transfer complex64 either direction)
+    xs, ys, ss, ts, csr, csi = make(512, 512)
 
-    def acc(c):
+    def acc(ar, ai):
+        c = jax.lax.complex(ar, ai)
         g = nf.nufft3_2d(xs, ys, c, ss, ts, method="fast", **ext(512))
         w = nf.nufft3_2d(xs, ys, c, ss, ts, method="dense")
         return jnp.max(jnp.abs(g - w)) / jnp.max(jnp.abs(w))
 
-    err = float(jax.jit(acc)(cs))
+    err = float(jax.jit(acc)(csr, csi))
     # throughput at the claimed size
-    x, y, s, t, c = make(m, k)
-    cr = jnp.real(c)
-    ci = jnp.imag(c)
+    x, y, s, t, cr, ci = make(m, k)
 
     def fn(ar, ai):
         # carrier pattern: out has k entries, the chain carry has m — fold
@@ -590,10 +594,13 @@ def bench_range_doppler(n_pulses: int, n: int, nt: int, iters: int,
                 + 1j * rng.standard_normal((n_pulses, n)))
     d0, fd = n // 2, 5
     rx[:, d0: d0 + nt] += tx * np.exp(2j * np.pi * fd * m / n_pulses)
-    txd = jax.device_put(tx.astype(np.complex64))
+    # complex64 device_put poisons the axon client — ship planes
+    txr = jax.device_put(tx.real.astype(np.float32))
+    txi = jax.device_put(tx.imag.astype(np.float32))
 
     def chain_fn(re, im):
         # fp32 planes in, input-shaped fp32 out (marginal_time chains it)
+        txd = jax.lax.complex(txr, txi)
         Y = range_doppler(re + 1j * im, txd, window="hamming")
         p = jnp.abs(Y) ** 2
         det, th = cfar(p, num_train=6, num_guard=2, pfa=1e-4, axes=(-2, -1))
@@ -657,15 +664,24 @@ def _probe_backend(timeout_s: float = 180.0):
 # gone, all remaining configs are marked "lost" immediately instead of each
 # burning its own timeout, and the line still prints.
 #
-# Per-config SUBPROCESS isolation (round-5 measurement): the axon client
-# session goes STALE after ~10 minutes of process lifetime — every device op
-# then raises "UNIMPLEMENTED: TPU backend error" instantly while a FRESH
-# process works fine (observed 2026-08-19: 6 configs succeeded, then 28
-# uniform 2-second failures while tools/tune.py ran happily in parallel;
-# r04's "strict suffix" of failures was the same cliff, not tunnel death).
-# So main() runs each config as `bench.py --one <name>` with its own backend
-# session and a hard timeout; the persistent compile cache keeps the
-# per-child cost to ~3 s of backend init after the first run.
+# SUBPROCESS batching (round-5 measurements, 2026-08-19):
+# (a) A complex64 host<->device TRANSFER on axon fails UNIMPLEMENTED and
+#     PERMANENTLY POISONS the client — every later device op in that
+#     process fails the same way, while fresh processes work.  This (via
+#     bench_nufft3_2d's complex device_put, config #7) was the true cause
+#     of the r03/r04/r05 "strict suffix" failures, not tunnel death.  All
+#     bench fns now ship fp32 planes only; complex64 INSIDE programs
+#     (lax.complex, complex constants) is fine — verified on chip.
+# (b) The FIRST device op of a process can cost minutes of session setup
+#     when the tunnel is cold/contended (measured: 137 s, then 0.04 s for
+#     the second op).
+# So main() runs configs through `bench.py --batch a,b,c` children: each
+# child amortizes the setup across configs for up to SESSION_BUDGET_S of
+# lifetime, then exits and the parent spawns the next child for the rest —
+# bounding the blast radius of any client-poisoning bug to one batch while
+# paying the setup once per batch, not per config.  A config that blows the
+# child timeout gets ONE tail retry (its finished compiles are in the
+# persistent cache, so the retry starts further along).
 # ---------------------------------------------------------------------------
 
 COMPACT_LINE_BUDGET = 1500
@@ -885,13 +901,22 @@ def _runners():
     return R
 
 
-PER_CONFIG_TIMEOUT_S = 540.0  # under the ~10-min axon session cliff
+# The axon session goes stale ~10 min into a process (measured 2026-08-19),
+# and the FIRST device op of each process can cost ~2-3 min of session setup
+# (also measured, same day: first round trip 137 s, second 0.04 s).  So the
+# child batching below amortizes setup across configs while staying under
+# the cliff: each child runs configs until SESSION_BUDGET_S of lifetime,
+# then exits; the parent re-spawns children for whatever remains.
+SESSION_BUDGET_S = 400.0   # child stops STARTING configs past this age
+CHILD_TIMEOUT_S = 560.0    # hard kill (in-flight config gets the remainder)
 
 
-def run_one(name: str) -> int:
-    """Child mode: run ONE config in this process and print its result as
-    a single RESULT= line (the parent parses it).  Exceptions propagate as
-    a nonzero exit with the message on stderr."""
+def run_batch(names) -> int:
+    """Child mode: run configs in order, one RESULT= line each, until the
+    session budget is spent.  A config exception is recorded in its RESULT
+    line (the batch continues); the final BATCH line lists what ran."""
+    import sys
+
     from mixed_radix_fast_fourier_transform_tpu.utils.cache import (
         enable_persistent_cache,
     )
@@ -900,45 +925,62 @@ def run_one(name: str) -> int:
         enable_persistent_cache()
     except Exception:
         pass
-    for cand, thunk in _runners():
-        if cand == name:
-            value, d, err, ok = thunk()
-            print("RESULT=" + json.dumps({
-                "value": _compact(value), "detail": d,
-                "err": None if err is None else float(err), "ok": bool(ok),
-            }))
-            return 0
-    print(f"unknown config {name!r}", file=__import__("sys").stderr)
-    return 2
+    t0 = time.time()
+    by_name = dict(_runners())
+    ran = []
+    for name in names:
+        if time.time() - t0 > SESSION_BUDGET_S:
+            break
+        thunk = by_name.get(name)
+        if thunk is None:
+            rec = {"name": name, "error": "unknown config"}
+        else:
+            try:
+                value, d, err, ok = thunk()
+                rec = {"name": name, "value": _compact(value), "detail": d,
+                       "err": None if err is None else float(err),
+                       "ok": bool(ok)}
+            except Exception as e:
+                rec = {"name": name, "error": str(e)[:500]}
+        print("RESULT=" + json.dumps(rec), flush=True)
+        ran.append(name)
+    print("BATCH=" + json.dumps({"ran": ran}), flush=True)
+    return 0
 
 
-def _run_config_subprocess(name: str):
-    """(compact_value, detail, err, ok, failure_msg_or_None) for one config
-    run in a fresh process — its own axon session, hard timeout."""
+def _spawn_batch(names):
+    """Run a child over ``names``; return (records_by_name, timed_out_name).
+    On child timeout the partial stdout still yields every completed
+    RESULT line; the config after the last one is the casualty."""
     import subprocess
     import sys
 
     try:
         proc = subprocess.run(
-            [sys.executable, __file__, "--one", name],
+            [sys.executable, __file__, "--batch", ",".join(names)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-            timeout=PER_CONFIG_TIMEOUT_S,
+            timeout=CHILD_TIMEOUT_S,
         )
-    except subprocess.TimeoutExpired:
-        return None, None, None, False, f"timeout > {PER_CONFIG_TIMEOUT_S:.0f}s"
-    out = proc.stdout.decode(errors="replace")
-    for line in reversed(out.splitlines()):
+        out = proc.stdout.decode(errors="replace")
+        timed_out = False
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout or b"").decode(errors="replace")
+        timed_out = True
+    records = {}
+    for line in out.splitlines():
         if line.startswith("RESULT="):
-            r = json.loads(line[len("RESULT="):])
-            return r["value"], r["detail"], r["err"], r["ok"], None
-    tail = (proc.stderr.decode(errors="replace") + out)[-800:]
-    # the exception message is the last nonempty stderr line, typically
-    msg = ""
-    for line in reversed(tail.splitlines()):
-        if line.strip():
-            msg = line.strip()
-            break
-    return None, None, None, False, msg or f"rc={proc.returncode}"
+            try:
+                r = json.loads(line[len("RESULT="):])
+                records[r["name"]] = r
+            except Exception:
+                pass
+    casualty = None
+    if timed_out:
+        for name in names:
+            if name not in records:
+                casualty = name
+                break
+    return records, casualty
 
 
 def main():
@@ -956,28 +998,59 @@ def main():
     compact, detail = {}, {}
     worst_err, ext_ok = 0.0, True
     backend_lost = None
-    for name, _thunk in _runners():
+    pending = [name for name, _ in _runners()]
+    retried = set()
+    while pending:
         if backend_lost is not None:
-            compact[name] = "lost"
-            detail[name] = {"error": f"backend lost at {backend_lost}"}
-            continue
+            for name in pending:
+                compact[name] = "lost"
+                detail[name] = {"error": f"backend lost at {backend_lost}"}
+            break
         t0 = time.time()
-        value, d, err, ok, fail = _run_config_subprocess(name)
-        if fail is None:
-            compact[name] = value
-            detail[name] = d
-            if err is not None:
-                worst_err = max(worst_err, err)
-            ext_ok = ext_ok and ok
-        else:
-            compact[name] = "err:" + fail[:40]
-            detail[name] = {"error": fail[:500]}
+        records, casualty = _spawn_batch(pending)
+        for name in list(pending):
+            if name not in records:
+                continue
+            pending.remove(name)
+            r = records[name]
+            if "error" in r:
+                msg = r["error"]
+                compact[name] = "err:" + msg[:40]
+                detail[name] = {"error": msg}
+                ext_ok = False
+                if _is_backend_error(msg) and backend_lost is None:
+                    p, _ = _probe_backend(60.0)
+                    if p is None or p == "cpu":
+                        backend_lost = name
+            else:
+                compact[name] = r["value"]
+                detail[name] = r["detail"]
+                if r["err"] is not None:
+                    worst_err = max(worst_err, r["err"])
+                ext_ok = ext_ok and r["ok"]
+        if casualty is not None and casualty in pending:
+            pending.remove(casualty)
+            if casualty not in retried:
+                # one retry at the tail: its finished compiles are cached,
+                # so the second attempt starts much further along
+                retried.add(casualty)
+                pending.append(casualty)
+            else:
+                compact[casualty] = f"err:timeout>{CHILD_TIMEOUT_S:.0f}s"
+                detail[casualty] = {
+                    "error": f"config exceeded {CHILD_TIMEOUT_S:.0f}s child "
+                             "budget twice"}
+                ext_ok = False
+        elif not records and casualty is None:
+            # child produced nothing and didn't time out: backend trouble
+            for name in pending:
+                compact[name] = "err:child produced no results"
+                detail[name] = {"error": "child produced no results"}
             ext_ok = False
-            if _is_backend_error(fail):
-                p, _ = _probe_backend(60.0)
-                if p is None or p == "cpu":
-                    backend_lost = name
-        detail.setdefault(name, {})["seconds"] = round(time.time() - t0, 1)
+            break
+        detail.setdefault("_batches", []).append(
+            {"seconds": round(time.time() - t0, 1),
+             "ran": sorted(records), "timeout": casualty})
 
     primary = detail.get("n1024_b256", {}).get("gflops", 0.0) or 0.0
     headline = {
@@ -1009,6 +1082,6 @@ def main():
 if __name__ == "__main__":
     import sys
 
-    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
-        sys.exit(run_one(sys.argv[2]))
+    if len(sys.argv) >= 3 and sys.argv[1] == "--batch":
+        sys.exit(run_batch([n for n in sys.argv[2].split(",") if n]))
     main()
