@@ -486,7 +486,13 @@ def bench_kalman(T: int, iters: int, seed: int = 0):
     mp = np.asarray(jax.jit(par)(ys)[0])
     ms = np.asarray(jax.jit(seq)(ys)[0])
     diff = float(np.max(np.abs(mp - ms)))
-    ab = ab_compare(seq, par, (ys,), short=iters, long=5 * iters)
+    # Each fn application is ms-class (a full T-step filter pass), so short
+    # chains already produce tens-of-ms timing differences — and the
+    # sequential baseline is SLOW by construction (that is the claim being
+    # measured), so long chains at rounds=5 blew the 560 s bench-child
+    # budget twice in BENCH_r04/r05 runs.  rounds=2, 5x-iters chains keep
+    # the interleaving (tunnel drift) at ~1/8 the device work.
+    ab = ab_compare(seq, par, (ys,), short=iters, long=5 * iters, rounds=2)
     t_par = sorted(ab["b_seconds"])[len(ab["b_seconds"]) // 2]
     return t_par / T * 1e6, ab["ratio_median"], diff
 
@@ -797,7 +803,7 @@ def _runners():
     R.append(("vmd_k3_n4096", _vmd))
 
     def _kalman():
-        us_step, speedup, diff = bench_kalman(65536, 20)
+        us_step, speedup, diff = bench_kalman(65536, 3)
         ok = diff <= 1e-2
         d = {"us_per_step": round(us_step, 4),
              "speedup_vs_sequential_scan": round(speedup, 2),
@@ -997,6 +1003,7 @@ def main():
 
     compact, detail = {}, {}
     worst_err, ext_ok = 0.0, True
+    env_ok = True  # False only for errored/timed-out/lost configs
     backend_lost = None
     pending = [name for name, _ in _runners()]
     retried = set()
@@ -1005,6 +1012,7 @@ def main():
             for name in pending:
                 compact[name] = "lost"
                 detail[name] = {"error": f"backend lost at {backend_lost}"}
+            env_ok = False
             break
         t0 = time.time()
         records, casualty = _spawn_batch(pending)
@@ -1017,7 +1025,7 @@ def main():
                 msg = r["error"]
                 compact[name] = "err:" + msg[:40]
                 detail[name] = {"error": msg}
-                ext_ok = False
+                env_ok = False
                 if _is_backend_error(msg) and backend_lost is None:
                     p, _ = _probe_backend(60.0)
                     if p is None or p == "cpu":
@@ -1040,13 +1048,13 @@ def main():
                 detail[casualty] = {
                     "error": f"config exceeded {CHILD_TIMEOUT_S:.0f}s child "
                              "budget twice"}
-                ext_ok = False
+                env_ok = False
         elif not records and casualty is None:
             # child produced nothing and didn't time out: backend trouble
             for name in pending:
                 compact[name] = "err:child produced no results"
                 detail[name] = {"error": "child produced no results"}
-            ext_ok = False
+            env_ok = False
             break
         detail.setdefault("_batches", []).append(
             {"seconds": round(time.time() - t0, 1),
@@ -1061,8 +1069,14 @@ def main():
         "platform": platform,
         "max_rel_err": float(f"{worst_err:.3g}"),
         # BASELINE.md 1e-5 budget on the core transforms AND the
-        # method-specific extension budgets (per-config ok flags)
-        "error_budget_ok": bool(worst_err <= 1e-5 and ext_ok),
+        # method-specific extension budgets (per-config ok flags).  Still
+        # fail-closed on environmental losses, but budget_fail says WHY:
+        # "accuracy" = a measured error is over budget (real regression);
+        # "env" = configs errored/timed out/lost backend (no accuracy claim).
+        "error_budget_ok": bool(worst_err <= 1e-5 and ext_ok and env_ok),
+        "budget_fail": (
+            "accuracy" if (worst_err > 1e-5 or not ext_ok)
+            else ("env" if not env_ok else None)),
         # the roofline-contract numbers, on the parsed record (VERDICT r4 #4)
         "pct_mxu_n32768": detail.get("n32768_b16", {}).get(
             "pct_mxu_fp32_roofline"),

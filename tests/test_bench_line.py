@@ -21,6 +21,7 @@ def _worst_headline():
         "platform": "unavailable",
         "max_rel_err": 9.99e-05,
         "error_budget_ok": False,
+        "budget_fail": "accuracy",
         "pct_mxu_n32768": 100.0,
         "pct_mxu_n65536": 100.0,
         "backend_lost_at": "range_doppler_cfar_64x4096",
