@@ -297,6 +297,16 @@ def tune_sortspread(n: int, m: int, ndim: int = 1):
     _report("block", "sorted", res)
 
 
+def _ab_knobs(short: int, rounds: int):
+    """Env overrides for heavyweight probes: SPECTRAL_TUNE_SHORT /
+    SPECTRAL_TUNE_ROUNDS.  The nufft3i/sht probes at default sizes blew a
+    900 s chip budget (round-5 chip day) — composite traces are expensive,
+    so rounds must be cuttable without editing the file."""
+    s = int(os.environ.get("SPECTRAL_TUNE_SHORT", short))
+    r = int(os.environ.get("SPECTRAL_TUNE_ROUNDS", rounds))
+    return s, r
+
+
 def tune_sht(L: int, b: int):
     """Hermitian vs full-path SHT round-trip A/B at band limit L."""
     import jax.numpy as jnp
@@ -314,7 +324,8 @@ def tune_sht(L: int, b: int):
             spp.isht(spp.sht(g.astype(jnp.complex64)))
         ).astype(jnp.float32),)
 
-    res = ab_compare(rt_full, rt_fast, (f0,), short=20, long=100, rounds=5)
+    s, r = _ab_knobs(20, 5)
+    res = ab_compare(rt_full, rt_fast, (f0,), short=s, long=5 * s, rounds=r)
     _report("full", "hermitian", res)
 
 
@@ -436,7 +447,8 @@ def tune_nufft3i(m: int, k: int):
         return (ar + eps * jnp.sum(fr).astype(ar.dtype),
                 ai + eps * jnp.sum(fi).astype(ai.dtype))
 
-    res = ab_compare(gather, current, (cr, ci), short=20, long=100, rounds=5)
+    s, r = _ab_knobs(20, 5)
+    res = ab_compare(gather, current, (cr, ci), short=s, long=5 * s, rounds=r)
     _report("tap-gather", "interp2d-matmul", res)
 
 
