@@ -26,13 +26,18 @@ import subprocess
 import sys
 import time
 
+# The nufft3i/sht probes are composite graphs whose traces alone blew a
+# 900 s budget at default rounds (round-5 chip day) — run them with the
+# reduced SPECTRAL_TUNE_* knobs (still interleaved, 3 rounds).
+_TUNE_ENV = {"SPECTRAL_TUNE_SHORT": "10", "SPECTRAL_TUNE_ROUNDS": "3"}
 STEPS = [
-    ("scoreboard", [sys.executable, "bench.py"], 3600),
+    ("scoreboard", [sys.executable, "bench.py"], 3600, None),
     ("rader-vs-bluestein", [sys.executable, "tools/tune.py", "rader",
-                            "1009", "64"], 900),
+                            "1009", "64"], 900, None),
     ("nufft3-interp", [sys.executable, "tools/tune.py", "nufft3i",
-                       "4096", "4096"], 900),
-    ("sht-paths", [sys.executable, "tools/tune.py", "sht", "256", "16"], 900),
+                       "4096", "4096"], 900, _TUNE_ENV),
+    ("sht-paths", [sys.executable, "tools/tune.py", "sht", "256", "16"],
+     900, _TUNE_ENV),
 ]
 
 
@@ -56,11 +61,15 @@ def main() -> int:
         return 1
     print("tunnel UP — running the chip-day sequence", flush=True)
     results = {}
-    for name, cmd, budget in STEPS[: 1 if quick else None]:
+    for name, cmd, budget, env in STEPS[: 1 if quick else None]:
         t0 = time.time()
         print(f"=== {name}: {' '.join(cmd)} (budget {budget}s)", flush=True)
+        run_env = None
+        if env:
+            import os
+            run_env = {**os.environ, **env}
         try:
-            p = subprocess.run(cmd, timeout=budget)
+            p = subprocess.run(cmd, timeout=budget, env=run_env)
             results[name] = p.returncode
         except subprocess.TimeoutExpired:
             results[name] = "timeout"
