@@ -324,8 +324,8 @@ def tune_sht(L: int, b: int):
             spp.isht(spp.sht(g.astype(jnp.complex64)))
         ).astype(jnp.float32),)
 
-    s, r = _ab_knobs(20, 5)
-    res = ab_compare(rt_full, rt_fast, (f0,), short=s, long=5 * s, rounds=r)
+    sh, rd = _ab_knobs(20, 5)
+    res = ab_compare(rt_full, rt_fast, (f0,), short=sh, long=5 * sh, rounds=rd)
     _report("full", "hermitian", res)
 
 
@@ -447,8 +447,9 @@ def tune_nufft3i(m: int, k: int):
         return (ar + eps * jnp.sum(fr).astype(ar.dtype),
                 ai + eps * jnp.sum(fi).astype(ai.dtype))
 
-    s, r = _ab_knobs(20, 5)
-    res = ab_compare(gather, current, (cr, ci), short=s, long=5 * s, rounds=r)
+    sh, rd = _ab_knobs(20, 5)
+    res = ab_compare(gather, current, (cr, ci), short=sh, long=5 * sh,
+                     rounds=rd)
     _report("tap-gather", "interp2d-matmul", res)
 
 
