@@ -109,8 +109,18 @@ class TestSynchrosqueezing:
         )(x)
         assert np.asarray(S).shape == (2, 32, 512)
         S1, _ = sp.ssq_cwt(x[1], n_scales=32, fmin=0.02, fmax=0.4)
-        d = np.abs(np.asarray(S)[1] - np.asarray(S1)).max()
-        assert d / max(1.0, float(np.abs(np.asarray(S1)).max())) < 1e-5
+        a, b = np.asarray(S)[1], np.asarray(S1)
+        # Synchrosqueezing scatters each CWT coefficient into the NEAREST
+        # frequency bin, so a coefficient whose instantaneous-frequency
+        # estimate sits on a bin edge flips bins under fp-level differences
+        # between the batched-jit and single-signal executables (XLA CPU
+        # reduction order varies with thread count — seen flaking under
+        # load).  The frequency-marginal (sum over bins) is invariant to
+        # which bin energy lands in; compare that exactly, and the direct
+        # diff only loosely (catches real breakage, tolerates bin flips).
+        scale = max(1.0, float(np.abs(b).max()))
+        assert np.abs(a.sum(axis=0) - b.sum(axis=0)).max() / scale < 1e-5
+        assert np.abs(a - b).max() / scale < 0.25
 
     def test_errors(self):
         with pytest.raises(ValueError):
