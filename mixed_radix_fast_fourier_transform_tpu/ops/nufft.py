@@ -1680,23 +1680,40 @@ def nufft3_2d(
     B = nufft1_2d(
         h1 * xc, h2 * yc, beta, (n1, n2), isign=isign, eps=eps, config=config
     )  # (n1, n2) centered modes
-    # Separable Gaussian interpolation at the K targets via the block-matmul
-    # adjoint (_interp_2d — the path that made the type-2 grid interp
-    # matmul-bound instead of gather-bound).  The (odd) mode grid is
-    # zero-padded to power-of-two axes so the power-of-two block scheme and
-    # the exact _unit_frac cell arithmetic apply; by construction every
-    # target's taps live in [3, n_i−3] (k_i carries an msp+2 margin), so the
-    # pad is never read and no circular wrap occurs.
-    n1p, n2p = next_pow2(n1), next_pow2(n2)
-    Bp = jnp.pad(
-        B, [(0, 0)] * (B.ndim - 2) + [(0, n1p - n1), (0, n2p - n2)]
-    )
-    two_pi = 2.0 * math.pi
-    p1 = (sc / h1 + k1) * (two_pi / n1p)   # grid-cell coordinate as an angle
-    p2 = (tc / h2 + k2) * (two_pi / n2p)
-    tau1 = rho1 * (two_pi / (n1p * h1)) ** 2  # exp(−d²/4ρ) in cell units
-    tau2 = rho2 * (two_pi / (n2p * h2)) ** 2
-    f = _interp_2d(Bp, p1, p2, (n1p, n2p), (tau1, tau2), msp) * (h1 * h2)
+    # Separable Gaussian interpolation at the K targets: dynamic tap GATHER,
+    # not the _interp_2d block-matmul adjoint.  Round 4 rewrote this stage
+    # onto _interp_2d riding the type-2 grid result (gather 952 us -> matmul
+    # 184 us), but type 3's target stage is the opposite regime: K sparse
+    # targets on a LARGE pow2-padded mode grid (m=4096 -> ~8192^2 after
+    # padding), and the one-hot matmul's cost scales with the grid while the
+    # gather's scales with K*P^2.  Measured on chip (round 5): matmul form
+    # 494.9 ms/transform at (4096,4096) (BENCH_DETAIL round-5 scoreboard) vs
+    # ~15 ms for this gather form (round-3 record, same class); an 18x
+    # gather win at (256,256) on CPU (tools/tune.py nufft3i).
+    taps = np.arange(-msp + 1, msp + 1, dtype=np.int32)
+    i1 = jnp.round(sc / h1).astype(jnp.int32)
+    i2 = jnp.round(tc / h2).astype(jnp.int32)
+    idx1 = i1[:, None] + taps[None, :]
+    idx2 = i2[:, None] + taps[None, :]
+    d1 = sc[:, None] - idx1.astype(sc.dtype) * h1
+    d2 = tc[:, None] - idx2.astype(tc.dtype) * h2
+    w1 = jnp.exp(-(d1 * d1) / (4.0 * rho1)) * h1  # (K, P)
+    w2 = jnp.exp(-(d2 * d2) / (4.0 * rho2)) * h2  # (K, P)
+    g1 = jnp.clip(idx1 + k1, 0, n1 - 1)
+    g2 = jnp.clip(idx2 + k2, 0, n2 - 1)
+    flat = B.reshape(B.shape[:-2] + (-1,))  # (…, n1*n2): keep batch axes
+    lin = g1[:, :, None] * n2 + g2[:, None, :]  # (K, P, P)
+    vals = jnp.take(flat, lin.reshape(-1), axis=-1).reshape(
+        B.shape[:-2] + lin.shape
+    )  # (…, K, P, P)
+    # planes (see nufft3_3d: complex x real multi-operand einsum is a TPU
+    # compiler hazard)
+    wdt = jnp.real(vals).dtype
+    w1, w2 = w1.astype(wdt), w2.astype(wdt)
+    prec = config.op_precision
+    fr = jnp.einsum("...kpq,kp,kq->...k", jnp.real(vals), w1, w2, precision=prec)
+    fi = jnp.einsum("...kpq,kp,kq->...k", jnp.imag(vals), w1, w2, precision=prec)
+    f = jax.lax.complex(fr, fi)
     if x0 != 0.0 or y0 != 0.0:  # undo the source-centre shift at the targets
         phase1 = float(isign) * (s * x0 + t * y0)
         f = f * jax.lax.complex(jnp.cos(phase1), jnp.sin(phase1))
