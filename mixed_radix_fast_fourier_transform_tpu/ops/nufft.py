@@ -286,6 +286,48 @@ def _use_dense_2d(method: str, n1: int, n2: int, m: int) -> bool:
     )
 
 
+def _type3_extent(pts, ext):
+    """Resolve one half-width for the type-3 auto dispatch: the given
+    static extent, the concrete points' span, or None under jit (the
+    caller then falls back to dense — same information the 'fast' method
+    would have demanded anyway)."""
+    if ext is not None:
+        return float(ext)
+    try:
+        ph = np.asarray(pts)
+    except Exception:  # traced under jit without a static extent
+        return None
+    return max(float((ph.max() - ph.min()) / 2.0), 1e-9)
+
+
+def _type3_fast_wins(eps: float, d: int, m: int, k: int, sx) -> bool:
+    """Cost-model dispatch for the type-3 family's method='auto'.
+
+    The Lee-Greengard fast path's work is set by the SPACE-BANDWIDTH
+    products S·X per axis (inner mode counts n_i ≈ 2σ·S·X/π), NOT by M or
+    K — so at large S·X it loses to the dense (K, M) phase matmul by
+    orders of magnitude (measured round 5 on v5e: 435 ms fast vs ms-class
+    dense at M=K=4096 with S·X = 1024π per axis, where the inner grid is
+    ~16384²), while at large M·K with modest S·X the dense matrix does not
+    even fit (M=K=65536 → 4.3e9 entries) and fast runs in ms.  Model:
+      dense ≈ 30·K·M   (two trig sweeps + 8 matmul flops per entry)
+      fast  ≈ 10·G·log2 G + 100·(M+K)·(2·msp)^d
+    with G the pow2-padded 2x-oversampled inner grid cells.  The regimes
+    this chooses between differ by 10-100x, so constant-level modeling
+    error cannot flip a sane choice."""
+    sigma = 2.0
+    msp = _msp(eps)
+    g = 1.0
+    for p in sx:  # per-axis product S_i · X_i
+        n_i = 2 * (int(math.ceil(sigma * p / math.pi)) + msp + 3) + 1
+        g *= float(next_pow2(2 * n_i))
+    fast = 10.0 * g * math.log2(max(g, 2.0)) + 100.0 * (m + k) * float(
+        (2 * msp) ** d
+    )
+    dense = 30.0 * float(m) * float(k)
+    return fast < dense
+
+
 def _deconv(n_modes: int, mr: int, tau: float) -> np.ndarray:
     """Gaussian-kernel deconvolution diagonal: h/(2·sqrt(pi·tau))·e^{k²tau}
     for the centered modes (host fp64 — the single source of truth shared by
@@ -869,10 +911,21 @@ def nufft3(
     x = jnp.asarray(x)
     c = jnp.asarray(c)
     s = jnp.asarray(s)
-    if method not in ("dense", "fast"):
-        raise ValueError(f"method must be dense|fast, got {method!r}")
+    if method not in ("auto", "dense", "fast"):
+        raise ValueError(f"method must be auto|dense|fast, got {method!r}")
     if isign not in (-1, 1):
         raise ValueError(f"isign must be +1 or -1, got {isign}")
+    if method == "auto" and x.ndim == 1 and s.ndim == 1:
+        ex = _type3_extent(x, x_extent)
+        es = _type3_extent(s, s_extent)
+        if ex is None or es is None:  # jit without extents: dense only
+            method = "dense"
+        else:
+            method = "fast" if _type3_fast_wins(
+                eps, 1, x.shape[0], s.shape[0], (es * ex,)
+            ) else "dense"
+    elif method == "auto":
+        method = "dense"  # shape errors surface in the dense validation
     if method == "fast":
         return _nufft3_fast(
             x, c, s, isign=isign, eps=eps, x_extent=x_extent,
@@ -1616,13 +1669,26 @@ def nufft3_2d(
     c = jnp.asarray(c)
     s = jnp.asarray(s)
     t = jnp.asarray(t)
-    if method not in ("dense", "fast"):
-        raise ValueError(f"method must be dense|fast, got {method!r}")
+    if method not in ("auto", "dense", "fast"):
+        raise ValueError(f"method must be auto|dense|fast, got {method!r}")
     if isign not in (-1, 1):
         raise ValueError(f"isign must be +1 or -1, got {isign}")
     _check_points_2d(x, y, c)
     if s.ndim != 1 or s.shape != t.shape or s.shape[0] < 1:
         raise ValueError("s and t must be equal-length non-empty 1-D arrays")
+    if method == "auto":
+        spans = [
+            _type3_extent(p, e)
+            for p, e in ((x, x_extent), (y, y_extent),
+                         (s, s_extent), (t, t_extent))
+        ]
+        if any(e is None for e in spans):  # jit without extents: dense only
+            method = "dense"
+        else:
+            x1, x2, s1, s2 = spans
+            method = "fast" if _type3_fast_wins(
+                eps, 2, x.shape[0], s.shape[0], (s1 * x1, s2 * x2)
+            ) else "dense"
     if method == "dense":
         theta = s[:, None] * x[None, :] + t[:, None] * y[None, :]
         if isign < 0:
@@ -1748,13 +1814,29 @@ def nufft3_3d(
     s0, t0, u0) — required under jit, inferred from concrete inputs
     otherwise."""
     x, y, z, c, s, t, u = map(jnp.asarray, (x, y, z, c, s, t, u))
-    if method not in ("dense", "fast"):
-        raise ValueError(f"method must be dense|fast, got {method!r}")
+    if method not in ("auto", "dense", "fast"):
+        raise ValueError(f"method must be auto|dense|fast, got {method!r}")
     if isign not in (-1, 1):
         raise ValueError(f"isign must be +1 or -1, got {isign}")
     _check_points_3d(x, y, z, c)
     if s.ndim != 1 or s.shape != t.shape or s.shape != u.shape or s.shape[0] < 1:
         raise ValueError("s, t, u must be equal-length non-empty 1-D arrays")
+    if method == "auto":
+        exts0 = (None,) * 6 if extents is None else tuple(extents)
+        if len(exts0) != 6:
+            raise ValueError("extents must be a 6-tuple")
+        spans = [
+            _type3_extent(p, e)
+            for p, e in zip((x, y, z, s, t, u), exts0)
+        ]
+        if any(e is None for e in spans):  # jit without extents: dense only
+            method = "dense"
+        else:
+            x1, x2, x3, s1, s2, s3 = spans
+            method = "fast" if _type3_fast_wins(
+                eps, 3, x.shape[0], s.shape[0],
+                (s1 * x1, s2 * x2, s3 * x3),
+            ) else "dense"
     if method == "dense":
         theta = (
             s[:, None] * x[None, :]

@@ -424,6 +424,65 @@ def test_nufft3_fast_explicit_extents_jittable(rng):
         sp.nufft3(x, c, s, method="??")
 
 
+def test_nufft3_auto_dispatch(rng):
+    """method='auto' picks by the space-bandwidth cost model: dense when
+    S·X makes the inner grid enormous, fast when M·K dwarfs the grid work
+    (round-5 on-chip motivation: 'fast' at M=K=4096, S·X=1024π measured
+    435 ms vs ms-class dense)."""
+    from mixed_radix_fast_fourier_transform_tpu.ops.nufft import (
+        _type3_fast_wins,
+    )
+
+    # M=K=4096, S·X = 1024π per axis (the bench shape): dense must win
+    assert not _type3_fast_wins(1e-6, 2, 4096, 4096,
+                                (1024 * np.pi, 1024 * np.pi))
+    # M=K=65536, S·X = 128π per axis: the dense matrix is 4.3e9 entries;
+    # fast must win
+    assert _type3_fast_wins(1e-6, 2, 65536, 65536,
+                            (128 * np.pi, 128 * np.pi))
+    # 1-D analogues: a single-axis grid is cheap, so fast wins at much
+    # smaller M·K than in 2-D — dense only keeps small point sets
+    assert not _type3_fast_wins(1e-6, 1, 256, 256, (4096 * np.pi,))
+    assert _type3_fast_wins(1e-6, 1, 1 << 20, 1 << 20, (64 * np.pi,))
+
+    # auto matches the oracle regardless of which branch it takes
+    m, kf = 160, 120
+    x = rng.uniform(-5.0, 5.0, m).astype(np.float32)
+    s = rng.uniform(-8.0, 8.0, kf).astype(np.float32)
+    c = _strengths(rng, m)
+    got = np.asarray(sp.nufft3(x, c, s, method="auto"))
+    want = np.exp(-1j * np.outer(s.astype(np.float64),
+                                 x.astype(np.float64))) @ c.astype(np.complex128)
+    rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert rel < 5e-4, rel
+
+    # under jit WITHOUT extents auto cannot size the grid: it must fall
+    # back to dense (not raise, unlike method='fast')
+    import jax
+    import jax.numpy as jnp
+
+    got_j = np.asarray(jax.jit(
+        lambda xa, ca, sa: sp.nufft3(xa, ca, sa, method="auto")
+    )(jnp.asarray(x), jnp.asarray(c), jnp.asarray(s)))
+    dense = np.asarray(sp.nufft3(x, c, s, method="dense"))
+    assert np.max(np.abs(got_j - dense)) == 0.0
+
+
+def test_nufft3_2d_auto_matches_oracle(rng):
+    m, kf = 90, 70
+    x = rng.uniform(-2.0, 2.0, m).astype(np.float32)
+    y = rng.uniform(-3.0, 3.0, m).astype(np.float32)
+    s = rng.uniform(-4.0, 4.0, kf).astype(np.float32)
+    t = rng.uniform(-2.5, 2.5, kf).astype(np.float32)
+    c = _strengths(rng, m)
+    got = np.asarray(sp.nufft3_2d(x, y, c, s, t, method="auto"))
+    ph = np.outer(s.astype(np.float64), x.astype(np.float64)) + np.outer(
+        t.astype(np.float64), y.astype(np.float64))
+    want = np.exp(-1j * ph) @ c.astype(np.complex128)
+    rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert rel < 5e-4, rel
+
+
 def test_nufft3_fast_explicit_centers(rng):
     """Off-centre data with explicit extents must work when centers are
     passed (and the isign guard rejects |isign| != 1)."""
