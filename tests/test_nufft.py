@@ -465,7 +465,9 @@ def test_nufft3_auto_dispatch(rng):
         lambda xa, ca, sa: sp.nufft3(xa, ca, sa, method="auto")
     )(jnp.asarray(x), jnp.asarray(c), jnp.asarray(s)))
     dense = np.asarray(sp.nufft3(x, c, s, method="dense"))
-    assert np.max(np.abs(got_j - dense)) == 0.0
+    # same dense algorithm; jit-vs-eager fusion differences are fp-level
+    # (the FAST branch would differ by ~1e-4-class kernel truncation)
+    assert np.max(np.abs(got_j - dense)) / np.max(np.abs(dense)) < 1e-6
 
 
 def test_nufft3_2d_auto_matches_oracle(rng):
