@@ -286,53 +286,64 @@ def bench_nufft2(n: int, m: int, iters: int, seed: int = 0):
     return dt, err
 
 
-def bench_nufft3_2d(m: int, k: int, iters: int, seed: int = 0):
+def bench_nufft3_2d(m: int, k: int, iters: int, seed: int = 0,
+                    s_extent: float | None = None, method: str = "auto"):
     """(seconds-per-transform, rel err vs dense at 512²) for the 2-D type-3
-    NUFFT fast path — flagged "dispatch-heavy composite" in round 3; this
-    puts a driver-recorded number on it."""
+    NUFFT — flagged "dispatch-heavy composite" in round 3.
+
+    Round-5 on-chip lesson: with the original s_extent = m/4, the
+    space-bandwidth product per axis is m·π/4 — at m=4096 the fast path's
+    inner grid is ~16384² and it measured 435-495 ms/transform, ~100x the
+    dense matmul.  method='auto' (the library default dispatch, new round
+    5) picks dense there.  The fast path's own regime is large M·K on a
+    MODEST space-bandwidth product, benched separately with s_extent=128
+    at M=K=65536 (dense there is a 4.3e9-entry matrix — infeasible)."""
     from mixed_radix_fast_fourier_transform_tpu.ops import nufft as nf
     from mixed_radix_fast_fourier_transform_tpu.utils.profiling import marginal_time
 
     rng = np.random.default_rng(seed)
+    sext = float(s_extent) if s_extent is not None else m / 4
 
-    def make(mm, kk):
+    def make(mm, kk, se):
         # planes only: a complex64 device_put POISONS the axon client — the
         # put errors UNIMPLEMENTED and every later op in the process fails
         # (measured 2026-08-19; this was the r03/r04 "suffix" failure)
         x = rng.uniform(-math.pi, math.pi, mm).astype(np.float32)
         y = rng.uniform(-math.pi, math.pi, mm).astype(np.float32)
-        s = rng.uniform(-mm / 4, mm / 4, kk).astype(np.float32)
-        t = rng.uniform(-mm / 4, mm / 4, kk).astype(np.float32)
+        s = rng.uniform(-se, se, kk).astype(np.float32)
+        t = rng.uniform(-se, se, kk).astype(np.float32)
         c = (rng.standard_normal(mm) + 1j * rng.standard_normal(mm))
         return (jax.device_put(x), jax.device_put(y), jax.device_put(s),
                 jax.device_put(t),
                 jax.device_put(c.real.astype(np.float32)),
                 jax.device_put(c.imag.astype(np.float32)))
 
-    def ext(mm):
-        # static per-axis half-widths — required for "fast" under jit
+    def ext(se):
+        # static per-axis half-widths — required for "fast"/"auto" under jit
         return dict(x_extent=math.pi, y_extent=math.pi,
-                    s_extent=mm / 4, t_extent=mm / 4)
+                    s_extent=se, t_extent=se)
 
-    # accuracy at a dense-checkable size; the error reduces ON DEVICE to a
-    # real scalar (axon cannot transfer complex64 either direction)
-    xs, ys, ss, ts, csr, csi = make(512, 512)
+    # accuracy at a dense-checkable size, same S·X class when it fits; the
+    # error reduces ON DEVICE to a real scalar (axon cannot transfer
+    # complex64 either direction)
+    acc_ext = min(sext, 128.0)
+    xs, ys, ss, ts, csr, csi = make(512, 512, acc_ext)
 
     def acc(ar, ai):
         c = jax.lax.complex(ar, ai)
-        g = nf.nufft3_2d(xs, ys, c, ss, ts, method="fast", **ext(512))
+        g = nf.nufft3_2d(xs, ys, c, ss, ts, method=method, **ext(acc_ext))
         w = nf.nufft3_2d(xs, ys, c, ss, ts, method="dense")
         return jnp.max(jnp.abs(g - w)) / jnp.max(jnp.abs(w))
 
     err = float(jax.jit(acc)(csr, csi))
     # throughput at the claimed size
-    x, y, s, t, cr, ci = make(m, k)
+    x, y, s, t, cr, ci = make(m, k, sext)
 
     def fn(ar, ai):
         # carrier pattern: out has k entries, the chain carry has m — fold
         # the result back through a scalar so (m, k) can vary independently
         out = nf.nufft3_2d(x, y, jax.lax.complex(ar, ai), s, t,
-                           method="fast", **ext(m))
+                           method=method, **ext(sext))
         eps = jnp.asarray(1e-20, ar.dtype)
         return (ar + eps * jnp.sum(jnp.real(out)).astype(ar.dtype),
                 ai + eps * jnp.sum(jnp.imag(out)).astype(ai.dtype))
@@ -755,12 +766,25 @@ def _runners():
 
     # --- 2. op-level configs with no driver record yet (r3/r4 losses) ----
     def _nufft3():
+        # library-default dispatch (auto → dense at this space-bandwidth
+        # product; the old method='fast' config measured 435-495 ms here)
         dt, err = bench_nufft3_2d(4096, 4096, 10)
         ok = err <= 1e-4   # two chained eps~1e-6 kernel truncations
         d = {"ms_per_transform": round(dt * 1e3, 3),
              "rel_err_vs_dense_512": float(f"{err:.3g}"), "budget_ok": ok}
         return d["ms_per_transform"], d, None, ok
-    R.append(("nufft3_2d_fast_m4096_k4096", _nufft3))
+    R.append(("nufft3_2d_auto_m4096_k4096", _nufft3))
+
+    def _nufft3_fast():
+        # the fast path's own regime: M=K=65536 with S·X = 128π per axis —
+        # the dense matrix there is 4.3e9 entries and cannot materialize
+        dt, err = bench_nufft3_2d(65536, 65536, 10, s_extent=128.0,
+                                  method="fast")
+        ok = err <= 1e-4
+        d = {"ms_per_transform": round(dt * 1e3, 3),
+             "rel_err_vs_dense_512": float(f"{err:.3g}"), "budget_ok": ok}
+        return d["ms_per_transform"], d, None, ok
+    R.append(("nufft3_2d_fast_m65536_sbp128", _nufft3_fast))
 
     def _resample():
         dt, err = bench_resample_poly(65536, 16, 20)
