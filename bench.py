@@ -466,11 +466,16 @@ def bench_sosfilt(batch: int, n: int, iters: int, seed: int = 0):
 def bench_kalman(T: int, iters: int, seed: int = 0):
     """(parallel seconds-per-step·1e6, speedup of the associative-scan form
     over the sequential lax.scan, max abs mean diff) for a d=4 tracking
-    model over T steps — the round-4 parallel-in-time smoother subsystem."""
+    model over T steps — the round-4 parallel-in-time smoother subsystem.
+
+    Timing is DIRECT interleaved repeated calls (scalar-fetch-forced), not
+    marginal_time chains: wrapping the associative scan in a fori_loop
+    makes a fresh program whose compile measured **614.8 s** through the
+    axon backend at T=65536 (round-5 profile; 21.5 s on CPU), which blew
+    the 560 s child budget twice in r04/r05 runs.  Per-call kernel time
+    here is 0.2-1.0 s >> the ~30-70 ms dispatch+fetch overhead, so direct
+    diffs carry <= ~30 % bias — fine for a 4-5x-class ratio."""
     from mixed_radix_fast_fourier_transform_tpu.ops.kalman import kalman_filter
-    from mixed_radix_fast_fourier_transform_tpu.utils.profiling import (
-        ab_compare,
-    )
 
     rng = np.random.default_rng(seed)
     d, d_obs = 4, 2
@@ -494,18 +499,23 @@ def bench_kalman(T: int, iters: int, seed: int = 0):
         m, P = kalman_filter(F, Q, H, R, m0, P0, y, parallel=False)
         return (m @ Ht,)
 
-    mp = np.asarray(jax.jit(par)(ys)[0])
-    ms = np.asarray(jax.jit(seq)(ys)[0])
+    pj, sj = jax.jit(par), jax.jit(seq)
+    mp = np.asarray(pj(ys)[0])
+    ms = np.asarray(sj(ys)[0])
     diff = float(np.max(np.abs(mp - ms)))
-    # Each fn application is ms-class (a full T-step filter pass), so short
-    # chains already produce tens-of-ms timing differences — and the
-    # sequential baseline is SLOW by construction (that is the claim being
-    # measured), so long chains at rounds=5 blew the 560 s bench-child
-    # budget twice in BENCH_r04/r05 runs.  rounds=2, 5x-iters chains keep
-    # the interleaving (tunnel drift) at ~1/8 the device work.
-    ab = ab_compare(seq, par, (ys,), short=iters, long=5 * iters, rounds=2)
-    t_par = sorted(ab["b_seconds"])[len(ab["b_seconds"]) // 2]
-    return t_par / T * 1e6, ab["ratio_median"], diff
+
+    def once(fn):
+        t0 = time.perf_counter()
+        float(np.asarray(jnp.sum(fn(ys)[0])))  # fetch forces completion
+        return time.perf_counter() - t0
+
+    tp, ts = [], []
+    for _ in range(max(iters, 3)):  # interleaved: tunnel speed drifts
+        ts.append(once(sj))
+        tp.append(once(pj))
+    t_par = sorted(tp)[len(tp) // 2]
+    t_seq = sorted(ts)[len(ts) // 2]
+    return t_par / T * 1e6, t_seq / t_par, diff
 
 
 def bench_shorttime(batch: int, n: int, iters: int, seed: int = 0):

@@ -97,15 +97,24 @@ def _filter_combine(left, right):
     return A, b, C, eta, J
 
 
-def kalman_filter(F, Q, H, R, m0, P0, ys, *, parallel: bool = True,
+def kalman_filter(F, Q, H, R, m0, P0, ys, *, parallel: bool = False,
                   config: SpectralConfig = DEFAULT_CONFIG
                   ) -> Tuple[Array, Array]:
     """Kalman filter for x_{k+1} = F x_k + w (cov Q), y_k = H x_k + v
     (cov R), prior N(m0, P0), observations ``ys`` of shape (T, d_obs).
 
     Returns (means (T, d), covs (T, d, d)) of the filtered densities.
-    ``parallel=True`` runs the log-depth associative scan; ``False`` the
-    sequential `lax.scan` (identical results — fp32 to ~1e-5)."""
+    ``parallel=True`` runs the log-depth associative scan; ``False``
+    (default) the sequential `lax.scan` (identical results — fp32 to
+    ~1e-5).  MEASURED (round 5, v5e single chip, d=4, T=65536): the
+    sequential scan RUNS ~4-5x faster (~0.2 s vs ~1.0 s per call — tiny
+    4x4 steps at ~3 us each vs 16 full-(T,d,d)-array combine passes) and
+    compiles in ~1 s vs ~615 s through the axon backend; 1-core CPU
+    measured the same direction (0.75x).  The associative form is the
+    MULTI-DEVICE lever — `parallel.kalman_filter_sharded` shards the time
+    axis and passes parallel=True, where log-depth spans chips — and the
+    single-device choice for much larger state dimensions (bigger per-step
+    matrix work shifts the balance; re-measure via bench_kalman)."""
     F, Q, H, R, m0, P0 = _as_f32(F, Q, H, R, m0, P0)
     ys = jnp.asarray(ys).astype(jnp.float32)  # tracer-safe cast
     if ys.ndim != 2 or ys.shape[0] < 1:
@@ -165,7 +174,7 @@ def _smoother_combine(right, left):
     return E, g, L
 
 
-def kalman_smoother(F, Q, H, R, m0, P0, ys, *, parallel: bool = True,
+def kalman_smoother(F, Q, H, R, m0, P0, ys, *, parallel: bool = False,
                     config: SpectralConfig = DEFAULT_CONFIG
                     ) -> Tuple[Array, Array]:
     """Rauch-Tung-Striebel smoother: the full-information posterior at every
