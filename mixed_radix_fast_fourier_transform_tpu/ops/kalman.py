@@ -127,23 +127,28 @@ def kalman_filter(F, Q, H, R, m0, P0, ys, *, parallel: bool = False,
     if ys.shape[1] != H.shape[0]:
         raise ValueError(f"ys.shape[1]={ys.shape[1]} must equal "
                          f"d_obs={H.shape[0]}")
-    if parallel:
-        elems = _filter_elements(F, Q, H, R, m0, P0, ys)
-        _, b, C, _, _ = jax.lax.associative_scan(_filter_combine, elems)
-        return b, C
+    # HIGHEST matmul precision throughout: on TPU the default lowers the
+    # 4x4-class products to bf16 operand passes whose ~1e-3 error COMPOUNDS
+    # — over log2(T) combine levels in the parallel form and over T serial
+    # steps in the scan (same hazard class as iir._recurrence_scan).
+    with jax.default_matmul_precision("highest"):
+        if parallel:
+            elems = _filter_elements(F, Q, H, R, m0, P0, ys)
+            _, b, C, _, _ = jax.lax.associative_scan(_filter_combine, elems)
+            return b, C
 
-    def step(carry, y):
-        m, P = carry
-        m_pred = F @ m
-        P_pred = F @ P @ F.T + Q
-        S = H @ P_pred @ H.T + R
-        K = jnp.linalg.solve(S, H @ P_pred).T
-        m_new = m_pred + K @ (y - H @ m_pred)
-        P_new = (jnp.eye(d, dtype=F.dtype) - K @ H) @ P_pred
-        return (m_new, P_new), (m_new, P_new)
+        def step(carry, y):
+            m, P = carry
+            m_pred = F @ m
+            P_pred = F @ P @ F.T + Q
+            S = H @ P_pred @ H.T + R
+            K = jnp.linalg.solve(S, H @ P_pred).T
+            m_new = m_pred + K @ (y - H @ m_pred)
+            P_new = (jnp.eye(d, dtype=F.dtype) - K @ H) @ P_pred
+            return (m_new, P_new), (m_new, P_new)
 
-    (_, _), (ms, Ps) = jax.lax.scan(step, (m0, P0), ys)
-    return ms, Ps
+        (_, _), (ms, Ps) = jax.lax.scan(step, (m0, P0), ys)
+        return ms, Ps
 
 
 def _smoother_elements(F, Q, ms, Ps):
@@ -184,23 +189,25 @@ def kalman_smoother(F, Q, H, R, m0, P0, ys, *, parallel: bool = False,
     ms, Ps = kalman_filter(F, Q, H, R, m0, P0, ys, parallel=parallel,
                            config=config)
     F32, Q32 = _as_f32(F, Q)
-    elems = _smoother_elements(F32, Q32, ms, Ps)
-    if parallel:
-        _, g, L = jax.lax.associative_scan(_smoother_combine, elems,
-                                           reverse=True)
-        return g, L
+    # HIGHEST for the same compounding reason as kalman_filter
+    with jax.default_matmul_precision("highest"):
+        elems = _smoother_elements(F32, Q32, ms, Ps)
+        if parallel:
+            _, g, L = jax.lax.associative_scan(_smoother_combine, elems,
+                                               reverse=True)
+            return g, L
 
-    def step(carry, elem):
-        m_next, P_next = carry
-        E, g, L = elem
-        m = E @ m_next + g
-        P = E @ P_next @ E.T + L
-        return (m, P), (m, P)
+        def step(carry, elem):
+            m_next, P_next = carry
+            E, g, L = elem
+            m = E @ m_next + g
+            P = E @ P_next @ E.T + L
+            return (m, P), (m, P)
 
-    E, g, L = elems
-    init = (g[-1], L[-1])
-    (_, _), (gs, Ls) = jax.lax.scan(
-        step, init, (E[:-1], g[:-1], L[:-1]), reverse=True)
-    gs = jnp.concatenate([gs, g[-1][None]], axis=0)
-    Ls = jnp.concatenate([Ls, L[-1][None]], axis=0)
-    return gs, Ls
+        E, g, L = elems
+        init = (g[-1], L[-1])
+        (_, _), (gs, Ls) = jax.lax.scan(
+            step, init, (E[:-1], g[:-1], L[:-1]), reverse=True)
+        gs = jnp.concatenate([gs, g[-1][None]], axis=0)
+        Ls = jnp.concatenate([Ls, L[-1][None]], axis=0)
+        return gs, Ls

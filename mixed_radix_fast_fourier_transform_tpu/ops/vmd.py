@@ -31,7 +31,7 @@ __all__ = ["vmd"]
 
 def vmd(x, K: int, alpha: float = 2000.0, tau: float = 0.0,
         n_iter: int = 300,
-        init_omega: Optional[np.ndarray] = None, *,
+        init_omega=None, *,
         config: SpectralConfig = DEFAULT_CONFIG
         ) -> Tuple[Array, Array]:
     """Decompose ``x`` (..., T) into ``K`` band-limited modes.
@@ -42,6 +42,16 @@ def vmd(x, K: int, alpha: float = 2000.0, tau: float = 0.0,
     constraint, robust to noise).  ``n_iter`` is a fixed count (static
     for jit — VMD converges geometrically, so a fixed budget is the
     compiler-friendly stopping rule).
+
+    ``init_omega``: ``"peaks"`` (default) seeds the center frequencies at
+    the ``K`` largest mutually-separated spectral peaks (greedy on-device
+    argmax with a T/(16K)-bin suppression window, per batch element) —
+    ADMM descends from inside each tone's basin, where the classic
+    uniform grid can drop a tone whose nearest grid point is closer to a
+    stronger neighbor (measured: three tones at 0.05/0.15/0.31 lose 0.15
+    from the uniform grid, recovered exactly from peaks).  ``"uniform"``
+    is the Dragomiretskiy & Zosso grid; an explicit (K,) array pins the
+    initialization.
     """
     x = jnp.asarray(x)
     if x.shape[-1] < 8:
@@ -67,15 +77,37 @@ def vmd(x, K: int, alpha: float = 2000.0, tau: float = 0.0,
     f_pos = f_hat * pos
     w = jnp.asarray(np.abs(freqs).astype(np.float32))  # |ω| grid
 
+    batch = x.shape[:-1]
     if init_omega is None:
-        omega0 = 0.5 * (np.arange(K) + 0.5) / K      # uniform in [0, 0.5)
+        init_omega = "peaks"
+    if isinstance(init_omega, str):
+        if init_omega == "peaks":
+            # greedy K-peak pick on the one-sided power spectrum: argmax,
+            # record w there, suppress a window, repeat (K static, jits)
+            p = jnp.abs(f_pos) ** 2                    # (..., T)
+            halfw = max(1, T // (16 * K))
+            bins = jnp.arange(T)
+            oms = []
+            for _ in range(K):
+                m = jnp.argmax(p, axis=-1)             # (...,)
+                oms.append(jnp.take(w, m))
+                keep = jnp.abs(bins - m[..., None]) > halfw
+                p = p * keep
+            omega_init = jnp.sort(jnp.stack(oms, axis=-1), axis=-1)
+        elif init_omega == "uniform":
+            omega0 = 0.5 * (np.arange(K) + 0.5) / K    # uniform in [0, 0.5)
+            omega_init = jnp.broadcast_to(
+                jnp.asarray(omega0, jnp.float32), batch + (K,))
+        else:
+            raise ValueError(
+                f"init_omega must be 'peaks', 'uniform', or a (K,) array, "
+                f"got {init_omega!r}")
     else:
         omega0 = np.asarray(init_omega, np.float64)
         if omega0.shape != (K,):
             raise ValueError(f"init_omega must have shape ({K},)")
-    batch = x.shape[:-1]
-    omega_init = jnp.broadcast_to(
-        jnp.asarray(omega0, jnp.float32), batch + (K,))
+        omega_init = jnp.broadcast_to(
+            jnp.asarray(omega0, jnp.float32), batch + (K,))
     u_init = jnp.zeros(batch + (K, T), jnp.complex64)
     lam_init = jnp.zeros(batch + (T,), jnp.complex64)
 

@@ -319,3 +319,23 @@ class TestApply:
         want = scipy_signal.decimate(x.astype(np.float64), 4, ftype="iir", axis=-1)
         assert got.shape == want.shape
         assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-3
+
+
+def test_recurrence_scan_matmuls_are_highest_precision():
+    """Round-5 on-chip regression: default-precision matmuls in the
+    associative-scan combine take bf16 operand passes on TPU whose error
+    COMPOUNDS over the log2(n) levels — butter6 sosfilt at n=65536
+    measured 8.9e-3 rel err vs scipy on v5e, 3.1e-7 with HIGHEST.  CPU
+    can't reproduce the drift, so guard the lowering instead: every
+    dot_general in the jitted program must carry HIGHEST."""
+    import re
+
+    import jax
+
+    sos = sp.butter(6, 0.2, output="sos")
+    x = np.zeros((2, 256), np.float32)
+    txt = jax.jit(lambda a: sp.sosfilt(sos, a)).lower(x).as_text()
+    dots = re.findall(r"dot_general.*", txt)
+    assert dots, "expected dot_general ops in the scan lowering"
+    bad = [d for d in dots if "HIGHEST" not in d]
+    assert not bad, f"{len(bad)} dot ops without HIGHEST: {bad[0][:200]}"

@@ -138,3 +138,24 @@ def test_kalman_obs_dim_validation():
     F, Q, H, R, m0, P0 = _model()
     with pytest.raises(ValueError):
         sp.kalman_filter(F, Q, H, R, m0, P0, np.zeros((10, 3)))
+
+
+def test_kalman_matmuls_are_highest_precision():
+    """Round-5: same compounding-bf16 hazard class as the IIR scan (see
+    test_iir.test_recurrence_scan_matmuls_are_highest_precision) — both
+    kalman paths must lower every dot_general at HIGHEST."""
+    import re
+
+    import jax
+
+    F, Q, H, R, m0, P0 = _model()
+    _, ys = _simulate(F, Q, H, R, m0, P0, 32)
+    ys = ys.astype(np.float32)
+    for par in (False, True):
+        txt = jax.jit(
+            lambda y: sp.kalman_filter(F, Q, H, R, m0, P0, y, parallel=par)
+        ).lower(ys).as_text()
+        dots = re.findall(r"dot_general.*", txt)
+        assert dots
+        bad = [d for d in dots if "HIGHEST" not in d]
+        assert not bad, (par, len(bad), bad[0][:200])

@@ -79,3 +79,37 @@ def test_vmd_review_regressions(rng):
     # complex input is rejected, not silently truncated (review finding)
     with pytest.raises(ValueError):
         sp.vmd(np.zeros(64, np.complex64), K=2)
+
+
+def test_vmd_peak_init_recovers_orphaned_tone():
+    """Round-5 regression (bench vmd_k3_n4096): three tones at
+    0.05/0.15/0.31 — the uniform init grid (0.083, 0.25, 0.417) sends BOTH
+    upper modes to 0.31 and orphans 0.15 (max omega err 0.16); the default
+    greedy spectral-peak init recovers all three to ~3e-5."""
+    n = 2048
+    k = np.arange(n)
+    truth = np.array([0.05, 0.15, 0.31])
+    rng = np.random.default_rng(0)
+    x = sum(np.cos(2 * np.pi * f * k + i) for i, f in enumerate(truth))
+    x = (x + 0.02 * rng.standard_normal(n)).astype(np.float32)
+    _, om = sp.vmd(x, K=3, n_iter=120)
+    np.testing.assert_allclose(np.sort(np.asarray(om)), truth, atol=1e-3)
+    # the uniform grid is still available and still fails this signal
+    _, omu = sp.vmd(x, K=3, n_iter=120, init_omega="uniform")
+    assert np.max(np.abs(np.sort(np.asarray(omu)) - truth)) > 0.05
+    with pytest.raises(ValueError):
+        sp.vmd(x, K=3, init_omega="bogus")
+
+
+def test_vmd_peak_init_batched(rng):
+    """Peak init is per batch element: two signals with different tone
+    pairs each seed at their own peaks."""
+    k = np.arange(2048)
+    x1 = np.cos(2 * np.pi * 0.07 * k) + 0.6 * np.cos(2 * np.pi * 0.33 * k)
+    x2 = np.cos(2 * np.pi * 0.12 * k) + 0.6 * np.cos(2 * np.pi * 0.41 * k)
+    x = np.stack([x1, x2]).astype(np.float32)
+    x += 0.01 * rng.standard_normal(x.shape).astype(np.float32)
+    _, om = sp.vmd(x, K=2, n_iter=120)
+    om = np.sort(np.asarray(om), axis=-1)
+    np.testing.assert_allclose(om[0], [0.07, 0.33], atol=2e-3)
+    np.testing.assert_allclose(om[1], [0.12, 0.41], atol=2e-3)
