@@ -331,7 +331,11 @@ def bench_nufft3_2d(m: int, k: int, iters: int, seed: int = 0,
 
     def acc(ar, ai):
         c = jax.lax.complex(ar, ai)
-        g = nf.nufft3_2d(xs, ys, c, ss, ts, method=method, **ext(acc_ext))
+        # Always check the FAST path against the dense oracle: dense IS the
+        # oracle, so letting the auto dispatch pick (it picks dense at this
+        # check size) would compare the oracle to itself and gate nothing
+        # (round-5 review finding).
+        g = nf.nufft3_2d(xs, ys, c, ss, ts, method="fast", **ext(acc_ext))
         w = nf.nufft3_2d(xs, ys, c, ss, ts, method="dense")
         return jnp.max(jnp.abs(g - w)) / jnp.max(jnp.abs(w))
 
@@ -949,6 +953,12 @@ def _runners():
 # then exits; the parent re-spawns children for whatever remains.
 SESSION_BUDGET_S = 400.0   # child stops STARTING configs past this age
 CHILD_TIMEOUT_S = 560.0    # hard kill (in-flight config gets the remainder)
+# Per-config timeout extensions for programs whose single COLD compile
+# exceeds CHILD_TIMEOUT_S (a killed compile caches nothing, so the tail
+# retry would hit the identical wall): the parallel-in-time Kalman
+# associative scan measured 614.8 s to compile through axon at T=65536
+# (21.5 s on CPU — an axon pathology, see CLAUDE.md round-5 notes).
+EXTRA_CHILD_TIMEOUT_S = {"kalman_parallel_d4_T65536": 240.0}
 
 
 def run_batch(names) -> int:
@@ -989,17 +999,19 @@ def run_batch(names) -> int:
 
 
 def _spawn_batch(names):
-    """Run a child over ``names``; return (records_by_name, timed_out_name).
-    On child timeout the partial stdout still yields every completed
-    RESULT line; the config after the last one is the casualty."""
+    """Run a child over ``names``; return (records_by_name, timed_out_name,
+    timeout_used).  On child timeout the partial stdout still yields every
+    completed RESULT line; the config after the last one is the casualty."""
     import subprocess
     import sys
 
+    tmo = CHILD_TIMEOUT_S + max(
+        (EXTRA_CHILD_TIMEOUT_S.get(n, 0.0) for n in names), default=0.0)
     try:
         proc = subprocess.run(
             [sys.executable, __file__, "--batch", ",".join(names)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-            timeout=CHILD_TIMEOUT_S,
+            timeout=tmo,
         )
         out = proc.stdout.decode(errors="replace")
         timed_out = False
@@ -1020,7 +1032,7 @@ def _spawn_batch(names):
             if name not in records:
                 casualty = name
                 break
-    return records, casualty
+    return records, casualty, tmo
 
 
 def main():
@@ -1049,7 +1061,7 @@ def main():
             env_ok = False
             break
         t0 = time.time()
-        records, casualty = _spawn_batch(pending)
+        records, casualty, tmo = _spawn_batch(pending)
         for name in list(pending):
             if name not in records:
                 continue
@@ -1062,7 +1074,10 @@ def main():
                 env_ok = False
                 if _is_backend_error(msg) and backend_lost is None:
                     p, _ = _probe_backend(60.0)
-                    if p is None or p == "cpu":
+                    # "lost" means the probe no longer reaches the platform
+                    # this run started on — on a CPU box (documented smoke
+                    # path) a re-probe returning "cpu" is healthy, not loss
+                    if p is None or p != platform:
                         backend_lost = name
             else:
                 compact[name] = r["value"]
@@ -1078,9 +1093,9 @@ def main():
                 retried.add(casualty)
                 pending.append(casualty)
             else:
-                compact[casualty] = f"err:timeout>{CHILD_TIMEOUT_S:.0f}s"
+                compact[casualty] = f"err:timeout>{tmo:.0f}s"
                 detail[casualty] = {
-                    "error": f"config exceeded {CHILD_TIMEOUT_S:.0f}s child "
+                    "error": f"config exceeded {tmo:.0f}s child "
                              "budget twice"}
                 env_ok = False
         elif not records and casualty is None:

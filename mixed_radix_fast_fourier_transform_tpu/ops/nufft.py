@@ -286,6 +286,22 @@ def _use_dense_2d(method: str, n1: int, n2: int, m: int) -> bool:
     )
 
 
+def _infer_axis(pts):
+    """(half-width, center) of a CONCRETE point set, or None under jit.
+    The ONE copy of the type-3 span inference — the auto dispatch
+    (:func:`_type3_extent`) and the fast paths' ``_axis_setup`` both
+    resolve extents through here, so the cost model always sizes the same
+    grid the fast path builds."""
+    try:
+        ph = np.asarray(pts)
+    except Exception:  # traced under jit without a static extent
+        return None
+    return (
+        max(float((ph.max() - ph.min()) / 2.0), 1e-9),
+        float((ph.max() + ph.min()) / 2.0),
+    )
+
+
 def _type3_extent(pts, ext):
     """Resolve one half-width for the type-3 auto dispatch: the given
     static extent, the concrete points' span, or None under jit (the
@@ -293,11 +309,23 @@ def _type3_extent(pts, ext):
     would have demanded anyway)."""
     if ext is not None:
         return float(ext)
-    try:
-        ph = np.asarray(pts)
-    except Exception:  # traced under jit without a static extent
-        return None
-    return max(float((ph.max() - ph.min()) / 2.0), 1e-9)
+    inf = _infer_axis(pts)
+    return None if inf is None else inf[0]
+
+
+def _fast_axis_setup(pts, ext, ctr, label):
+    """Per-axis (half-width, center) for a type-3 fast path: the static
+    values when given, else the concrete span (raises under jit — the
+    fast grids need static sizes)."""
+    if ext is None:
+        inf = _infer_axis(pts)
+        if inf is None:
+            raise ValueError(
+                f"{label} under jit needs static extent half-widths "
+                "(about centers)"
+            )
+        return inf
+    return float(ext), float(ctr)
 
 
 def _type3_fast_wins(eps: float, d: int, m: int, k: int, sx) -> bool:
@@ -1706,23 +1734,11 @@ def nufft3_2d(
         return jax.lax.complex(fr, fi)
 
     # ---- fast: separable two-Gaussian composition --------------------------
-    def _axis_setup(pts, ext, ctr):
-        if ext is None:
-            try:
-                ph = np.asarray(pts)
-            except Exception as exc:  # traced under jit
-                raise ValueError(
-                    "nufft3_2d(method='fast') under jit needs static "
-                    "*_extent half-widths (about centers)"
-                ) from exc
-            ctr = float((ph.max() + ph.min()) / 2.0)
-            ext = max(float((ph.max() - ph.min()) / 2.0), 1e-9)
-        return float(ext), float(ctr)
-
-    X1, x0 = _axis_setup(x, x_extent, centers[0])
-    X2, y0 = _axis_setup(y, y_extent, centers[1])
-    S1, s0 = _axis_setup(s, s_extent, centers[2])
-    S2, t0 = _axis_setup(t, t_extent, centers[3])
+    _lbl = "nufft3_2d(method='fast')"
+    X1, x0 = _fast_axis_setup(x, x_extent, centers[0], _lbl)
+    X2, y0 = _fast_axis_setup(y, y_extent, centers[1], _lbl)
+    S1, s0 = _fast_axis_setup(s, s_extent, centers[2], _lbl)
+    S2, t0 = _fast_axis_setup(t, t_extent, centers[3], _lbl)
     xc = x - x0 if x0 != 0.0 else x
     yc = y - y0 if y0 != 0.0 else y
     sc = s - s0 if s0 != 0.0 else s
@@ -1857,26 +1873,15 @@ def nufft3_3d(
         )
         return jax.lax.complex(fr, fi)
 
-    def _axis_setup(pts, ext, ctr):
-        if ext is None:
-            try:
-                ph = np.asarray(pts)
-            except Exception as exc:
-                raise ValueError(
-                    "nufft3_3d(method='fast') under jit needs the static "
-                    "6-tuple `extents` (half-widths about centers)"
-                ) from exc
-            ctr = float((ph.max() + ph.min()) / 2.0)
-            ext = max(float((ph.max() - ph.min()) / 2.0), 1e-9)
-        return float(ext), float(ctr)
-
     exts = (None,) * 6 if extents is None else tuple(extents)
     if len(exts) != 6 or len(centers) != 6:
         raise ValueError("extents and centers must be 6-tuples")
     pts_all = (x, y, z, s, t, u)
     X, C0 = [], []
     for pts, ext, ctr in zip(pts_all, exts, centers):
-        e, c0 = _axis_setup(pts, ext, ctr)
+        e, c0 = _fast_axis_setup(
+            pts, ext, ctr,
+            "nufft3_3d(method='fast') (static 6-tuple `extents`)")
         X.append(e)
         C0.append(c0)
     (X1, X2, X3, S1, S2, S3) = X

@@ -6,6 +6,14 @@ The benchmark (bench.py) runs on the real TPU chip instead.
 """
 
 import os
+import sys
+
+# Repo root on sys.path: `python -m pytest` prepends cwd, but a bare
+# `pytest tests/` does not — and test_bench_line.py imports the top-level
+# bench module (round-5 review finding).
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # override axon/TPU; tests are CPU-only
 flags = os.environ.get("XLA_FLAGS", "")

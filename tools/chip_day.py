@@ -9,11 +9,7 @@ the record first and the A/Bs second:
      inputs: per-size vs-builtin sweep, NUFFT, SHT, Rader, sosfilt, roofline).
   2. `tune.py rader 1009 64`      — Rader vs Bluestein (flop model says ~2x;
      SpectralConfig.rader="off" is the fallback lever if it loses).
-  3. `tune.py nufft3i 4096 4096`  — type-3 target interp: block matmul
-     (landed round 4) vs the old tap gather (in git history); the matmul
-     rides the measured type-2 result (952 us -> 184 us) but was 2.5x
-     SLOWER on CPU — this A/B is the decider.
-  4. `tune.py sht 256 16`         — re-confirm Hermitian fast path + record
+  3. `tune.py sht 256 16`         — re-confirm Hermitian fast path + record
      the compensated-recurrence cost at L=256.
 
 Each step is bounded by a timeout and failures don't stop the sequence.
@@ -26,7 +22,10 @@ import subprocess
 import sys
 import time
 
-# The nufft3i/sht probes are composite graphs whose traces alone blew a
+# (The type-3 interp A/B is RESOLVED: block matmul measured 33x slower on
+# chip; the tap gather was restored — commit 166e158 — and the tune probe
+# retired, since both arms would now be the same code.)
+# Heavy composite probes blew a
 # 900 s budget at default rounds (round-5 chip day) — run them with the
 # reduced SPECTRAL_TUNE_* knobs (still interleaved, 3 rounds).
 _TUNE_ENV = {"SPECTRAL_TUNE_SHORT": "10", "SPECTRAL_TUNE_ROUNDS": "3"}
@@ -34,8 +33,6 @@ STEPS = [
     ("scoreboard", [sys.executable, "bench.py"], 3600, None),
     ("rader-vs-bluestein", [sys.executable, "tools/tune.py", "rader",
                             "1009", "64"], 900, None),
-    ("nufft3-interp", [sys.executable, "tools/tune.py", "nufft3i",
-                       "4096", "4096"], 900, _TUNE_ENV),
     ("sht-paths", [sys.executable, "tools/tune.py", "sht", "256", "16"],
      900, _TUNE_ENV),
 ]

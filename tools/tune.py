@@ -16,7 +16,6 @@ Usage (on the TPU host):
     python tools/tune.py nufft 4096 4096     # dense vs grid NUFFT at (n, M)
     python tools/tune.py sht 256 16          # Hermitian vs full SHT paths
     python tools/tune.py rader 1009 64       # Rader vs Bluestein (round 4)
-    python tools/tune.py nufft3i 4096 4096   # type-3 interp: matmul vs gather
 """
 
 from __future__ import annotations
@@ -299,9 +298,10 @@ def tune_sortspread(n: int, m: int, ndim: int = 1):
 
 def _ab_knobs(short: int, rounds: int):
     """Env overrides for heavyweight probes: SPECTRAL_TUNE_SHORT /
-    SPECTRAL_TUNE_ROUNDS.  The nufft3i/sht probes at default sizes blew a
-    900 s chip budget (round-5 chip day) — composite traces are expensive,
-    so rounds must be cuttable without editing the file."""
+    SPECTRAL_TUNE_ROUNDS.  Heavy composite probes (sht; formerly nufft3i)
+    at default sizes blew a 900 s chip budget (round-5 chip day) —
+    composite traces are expensive, so rounds must be cuttable without
+    editing the file."""
     s = int(os.environ.get("SPECTRAL_TUNE_SHORT", short))
     r = int(os.environ.get("SPECTRAL_TUNE_ROUNDS", rounds))
     return s, r
@@ -385,75 +385,6 @@ def tune_rader(n: int, b: int):
     _report("bluestein", "rader", res)
 
 
-def tune_nufft3i(m: int, k: int):
-    """nufft3_2d fast-path target interp: _interp_2d block matmuls (current)
-    vs the pre-round-4 dynamic tap gather (reconstructed inline)."""
-    import math
-
-    import jax.numpy as jnp
-
-    from mixed_radix_fast_fourier_transform_tpu.ops import nufft as nf
-
-    rng = np.random.default_rng(0)
-    x = jax.device_put(rng.uniform(-math.pi, math.pi, m).astype(np.float32))
-    y = jax.device_put(rng.uniform(-math.pi, math.pi, m).astype(np.float32))
-    s = jax.device_put(rng.uniform(-m / 4, m / 4, k).astype(np.float32))
-    t = jax.device_put(rng.uniform(-m / 4, m / 4, k).astype(np.float32))
-    cr = jax.device_put(rng.standard_normal(m).astype(np.float32))
-    ci = jax.device_put(rng.standard_normal(m).astype(np.float32))
-    ext = dict(x_extent=math.pi, y_extent=math.pi,
-               s_extent=m / 4, t_extent=m / 4)
-
-    def current(ar, ai):
-        out = nf.nufft3_2d(x, y, jax.lax.complex(ar, ai), s, t,
-                           method="fast", **ext)
-        eps = jnp.asarray(1e-20, ar.dtype)
-        return (ar + eps * jnp.sum(jnp.real(out)).astype(ar.dtype),
-                ai + eps * jnp.sum(jnp.imag(out)).astype(ai.dtype))
-
-    # pre-round-4 shape: same inner type-1, then a dynamic (K, P, P) gather
-    def gather(ar, ai):
-        sigma = 2.0
-        msp = nf._msp(1e-6)
-        h1 = math.pi / (sigma * math.pi)
-        h2 = h1
-        rho1 = msp * h1 * h1 / (3.0 * math.pi)
-        rho2 = rho1
-        k1 = int(math.ceil((m / 4 + msp * h1) / h1)) + 2
-        n1 = 2 * k1 + 1
-        c = jax.lax.complex(ar, ai)
-        beta = c * jnp.exp(rho1 * x * x + rho2 * y * y) / (
-            4.0 * math.pi * math.sqrt(rho1 * rho2))
-        B = nf.nufft1_2d(h1 * x, h2 * y, beta, (n1, n1))
-        taps = np.arange(-msp + 1, msp + 1, dtype=np.int32)
-        i1 = jnp.round(s / h1).astype(jnp.int32)
-        i2 = jnp.round(t / h2).astype(jnp.int32)
-        idx1 = i1[:, None] + taps[None, :]
-        idx2 = i2[:, None] + taps[None, :]
-        d1 = s[:, None] - idx1.astype(s.dtype) * h1
-        d2 = t[:, None] - idx2.astype(t.dtype) * h2
-        w1 = jnp.exp(-(d1 * d1) / (4.0 * rho1)) * h1
-        w2 = jnp.exp(-(d2 * d2) / (4.0 * rho2)) * h2
-        g1 = jnp.clip(idx1 + k1, 0, n1 - 1)
-        g2 = jnp.clip(idx2 + k1, 0, n1 - 1)
-        flat = B.reshape(-1)
-        lin = (g1[:, :, None] * n1 + g2[:, None, :]).reshape(-1)
-        vals = jnp.take(flat, lin, axis=-1).reshape(k, len(taps), len(taps))
-        fr = jnp.einsum("kpq,kp,kq->k", jnp.real(vals), w1, w2,
-                        precision="highest")
-        fi = jnp.einsum("kpq,kp,kq->k", jnp.imag(vals), w1, w2,
-                        precision="highest")
-        eps = jnp.asarray(1e-20, ar.dtype)
-        return (ar + eps * jnp.sum(fr).astype(ar.dtype),
-                ai + eps * jnp.sum(fi).astype(ai.dtype))
-
-    sh, rd = _ab_knobs(20, 5)
-    res = ab_compare(gather, current, (cr, ci), short=sh, long=5 * sh,
-                     rounds=rd)
-    _report("tap-gather", "interp2d-matmul", res)
-
-
-
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "stages"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
@@ -468,5 +399,5 @@ if __name__ == "__main__":
         {"stages": tune_stages, "pad": tune_pad, "builtin": tune_builtin,
          "pallas": tune_pallas, "precision": tune_precision,
          "matmul_form": tune_matmul_form, "nufft": tune_nufft,
-         "rader": tune_rader, "nufft3i": tune_nufft3i,
+         "rader": tune_rader,
          "sht": tune_sht}[which](n, b)
