@@ -56,6 +56,11 @@ Array = jax.Array
 #   N=65536 (256,256), putting that size 1.14x ahead of jnp.fft.fft.
 KARATSUBA_MIN_STAGE = 128
 
+# Stage sizes executed as VPU butterflies when the plan's butterfly lever is
+# on (SpectralConfig.butterfly="auto", the default — measured 1.17x at the
+# N=65536 (128,128,4) leaf; see _butterfly_stage).
+BUTTERFLY_RADICES = (2, 4, 8)
+
 
 def _stacked_dft_matrix(wr: Array, wi: Array) -> Array:
     """(2f, 2f) real block matrix [[Wr, Wi], [−Wi, Wr]].  XLA constant-folds
@@ -157,6 +162,87 @@ def _dft_apply_axis2(
     return _dft_apply("...nk,nm->...mk", -2, xr, xi, wr, wi, precision)
 
 
+def _bfly4(pr, pi, sign: int):
+    """Length-4 DFT of four (re, im) plane tuples; returns 4-tuples."""
+    x0r, x1r, x2r, x3r = pr
+    x0i, x1i, x2i, x3i = pi
+    ar, ai = x0r + x2r, x0i + x2i
+    br, bi = x0r - x2r, x0i - x2i
+    cr, ci = x1r + x3r, x1i + x3i
+    dr, di = x1r - x3r, x1i - x3i
+    if sign > 0:
+        edr, edi = -di, dr  # +i·d
+    else:
+        edr, edi = di, -dr  # −i·d
+    return (
+        (ar + cr, br + edr, ar - cr, br - edr),
+        (ai + ci, bi + edi, ai - ci, bi - edi),
+    )
+
+
+_SQRT1_2 = float(np.float32(np.sqrt(0.5)))
+
+
+def _butterfly_stage(
+    f: int, sign: int, axis: int, xr: Array, xi: Array
+) -> Tuple[Array, Array]:
+    """Radix-2/4/8 DFT over ``axis`` (-1 or -2) as elementwise VPU passes.
+
+    For f <= 4 every DFT-matrix entry is ±1 or ±i, so the stage needs no
+    real multiplies at all: multiplication by ±i is a re/im plane swap with
+    a sign flip; f = 8 adds only scalar √½ multiplies for the two odd
+    twiddles.  The dense-matmul form of these stages runs a depth-2f<=16
+    contraction on the 128-deep MXU (~6-12 % utilization) and keeps an
+    f-wide minormost dimension through the neighbouring big stages' matmuls;
+    the butterfly form is a handful of full-width elementwise passes
+    instead.  Enabled per-plan (``MixedRadixPlan.butterfly``) so the choice
+    stays a measured dispatch like every other engine lever."""
+    if axis == -1:
+        part = lambda a, j: a[..., j]
+    else:
+        part = lambda a, j: a[..., j, :]
+    if f == 2:
+        x0r, x1r = part(xr, 0), part(xr, 1)
+        x0i, x1i = part(xi, 0), part(xi, 1)
+        outr = (x0r + x1r, x0r - x1r)
+        outi = (x0i + x1i, x0i - x1i)
+    elif f == 4:
+        outr, outi = _bfly4(
+            tuple(part(xr, j) for j in range(4)),
+            tuple(part(xi, j) for j in range(4)),
+            sign,
+        )
+    else:  # f == 8: X_k = E_k ± W8^k·O_k over two radix-4 halves
+        er, ei = _bfly4(
+            tuple(part(xr, j) for j in (0, 2, 4, 6)),
+            tuple(part(xi, j) for j in (0, 2, 4, 6)),
+            sign,
+        )
+        orr, oii = _bfly4(
+            tuple(part(xr, j) for j in (1, 3, 5, 7)),
+            tuple(part(xi, j) for j in (1, 3, 5, 7)),
+            sign,
+        )
+        s = float(sign)
+        c = _SQRT1_2
+        # W8^1 = √½·(1 + i·s), W8^2 = i·s, W8^3 = √½·(−1 + i·s)
+        t1r, t1i = c * (orr[1] - s * oii[1]), c * (oii[1] + s * orr[1])
+        if sign > 0:
+            t2r, t2i = -oii[2], orr[2]
+        else:
+            t2r, t2i = oii[2], -orr[2]
+        t3r, t3i = -c * (orr[3] + s * oii[3]), c * (s * orr[3] - oii[3])
+        tr = (orr[0], t1r, t2r, t3r)
+        ti = (oii[0], t1i, t2i, t3i)
+        outr = tuple(er[k] + tr[k] for k in range(4)) + tuple(
+            er[k] - tr[k] for k in range(4)
+        )
+        outi = tuple(ei[k] + ti[k] for k in range(4)) + tuple(
+            ei[k] - ti[k] for k in range(4)
+        )
+    return jnp.stack(outr, axis=axis), jnp.stack(outi, axis=axis)
+
+
 def _exec_level(
     plan: MixedRadixPlan, level: int, xr: Array, xi: Array
 ) -> Tuple[Array, Array]:
@@ -176,7 +262,10 @@ def _exec_level(
     if isinstance(prec, tuple):  # per-stage mixed-precision scheme
         prec = prec[min(level, len(prec) - 1)]
     f = factors[level]
+    bfly = plan.butterfly and f in BUTTERFLY_RADICES
     if level == len(factors) - 1:
+        if bfly:
+            return _butterfly_stage(f, plan.sign, -1, xr, xi)
         return _dft_apply_last(xr, xi, plan.dft_re[level], plan.dft_im[level], prec)
     n_rem = math.prod(factors[level + 1 :])
     batch = xr.shape[:-1]
@@ -185,7 +274,10 @@ def _exec_level(
     xi = jnp.swapaxes(xi.reshape(*batch, n_rem, f), -1, -2)
     yr, yi = _exec_level(plan, level + 1, xr, xi)
     yr, yi = cmul(yr, yi, plan.tw_re[level], plan.tw_im[level])
-    zr, zi = _dft_apply_axis2(yr, yi, plan.dft_re[level], plan.dft_im[level], prec)
+    if bfly:
+        zr, zi = _butterfly_stage(f, plan.sign, -2, yr, yi)
+    else:
+        zr, zi = _dft_apply_axis2(yr, yi, plan.dft_re[level], plan.dft_im[level], prec)
     return zr.reshape(*batch, f * n_rem), zi.reshape(*batch, f * n_rem)
 
 

@@ -62,6 +62,11 @@ class MixedRadixPlan:
     precision: "str | Tuple[str, ...]" = dataclasses.field(
         default="highest", metadata=dict(static=True)
     )
+    # Execute stages of size 2/4 as VPU butterflies (adds + re/im swaps)
+    # instead of dense MXU matmuls — at f<=4 every DFT entry is ±1/±i, and
+    # the matmul form drags a 4-wide minormost dim through the neighbouring
+    # big stages (measured A/B lever; see stockham._butterfly_stage).
+    butterfly: bool = dataclasses.field(default=False, metadata=dict(static=True))
     dft_re: Tuple[Array, ...] = ()
     dft_im: Tuple[Array, ...] = ()
     tw_re: Tuple[Array, ...] = ()
@@ -204,6 +209,9 @@ def build_mixed_radix_plan(
         sign=sign,
         factors=factors,
         precision=_precision_str(config.precision),
+        # butterfly dispatch is per-stage in the engine (stockham.
+        # BUTTERFLY_RADICES); the plan bit records the config lever
+        butterfly=config.butterfly == "auto",
         dft_re=tuple(dft_re),
         dft_im=tuple(dft_im),
         tw_re=tuple(tw_re),
@@ -373,6 +381,7 @@ def _cfg_key(config: SpectralConfig):
         config.pad_mode,
         config.stage_strategy,
         config.rader,
+        config.butterfly,
     )
 
 

@@ -60,6 +60,18 @@ class SpectralConfig:
     # the plan type keeps its oracle tests.  Primes whose n−1 is NOT
     # smooth (e.g. 10007 = 2·5003 + 1) take Bluestein either way.
     rader: str = "off"
+    # Small trailing DFT stages (f ∈ {2, 4, 8}) as VPU butterflies instead
+    # of dense MXU matmuls: at f <= 4 every DFT entry is ±1/±i (no real
+    # multiplies at all; ×i is a plane swap), f = 8 adds two scalar-√½
+    # twiddles.  Measured on v5e 2026-08-19 (tools/tune.py butterfly,
+    # interleaved): N=65536 (128,128,4) leaf-4 butterfly 1.17x over the
+    # depth-8 stacked matmul (116 → 95 µs, rel err 2.5e-7) — that matmul
+    # ran the 128-deep MXU at ~6 % utilization.  Moving the small stage to
+    # the FRONT factor measured ~2x SLOWER either form (the (b,4,N/4)
+    # transpose costs a full pass), so descending stage order stands and
+    # butterflies apply where the small factors already sit.  "auto"
+    # (default) = butterfly stages of size 2/4/8; "off" = always matmul.
+    butterfly: str = "auto"
     # Fused Pallas kernel path for smooth lengths (ops/pallas_fft.py):
     # False (default) = always XLA; None = auto (kernel on TPU backends);
     # True = force (interpreter off-TPU).  Since the stacked/Karatsuba stage
@@ -93,6 +105,10 @@ class SpectralConfig:
         if self.rader not in ("auto", "off"):
             raise ValueError(
                 f"rader must be 'auto' or 'off', got {self.rader!r}"
+            )
+        if self.butterfly not in ("auto", "off"):
+            raise ValueError(
+                f"butterfly must be 'auto' or 'off', got {self.butterfly!r}"
             )
         if self.stage_strategy not in ("balanced", "greedy"):
             raise ValueError(

@@ -39,12 +39,22 @@ class PlanCost:
 
 
 def _mixed_radix_cost(plan, dtype_bytes: int = 4) -> PlanCost:
-    from ..ops.stockham import KARATSUBA_MIN_STAGE  # lazy: avoid cycle
+    from ..ops.stockham import (  # lazy: avoid cycle
+        BUTTERFLY_RADICES,
+        KARATSUBA_MIN_STAGE,
+    )
 
     n = plan.n
     flops = 0.0
     bytes_ = 0.0
     for i, f in enumerate(plan.factors):
+        if getattr(plan, "butterfly", False) and f in BUTTERFLY_RADICES:
+            # VPU butterfly stage, real ops per complex point: radix-2
+            # 4 adds/2 points = 2; radix-4 16 adds/4 points = 4; radix-8
+            # 32+8 (two √½ twiddles)+16 combine = 56 ops/8 points = 7
+            flops += {2: 2.0, 4: 4.0, 8: 7.0}[f] * n
+            bytes_ += 4.0 * n * dtype_bytes
+            continue
         # stage DFT matmul flops: stacked form (one 2f-contraction real
         # matmul) costs 8·n·f; the Karatsuba form used at f >= the measured
         # crossover costs 6·n·f (three matmuls instead of four)

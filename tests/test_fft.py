@@ -292,6 +292,49 @@ def test_per_stage_precision_tuple():
     assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-4
 
 
+def test_butterfly_small_stages():
+    """Radix-2/4 stages as VPU butterflies (plan.butterfly=True) match the
+    dense-matmul form and numpy fp64, both signs, leaf and combine positions
+    (see stockham._butterfly_stage — the N=65536 tail-stage A/B lever)."""
+    import dataclasses
+
+    import mixed_radix_fast_fourier_transform_tpu.plan as P
+    from mixed_radix_fast_fourier_transform_tpu.ops.stockham import exec_complex
+
+    rng = np.random.default_rng(11)
+    orig = P.plan_stages
+    try:
+        for n, stages in [
+            (64, (4, 16)),
+            (64, (16, 4)),
+            (32, (2, 16)),
+            (128, (8, 16)),
+            (128, (16, 8)),
+        ]:
+            P.plan_stages = (
+                lambda nn, ms, strategy="balanced", s=stages, n0=n: s
+                if nn == n0
+                else orig(nn, ms, strategy)
+            )
+            P.clear_plan_cache()
+            x = rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))
+            xr = x.real.astype(np.float32)
+            xi = x.imag.astype(np.float32)
+            for sign in (-1, 1):
+                plan = dataclasses.replace(
+                    P.build_complex_plan(n, sign), butterfly=True
+                )
+                gr, gi = exec_complex(plan, xr, xi)
+                want = np.fft.fft(x) if sign == -1 else np.fft.ifft(x) * n
+                err = np.max(
+                    np.abs(np.asarray(gr) + 1j * np.asarray(gi) - want)
+                ) / np.max(np.abs(want))
+                assert err < 2e-6, (n, stages, sign, err)
+    finally:
+        P.plan_stages = orig
+        P.clear_plan_cache()
+
+
 def test_split6_precision_form():
     """The split6 fused form (bitmask bf16 chunks) is fp32-class accurate."""
     import dataclasses

@@ -211,6 +211,62 @@ def tune_split(n: int, b: int, cands):
         _report("base", str(stages), res)
 
 
+def tune_butterfly(n: int, b: int):
+    """Small-stage butterfly A/B at a pow2 length whose plan carries a 2/4
+    remainder stage (n=65536 → (128,128,4)).  Variants: the default matmul
+    plan; the remainder moved to the FRONT factor (executes as the final
+    combine — both big stages then run 128-wide minormost matmuls); and each
+    ordering with the 2/4 stage as a VPU butterfly (plan.butterfly=True)."""
+    import mixed_radix_fast_fourier_transform_tpu.plan as P
+
+    orig = P.plan_stages
+
+    def plan_with(stages, butterfly=False):
+        if stages is not None:
+            P.plan_stages = (
+                lambda nn, ms, strategy="balanced": tuple(stages)
+                if nn == n
+                else orig(nn, ms, strategy)
+            )
+        try:
+            P.clear_plan_cache()
+            plan = P.build_complex_plan(n, -1, DEFAULT_CONFIG)
+        finally:
+            P.plan_stages = orig
+        # explicit both ways — the default config may carry butterfly="auto"
+        return dataclasses.replace(plan, butterfly=butterfly)
+
+    (xr, xi), x = _planes(n, b)
+    base = plan_with(None)
+    small = [f for f in base.factors if f in (2, 4, 8)]
+    if not small:
+        print(f"N={n} default factors {base.factors} have no 2/4/8 stage")
+        return
+    tail = small[0]
+    front = tuple([tail] + [f for f in base.factors if f != tail])
+    want = np.fft.fft(x)
+    cands = [
+        ("front-matmul", plan_with(front)),
+        ("tail-bfly", plan_with(None, butterfly=True)),
+        ("front-bfly", plan_with(front, butterfly=True)),
+    ]
+    short = min(500, max(50, 700_000 // n))
+    print(f"N={n} b={b} base factors: {base.factors}; front: {front}")
+    for name, plan in cands:
+        gr, gi = jax.jit(lambda a, c, p=plan: exec_complex(p, a, c))(xr, xi)
+        err = float(
+            np.max(np.abs(np.asarray(gr) + 1j * np.asarray(gi) - want))
+            / np.max(np.abs(want))
+        )
+        print(f"{name}: rel err vs fp64 {err:.2e}")
+        res = ab_compare(
+            lambda a, c: exec_complex(base, a, c),
+            lambda a, c, p=plan: exec_complex(p, a, c),
+            (xr, xi), short=short, long=5 * short, rounds=5,
+        )
+        _report("base", name, res)
+
+
 def tune_nufft(n: int, m: int):
     """Dense vs grid NUFFT A/B at (n modes, m points) + grid-vs-dense err
     (the round-3 dispatch-threshold probe, axon-safe fp32 planes)."""
@@ -399,5 +455,5 @@ if __name__ == "__main__":
         {"stages": tune_stages, "pad": tune_pad, "builtin": tune_builtin,
          "pallas": tune_pallas, "precision": tune_precision,
          "matmul_form": tune_matmul_form, "nufft": tune_nufft,
-         "rader": tune_rader,
+         "rader": tune_rader, "butterfly": tune_butterfly,
          "sht": tune_sht}[which](n, b)
