@@ -58,8 +58,10 @@ KARATSUBA_MIN_STAGE = 128
 
 # Stage sizes executed as VPU butterflies when the plan's butterfly lever is
 # on (SpectralConfig.butterfly="auto", the default — measured 1.17x at the
-# N=65536 (128,128,4) leaf; see _butterfly_stage).
-BUTTERFLY_RADICES = (2, 4, 8)
+# N=65536 (128,128,4) leaf; see _butterfly_stage).  Radix 16 (two radix-8
+# halves + a cos/sin(π/8) constant-twiddle combine) is gated separately
+# behind plan.butterfly_max — opt-in until measured on chip.
+BUTTERFLY_RADICES = (2, 4, 8, 16)
 
 
 def _stacked_dft_matrix(wr: Array, wi: Array) -> Array:
@@ -181,12 +183,78 @@ def _bfly4(pr, pi, sign: int):
 
 
 _SQRT1_2 = float(np.float32(np.sqrt(0.5)))
+_COS_PI_8 = float(np.float32(np.cos(np.pi / 8)))
+_SIN_PI_8 = float(np.float32(np.sin(np.pi / 8)))
+
+
+def _bfly8(pr, pi, sign: int):
+    """Length-8 DFT of eight (re, im) plane tuples; returns 8-tuples.
+
+    Two radix-4 halves + the W8 combine — only the two odd twiddles carry a
+    (scalar) multiply, by √½."""
+    er, ei = _bfly4(pr[0::2], pi[0::2], sign)
+    orr, oii = _bfly4(pr[1::2], pi[1::2], sign)
+    s = float(sign)
+    c = _SQRT1_2
+    # W8^1 = √½·(1 + i·s), W8^2 = i·s, W8^3 = √½·(−1 + i·s)
+    t1r, t1i = c * (orr[1] - s * oii[1]), c * (oii[1] + s * orr[1])
+    if sign > 0:
+        t2r, t2i = -oii[2], orr[2]
+    else:
+        t2r, t2i = oii[2], -orr[2]
+    t3r, t3i = -c * (orr[3] + s * oii[3]), c * (s * orr[3] - oii[3])
+    tr = (orr[0], t1r, t2r, t3r)
+    ti = (oii[0], t1i, t2i, t3i)
+    return (
+        tuple(er[k] + tr[k] for k in range(4))
+        + tuple(er[k] - tr[k] for k in range(4)),
+        tuple(ei[k] + ti[k] for k in range(4))
+        + tuple(ei[k] - ti[k] for k in range(4)),
+    )
+
+
+def _bfly16(pr, pi, sign: int):
+    """Length-16 DFT of sixteen (re, im) plane tuples; returns 16-tuples.
+
+    Two radix-8 halves + the W16^k = (cos πk/8, s·sin πk/8) combine: k = 4
+    is a plane swap, k = 2/6 are √½ forms, k ∈ {1,3,5,7} each cost four
+    scalar multiplies with the cos/sin(π/8) constants."""
+    er, ei = _bfly8(pr[0::2], pi[0::2], sign)
+    orr, oii = _bfly8(pr[1::2], pi[1::2], sign)
+    s = float(sign)
+    c1, s1, c2 = _COS_PI_8, _SIN_PI_8, _SQRT1_2
+
+    def tw(k, cr, sn):
+        # t = (cr + i·s·sn) · O_k
+        return (
+            cr * orr[k] - s * sn * oii[k],
+            cr * oii[k] + s * sn * orr[k],
+        )
+
+    t1r, t1i = tw(1, c1, s1)
+    t2r, t2i = c2 * (orr[2] - s * oii[2]), c2 * (oii[2] + s * orr[2])
+    t3r, t3i = tw(3, s1, c1)
+    if sign > 0:
+        t4r, t4i = -oii[4], orr[4]
+    else:
+        t4r, t4i = oii[4], -orr[4]
+    t5r, t5i = tw(5, -s1, c1)
+    t6r, t6i = -c2 * (orr[6] + s * oii[6]), c2 * (s * orr[6] - oii[6])
+    t7r, t7i = tw(7, -c1, s1)
+    tr = (orr[0], t1r, t2r, t3r, t4r, t5r, t6r, t7r)
+    ti = (oii[0], t1i, t2i, t3i, t4i, t5i, t6i, t7i)
+    return (
+        tuple(er[k] + tr[k] for k in range(8))
+        + tuple(er[k] - tr[k] for k in range(8)),
+        tuple(ei[k] + ti[k] for k in range(8))
+        + tuple(ei[k] - ti[k] for k in range(8)),
+    )
 
 
 def _butterfly_stage(
     f: int, sign: int, axis: int, xr: Array, xi: Array
 ) -> Tuple[Array, Array]:
-    """Radix-2/4/8 DFT over ``axis`` (-1 or -2) as elementwise VPU passes.
+    """Radix-2/4/8/16 DFT over ``axis`` (-1 or -2) as elementwise VPU passes.
 
     For f <= 4 every DFT-matrix entry is ±1 or ±i, so the stage needs no
     real multiplies at all: multiplication by ±i is a re/im plane swap with
@@ -212,33 +280,17 @@ def _butterfly_stage(
             tuple(part(xi, j) for j in range(4)),
             sign,
         )
-    else:  # f == 8: X_k = E_k ± W8^k·O_k over two radix-4 halves
-        er, ei = _bfly4(
-            tuple(part(xr, j) for j in (0, 2, 4, 6)),
-            tuple(part(xi, j) for j in (0, 2, 4, 6)),
+    elif f == 8:
+        outr, outi = _bfly8(
+            tuple(part(xr, j) for j in range(8)),
+            tuple(part(xi, j) for j in range(8)),
             sign,
         )
-        orr, oii = _bfly4(
-            tuple(part(xr, j) for j in (1, 3, 5, 7)),
-            tuple(part(xi, j) for j in (1, 3, 5, 7)),
+    else:  # f == 16
+        outr, outi = _bfly16(
+            tuple(part(xr, j) for j in range(16)),
+            tuple(part(xi, j) for j in range(16)),
             sign,
-        )
-        s = float(sign)
-        c = _SQRT1_2
-        # W8^1 = √½·(1 + i·s), W8^2 = i·s, W8^3 = √½·(−1 + i·s)
-        t1r, t1i = c * (orr[1] - s * oii[1]), c * (oii[1] + s * orr[1])
-        if sign > 0:
-            t2r, t2i = -oii[2], orr[2]
-        else:
-            t2r, t2i = oii[2], -orr[2]
-        t3r, t3i = -c * (orr[3] + s * oii[3]), c * (s * orr[3] - oii[3])
-        tr = (orr[0], t1r, t2r, t3r)
-        ti = (oii[0], t1i, t2i, t3i)
-        outr = tuple(er[k] + tr[k] for k in range(4)) + tuple(
-            er[k] - tr[k] for k in range(4)
-        )
-        outi = tuple(ei[k] + ti[k] for k in range(4)) + tuple(
-            ei[k] - ti[k] for k in range(4)
         )
     return jnp.stack(outr, axis=axis), jnp.stack(outi, axis=axis)
 
@@ -262,7 +314,11 @@ def _exec_level(
     if isinstance(prec, tuple):  # per-stage mixed-precision scheme
         prec = prec[min(level, len(prec) - 1)]
     f = factors[level]
-    bfly = plan.butterfly and f in BUTTERFLY_RADICES
+    bfly = (
+        plan.butterfly
+        and f in BUTTERFLY_RADICES
+        and f <= getattr(plan, "butterfly_max", 8)
+    )
     if level == len(factors) - 1:
         if bfly:
             return _butterfly_stage(f, plan.sign, -1, xr, xi)

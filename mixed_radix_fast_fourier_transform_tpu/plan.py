@@ -67,6 +67,10 @@ class MixedRadixPlan:
     # the matmul form drags a 4-wide minormost dim through the neighbouring
     # big stages (measured A/B lever; see stockham._butterfly_stage).
     butterfly: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # Largest stage size the butterfly dispatch may take (8 = the measured
+    # "auto" set {2,4,8}; 16 adds the two-radix-8 + cos/sin(π/8) combine
+    # form — opt-in via SpectralConfig.butterfly="16" until measured).
+    butterfly_max: int = dataclasses.field(default=8, metadata=dict(static=True))
     dft_re: Tuple[Array, ...] = ()
     dft_im: Tuple[Array, ...] = ()
     tw_re: Tuple[Array, ...] = ()
@@ -211,7 +215,8 @@ def build_mixed_radix_plan(
         precision=_precision_str(config.precision),
         # butterfly dispatch is per-stage in the engine (stockham.
         # BUTTERFLY_RADICES); the plan bit records the config lever
-        butterfly=config.butterfly == "auto",
+        butterfly=config.butterfly != "off",
+        butterfly_max=16 if config.butterfly == "16" else 8,
         dft_re=tuple(dft_re),
         dft_im=tuple(dft_im),
         tw_re=tuple(tw_re),

@@ -70,7 +70,10 @@ class SpectralConfig:
     # the FRONT factor measured ~2x SLOWER either form (the (b,4,N/4)
     # transpose costs a full pass), so descending stage order stands and
     # butterflies apply where the small factors already sit.  "auto"
-    # (default) = butterfly stages of size 2/4/8; "off" = always matmul.
+    # (default) = butterfly stages of size 2/4/8; "off" = always matmul;
+    # "16" = also run f=16 stages as butterflies (two radix-8 halves + a
+    # cos/sin(π/8) constant-twiddle combine — ~11 VPU ops/point vs the
+    # depth-32 stacked matmul; opt-in until measured on chip).
     butterfly: str = "auto"
     # Fused Pallas kernel path for smooth lengths (ops/pallas_fft.py):
     # False (default) = always XLA; None = auto (kernel on TPU backends);
@@ -106,9 +109,10 @@ class SpectralConfig:
             raise ValueError(
                 f"rader must be 'auto' or 'off', got {self.rader!r}"
             )
-        if self.butterfly not in ("auto", "off"):
+        if self.butterfly not in ("auto", "off", "16"):
             raise ValueError(
-                f"butterfly must be 'auto' or 'off', got {self.butterfly!r}"
+                f"butterfly must be 'auto', 'off' or '16', got "
+                f"{self.butterfly!r}"
             )
         if self.stage_strategy not in ("balanced", "greedy"):
             raise ValueError(

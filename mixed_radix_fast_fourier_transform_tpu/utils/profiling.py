@@ -48,11 +48,16 @@ def _mixed_radix_cost(plan, dtype_bytes: int = 4) -> PlanCost:
     flops = 0.0
     bytes_ = 0.0
     for i, f in enumerate(plan.factors):
-        if getattr(plan, "butterfly", False) and f in BUTTERFLY_RADICES:
+        if (
+            getattr(plan, "butterfly", False)
+            and f in BUTTERFLY_RADICES
+            and f <= getattr(plan, "butterfly_max", 8)
+        ):
             # VPU butterfly stage, real ops per complex point: radix-2
             # 4 adds/2 points = 2; radix-4 16 adds/4 points = 4; radix-8
-            # 32+8 (two √½ twiddles)+16 combine = 56 ops/8 points = 7
-            flops += {2: 2.0, 4: 4.0, 8: 7.0}[f] * n
+            # 32+8 (two √½ twiddles)+16 combine = 56 ops/8 points = 7;
+            # radix-16 two radix-8 halves + 7-twiddle combine = 11
+            flops += {2: 2.0, 4: 4.0, 8: 7.0, 16: 11.0}[f] * n
             bytes_ += 4.0 * n * dtype_bytes
             continue
         # stage DFT matmul flops: stacked form (one 2f-contraction real

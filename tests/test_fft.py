@@ -335,6 +335,60 @@ def test_butterfly_small_stages():
         P.clear_plan_cache()
 
 
+def test_butterfly_radix16():
+    """Opt-in radix-16 butterfly (SpectralConfig.butterfly='16' /
+    plan.butterfly_max=16) matches numpy fp64 in leaf and combine
+    positions, both signs (see stockham._bfly16)."""
+    import dataclasses
+
+    import mixed_radix_fast_fourier_transform_tpu.plan as P
+    from mixed_radix_fast_fourier_transform_tpu.ops.stockham import exec_complex
+
+    rng = np.random.default_rng(16)
+    orig = P.plan_stages
+    try:
+        for n, stages in [(64, (4, 16)), (64, (16, 4)), (256, (16, 16))]:
+            P.plan_stages = (
+                lambda nn, ms, strategy="balanced", s=stages, n0=n: s
+                if nn == n0
+                else orig(nn, ms, strategy)
+            )
+            P.clear_plan_cache()
+            x = rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))
+            xr = x.real.astype(np.float32)
+            xi = x.imag.astype(np.float32)
+            for sign in (-1, 1):
+                plan = dataclasses.replace(
+                    P.build_complex_plan(n, sign),
+                    butterfly=True,
+                    butterfly_max=16,
+                )
+                gr, gi = exec_complex(plan, xr, xi)
+                want = np.fft.fft(x) if sign == -1 else np.fft.ifft(x) * n
+                err = np.max(
+                    np.abs(np.asarray(gr) + 1j * np.asarray(gi) - want)
+                ) / np.max(np.abs(want))
+                assert err < 2e-6, (n, stages, sign, err)
+    finally:
+        P.plan_stages = orig
+        P.clear_plan_cache()
+
+
+def test_butterfly_config_lever():
+    """The '16' config value flows to plan.butterfly_max; invalid rejected."""
+    from mixed_radix_fast_fourier_transform_tpu.plan import build_complex_plan
+    from mixed_radix_fast_fourier_transform_tpu.utils.config import SpectralConfig
+
+    p16 = build_complex_plan(2048, -1, SpectralConfig(butterfly="16"))
+    assert p16.butterfly and p16.butterfly_max == 16
+    pauto = build_complex_plan(2048, -1, SpectralConfig(butterfly="auto"))
+    assert pauto.butterfly and pauto.butterfly_max == 8
+    poff = build_complex_plan(2048, -1, SpectralConfig(butterfly="off"))
+    assert not poff.butterfly
+    with pytest.raises(ValueError):
+        SpectralConfig(butterfly="on")
+
+
 def test_split6_precision_form():
     """The split6 fused form (bitmask bf16 chunks) is fp32-class accurate."""
     import dataclasses

@@ -238,18 +238,29 @@ def tune_butterfly(n: int, b: int):
 
     (xr, xi), x = _planes(n, b)
     base = plan_with(None)
-    small = [f for f in base.factors if f in (2, 4, 8)]
-    if not small:
-        print(f"N={n} default factors {base.factors} have no 2/4/8 stage")
-        return
-    tail = small[0]
-    front = tuple([tail] + [f for f in base.factors if f != tail])
     want = np.fft.fft(x)
-    cands = [
-        ("front-matmul", plan_with(front)),
-        ("tail-bfly", plan_with(None, butterfly=True)),
-        ("front-bfly", plan_with(front, butterfly=True)),
-    ]
+    if 16 in base.factors:
+        # radix-16 probe: matmul-16 (auto: 16 > butterfly_max=8) vs the
+        # opt-in _bfly16 form at the default split
+        p16 = dataclasses.replace(
+            plan_with(None, butterfly=True), butterfly_max=16
+        )
+        cands = [
+            ("bfly-to-8", plan_with(None, butterfly=True)),
+            ("bfly-to-16", p16),
+        ]
+    else:
+        small = [f for f in base.factors if f in (2, 4, 8)]
+        if not small:
+            print(f"N={n} default factors {base.factors} have no small stage")
+            return
+        tail = small[0]
+        front = tuple([tail] + [f for f in base.factors if f != tail])
+        cands = [
+            ("front-matmul", plan_with(front)),
+            ("tail-bfly", plan_with(None, butterfly=True)),
+            ("front-bfly", plan_with(front, butterfly=True)),
+        ]
     short = min(500, max(50, 700_000 // n))
     print(f"N={n} b={b} base factors: {base.factors}; front: {front}")
     for name, plan in cands:
