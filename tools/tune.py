@@ -41,6 +41,11 @@ from mixed_radix_fast_fourier_transform_tpu.plan import build_complex_plan  # no
 from mixed_radix_fast_fourier_transform_tpu.utils.config import DEFAULT_CONFIG  # noqa: E402
 from mixed_radix_fast_fourier_transform_tpu.utils.profiling import ab_compare  # noqa: E402
 
+# SPECTRAL_TUNE_BFLY16=1: run all tune plans with butterfly="16" so split
+# candidates with f=16 tails exercise the opt-in radix-16 butterfly form.
+if os.environ.get("SPECTRAL_TUNE_BFLY16"):
+    DEFAULT_CONFIG = dataclasses.replace(DEFAULT_CONFIG, butterfly="16")
+
 
 def _planes(n: int, b: int, seed: int = 0):
     rng = np.random.default_rng(seed)
