@@ -374,6 +374,30 @@ def test_butterfly_radix16():
         P.clear_plan_cache()
 
 
+def test_butterfly16_composite_paths():
+    """butterfly='16' stays accurate through Bluestein (n=1009 → inner
+    m=2048=(128,16)) and rfft (n=4096 → inner 2048) composites."""
+    import mixed_radix_fast_fourier_transform_tpu as sp
+    from mixed_radix_fast_fourier_transform_tpu.utils.config import SpectralConfig
+
+    rng = np.random.default_rng(7)
+    cfg = SpectralConfig(butterfly="16")
+    x = (rng.standard_normal(1009) + 1j * rng.standard_normal(1009)).astype(
+        np.complex64
+    )
+    want = np.fft.fft(x.astype(np.complex128))
+    err = np.max(np.abs(np.asarray(sp.fft(x, config=cfg)) - want)) / np.max(
+        np.abs(want)
+    )
+    assert err < 1e-5, err
+    xr = rng.standard_normal(4096).astype(np.float32)
+    wr = np.fft.rfft(xr.astype(np.float64))
+    err = np.max(np.abs(np.asarray(sp.rfft(xr, config=cfg)) - wr)) / np.max(
+        np.abs(wr)
+    )
+    assert err < 1e-5, err
+
+
 def test_butterfly_config_lever():
     """The '16' config value flows to plan.butterfly_max; invalid rejected."""
     from mixed_radix_fast_fourier_transform_tpu.plan import build_complex_plan
