@@ -206,11 +206,11 @@ def tune_split(n: int, b: int, cands):
         stages = tuple(int(s) for s in cand.lower().split("x"))
         assert np.prod(stages) == n, f"{stages} does not multiply to {n}"
         plan = plan_with(stages)
-        short = min(500, max(50, 700_000 // n))
+        short, rounds = _ab_knobs(min(500, max(50, 700_000 // n)), 5)
         res = ab_compare(
             lambda a, c: exec_complex(base, a, c),
             lambda a, c, p=plan: exec_complex(p, a, c),
-            (xr, xi), short=short, long=5 * short, rounds=5,
+            (xr, xi), short=short, long=5 * short, rounds=rounds,
         )
         print(f"vs {stages}:")
         _report("base", str(stages), res)
@@ -266,8 +266,8 @@ def tune_butterfly(n: int, b: int):
             ("tail-bfly", plan_with(None, butterfly=True)),
             ("front-bfly", plan_with(front, butterfly=True)),
         ]
-    short = min(500, max(50, 700_000 // n))
-    print(f"N={n} b={b} base factors: {base.factors}; front: {front}")
+    short, rounds = _ab_knobs(min(500, max(50, 700_000 // n)), 5)
+    print(f"N={n} b={b} base factors: {base.factors}")
     for name, plan in cands:
         gr, gi = jax.jit(lambda a, c, p=plan: exec_complex(p, a, c))(xr, xi)
         err = float(
@@ -278,7 +278,7 @@ def tune_butterfly(n: int, b: int):
         res = ab_compare(
             lambda a, c: exec_complex(base, a, c),
             lambda a, c, p=plan: exec_complex(p, a, c),
-            (xr, xi), short=short, long=5 * short, rounds=5,
+            (xr, xi), short=short, long=5 * short, rounds=rounds,
         )
         _report("base", name, res)
 
