@@ -58,9 +58,9 @@ KARATSUBA_MIN_STAGE = 128
 
 # Stage sizes executed as VPU butterflies when the plan's butterfly lever is
 # on (SpectralConfig.butterfly="auto", the default — measured 1.17x at the
-# N=65536 (128,128,4) leaf; see _butterfly_stage).  Radix 16 (two radix-8
-# halves + a cos/sin(π/8) constant-twiddle combine) is gated separately
-# behind plan.butterfly_max — opt-in until measured on chip.
+# N=65536 (128,128,4) leaf and 1.39x for the radix-16 form at the N=2048
+# (128,16) tail; see _butterfly_stage).  plan.butterfly_max=8 (config
+# value "8") caps out the radix-16 form for A/Bs.
 BUTTERFLY_RADICES = (2, 4, 8, 16)
 
 

@@ -67,9 +67,10 @@ class MixedRadixPlan:
     # the matmul form drags a 4-wide minormost dim through the neighbouring
     # big stages (measured A/B lever; see stockham._butterfly_stage).
     butterfly: bool = dataclasses.field(default=False, metadata=dict(static=True))
-    # Largest stage size the butterfly dispatch may take (8 = the measured
-    # "auto" set {2,4,8}; 16 adds the two-radix-8 + cos/sin(π/8) combine
-    # form — opt-in via SpectralConfig.butterfly="16" until measured).
+    # Largest stage size the butterfly dispatch may take.  16 (the default
+    # via SpectralConfig.butterfly="auto") measured 1.39x at the N=2048
+    # (128,16) tail and enables the 1.59x (64,16) plan at N=1024;
+    # SpectralConfig.butterfly="8" caps at the pre-measurement set.
     butterfly_max: int = dataclasses.field(default=8, metadata=dict(static=True))
     dft_re: Tuple[Array, ...] = ()
     dft_im: Tuple[Array, ...] = ()
@@ -216,7 +217,7 @@ def build_mixed_radix_plan(
         # butterfly dispatch is per-stage in the engine (stockham.
         # BUTTERFLY_RADICES); the plan bit records the config lever
         butterfly=config.butterfly != "off",
-        butterfly_max=16 if config.butterfly == "16" else 8,
+        butterfly_max=8 if config.butterfly == "8" else 16,
         dft_re=tuple(dft_re),
         dft_im=tuple(dft_im),
         tw_re=tuple(tw_re),

@@ -69,11 +69,19 @@ class SpectralConfig:
     # ran the 128-deep MXU at ~6 % utilization.  Moving the small stage to
     # the FRONT factor measured ~2x SLOWER either form (the (b,4,N/4)
     # transpose costs a full pass), so descending stage order stands and
-    # butterflies apply where the small factors already sit.  "auto"
-    # (default) = butterfly stages of size 2/4/8; "off" = always matmul;
-    # "16" = also run f=16 stages as butterflies (two radix-8 halves + a
-    # cos/sin(π/8) constant-twiddle combine — ~11 VPU ops/point vs the
-    # depth-32 stacked matmul; opt-in until measured on chip).
+    # butterflies apply where the small factors already sit.  Radix 16
+    # (two radix-8 halves + a cos/sin(π/8) constant-twiddle combine, ~11
+    # VPU ops/point vs the depth-32 stacked matmul) measured 2026-08-19
+    # on v5e, interleaved: N=2048 (128,16) tail-16 butterfly **1.39x**
+    # (17→12 µs b=128, err 1.9e-7), and it flips the N=1024 plan choice —
+    # (64,16)+bfly16 is 1.59x over the old (32,32) LPT plan (14→9 µs
+    # b=256; (128,8)+bfly8 only 1.23x).  Plan-SHAPE changes beyond that
+    # measured worse: (64,64,16) 0.64x at 65536, (128,16,16) 0.89x at
+    # 32768, (64,16,16) 0.32x at 16384, (256,16) parity at 4096 — an
+    # extra pass costs more than a free tail saves; splits stand except
+    # n=1024.  "auto" (default) = butterfly stages of size 2/4/8/16;
+    # "8" = cap at 8 (the pre-measurement set, kept as the A/B lever);
+    # "16" = synonym of auto; "off" = always matmul.
     butterfly: str = "auto"
     # Fused Pallas kernel path for smooth lengths (ops/pallas_fft.py):
     # False (default) = always XLA; None = auto (kernel on TPU backends);
@@ -109,9 +117,9 @@ class SpectralConfig:
             raise ValueError(
                 f"rader must be 'auto' or 'off', got {self.rader!r}"
             )
-        if self.butterfly not in ("auto", "off", "16"):
+        if self.butterfly not in ("auto", "off", "8", "16"):
             raise ValueError(
-                f"butterfly must be 'auto', 'off' or '16', got "
+                f"butterfly must be 'auto', 'off', '8' or '16', got "
                 f"{self.butterfly!r}"
             )
         if self.stage_strategy not in ("balanced", "greedy"):

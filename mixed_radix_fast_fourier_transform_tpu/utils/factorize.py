@@ -197,6 +197,14 @@ def plan_stages(
     # 65536 (128,128,4) 1.15x over (256,256).  A remainder of 2 is better
     # merged into one 256 stage ((256,128) beats (128,128,2) by 1.27x at
     # 32768).  N=1024 stays LPT: (32,32) beat (128,8) by 1.10x.
+    # Measured exception (v5e, 2026-08-19, interleaved — see CLAUDE.md
+    # round-5): with the radix-16 VPU butterfly tail the N=1024 plan flips
+    # from LPT (32,32) to (64,16) — the stacked-64 stage runs a full
+    # 128-deep MXU contraction and the 16-tail is ~11 VPU ops/point:
+    # 1.59x at b=256 (14→9 µs; (128,8)+bfly8 only 1.23x).  Gated at
+    # max_stage >= 128 so constrained configs keep their measured LPT.
+    if n == 1024 and max_stage >= 128:
+        return (64, 16)
     if n >= 2048 and n & (n - 1) == 0 and max_stage >= 256:
         v = n.bit_length() - 1
         stages = []

@@ -221,7 +221,7 @@ def test_stage_window_rule(rng):
         24576: (192, 128),  # window a=128 -> cofactor 192, same multiset as LPT
         2520: (60, 42),     # below threshold: LPT ((126,20) measured 0.83x)
         1260: (42, 30),     # below threshold: LPT
-        1024: (32, 32),     # below threshold: LPT
+        1024: (64, 16),     # bfly16 rule: (64,16)+bfly16 measured 1.59x over LPT (32,32)
         2048: (128, 16),    # pow2 rule, unchanged
     }
     for n, want in cases.items():
